@@ -1,13 +1,205 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator from SURVEY §2 expressed as a
+  * Spark plan over the driver's parquet testdata; [[oracleSql]] carries the
+  * equivalent DuckDB SQL. Column names and value rounding are aligned on
+  * both sides so the driver's sorted-hash compare matches bit-for-bit:
+  *   - cross-row double aggregation goes through per-row DECIMAL casts
+  *     (exact integer arithmetic, order-independent) then back to DOUBLE;
+  *   - per-row double arithmetic (products, dot products) is IEEE-
+  *     deterministic and left-to-right on both engines, rounded to 6dp;
+  *   - every top-K orders by the rounded score with an id tie-break.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Hybrid retrieval (SURVEY §3.1): bm25ish keyword branch over
+    * `documents` fused with a vector branch over `embeddings` via
+    * weighted RRF. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("hybrid_rrf")(spark, "/root/testdata/sf0.001")
+
+  // ───────────────────────────────────────────────────────── helpers ──
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Fixed demo query against the synthetic `documents` word-soup corpus. */
+  private val KeywordQuery = "spark join filter hash table scan"
+  private def kwTerms: Seq[String] = TextFunctions.queryTerms(KeywordQuery)
+
+  /** DuckDB rendering of [[TextFunctions.bm25ish]] for a literal term set. */
+  private def bm25ishSql(textExpr: String, terms: Seq[String]): String = {
+    val perTerm = terms.map { tm =>
+      val tf = s"(CAST((length($textExpr) - length(replace($textExpr, '$tm', ''))) / ${tm.length} AS INT))"
+      s"(($tf * 2.2) / ($tf + 1.2))"
+    }
+    s"((${perTerm.mkString(" + ")}) / ${terms.length})"
+  }
+
+  private def dotSql(a: String, b: String): String =
+    s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+
+  // ───────────────────────────────────────────────────────── queries ──
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // §2.4 aggregation spine: TPC-H Q1-style pricing summary.
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,4)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,4)")).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(22,6)")).cast("double").as("sum_disc_price"),
+          (sum($"l_discount".cast("decimal(18,6)")).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // §2.3 the core "join": exact cosine kNN, query = embedding of vec_id 0.
+    // Single-row query side is broadcast; top-K is TakeOrderedAndProject
+    // (per-partition heaps, no global sort) — the 100 TB-safe shape.
+    "knn_cosine" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      e.crossJoin(broadcast(q))
+        .withColumn("cos_sim", round(cosineSimilarity($"embedding", $"qv"), 6))
+        .select($"vec_id", $"label", $"cos_sim")
+        .orderBy(desc("cos_sim"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // §2.3 euclidean metric variant, `score = 1 - distance` preserved
+    // (can be negative — reference HNSWIndex.js:307 quirk).
+    "knn_euclidean" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      e.crossJoin(broadcast(q))
+        .withColumn("score", round(lit(1.0) - sqrt(euclideanDistanceSq($"embedding", $"qv")), 6))
+        .select($"vec_id", $"label", $"score")
+        .orderBy(desc("score"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // §2.4 bm25ish keyword scoring (TF saturation, no IDF — by design).
+    "bm25_keyword" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("score", round(bm25ish($"text", kwTerms), 6))
+        .filter($"score" > 0)
+        .select($"doc_id", $"score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    }),
+
+    // §3.1 flagship: weighted Reciprocal Rank Fusion of a vector branch
+    // (kNN over embeddings, joined to documents by id) and a keyword
+    // branch (bm25ish over documents). weights {vector:0.4, keyword:0.2},
+    // rrfK=60 (HybridRetriever.js:72-76, :346). Ranks are row_number over
+    // each branch's top-(2k) — the reference's over-fetch (:136, :191).
+    "hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val topK = 10
+      val fetch = topK * 2
+
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+      val vecBranch = e.crossJoin(broadcast(q))
+        .withColumn("score", round(cosineSimilarity($"embedding", $"qv"), 6))
+        .select($"vec_id".as("id"), $"score")
+        .orderBy(desc("score"), asc("id")).limit(fetch)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("id"))))
+        .withColumn("strategy", lit("vector"))
+
+      val kwBranch = t(s, dir, "documents")
+        .withColumn("score", round(bm25ish($"text", kwTerms), 6))
+        .filter($"score" > 0)
+        .select($"doc_id".as("id"), $"score")
+        .orderBy(desc("score"), asc("id")).limit(fetch)
+        .withColumn("rank", row_number().over(Window.orderBy(desc("score"), asc("id"))))
+        .withColumn("strategy", lit("keyword"))
+
+      val weights = Map("vector" -> 0.4, "keyword" -> 0.2)
+      val wCol = when($"strategy" === "vector", weights("vector"))
+        .otherwise(weights("keyword"))
+
+      vecBranch.unionByName(kwBranch)
+        .groupBy($"id")
+        .agg(round(sum(rrfContribution(wCol, $"rank")).cast("decimal(18,9)").cast("double"), 6).as("fused_score"))
+        .orderBy(desc("fused_score"), asc("id"))
+        .limit(topK)
+    }),
+  )
+
+  // ──────────────────────────────────────────────────────── oracles ──
+
+  def oracleSql: Map[String, String] = {
+    val terms = kwTerms
+    val bm25Expr = bm25ishSql("lower(text)", terms)
+    Map(
+      "q1_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+          | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(22,6))) AS DOUBLE) AS sum_disc_price,
+          | CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+          | count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "knn_cosine" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, e.label,
+           | round(${dotSql("e.embedding", "q.qv")} /
+           |   (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+           |FROM embeddings e, q
+           |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      "knn_euclidean" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id, e.label,
+           | round(1.0 - sqrt(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> (x[1]-x[2])*(x[1]-x[2])))), 6) AS score
+           |FROM embeddings e, q
+           |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      "bm25_keyword" ->
+        s"""SELECT doc_id, round($bm25Expr, 6) AS score
+           |FROM documents
+           |WHERE round($bm25Expr, 6) > 0
+           |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      "hybrid_rrf" ->
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |vec AS (
+           |  SELECT id, rank, 'vector' AS strategy FROM (
+           |    SELECT e.vec_id AS id,
+           |      row_number() OVER (ORDER BY round(${dotSql("e.embedding", "q.qv")} /
+           |        (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.vec_id) AS rank
+           |    FROM embeddings e, q)
+           |  WHERE rank <= 20),
+           |kw AS (
+           |  SELECT id, rank, 'keyword' AS strategy FROM (
+           |    SELECT doc_id AS id,
+           |      row_number() OVER (ORDER BY round($bm25Expr, 6) DESC, doc_id) AS rank
+           |    FROM documents WHERE round($bm25Expr, 6) > 0)
+           |  WHERE rank <= 20),
+           |unioned AS (SELECT * FROM vec UNION ALL SELECT * FROM kw)
+           |SELECT id, round(CAST(CAST(sum((CASE WHEN strategy = 'vector' THEN 0.4 ELSE 0.2 END) / (60 + rank)) AS DECIMAL(18,9)) AS DOUBLE), 6) AS fused_score
+           |FROM unioned GROUP BY id
+           |ORDER BY fused_score DESC, id LIMIT 10""".stripMargin,
+    )
+  }
 }
