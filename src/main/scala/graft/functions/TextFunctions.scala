@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** 46-word stoplist, verbatim from `HybridRetriever.js:409-418`. */
+  /** 43-word stoplist, verbatim from `HybridRetriever.js:409-418`. */
   val StopWords: Seq[String] = Seq(
     "the", "is", "at", "which", "on", "a", "an", "and", "or", "but",
     "in", "with", "to", "for", "of", "not", "no", "can", "had", "has",

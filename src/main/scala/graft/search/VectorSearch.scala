@@ -1,8 +1,11 @@
 package graft.search
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
+
+import scala.jdk.CollectionConverters._
 
 /** Exact k-nearest-neighbour search — the correctness spine of the engine
   * (SURVEY §7.1). The reference serves kNN from an HNSW graph
@@ -21,22 +24,29 @@ import graft.functions.VectorFunctions._
   */
 object VectorSearch {
 
+  /** Distance metric. `score` is the similarity the reference reports
+    * (`score = 1 - distance`, `HNSWIndex.js:307`) — computed directly in
+    * similarity form so external oracles reproduce it bit-for-bit (e.g.
+    * cosine score is the ratio `dot/(|a||b|)`, not `1-(1-sim)`). */
   sealed trait Metric {
-    /** distance column; `score = 1 - distance` */
-    def distance(v: Column, q: Column): Column
+    /** `score = 1 - distance`; can be negative for euclidean/dotProduct —
+      * preserved deliberately (reference quirk). */
+    def score(v: Column, q: Column): Column
   }
   case object Cosine extends Metric {
-    def distance(v: Column, q: Column): Column = cosineDistance(v, q)
+    def score(v: Column, q: Column): Column = cosineSimilarity(v, q)
   }
-  /** Cosine over vectors already unit-normalized at ingest: plain dot. */
+  /** Cosine over vectors already unit-normalized at ingest: plain dot —
+    * the reference's normalize-at-insert trick (`HNSWIndex.js:137-140`). */
   case object CosineUnit extends Metric {
-    def distance(v: Column, q: Column): Column = lit(1.0) - dotProduct(v, q)
+    def score(v: Column, q: Column): Column = dotProduct(v, q)
   }
   case object Euclidean extends Metric {
-    def distance(v: Column, q: Column): Column = euclideanDistance(v, q)
+    def score(v: Column, q: Column): Column = lit(1.0) - euclideanDistance(v, q)
   }
+  /** distance = -dot (`HNSWIndex.js:461-466`) so score = 1 + dot. */
   case object DotProduct extends Metric {
-    def distance(v: Column, q: Column): Column = dotProductDistance(v, q)
+    def score(v: Column, q: Column): Column = lit(1.0) + dotProduct(v, q)
   }
 
   def metric(name: String): Metric = name match {
@@ -48,8 +58,12 @@ object VectorSearch {
 
   /** Top-K rows by similarity to `queryVec`.
     *
+    * The query vector is inlined as a plan literal (`vecLit`) — no extra
+    * scan job, no broadcast exchange; Catalyst constant-folds it into the
+    * whole-stage-codegen'd score expression.
+    *
     * @param df          collection table
-    * @param queryVec    query vector (broadcast as a plan literal)
+    * @param queryVec    query vector (inlined as a plan literal)
     * @param k           result count
     * @param m           distance metric
     * @param vectorCol   name of the `ARRAY<FLOAT|DOUBLE>` column
@@ -57,26 +71,128 @@ object VectorSearch {
     * @param tenantId    optional tenant filter (partition-prunable)
     * @param preFilter   optional extra predicate (metadata filters, TTL)
     * @param includeVector keep the vector column in the output
+    * @param roundTo     round the score to N decimals *before* ranking —
+    *                    makes top-K + ties bit-reproducible across engines
+    * @param scoreCol    output score column name
+    * @param tenantCol   tenant column name
     */
   def knn(df: DataFrame, queryVec: Seq[Double], k: Int,
           m: Metric = Cosine,
           vectorCol: String = "vector", idCol: String = "id",
           tenantId: Option[String] = None,
           preFilter: Option[Column] = None,
-          includeVector: Boolean = false): DataFrame = {
+          includeVector: Boolean = false,
+          roundTo: Option[Int] = None,
+          scoreCol: String = "score",
+          tenantCol: String = "tenant_id"): DataFrame = {
+    require(!df.columns.contains(scoreCol),
+      s"input already has a '$scoreCol' column — pass scoreCol to avoid masking it")
     val q = vecLit(queryVec)
     var in = df
-    tenantId.foreach(t => in = in.filter(col("tenant_id") === lit(t)))
+    tenantId.foreach(t => in = in.filter(col(tenantCol) === lit(t)))
     preFilter.foreach(p => in = in.filter(p))
-    val scored = in.withColumn("score", score(m.distance(col(vectorCol), q)))
+    val raw = m.score(col(vectorCol), q)
+    val s = roundTo.map(d => round(raw, d)).getOrElse(raw)
+    val scored = in.withColumn(scoreCol, s)
     val out = if (includeVector) scored else scored.drop(vectorCol)
     // desc(score) with asc(id) tie-break => deterministic TakeOrderedAndProject
-    out.orderBy(desc("score"), asc(idCol)).limit(k)
+    out.orderBy(desc(scoreCol), asc(idCol)).limit(k)
+  }
+
+  /** Batched kNN: top-K per query over a set of queries — the throughput
+    * shape (the reference benches a 1,000-query loop, `bin/cli.js:81-90`;
+    * Spark answers all of them in ONE job).
+    *
+    * Declarative form: broadcast the (small) query side, score every
+    * (query, row) pair, rank per query with a *partitioned* window.
+    * The shuffle carries the scored pairs clustered by `qid` — fine up to
+    * ~10^4 queries; for larger fleets use [[knnBatchFast]].
+    */
+  def knnBatch(df: DataFrame, queries: DataFrame, k: Int,
+               m: Metric = Cosine,
+               vectorCol: String = "vector", idCol: String = "id",
+               queryIdCol: String = "qid", queryVecCol: String = "qv",
+               roundTo: Option[Int] = None,
+               scoreCol: String = "score"): DataFrame = {
+    val raw = m.score(col(vectorCol), col(queryVecCol))
+    val s = roundTo.map(d => round(raw, d)).getOrElse(raw)
+    val scored = df.crossJoin(broadcast(queries))
+      .withColumn(scoreCol, s)
+      .drop(vectorCol, queryVecCol)
+    val w = Window.partitionBy(queryIdCol).orderBy(desc(scoreCol), asc(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Batched kNN via per-partition bounded heaps: each input partition
+    * keeps only its local top-K per query (queries held driver-side and
+    * closed over — they are small), so the shuffle moves at most
+    * `numPartitions × Q × k` rows instead of `N × Q`. This is the
+    * 100 TB-safe shape for large query fleets; the final global rank runs
+    * on the pruned remainder.
+    *
+    * Output: (qid, id, score, rank) with rank ≤ k per qid.
+    */
+  def knnBatchFast(df: DataFrame, queries: Seq[(Long, Array[Double])], k: Int,
+                   m: Metric = Cosine,
+                   vectorCol: String = "vector", idCol: String = "id"): DataFrame = {
+    import df.sparkSession.implicits._
+    val spark = df.sparkSession
+    val qBc = spark.sparkContext.broadcast(queries)
+    val metricName = m match {
+      case Cosine => "cosine"; case CosineUnit => "cosineUnit"
+      case Euclidean => "euclidean"; case DotProduct => "dot"
+    }
+    val pairs = df.select(col(idCol).cast("long").as("id"),
+        col(vectorCol).cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val qs = qBc.value
+        // per-query bounded min-heap of (score, id)
+        val heaps = qs.map { case (qid, _) =>
+          qid -> new java.util.PriorityQueue[(Double, Long)](k + 1,
+            Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2)))
+        }.toMap
+        it.foreach { case (id, v) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val (qid, qv) = qs(qi)
+            var s = 0.0
+            metricName match {
+              case "cosine" =>
+                var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+                while (i < v.length) { dot += v(i)*qv(i); na += v(i)*v(i); nb += qv(i)*qv(i); i += 1 }
+                s = dot / (math.sqrt(na) * math.sqrt(nb))
+              case "cosineUnit" | "dot" =>
+                var dot = 0.0; var i = 0
+                while (i < v.length) { dot += v(i)*qv(i); i += 1 }
+                s = if (metricName == "dot") 1.0 + dot else dot
+              case "euclidean" =>
+                var d2 = 0.0; var i = 0
+                while (i < v.length) { val d = v(i)-qv(i); d2 += d*d; i += 1 }
+                s = 1.0 - math.sqrt(d2)
+            }
+            val h = heaps(qid)
+            h.add((s, id))
+            if (h.size > k) h.poll()
+            qi += 1
+          }
+        }
+        heaps.iterator.flatMap { case (qid, h) =>
+          h.iterator().asScala.map { case (s, id) => (qid, id, s) }
+        }
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+      .toDF("qid", "id", "score")
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** TTL expiry predicate: keep rows whose age is within `ttl_ms`
-    * (`HNSWIndex.js:295-300` — lazy expiry at read; pair with a vacuum
-    * job for physical deletion at scale). Null/0 ttl = no expiry. */
+    * (`HNSWIndex.js:295-300` — lazy expiry at read; pair with
+    * [[graft.engine.FusionEngine.vacuum]] for physical deletion at scale).
+    * Null/0 ttl = no expiry. */
   def ttlAlive(tsCol: Column, ttlMsCol: Column, nowMs: Column = unix_millis(current_timestamp())): Column =
     ttlMsCol.isNull || ttlMsCol <= 0 || (nowMs - unix_millis(tsCol)) < ttlMsCol
 }
