@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.engine.FusionEngine
+import graft.model.CollectionConfig
+import graft.providers.{Embed, MockEmbedderProvider}
+
+/** CLI demo — the engine's end-to-end slice, mirroring the reference's
+  * `bin/cli.js demo` (`/root/reference/bin/cli.js:10-35`): create a
+  * 64-dim collection, insert 4 mock-embedded docs, run the
+  * "chemical safety requirements" query (d1/d4 must outrank d3), then
+  * exercise the write path: TTL vacuum, delete-by-id, export/import.
+  *
+  * Run: `sbt "runMain graft.Demo"` */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_demo").toString)
+    val embedder = new MockEmbedderProvider(64)
+
+    println("=== 1. Vector search ===")
+    engine.createCollection("demo", CollectionConfig(dimensions = 64))
+    val docs = Seq(
+      "d1" -> "OSHA requires chemical hazard communication including safety data sheets",
+      "d2" -> "Personal protective equipment must be provided at no cost to employees",
+      "d3" -> "Quarterly revenue increased by 15% driven by cloud services growth",
+      "d4" -> "Confined space entry requires atmospheric testing before access")
+    engine.insert("demo", Embed.withEmbedding(docs.toDF("id", "content"), "content", "vector", embedder))
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    engine.search("demo", qv, topK = 3).select("id", "score", "content")
+      .collect().zipWithIndex.foreach { case (r, i) =>
+        println(f"  ${i + 1}. [${r.getDouble(1)}%.3f] ${r.getString(0)}: ${r.getString(2).take(60)}")
+      }
+
+    println("=== 2. Write path ===")
+    println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
+    engine.deleteByIds("demo", Seq("d3"))
+    println(s"  after delete d3: rows=${engine.count("demo")}, has(d3)=${engine.has("demo", "d3")}")
+    engine.insert("demo",
+      Embed.withEmbedding(Seq("tmp1" -> "ephemeral row").toDF("id", "content"), "content", "vector", embedder),
+      ttlMs = Some(1L),
+      now = Some(new java.sql.Timestamp(System.currentTimeMillis() - 1000)))
+    println(s"  inserted expired row: rows=${engine.count("demo")}, vacuumed=${engine.vacuum("demo")}, rows=${engine.count("demo")}")
+
+    println("=== 3. Export / import round-trip ===")
+    val snap = Files.createTempDirectory("graft_demo_snap").toString
+    engine.exportData(snap)
+    val engine2 = new FusionEngine(spark, Files.createTempDirectory("graft_demo2").toString)
+    engine2.importData(snap)
+    val r2 = engine2.search("demo", qv, topK = 1).select("id").as[String].head
+    println(s"  imported rows=${engine2.count("demo")}, top result after import: $r2")
+
+    println("=== 4. Tenancy ===")
+    engine.createCollection("mt", CollectionConfig(dimensions = 64))
+    engine.tenant("mt", "acme").insert(Embed.withEmbedding(Seq("a1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
+    engine.tenant("mt", "globex").insert(Embed.withEmbedding(Seq("g1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
+    val seen = engine.tenant("mt", "acme").search(embedder.embed("alpha").map(_.toDouble).toSeq)
+      .select("id").as[String].collect().toSeq
+    println(s"  acme sees: ${seen.mkString(",")}")
+
+    spark.stop()
+  }
+}

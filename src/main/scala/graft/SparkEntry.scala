@@ -103,6 +103,29 @@ object SparkEntry {
         .select($"vec_id", $"label", $"score")
     }),
 
+    // §2.1 point lookup by id — engine.get (FusionEngine.js:225-228):
+    // an id-pushdown scan (PushedFilters prunes row groups at scale).
+    "point_lookup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").filter($"doc_id" === 42)
+        .select($"doc_id", $"lang", $"source", $"n_chars")
+    }),
+
+    // §2.4 stats counters (engine.listCollections size/stats shape):
+    // per-source corpus stats via partial+final aggregation.
+    "corpus_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("total_chars"),
+          min($"n_chars").as("min_chars"),
+          max($"n_chars").as("max_chars"),
+          countDistinct($"lang").as("n_langs"))
+        .orderBy($"source")
+    }),
+
     // §2.4 bm25ish keyword scoring (TF saturation, no IDF — by design).
     "bm25_keyword" -> ((s, dir) => {
       import s.implicits._
@@ -186,6 +209,15 @@ object SparkEntry {
            | round(1.0 - sqrt(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> (x[1]-x[2])*(x[1]-x[2])))), 6) AS score
            |FROM embeddings e, q
            |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      "point_lookup" ->
+        "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
+
+      "corpus_stats" ->
+        """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+          | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+          | count(DISTINCT lang) AS n_langs
+          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
       "bm25_keyword" ->
         s"""SELECT doc_id, round($bm25Expr, 6) AS score

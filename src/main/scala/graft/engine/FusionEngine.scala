@@ -1,0 +1,328 @@
+package graft.engine
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Timestamp
+import java.util.Comparator
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions
+import graft.model.CollectionConfig
+import graft.search.VectorSearch
+
+/** The engine write path: a parquet-backed collection catalog with the
+  * CRUD / persistence semantics of the reference's `FusionEngine`
+  * (`/root/reference/src/core/FusionEngine.js:91-156, 175-241, 278-312`),
+  * re-expressed batch-native:
+  *
+  *   - a collection = `<root>/<name>/data/` parquet + `collection.json`
+  *     (in production this would be a Delta/Iceberg table; plain parquet
+  *     dirs keep the container dependency-free — the API surface is the
+  *     contract, the format is swappable)
+  *   - insert = schema-checked `append` (vectors unit-normalized at write
+  *     for cosine collections — the reference's normalize-at-insert trick,
+  *     `HNSWIndex.js:137-140`, so query-time cosine is a plain dot)
+  *   - delete-by-id / clear = anti-filter rewrite (Delta `DELETE WHERE`
+  *     at scale; here an atomic swap of the data dir)
+  *   - TTL = lazy read-filter (`HNSWIndex.js:295-300`) + [[vacuum]] for
+  *     physical deletion
+  *   - export/import = JSON snapshot compat shim
+  *     (`FusionEngine.js:278-312`); parquet is the primary persistence
+  *
+  * Collection table schema (FIXTURES.md §1): `id STRING, vector
+  * ARRAY<FLOAT>, tenant_id STRING, ts TIMESTAMP, ttl_ms BIGINT,
+  * content STRING, metadata MAP<STRING,STRING>`.
+  */
+final class FusionEngine(val spark: SparkSession, val root: String) {
+  import FusionEngine._
+
+  private def dir(name: String): Path = Paths.get(root, name)
+  private def dataDir(name: String): Path = dir(name).resolve("data")
+  private def confFile(name: String): Path = dir(name).resolve("collection.json")
+
+  // ─── Collection catalog (`FusionEngine.js:91-156`) ───
+
+  def createCollection(name: String, config: CollectionConfig = CollectionConfig()): CollectionConfig = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains(".."),
+      s"illegal collection name: $name")
+    if (Files.exists(dir(name)))
+      throw new IllegalArgumentException(s"""Collection "$name" already exists""")
+    val cfg = if (config.createdAt.isEmpty)
+      config.copy(createdAt = java.time.Instant.now.toString) else config
+    Files.createDirectories(dir(name))
+    Files.writeString(confFile(name), configJson(cfg))
+    cfg
+  }
+
+  def hasCollection(name: String): Boolean = Files.exists(confFile(name))
+
+  def listCollections(): Seq[(String, CollectionConfig, Long)] = {
+    val d = Paths.get(root)
+    if (!Files.exists(d)) return Seq.empty
+    val it = Files.list(d).sorted(Comparator.comparing[Path, String](
+      (p: Path) => p.getFileName.toString))
+    try it.iterator().asScala
+      .filter(p => Files.exists(p.resolve("collection.json")))
+      .map { p =>
+        val n = p.getFileName.toString
+        (n, getConfig(n), count(n))
+      }.toSeq
+    finally it.close()
+  }
+
+  def getConfig(name: String): CollectionConfig = {
+    if (!hasCollection(name))
+      throw new NoSuchElementException(s"""Collection "$name" does not exist""")
+    parseConfigJson(Files.readString(confFile(name)))
+  }
+
+  def deleteCollection(name: String): Boolean = {
+    val existed = Files.exists(dir(name))
+    if (existed) deleteRecursively(dir(name))
+    existed
+  }
+
+  // ─── Read path ───
+
+  /** The collection as a DataFrame (empty with the canonical schema when
+    * nothing has been inserted yet). */
+  def table(name: String): DataFrame = {
+    getConfig(name) // existence check
+    if (Files.exists(dataDir(name)))
+      spark.read.schema(Schema).parquet(dataDir(name).toString)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+  }
+
+  def count(name: String): Long =
+    if (Files.exists(dataDir(name))) table(name).count() else 0L
+
+  /** Point lookup (`FusionEngine.js:225-228`) — id-pushdown scan. */
+  def get(name: String, id: String): DataFrame = table(name).filter(col("id") === lit(id))
+
+  /** Existence check (`HNSWIndex.js:372-374`). */
+  def has(name: String, id: String): Boolean = !get(name, id).limit(1).isEmpty
+
+  /** kNN over the collection with the collection's configured metric.
+    * Cosine collections store unit vectors, so the metric is the
+    * dot-product fast path. TTL-expired rows are lazily filtered out. */
+  def search(name: String, queryVec: Seq[Double], topK: Int = 10,
+             tenantId: Option[String] = None,
+             filter: Option[Column] = None,
+             includeVector: Boolean = false): DataFrame = {
+    val cfg = getConfig(name)
+    require(queryVec.length == cfg.dimensions,
+      s"query dimension ${queryVec.length} != collection dimension ${cfg.dimensions}")
+    val m = cfg.distanceMetric match {
+      case "cosine" => VectorSearch.CosineUnit // normalized at insert
+      case other    => VectorSearch.metric(other)
+    }
+    val q = if (cfg.distanceMetric == "cosine") normalize(queryVec) else queryVec
+    val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
+    VectorSearch.knn(table(name), q, topK, m,
+      tenantId = tenantId,
+      preFilter = Some(filter.map(_ && alive).getOrElse(alive)),
+      includeVector = includeVector)
+  }
+
+  // ─── Write path (`FusionEngine.js:175-241`) ───
+
+  /** Append entries. `df` must have `id STRING` + `vector ARRAY<FLOAT>`;
+    * missing system columns are filled (ts = now, tenant/ttl from
+    * options), dimensions are checked, and cosine collections
+    * unit-normalize at write. */
+  def insert(name: String, df: DataFrame,
+             tenantId: Option[String] = None,
+             ttlMs: Option[Long] = None,
+             now: Option[Timestamp] = None): Unit = {
+    val cfg = getConfig(name)
+    var in = df
+    if (!in.columns.contains("tenant_id"))
+      in = in.withColumn("tenant_id", lit(tenantId.orNull).cast(StringType))
+    else if (tenantId.isDefined)
+      in = in.withColumn("tenant_id", lit(tenantId.get))
+    if (!in.columns.contains("ts"))
+      in = in.withColumn("ts", lit(now.getOrElse(new Timestamp(System.currentTimeMillis()))))
+    if (!in.columns.contains("ttl_ms"))
+      in = in.withColumn("ttl_ms",
+        ttlMs.map(v => lit(v).cast(LongType)).getOrElse(lit(null).cast(LongType)))
+    else if (ttlMs.isDefined)
+      in = in.withColumn("ttl_ms", lit(ttlMs.get))
+    if (!in.columns.contains("content")) in = in.withColumn("content", lit(null).cast(StringType))
+    if (!in.columns.contains("metadata"))
+      in = in.withColumn("metadata", lit(null).cast(MapType(StringType, StringType)))
+
+    // dimension check at write (`HNSWIndex.js:129-133`) — executor-side,
+    // fails the job on first bad row
+    val dimOk = size(col("vector")) === cfg.dimensions
+    in = in.withColumn("vector",
+      when(dimOk, col("vector")).otherwise(
+        raise_error(concat(lit(s"Vector dimension mismatch: expected ${cfg.dimensions}, got "),
+          size(col("vector")).cast(StringType)))))
+
+    if (cfg.distanceMetric == "cosine")
+      in = in.withColumn("vector", VectorFunctions.l2Normalize(col("vector")).cast(ArrayType(FloatType)))
+
+    in.select(Schema.fieldNames.map(col): _*)
+      .select(Schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      .write.mode(SaveMode.Append).parquet(dataDir(name).toString)
+  }
+
+  /** Delete by ids — anti-filter rewrite with an atomic dir swap.
+    * Returns rows deleted. (Delta: `DELETE WHERE id IN (...)`.) */
+  def deleteByIds(name: String, ids: Seq[String]): Long =
+    rewrite(name, col("id").isin(ids.map(lit(_)): _*))
+
+  /** Physically remove TTL-expired rows (the vacuum pairing with lazy
+    * read-filtering; reference never physically expires). */
+  def vacuum(name: String, now: Option[Timestamp] = None): Long = {
+    val nowMs = lit(now.map(_.getTime).getOrElse(System.currentTimeMillis()))
+    rewrite(name, !VectorSearch.ttlAlive(col("ts"), col("ttl_ms"), nowMs))
+  }
+
+  /** Drop all rows (`HNSWIndex.js:379-384`). */
+  def clear(name: String): Unit = {
+    getConfig(name)
+    if (Files.exists(dataDir(name))) deleteRecursively(dataDir(name))
+  }
+
+  /** Rewrite the collection without rows matching `condemned`. */
+  private def rewrite(name: String, condemned: Column): Long = {
+    getConfig(name)
+    if (!Files.exists(dataDir(name))) return 0L
+    val before = count(name)
+    val tmp = dir(name).resolve("data_tmp")
+    table(name).filter(!coalesce(condemned, lit(false))).write
+      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = dir(name).resolve("data_old")
+    Files.move(dataDir(name), old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, dataDir(name), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(old)
+    before - count(name)
+  }
+
+  // ─── Tenant proxy (`FusionEngine.js:258-270`) ───
+
+  /** Tenant-scoped view. Quirk preserved from the reference: `get` and
+    * `delete` are NOT tenant-filtered (`FusionEngine.js:267-268`) —
+    * documented capability-parity divergence, flagged per SURVEY §7.4. */
+  final class TenantScope private[FusionEngine] (collection: String, tenantId: String) {
+    def insert(df: DataFrame, ttlMs: Option[Long] = None): Unit =
+      FusionEngine.this.insert(collection, df, tenantId = Some(tenantId), ttlMs = ttlMs)
+    def search(queryVec: Seq[Double], topK: Int = 10, filter: Option[Column] = None): DataFrame =
+      FusionEngine.this.search(collection, queryVec, topK, tenantId = Some(tenantId), filter = filter)
+    def get(id: String): DataFrame = FusionEngine.this.get(collection, id)
+    def delete(id: String): Long = FusionEngine.this.deleteByIds(collection, Seq(id))
+  }
+
+  def tenant(collection: String, tenantId: String): TenantScope =
+    new TenantScope(collection, tenantId)
+
+  // ─── JSON snapshot export / import (`FusionEngine.js:278-312`) ───
+
+  /** Write an `exportData()`-shaped JSON snapshot: one JSON-lines file
+    * per collection + a manifest. Interop shim only — parquet is the
+    * real persistence. */
+  def exportData(outDir: String): Unit = {
+    val out = Paths.get(outDir)
+    Files.createDirectories(out)
+    val names = listCollections()
+    val manifest = names.map { case (n, cfg, size) =>
+      s"""{"name":${jstr(n)},"size":$size,"config":${configJson(cfg)}}"""
+    }.mkString("[", ",", "]")
+    Files.writeString(out.resolve("manifest.json"),
+      s"""{"_engine":"graft","_version":"0.2.0","exportedAt":"${java.time.Instant.now}","collections":$manifest}""")
+    names.foreach { case (n, _, _) =>
+      table(n).write.mode(SaveMode.Overwrite).json(out.resolve(n).toString)
+    }
+  }
+
+  /** Import a snapshot written by [[exportData]].
+    * @param overwrite replace existing collections (reference
+    *                  `importData` skips existing unless overwrite) */
+  def importData(inDir: String, overwrite: Boolean = false): Unit = {
+    val manifest = Files.readString(Paths.get(inDir, "manifest.json"))
+    // collections array: extract names + configs with the same minimal
+    // parser used for collection.json
+    extractCollections(manifest).foreach { case (n, cfg) =>
+      if (hasCollection(n) && !overwrite) ()
+      else {
+        if (hasCollection(n)) deleteCollection(n)
+        createCollection(n, cfg)
+        val src = Paths.get(inDir, n)
+        if (Files.exists(src)) {
+          val df = spark.read.schema(Schema).json(src.toString)
+          if (!df.isEmpty)
+            df.write.mode(SaveMode.Overwrite).parquet(dataDir(n).toString)
+        }
+      }
+    }
+  }
+
+  private def normalize(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+}
+
+object FusionEngine {
+
+  /** Canonical collection schema (FIXTURES.md §1). */
+  val Schema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("vector", ArrayType(FloatType), nullable = true),
+    StructField("tenant_id", StringType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("ttl_ms", LongType, nullable = true),
+    StructField("content", StringType, nullable = true),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  private[engine] def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private[engine] def configJson(c: CollectionConfig): String =
+    s"""{"dimensions":${c.dimensions},"distanceMetric":${jstr(c.distanceMetric)},""" +
+      s""""M":${c.m},"efConstruction":${c.efConstruction},"efSearch":${c.efSearch},""" +
+      s""""createdAt":${jstr(c.createdAt)}}"""
+
+  // Minimal flat-JSON field extraction (configs are engine-written, flat,
+  // and free of nested braces in values).
+  private def jint(json: String, key: String, default: Int): Int =
+    s""""$key":\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(default)
+  private def jstrv(json: String, key: String, default: String): String =
+    s""""$key":\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json)
+      .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(default)
+
+  private[engine] def parseConfigJson(json: String): CollectionConfig =
+    CollectionConfig(
+      dimensions = jint(json, "dimensions", 768),
+      distanceMetric = jstrv(json, "distanceMetric", "cosine"),
+      m = jint(json, "M", 16),
+      efConstruction = jint(json, "efConstruction", 200),
+      efSearch = jint(json, "efSearch", 50),
+      createdAt = jstrv(json, "createdAt", ""))
+
+  private[engine] def extractCollections(manifest: String): Seq[(String, CollectionConfig)] = {
+    val entry = """\{"name":"((?:[^"\\]|\\.)*)","size":\d+,"config":(\{[^}]*\})\}""".r
+    entry.findAllMatchIn(manifest).map { m =>
+      (m.group(1).replace("\\\"", "\"").replace("\\\\", "\\"), parseConfigJson(m.group(2)))
+    }.toSeq
+  }
+
+  private[engine] def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
+      finally s.close()
+    }
+  }
+}

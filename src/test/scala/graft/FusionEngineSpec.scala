@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.FusionEngine
+import graft.model.CollectionConfig
+import graft.providers.{Embed, MockEmbedderProvider}
+
+/** Engine write-path suite, mirroring the reference's FusionEngine tests
+  * (`/root/reference/test/fusionpact.test.js:85-136`) plus the CLI demo
+  * end-to-end slice (`/root/reference/bin/cli.js:16-29`). */
+class FusionEngineSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def freshEngine(): FusionEngine =
+    new FusionEngine(spark, Files.createTempDirectory("graft_engine").toString)
+
+  private val embedder = new MockEmbedderProvider(64)
+
+  private val demoDocs = Seq(
+    "d1" -> "OSHA requires chemical hazard communication including safety data sheets",
+    "d2" -> "Personal protective equipment must be provided at no cost to employees",
+    "d3" -> "Quarterly revenue increased by 15% driven by cloud services growth",
+    "d4" -> "Confined space entry requires atmospheric testing before access")
+
+  private def insertDemo(e: FusionEngine, coll: String = "demo"): Unit = {
+    e.createCollection(coll, CollectionConfig(dimensions = 64))
+    val df = demoDocs.toDF("id", "content")
+    e.insert(coll, Embed.withEmbedding(df, "content", "vector", embedder))
+  }
+
+  test("collection CRUD: create/list/get/delete, duplicate + missing throw") {
+    val e = freshEngine()
+    e.createCollection("a", CollectionConfig(dimensions = 4))
+    e.createCollection("b", CollectionConfig(dimensions = 8, distanceMetric = "euclidean"))
+    assert(e.listCollections().map(_._1) == Seq("a", "b"))
+    assert(e.getConfig("b").dimensions == 8)
+    assert(e.getConfig("b").distanceMetric == "euclidean")
+    assertThrows[IllegalArgumentException](e.createCollection("a"))
+    assertThrows[NoSuchElementException](e.getConfig("nope"))
+    assert(e.deleteCollection("a"))
+    assert(!e.deleteCollection("a"))
+    assert(e.listCollections().map(_._1) == Seq("b"))
+  }
+
+  test("demo slice: insert 4 docs, kNN for 'chemical safety requirements' ranks d1/d4 over d3") {
+    val e = freshEngine()
+    insertDemo(e)
+    assert(e.count("demo") == 4)
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    val res = e.search("demo", qv, topK = 3).select("id").as[String].collect().toSeq
+    assert(res.size == 3)
+    val rank = res.zipWithIndex.toMap
+    assert(rank("d1") < rank.getOrElse("d3", 99))
+    assert(rank("d4") < rank.getOrElse("d3", 99))
+  }
+
+  test("tenant isolation: each tenant only sees its own rows; get/delete stay unscoped (reference quirk)") {
+    val e = freshEngine()
+    e.createCollection("mt", CollectionConfig(dimensions = 64))
+    val a = e.tenant("mt", "acme")
+    val b = e.tenant("mt", "globex")
+    a.insert(Embed.withEmbedding(Seq("a1" -> "alpha doc").toDF("id", "content"), "content", "vector", embedder))
+    b.insert(Embed.withEmbedding(Seq("b1" -> "beta doc").toDF("id", "content"), "content", "vector", embedder))
+    val qv = embedder.embed("doc").map(_.toDouble).toSeq
+    val seenA = a.search(qv, topK = 10).select("tenant_id").distinct().as[String].collect().toSeq
+    assert(seenA == Seq("acme"))
+    // unscoped get quirk: tenant b can read a's row by id
+    assert(b.get("a1").count() == 1)
+  }
+
+  test("deleteByIds, clear, point lookup, existence") {
+    val e = freshEngine()
+    insertDemo(e)
+    assert(e.has("demo", "d2"))
+    assert(e.get("demo", "d2").select("content").as[String].head.contains("protective"))
+    assert(e.deleteByIds("demo", Seq("d2", "zzz")) == 1)
+    assert(!e.has("demo", "d2"))
+    assert(e.count("demo") == 3)
+    e.clear("demo")
+    assert(e.count("demo") == 0)
+    assert(e.hasCollection("demo"))
+  }
+
+  test("dimension mismatch at insert fails the write (HNSWIndex.js:129-133)") {
+    val e = freshEngine()
+    e.createCollection("dim4", CollectionConfig(dimensions = 4))
+    val bad = Seq(("x", Array(1f, 2f, 3f))).toDF("id", "vector")
+    val ex = intercept[Exception](e.insert("dim4", bad))
+    assert(ex.getMessage != null)
+  }
+
+  test("TTL: lazy read-filter at search + physical vacuum") {
+    val e = freshEngine()
+    e.createCollection("ttl", CollectionConfig(dimensions = 64))
+    val past = new Timestamp(System.currentTimeMillis() - 10000)
+    val df = Seq("old1" -> "ancient scroll").toDF("id", "content")
+    e.insert("ttl", Embed.withEmbedding(df, "content", "vector", embedder),
+      ttlMs = Some(1000L), now = Some(past)) // expired 9s ago
+    val live = Seq("new1" -> "fresh scroll").toDF("id", "content")
+    e.insert("ttl", Embed.withEmbedding(live, "content", "vector", embedder))
+    val qv = embedder.embed("scroll").map(_.toDouble).toSeq
+    assert(e.search("ttl", qv, topK = 10).select("id").as[String].collect().toSeq == Seq("new1"))
+    assert(e.count("ttl") == 2) // expired row still physically present
+    assert(e.vacuum("ttl") == 1)
+    assert(e.count("ttl") == 1)
+  }
+
+  test("export/import JSON snapshot round-trip (FusionEngine.js:278-312)") {
+    val e = freshEngine()
+    insertDemo(e)
+    val snap = Files.createTempDirectory("graft_snap").toString
+    e.exportData(snap)
+    val e2 = freshEngine()
+    e2.importData(snap)
+    assert(e2.listCollections().map(_._1) == Seq("demo"))
+    assert(e2.getConfig("demo").dimensions == 64)
+    assert(e2.count("demo") == 4)
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    val r1 = e.search("demo", qv, topK = 3).select("id").as[String].collect().toSeq
+    val r2 = e2.search("demo", qv, topK = 3).select("id").as[String].collect().toSeq
+    assert(r1 == r2)
+  }
+
+  test("embedding cache: hits reuse cached vectors, misses embed and are returned for append") {
+    val texts = Seq("t1" -> "alpha", "t2" -> "beta", "t3" -> "gamma").toDF("id", "content")
+    val cache = Seq((embedder.cacheKey("alpha"), embedder.embed("alpha"))).toDF("cache_key", "vector")
+    val (out, newRows) = Embed.withEmbeddingCached(texts, "content", "vector", cache, embedder)
+    assert(out.count() == 3)
+    assert(newRows.count() == 2) // beta + gamma were misses
+    // every vector identical to direct embedding
+    val got = out.select("id", "vector").as[(String, Array[Float])].collect().toMap
+    val byId = Map("t1" -> "alpha", "t2" -> "beta", "t3" -> "gamma")
+    byId.foreach { case (id, txt) =>
+      assert(got(id).toSeq == embedder.embed(txt).toSeq, s"vector mismatch for $id")
+    }
+  }
+
+  test("search metric follows collection config: euclidean collection ranks by euclidean score") {
+    val e = freshEngine()
+    e.createCollection("euc", CollectionConfig(dimensions = 2, distanceMetric = "euclidean"))
+    val rows = Seq(("near", Array(1f, 0f)), ("far", Array(5f, 5f))).toDF("id", "vector")
+    e.insert("euc", rows)
+    val res = e.search("euc", Seq(1.0, 0.0), topK = 2).select("id", "score")
+      .as[(String, Double)].collect().toSeq
+    assert(res.head._1 == "near" && res.head._2 == 1.0) // distance 0 => score 1
+    assert(res(1)._2 < 0) // score = 1 - distance, negative preserved
+  }
+}
