@@ -43,6 +43,15 @@ object Demo {
         println(f"  ${i + 1}. [${r.getDouble(1)}%.3f] ${r.getString(0)}: ${r.getString(2).take(60)}")
       }
 
+    println("=== 1b. RAG pipeline ===")
+    val rag = new graft.rag.RagPipeline(engine, embedder, chunkSize = 120, chunkOverlap = 20)
+    val ingested = rag.ingest(Seq(("manual.txt",
+      "All employees must complete safety orientation within 30 days. " +
+        "The orientation covers fire evacuation, chemical handling, and emergency contacts. " +
+        "All machinery must have proper guarding. Lockout/tagout procedures must be followed.")).toDS())
+    val (prompt, sources) = rag.buildContext("safety orientation requirements")
+    println(s"  ingested $ingested chunks; context: ${sources.count()} chunks, ${prompt.length} chars")
+
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
     engine.deleteByIds("demo", Seq("d3"))

@@ -137,6 +137,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // §2.1 RAG document ingest, chunking stage (RAGPipeline.js:260-303):
+    // recursive chunker (size=64, overlap=10) over every document as a
+    // narrow flatMap — embarrassingly parallel, no shuffle. The DuckDB
+    // oracle re-implements the greedy word-packing independently as a
+    // recursive CTE.
+    "rag_chunks" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"text").as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val cs = graft.text.Chunkers.recursiveChunk(text, chunkSize = 64, chunkOverlap = 10)
+          cs.zipWithIndex.map { case (c, i) => (id, i, cs.length, c) }
+        }
+        .toDF("doc_id", "chunk_index", "total_chunks", "chunk_text")
+        .orderBy($"doc_id", $"chunk_index")
+    }),
+
+    // §2.4 token-budget context packing (RAGPipeline.js:215-233,
+    // HybridRetriever.js:235-254): running ceil(len/4) token sum in score
+    // order, cut at the budget. The window is global but runs over ≤ topK
+    // post-limit rows (prompt assembly is inherently a single ordered
+    // list).
+    "rag_context_pack" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, dir, "documents")
+        .withColumn("score", round(bm25ish($"text", kwTerms), 6))
+        .filter($"score" > 0)
+        .withColumn("tokens", ceil(length($"text") / 4.0))
+        .select($"doc_id", $"score", $"tokens")
+        .orderBy(desc("score"), asc("doc_id")).limit(5)
+      val w = Window.orderBy(desc("score"), asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tokens", sum($"tokens").over(w))
+        .filter($"cum_tokens" <= 300)
+    }),
+
     // §3.1 flagship: weighted Reciprocal Rank Fusion of a vector branch
     // (kNN over embeddings, joined to documents by id) and a keyword
     // branch (bm25ish over documents). weights {vector:0.4, keyword:0.2},
@@ -178,6 +214,48 @@ object SparkEntry {
         .limit(topK)
     }),
   )
+
+  /** DuckDB re-implementation of the recursive chunker for the word-soup
+    * corpus. On single-line text without "\n\n"/"\n"/". ", the reference
+    * algorithm (`RAGPipeline.js:260-303`) reduces to greedy word-packing
+    * with a tail-overlap carry: docs ≤ 1.5×size stay whole; longer docs
+    * pack words greedily to `size` chars, carrying the last `overlap`
+    * chars + the overflowing word into the next chunk. Expressed as a
+    * recursive CTE with one row per (doc, chunk). */
+  private def ragChunksOracleSql(size: Int, overlap: Int): String = {
+    val whole = (size * 1.5).toInt
+    // candidate length of appending words p..j to the carry
+    val fit = s"len(list_filter(range(p, nw+1), j -> (CASE WHEN carry = '' THEN 0 ELSE len(carry)+1 END) + cum[j] - (CASE WHEN p = 1 THEN 0 ELSE cum[p-1]+1 END) <= $size))"
+    val m = s"CASE WHEN carry = '' THEN greatest(1, $fit) ELSE $fit END"
+    val chunk = s"CASE WHEN m = 0 THEN carry WHEN carry = '' THEN array_to_string(words[p:p+m-1], ' ') ELSE carry || ' ' || array_to_string(words[p:p+m-1], ' ') END"
+    s"""WITH RECURSIVE
+       |cums AS (
+       |  SELECT doc_id, words, len(words) AS nw,
+       |         list_transform(range(1, len(words)+1), j -> len(array_to_string(words[1:j], ' '))) AS cum
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE len(text) > $whole)
+       |),
+       |rec AS (
+       |  SELECT doc_id, words, nw, cum, 0 AS idx, 1 AS p, '' AS carry FROM cums
+       |  UNION ALL
+       |  SELECT doc_id, words, nw, cum, idx+1, p+m+1,
+       |         right(chunk, $overlap) || ' ' || words[p+m]
+       |  FROM (SELECT *, $chunk AS chunk FROM (SELECT *, $m AS m FROM rec) t1) t2
+       |  WHERE p + m <= nw
+       |),
+       |packed AS (
+       |  SELECT doc_id, idx AS chunk_index, $chunk AS chunk_text
+       |  FROM (SELECT *, $m AS m FROM rec) t
+       |),
+       |singles AS (
+       |  SELECT doc_id, 0 AS chunk_index, text AS chunk_text
+       |  FROM documents WHERE len(text) <= $whole
+       |),
+       |allc AS (SELECT * FROM packed UNION ALL SELECT * FROM singles)
+       |SELECT doc_id, chunk_index,
+       |       CAST(count(*) OVER (PARTITION BY doc_id) AS INT) AS total_chunks,
+       |       chunk_text
+       |FROM allc ORDER BY doc_id, chunk_index""".stripMargin
+  }
 
   // ──────────────────────────────────────────────────────── oracles ──
 
@@ -224,6 +302,20 @@ object SparkEntry {
            |FROM documents
            |WHERE round($bm25Expr, 6) > 0
            |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+      "rag_chunks" -> ragChunksOracleSql(64, 10),
+
+      "rag_context_pack" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, round($bm25Expr, 6) AS score,
+           |         CAST(ceil(len(text)/4.0) AS BIGINT) AS tokens
+           |  FROM documents WHERE round($bm25Expr, 6) > 0
+           |  ORDER BY score DESC, doc_id LIMIT 5),
+           |packed AS (
+           |  SELECT doc_id, score, tokens,
+           |         CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+           |  FROM scored)
+           |SELECT doc_id, score, tokens, cum_tokens FROM packed WHERE cum_tokens <= 300""".stripMargin,
 
       "hybrid_rrf" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

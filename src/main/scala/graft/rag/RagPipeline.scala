@@ -1,0 +1,100 @@
+package graft.rag
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.FusionEngine
+import graft.model.CollectionConfig
+import graft.providers.Embedder
+import graft.text.Chunkers
+
+/** RAG ingest + context building (reference
+  * `/root/reference/src/rag/RAGPipeline.js:91-137, 174-241`).
+  *
+  * The reference chunks one document at a time and embeds chunks
+  * sequentially over HTTP. Here the whole corpus flows through one plan:
+  * `Dataset[(doc, text)] → flatMap(chunker) → mapPartitions(embedBatch) →
+  * normalize-at-write append` — narrow until the final write, so it
+  * parallelizes per partition with no shuffle at any corpus size.
+  */
+final class RagPipeline(
+    val engine: FusionEngine,
+    val embedder: Embedder,
+    val collection: String = "rag_documents",
+    val strategy: Chunkers.Strategy = Chunkers.Recursive,
+    val chunkSize: Int = Chunkers.DefaultChunkSize,
+    val chunkOverlap: Int = Chunkers.DefaultChunkOverlap) {
+
+  /** Lazy collection creation with dims from the embedder
+    * (`RAGPipeline.js:58-70`). */
+  def init(): Unit =
+    if (!engine.hasCollection(collection))
+      engine.createCollection(collection,
+        CollectionConfig(dimensions = embedder.dimensions, distanceMetric = "cosine"))
+
+  /** Chunk rows for a corpus: `(doc_id, chunk_index, total_chunks,
+    * content)` with chunk id `${doc}_chunk_${i}` (`RAGPipeline.js:101`).
+    * Pure narrow flatMap — exposed for reuse and for the correctness
+    * oracle. */
+  def chunkDocs(docs: Dataset[(String, String)]): DataFrame = {
+    import docs.sparkSession.implicits._
+    val (strat, size, overlap) = (strategy, chunkSize, chunkOverlap)
+    docs.flatMap { case (docId, text) =>
+      val cs = Chunkers.chunk(if (text == null) "" else text, strat, size, overlap)
+      cs.zipWithIndex.map { case (c, i) =>
+        (s"${docId}_chunk_$i", docId, i, cs.length, c)
+      }
+    }.toDF("id", "doc_id", "chunk_index", "total_chunks", "content")
+  }
+
+  /** Ingest a corpus: chunk → embed → append. Returns chunks indexed.
+    * `docs` columns: `(doc_id STRING, text STRING)`. Chunk metadata
+    * mirrors the reference (`_chunk_index`, `_total_chunks`, `source`). */
+  def ingest(docs: Dataset[(String, String)],
+             tenantId: Option[String] = None,
+             ttlMs: Option[Long] = None,
+             now: Option[Timestamp] = None): Long = {
+    init()
+    val chunked = chunkDocs(docs)
+    val embedded = graft.providers.Embed.withEmbedding(chunked, "content", "vector", embedder)
+      .withColumn("metadata", map(
+        lit("_chunk_index"), col("chunk_index").cast("string"),
+        lit("_total_chunks"), col("total_chunks").cast("string"),
+        lit("source"), col("doc_id")))
+      .drop("doc_id", "chunk_index", "total_chunks")
+    engine.insert(collection, embedded, tenantId = tenantId, ttlMs = ttlMs, now = now)
+    engine.count(collection)
+  }
+
+  /** Retrieve topK chunks and pack them into an LLM-ready prompt under a
+    * token budget (`RAGPipeline.js:174-241`): order by score, running
+    * `ceil(len/4)` token sum, stop at the first chunk that would
+    * overflow `maxTokens`. The cumulative window runs over ≤ topK
+    * already-reduced rows (global ordering is inherent to prompt
+    * assembly — the data-sized work happened in the kNN).
+    *
+    * Returns (prompt, sources DataFrame `(id, score, source, tokens,
+    * cum_tokens)`). */
+  def buildContext(query: String, topK: Int = 5, maxTokens: Int = 4000,
+                   tenantId: Option[String] = None): (String, DataFrame) = {
+    init()
+    val qv = embedder.embed(query).map(_.toDouble).toSeq
+    val hits = engine.search(collection, qv, topK, tenantId = tenantId)
+    val w = Window.orderBy(desc("score"), asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val packed = hits
+      .withColumn("tokens", ceil(length(coalesce(col("content"), lit(""))) / 4.0))
+      .withColumn("cum_tokens", sum("tokens").over(w))
+      .filter(col("cum_tokens") <= maxTokens)
+    val kept = packed.select("content", "score", "id")
+      .collect().sortBy(r => (-r.getDouble(1), r.getString(2)))
+    val prompt = kept.map(_.getString(0)).mkString("\n\n").trim
+    val sources = packed.select(col("id"), col("score"),
+      element_at(col("metadata"), "source").as("source"),
+      col("tokens"), col("cum_tokens"))
+    (prompt, sources)
+  }
+}
