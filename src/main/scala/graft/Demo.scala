@@ -22,6 +22,7 @@ object Demo {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -51,6 +52,18 @@ object Demo {
         "All machinery must have proper guarding. Lockout/tagout procedures must be followed.")).toDS())
     val (prompt, sources) = rag.buildContext("safety orientation requirements")
     println(s"  ingested $ingested chunks; context: ${sources.count()} chunks, ${prompt.length} chars")
+
+    println("=== 1c. Agent memory ===")
+    val memory = new graft.memory.AgentMemory(engine, embedder)
+    memory.remember("agent-1", "User asked about chemical storage safety requirements")
+    memory.learn("agent-1", "OSHA 29 CFR 1910 covers general industry safety standards", confidence = 0.95)
+    memory.registerTool("agent-1", "search_regulations", "Search the regulatory database")
+    memory.share("agent-1", "Customer ACME prefers ISO 14001")
+    val recallRes = memory.recall("agent-2", "safety standards")
+    println(s"  agent-2 recall: ${recallRes.map { case (t, df) => s"$t=${df.count()}" }.toSeq.sorted.mkString(", ")} (shared crosses agents)")
+    memory.addMessage("agent-1", "t1", 1, "user", "What are the storage rules?")
+    memory.addMessage("agent-1", "t1", 2, "assistant", "See OSHA 1910.")
+    println(s"  conversation t1 last-N: ${memory.getConversation("agent-1", "t1").count()} msgs; forget(agent-1) erased ${memory.forget("agent-1")} memories")
 
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")

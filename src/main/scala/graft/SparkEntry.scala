@@ -178,6 +178,66 @@ object SparkEntry {
     // branch (bm25ish over documents). weights {vector:0.4, keyword:0.2},
     // rrfK=60 (HybridRetriever.js:72-76, :346). Ranks are row_number over
     // each branch's top-(2k) — the reference's over-fetch (:136, :191).
+    // §3.3 memory recall: per-type kNN with the agent as tenant
+    // (AgentMemory.js:379-437). Memory table derived deterministically
+    // from testdata: agent = documents.source, type cycles by doc_id%3,
+    // vectors from the aligned embeddings row. One plan: equi-join,
+    // tenant filter BEFORE scoring (filter-then-rank), one window
+    // partitioned by mem_type.
+    "memory_recall" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val mem = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+        .withColumn("mem_type",
+          element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
+            ($"doc_id" % 3 + 1).cast("int")))
+      val qv = vecLit(queryVec(s, dir))
+      val w = Window.partitionBy($"mem_type").orderBy(desc("score"), asc("doc_id"))
+      mem.filter($"source" === "src1")
+        .withColumn("score", round(cosineSimilarity($"embedding", qv), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= 5)
+        .select($"mem_type", $"doc_id", $"score", $"rank")
+    }),
+
+    // §2.5 memory searchAll (AgentMemory.js:455-465): flat ranked list
+    // across all memory types — union of branches + global top-K.
+    "memory_searchall" -> ((s, dir) => {
+      import s.implicits._
+      val mem = t(s, dir, "documents")
+        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+        .withColumn("mem_type",
+          element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
+            ($"doc_id" % 3 + 1).cast("int")))
+      val qv = vecLit(queryVec(s, dir))
+      mem.filter($"source" === "src1")
+        .withColumn("score", round(cosineSimilarity($"embedding", qv), 6))
+        .select($"mem_type", $"doc_id", $"score")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(10)
+    }),
+
+    // §2.5 conversation last-N (AgentMemory.js:305-307, 323-336):
+    // newest 5 messages per thread — row_number over a window partitioned
+    // by (agent, thread): shuffles by thread key, never a single
+    // partition, the shape round 1's unpartitioned windows should have
+    // had. Events stand in as messages (agent = user_id%20 bucket,
+    // thread = user).
+    "conversation_lastn" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val msgs = t(s, dir, "events")
+        .withColumn("agent_id", concat(lit("agent"), $"user_id" % 20))
+        .withColumn("thread_id", concat(lit("t"), $"user_id"))
+      val w = Window.partitionBy($"agent_id", $"thread_id")
+        .orderBy(desc("ts"), desc("event_id"))
+      msgs.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"agent_id", $"thread_id", $"event_id", $"event_type", $"rn")
+        .orderBy($"agent_id", $"thread_id", $"rn")
+    }),
+
     // Each branch is a top-(2k) TakeOrderedAndProject; ranks are assigned
     // AFTER the union by ONE window partitioned by strategy (≤ 2k·branches
     // rows — no single-partition exchange over real data; VERDICT r1
@@ -316,6 +376,44 @@ object SparkEntry {
            |         CAST(sum(tokens) OVER (ORDER BY score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
            |  FROM scored)
            |SELECT doc_id, score, tokens, cum_tokens FROM packed WHERE cum_tokens <= 300""".stripMargin,
+
+      "memory_recall" ->
+        s"""WITH mem AS (
+           |  SELECT d.doc_id, d.source,
+           |    CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'episodic' WHEN 1 THEN 'semantic' ELSE 'procedural' END AS mem_type,
+           |    e.embedding
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT mem_type, doc_id,
+           |    round(${dotSql("m.embedding", "q.qv")} /
+           |      (sqrt(${dotSql("m.embedding", "m.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+           |  FROM mem m, q WHERE m.source = 'src1')
+           |SELECT * FROM (
+           |  SELECT mem_type, doc_id, score,
+           |    CAST(row_number() OVER (PARTITION BY mem_type ORDER BY score DESC, doc_id) AS INT) AS rank
+           |  FROM scored) WHERE rank <= 5""".stripMargin,
+
+      "memory_searchall" ->
+        s"""WITH mem AS (
+           |  SELECT d.doc_id, d.source,
+           |    CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'episodic' WHEN 1 THEN 'semantic' ELSE 'procedural' END AS mem_type,
+           |    e.embedding
+           |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+           |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT mem_type, doc_id,
+           |  round(${dotSql("m.embedding", "q.qv")} /
+           |    (sqrt(${dotSql("m.embedding", "m.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+           |FROM mem m, q WHERE m.source = 'src1'
+           |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+      "conversation_lastn" ->
+        """SELECT agent_id, thread_id, event_id, event_type, rn FROM (
+          |  SELECT 'agent' || CAST(user_id % 20 AS VARCHAR) AS agent_id,
+          |         't' || CAST(user_id AS VARCHAR) AS thread_id,
+          |         event_id, event_type,
+          |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
+          |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
 
       "hybrid_rrf" ->
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -177,6 +177,9 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   def deleteByIds(name: String, ids: Seq[String]): Long =
     rewrite(name, col("id").isin(ids.map(lit(_)): _*))
 
+  /** Delete rows matching a predicate (Delta `DELETE WHERE`). */
+  def deleteWhere(name: String, cond: Column): Long = rewrite(name, cond)
+
   /** Physically remove TTL-expired rows (the vacuum pairing with lazy
     * read-filtering; reference never physically expires). */
   def vacuum(name: String, now: Option[Timestamp] = None): Long = {
@@ -318,7 +321,7 @@ object FusionEngine {
     }.toSeq
   }
 
-  private[engine] def deleteRecursively(p: Path): Unit = {
+  private[graft] def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
       val s = Files.walk(p)
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
