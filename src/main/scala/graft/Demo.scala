@@ -65,6 +65,20 @@ object Demo {
     memory.addMessage("agent-1", "t1", 2, "assistant", "See OSHA 1910.")
     println(s"  conversation t1 last-N: ${memory.getConversation("agent-1", "t1").count()} msgs; forget(agent-1) erased ${memory.forget("agent-1")} memories")
 
+    println("=== 1d. Tree index ===")
+    val tree = new graft.tree.TreeIndex(spark, Files.createTempDirectory("graft_tree").toString)
+    tree.indexDocument("safety-manual",
+      "# Safety\n## Chemical Handling\nAlways wear PPE when handling chemicals.\n## Fire Safety\nKnow your evacuation routes.",
+      format = "markdown")
+    tree.keywordSearch("safety-manual", "chemical PPE requirements").collect().foreach { r =>
+      println(f"  [${r.getAs[Double]("score")}%.3f] ${r.getAs[String]("citation_path_str")}")
+    }
+    val llmGuided = tree.reasoningSearch("safety-manual", "chemical handling",
+      new graft.providers.MockLLMProvider(p =>
+        if (p.contains("Sections:")) """[{"index": 0, "score": 0.7}, {"index": 1, "score": 0.6}]"""
+        else """{"score": 0.8}"""))
+    println(s"  LLM-guided traversal: ${llmGuided.count()} results")
+
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
     engine.deleteByIds("demo", Seq("d3"))

@@ -64,6 +64,16 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** DuckDB rendering of [[graft.tree.TreeIndex.keywordRelevance]]:
+    * contained-terms / terms over an already-lowercased text expr. */
+  private def treeScoreSql(lowerTextExpr: String, terms: Seq[String]): String = {
+    require(terms.forall(_.matches("[a-z0-9]+")),
+      s"treeScoreSql terms must be [a-z0-9]+, got: $terms")
+    val matches = terms.map(tm => s"(CASE WHEN contains($lowerTextExpr, '$tm') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"round(($matches) / ${terms.length}.0, 6)"
+  }
+
   // ───────────────────────────────────────────────────────── queries ──
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -238,10 +248,40 @@ object SparkEntry {
         .orderBy($"agent_id", $"thread_id", $"rn")
     }),
 
-    // Each branch is a top-(2k) TakeOrderedAndProject; ranks are assigned
-    // AFTER the union by ONE window partitioned by strategy (≤ 2k·branches
-    // rows — no single-partition exchange over real data; VERDICT r1
-    // §What's-wrong #1/#2 fix).
+    // §2.9 tree keyword searchAll (TreeIndex.js:214-229, 664-696):
+    // synthetic source→doc tree over the corpus (root per source, leaf
+    // per doc), leaf score = contained-terms/terms, >0.1 gate, per-doc
+    // quota ceil(maxResults/nDocs) via a PARTITIONED window, global
+    // re-rank top-K, citation from the precomputed path.
+    "tree_keyword_search" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val maxResults = 12
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.select($"source").distinct().count()
+      val quota = math.ceil(maxResults.toDouble / math.max(1, nDocs)).toInt
+      val terms = graft.tree.TreeIndex.keywordTerms(KeywordQuery)
+      val leaves = docs
+        .withColumn("title", concat(lit("doc "), $"doc_id"))
+        .withColumn("score", round(graft.tree.TreeIndex.keywordRelevance(terms,
+          concat($"title", lit("  "), $"text")), 6))
+        .filter($"score" > 0.1)
+      val w = Window.partitionBy($"source").orderBy(desc("score"), asc("doc_id"))
+      leaves.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= quota)
+        .withColumn("citation", concat($"source", lit(" > "), $"title"))
+        .select($"source", $"doc_id", $"title", $"score", $"citation")
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(maxResults)
+    }),
+
+    // §3.1 flagship, all THREE strategies (HybridRetriever.js:115-219):
+    // vector + tree + keyword, each a top-(2k) TakeOrderedAndProject;
+    // ranks assigned AFTER the union by ONE window partitioned by
+    // strategy (≤ 2k·branches rows — no single-partition exchange over
+    // real data; VERDICT r1 §What's-wrong #1/#2 fix). Content follows
+    // the reference's tree-preference (max_by on strategy priority,
+    // `HybridRetriever.js:327-329`).
     "hybrid_rrf" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -251,25 +291,46 @@ object SparkEntry {
       val vecBranch = VectorSearch.knn(t(s, dir, "embeddings"),
           queryVec(s, dir), k = fetch, m = VectorSearch.Cosine,
           vectorCol = "embedding", idCol = "vec_id", roundTo = Some(6))
-        .select($"vec_id".as("id"), $"score")
-        .withColumn("strategy", lit("vector"))
+        .select($"vec_id".as("id"), $"score",
+          lit(null).cast("string").as("content"), lit("vector").as("strategy"))
 
       val kwBranch = t(s, dir, "documents")
         .withColumn("score", round(bm25ish($"text", kwTerms), 6))
         .filter($"score" > 0)
-        .select($"doc_id".as("id"), $"score")
+        .select($"doc_id".as("id"), $"score", $"text".as("content"))
         .orderBy(desc("score"), asc("id")).limit(fetch)
         .withColumn("strategy", lit("keyword"))
 
-      val weights = Map("vector" -> 0.4, "keyword" -> 0.2)
-      val wCol = when($"strategy" === "vector", weights("vector"))
-        .otherwise(weights("keyword"))
+      // tree branch: keyword tree relevance over title+content leaves
+      // (the no-LLM traversal path — deterministic, oracle-expressible)
+      val treeTerms = graft.tree.TreeIndex.keywordTerms(KeywordQuery)
+      val treeBranch = t(s, dir, "documents")
+        .withColumn("title", concat(lit("doc "), $"doc_id"))
+        .withColumn("score", round(graft.tree.TreeIndex.keywordRelevance(treeTerms,
+          concat($"title", lit("  "), $"text")), 6))
+        .filter($"score" > 0.1)
+        .select($"doc_id".as("id"), $"score", $"text".as("content"))
+        .orderBy(desc("score"), asc("id")).limit(fetch)
+        .withColumn("strategy", lit("tree"))
+
+      // weights: vector 0.4, tree 0.4, keyword 0.2 (HybridRetriever.js:72-76)
+      val wCol = when($"strategy" === "vector", 0.4)
+        .when($"strategy" === "tree", 0.4)
+        .otherwise(0.2)
+      val prio = when($"strategy" === "tree", 2)
+        .when($"strategy" === "keyword", 1).otherwise(0)
       val rankW = Window.partitionBy($"strategy").orderBy(desc("score"), asc("id"))
 
-      vecBranch.unionByName(kwBranch)
+      vecBranch.unionByName(kwBranch).unionByName(treeBranch)
         .withColumn("rank", row_number().over(rankW))
+        .withColumn("prio", prio)
         .groupBy($"id")
-        .agg(round(sum(rrfContribution(wCol, $"rank")).cast("decimal(18,9)").cast("double"), 6).as("fused_score"))
+        .agg(
+          // per-row decimal cast BEFORE the sum: 3 contributions per id
+          // would otherwise sum in shuffle order (double addition is not
+          // associative); decimal addition is exact and order-free
+          round(sum(rrfContribution(wCol, $"rank").cast("decimal(18,9)")).cast("double"), 6).as("fused_score"),
+          max_by($"content", $"prio").as("content"))
         .orderBy(desc("fused_score"), asc("id"))
         .limit(topK)
     }),
@@ -415,25 +476,54 @@ object SparkEntry {
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
 
-      "hybrid_rrf" ->
+      "tree_keyword_search" -> {
+        val ts = treeScoreSql("txt", graft.tree.TreeIndex.keywordTerms(KeywordQuery))
+        s"""WITH leaves AS (
+           |  SELECT source, doc_id, 'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           |         lower('doc ' || CAST(doc_id AS VARCHAR) || '  ' || text) AS txt
+           |  FROM documents),
+           |kept AS (
+           |  SELECT source, doc_id, title, $ts AS score FROM leaves
+           |  WHERE $ts > 0.1),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+           |  FROM kept)
+           |SELECT source, doc_id, title, score, source || ' > ' || title AS citation
+           |FROM ranked
+           |WHERE rn <= (SELECT CAST(ceil(12.0 / count(DISTINCT source)) AS INT) FROM documents)
+           |ORDER BY score DESC, doc_id LIMIT 12""".stripMargin
+      },
+
+      "hybrid_rrf" -> {
+        val ts = treeScoreSql("lower('doc ' || CAST(doc_id AS VARCHAR) || '  ' || text)",
+          graft.tree.TreeIndex.keywordTerms(KeywordQuery))
         s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
            |vec AS (
-           |  SELECT id, rank, 'vector' AS strategy FROM (
+           |  SELECT id, rank, 'vector' AS strategy, CAST(NULL AS VARCHAR) AS content FROM (
            |    SELECT e.vec_id AS id,
            |      row_number() OVER (ORDER BY round(${dotSql("e.embedding", "q.qv")} /
            |        (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))), 6) DESC, e.vec_id) AS rank
            |    FROM embeddings e, q)
            |  WHERE rank <= 20),
            |kw AS (
-           |  SELECT id, rank, 'keyword' AS strategy FROM (
-           |    SELECT doc_id AS id,
+           |  SELECT id, rank, 'keyword' AS strategy, content FROM (
+           |    SELECT doc_id AS id, text AS content,
            |      row_number() OVER (ORDER BY round($bm25Expr, 6) DESC, doc_id) AS rank
            |    FROM documents WHERE round($bm25Expr, 6) > 0)
            |  WHERE rank <= 20),
-           |unioned AS (SELECT * FROM vec UNION ALL SELECT * FROM kw)
-           |SELECT id, round(CAST(CAST(sum((CASE WHEN strategy = 'vector' THEN 0.4 ELSE 0.2 END) / (60 + rank)) AS DECIMAL(18,9)) AS DOUBLE), 6) AS fused_score
+           |tr AS (
+           |  SELECT id, rank, 'tree' AS strategy, content FROM (
+           |    SELECT doc_id AS id, text AS content,
+           |      row_number() OVER (ORDER BY $ts DESC, doc_id) AS rank
+           |    FROM documents WHERE $ts > 0.1)
+           |  WHERE rank <= 20),
+           |unioned AS (SELECT * FROM vec UNION ALL SELECT * FROM kw UNION ALL SELECT * FROM tr)
+           |SELECT id,
+           |  round(CAST(sum(CAST((CASE strategy WHEN 'vector' THEN 0.4 WHEN 'tree' THEN 0.4 ELSE 0.2 END) / (60 + rank) AS DECIMAL(18,9))) AS DOUBLE), 6) AS fused_score,
+           |  arg_max(content, CASE strategy WHEN 'tree' THEN 2 WHEN 'keyword' THEN 1 ELSE 0 END) AS content
            |FROM unioned GROUP BY id
-           |ORDER BY fused_score DESC, id LIMIT 10""".stripMargin,
+           |ORDER BY fused_score DESC, id LIMIT 10""".stripMargin
+      },
     )
   }
 }
