@@ -275,6 +275,40 @@ object SparkEntry {
         .limit(maxResults)
     }),
 
+    // LLM-pipeline: exact dedup via hash groupBy (one shuffle on the
+    // digest, no pairwise work). Corpus = documents ∪ 50 re-labeled
+    // copies (planted exact dups — the raw corpus has none).
+    "dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val planted = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000).as("doc_id"), $"text")
+      graft.dedup.Dedup.exactDupGroups(docs.unionByName(planted), "text", "doc_id")
+        .orderBy($"min_id")
+    }),
+
+    // LLM-pipeline headliner: MinHash-LSH near-dup pairs (banded
+    // candidates + exact-Jaccard verify of candidates ONLY — never
+    // all-pairs). The DuckDB oracle computes the TRUE all-pairs exact
+    // Jaccard ≥ τ, so a pass certifies LSH recall 1.0 on this corpus
+    // (25 planted pairs at J≈0.98).
+    "dedup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.minhashLshPairs(
+          t(s, dir, "documents"), "text", "doc_id", tau = 0.5)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LLM-pipeline: embedding near-dup in IVF shape — a coarse cluster
+    // column (label) bounds the pair space, exact cosine runs
+    // intra-cell only. The scalable form of embedding-based dedup.
+    "dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.embeddingNearDupPairs(
+          t(s, dir, "embeddings"), "embedding", "vec_id", "label", tau = 0.3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // §3.1 flagship, all THREE strategies (HybridRetriever.js:115-219):
     // vector + tree + keyword, each a top-(2k) TakeOrderedAndProject;
     // ranks assigned AFTER the union by ONE window partitioned by
@@ -475,6 +509,41 @@ object SparkEntry {
           |         event_id, event_type,
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
+
+      "dedup_exact" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+          |SELECT md5(text) AS text_hash, count(*) AS dup_count,
+          |       min(doc_id) AS min_id, max(doc_id) AS max_id
+          |FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+          |ORDER BY min_id""".stripMargin,
+
+      "dedup_pairs" ->
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+          |  WHERE len(w) >= 3),
+          |scored AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          |          len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_embedding" ->
+        s"""WITH scored AS (
+           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    round(${dotSql("a.embedding", "b.embedding")} /
+           |      (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+           |       sqrt(${dotSql("b.embedding", "b.embedding")})), 6) AS cos
+           |  FROM embeddings a, embeddings b
+           |  WHERE a.vec_id < b.vec_id AND a.label = b.label)
+           |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
 
       "tree_keyword_search" -> {
         val ts = treeScoreSql("txt", graft.tree.TreeIndex.keywordTerms(KeywordQuery))

@@ -1,0 +1,244 @@
+package graft.dedup
+
+import scala.util.hashing.MurmurHash3
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Large-scale deduplication operators (LLM-data-pipeline headliners).
+  *
+  * The reference's only near-dup machinery is a bounded O(200²) pairwise
+  * Jaccard scan (`/root/reference/src/learning/RecursiveLearningEngine.js:190-243`)
+  * — unusable beyond toy scale. These operators are bucketed end-to-end:
+  * candidates come from hash buckets (LSH bands / simhash bands /
+  * cluster cells), exact verification touches candidates only, and no
+  * stage ever materializes the all-pairs product.
+  *
+  * Scale shape: shingling + signatures are narrow per-row ops; the only
+  * shuffles are (a) the band-bucket self-join, whose fan-out is bounded
+  * by bucket size, and (b) the verify join on ids. At 100 TB, cap
+  * pathological buckets (boilerplate shingle sets) with a count filter —
+  * the `maxBucket` guard here.
+  */
+object Dedup {
+
+  // ─── Shingling ───
+
+  /** Distinct word 3-gram shingles of a text column (whitespace words).
+    * Texts with < 3 words yield an empty set. */
+  def shingles3(text: Column): Column = {
+    val w = split(text, " ")
+    array_distinct(
+      when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  // ─── Exact dedup ───
+
+  /** Exact duplicate groups by md5 of the text column: `(text_hash,
+    * dup_count, min_id, max_id)` for groups with > 1 member. Hash
+    * groupBy — one shuffle on the digest, no pairwise work. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one canonical row (min id) per distinct text. */
+  def dedupExact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary")))
+      .orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ─── MinHash + LSH ───
+
+  /** FNV-1a 64-bit string hash — deterministic across JVMs. */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Seeded universal-hash coefficients (odd multipliers). */
+  private def coefficients(numHashes: Int, seed: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(numHashes)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
+  /** MinHash signature of a shingle set: `sig(i) = min over shingles of
+    * (a_i * fnv(s) + b_i)` (wrapping 64-bit arithmetic ≡ mod 2^64),
+    * unsigned min. Empty sets sign as Long.MaxValue everywhere. */
+  def minhashSignature(shingles: Seq[String], coeffs: Array[(Long, Long)]): Array[Long] = {
+    val sig = Array.fill(coeffs.length)(Long.MaxValue)
+    val base = shingles.map(fnv1a64).toArray
+    var i = 0
+    while (i < coeffs.length) {
+      val (a, b) = coeffs(i)
+      var m = -1L // unsigned max
+      var j = 0
+      while (j < base.length) {
+        val h = a * base(j) + b
+        if (java.lang.Long.compareUnsigned(h, m) < 0) m = h
+        j += 1
+      }
+      if (base.nonEmpty) sig(i) = m
+      i += 1
+    }
+    sig
+  }
+
+  /** Near-duplicate pairs by MinHash-LSH banding with exact-Jaccard
+    * verification of candidates only.
+    *
+    * Input: `(id LONG, text STRING)` columns of `df`. Output:
+    * `(id_a, id_b, jaccard)` with `id_a < id_b`, `round(jaccard,6) ≥ tau`.
+    *
+    * Plan: shingle (narrow) → signature (narrow) → explode B bands →
+    * groupBy (band, bandHash) self-join = candidates → distinct →
+    * re-join shingle sets → exact Jaccard filter. With J ≈ τ the
+    * candidate probability is `1-(1-J^r)^B`; tune (numHashes, bands) so
+    * banded recall covers the τ of interest.
+    *
+    * @param maxBucket drop pathological buckets larger than this
+    *                  (boilerplate guard; disabled when ≤ 0)
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      tau: Double, numHashes: Int = 128, bands: Int = 32,
+                      seed: Int = 42, maxBucket: Int = 0): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = coefficients(numHashes, seed)
+
+    val shingled = df.select(col(idCol).cast("long").as("id"),
+        shingles3(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val banded = shingled.as[(Long, Seq[String])].flatMap { case (id, sh) =>
+      val sig = minhashSignature(sh, coeffs)
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * r, b * r + r)
+        (id, b, MurmurHash3.arrayHash(slice))
+      }
+    }.toDF("id", "band", "bucket")
+
+    val buckets =
+      if (maxBucket > 0) {
+        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= maxBucket).drop("_n")
+        banded.join(sizes, Seq("band", "bucket"))
+      } else banded
+
+    val left = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    verifyJaccard(candidates, shingled, tau)
+  }
+
+  /** Exact Jaccard over candidate pairs: join shingle sets back, keep
+    * `round(j, 6) ≥ tau`. */
+  private def verifyJaccard(pairs: DataFrame, shingled: DataFrame, tau: Double): DataFrame = {
+    val a = shingled.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = shingled.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Brute-force exact Jaccard pairs ≥ tau — the small-scale oracle /
+    * recall reference for [[minhashLshPairs]]. O(n²): never use beyond
+    * validation corpora. */
+  def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String, tau: Double): DataFrame = {
+    val shingled = df.select(col(idCol).cast("long").as("id"),
+        shingles3(col(textCol)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val pairs = shingled.select(col("id").as("id_a"))
+      .crossJoin(shingled.select(col("id").as("id_b")))
+      .filter(col("id_a") < col("id_b"))
+    verifyJaccard(pairs, shingled, tau)
+  }
+
+  // ─── SimHash ───
+
+  /** 64-bit SimHash of a token sequence: per bit, sum +1/-1 weighted by
+    * token-hash bit, sign → fingerprint bit. */
+  def simhash64(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv1a64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) fp |= (1L << b); b += 1 }
+    fp
+  }
+
+  /** Near-dup pairs by SimHash banding: fingerprints within
+    * `maxHamming` of each other, found via 4×16-bit band buckets
+    * (any pair with hamming ≤ 3 shares ≥ 1 intact band — pigeonhole),
+    * verified exactly on the candidate set. Output
+    * `(id_a, id_b, hamming)`. */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, simhash64(Option(t).getOrElse("").toLowerCase.split("\\s+").toSeq))
+      }.toDF("id", "fp")
+    val banded = fps.as[(Long, Long)].flatMap { case (id, fp) =>
+      (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
+    }.toDF("id", "fp", "band", "key")
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val rt = banded.select(col("band"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(rt, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ─── Embedding near-dup (IVF-style) ───
+
+  /** Within-cluster cosine near-dup pairs — the IVF shape: a coarse
+    * cluster column (quantizer cell, here any precomputed assignment)
+    * bounds the pair space; exact cosine runs intra-cell only. Output
+    * `(id_a, id_b, cos)` with `round(cos,6) ≥ tau`.
+    *
+    * Shuffles by cluster key; pair fan-out is Σ|cell|² — bounded when
+    * cells are (by construction) bounded. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
+                            clusterCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("cl"), col(idCol).cast("long").as("id_a"),
+      col(vecCol).as("va"))
+    val b = df.select(col(clusterCol).as("cl"), col(idCol).cast("long").as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("cl"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", round(VectorFunctions.cosineSimilarity(col("va"), col("vb")), 6))
+      .filter(col("cos") >= tau)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+
+  test("minhash-LSH pairs == brute-force exact Jaccard pairs (recall AND precision 1.0 at tau=0.5)") {
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(docs, "text", "doc_id", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("minhash signature: identical sets agree, disjoint sets differ") {
+    val sh1 = Seq("a b c", "b c d", "c d e")
+    val sh2 = Seq("x y z", "y z w")
+    val coeffs = Array.tabulate(16)(i => ((i * 2 + 1).toLong, i.toLong))
+    assert(Dedup.minhashSignature(sh1, coeffs).toSeq == Dedup.minhashSignature(sh1, coeffs).toSeq)
+    assert(Dedup.minhashSignature(sh1, coeffs).toSeq != Dedup.minhashSignature(sh2, coeffs).toSeq)
+  }
+
+  test("exact dedup: groups found, canonical row keeps min id") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other")).toDF("id", "text")
+    val groups = Dedup.exactDupGroups(df, "text", "id").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("dup_count") == 2)
+    val kept = Dedup.dedupExact(df, "text", "id").select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("simhash: identical texts at hamming 0; small edit stays within band recall; unrelated far") {
+    val base = "spark join filter hash table scan merge sort window aggregate shuffle partition"
+    val near = base.replace("window", "windows") // one token changed
+    val df = Seq((1L, base), (2L, base), (3L, near),
+      (4L, "completely different words entirely unrelated content here")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "text", "id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0) // identical
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L }) // unrelated not paired
+    // hamming(base, near) computed directly — if within 3, banding must find it
+    val d = java.lang.Long.bitCount(
+      Dedup.simhash64(base.split(" ").toSeq) ^ Dedup.simhash64(near.split(" ").toSeq))
+    if (d <= 3) assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == d)
+  }
+
+  test("embedding near-dup pairs are symmetric-free, above threshold, within cluster") {
+    val df = Seq(
+      (1L, Array(1f, 0f), "a"), (2L, Array(0.99f, 0.1f), "a"),
+      (3L, Array(0f, 1f), "a"), (4L, Array(1f, 0f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingNearDupPairs(df, "embedding", "vec_id", "label", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // 1-4 identical but cross-cluster; 1-3 orthogonal
+  }
+}
