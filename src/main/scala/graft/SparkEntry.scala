@@ -275,6 +275,57 @@ object SparkEntry {
         .limit(maxResults)
     }),
 
+    // LLM-pipeline: language ID via function-word profiles — argmax of
+    // per-language token-hit ratios (exact int/int math, codegen'd).
+    "text_langid" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        langId($"text").as("pred_lang"),
+        round(profileScore($"text", Profiles("en")), 6).as("en_score"),
+        round(profileScore($"text", Profiles("es")), 6).as("es_score"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: quality heuristics (length / mean word length /
+    // stopword ratio / punctuation ratio + Gopher-ish gate).
+    "text_quality" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        wordCount($"text").as("n_words"),
+        round(meanWordLen($"text"), 6).as("mean_word_len"),
+        round(stopwordRatio($"text"), 6).as("stop_ratio"),
+        round(punctRatio($"text"), 6).as("punct_ratio"),
+        qualityFlag($"text").as("well_formed"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: token counting — whitespace, BPE-ish pre-tokenizer
+    // regex, and the ceil(chars/4) estimate.
+    "text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        wsTokenCount($"text").as("ws_tokens"),
+        bpeishTokenCount($"text").as("bpe_tokens"),
+        estTokenCount($"text").as("est_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: document fingerprints (exact / normalized / head
+    // prefix md5) — the cheap exact-dup + near-head-dup probes.
+    "text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val (full, norm, prefix) = graft.textanalysis.TextAnalysis.fingerprints($"text")
+      t(s, dir, "documents").select(
+        $"doc_id", full.as("fp_full"), norm.as("fp_norm"), prefix.as("fp_prefix64"))
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: exact dedup via hash groupBy (one shuffle on the
     // digest, no pairwise work). Corpus = documents ∪ 50 re-labeled
     // copies (planted exact dups — the raw corpus has none).
@@ -509,6 +560,55 @@ object SparkEntry {
           |         event_id, event_type,
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
+
+      "text_langid" -> {
+        def prof(lang: String) = graft.textanalysis.TextAnalysis.Profiles(lang)
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        def score(lang: String) =
+          s"len(list_filter(w, x -> list_contains(${prof(lang)}, x))) * 1.0 / len(w)"
+        s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS w FROM documents),
+           |s AS (SELECT doc_id, ${score("en")} AS en, ${score("es")} AS es,
+           |             ${score("de")} AS de, ${score("zh")} AS zh FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(en, es, de, zh) < 0.02 THEN 'und'
+           |       WHEN en >= es AND en >= de AND en >= zh THEN 'en'
+           |       WHEN es >= de AND es >= zh THEN 'es'
+           |       WHEN de >= zh THEN 'de' ELSE 'zh' END AS pred_lang,
+           |  round(en, 6) AS en_score, round(es, 6) AS es_score
+           |FROM s ORDER BY doc_id""".stripMargin
+      },
+
+      "text_quality" -> {
+        val stops = graft.functions.TextFunctions.StopWords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (SELECT doc_id, text, lower(text) AS lt,
+           |  string_split_regex(lower(text), '\\s+') AS w FROM documents),
+           |m AS (SELECT doc_id, text, lt, w,
+           |  len(w) AS n_words,
+           |  list_sum(list_transform(w, x -> len(x))) * 1.0 / len(w) AS mwl,
+           |  len(list_filter(w, x -> list_contains($stops, x))) * 1.0 / len(w) AS sr,
+           |  (len(lt) - len(regexp_replace(lt, '[^a-z0-9 ]', '', 'g'))) * 1.0 / len(lt) AS pr
+           |FROM t)
+           |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+           |  round(mwl, 6) AS mean_word_len, round(sr, 6) AS stop_ratio,
+           |  round(pr, 6) AS punct_ratio,
+           |  (len(text) BETWEEN 50 AND 10000) AND (mwl BETWEEN 3.0 AND 10.0)
+           |    AND sr >= 0.03 AS well_formed
+           |FROM m ORDER BY doc_id""".stripMargin
+      },
+
+      "text_tokens" ->
+        """SELECT doc_id,
+          |  CAST(len(string_split_regex(lower(text), '\s+')) AS INT) AS ws_tokens,
+          |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
+          |  CAST(ceil(len(text)/4.0) AS BIGINT) AS est_tokens
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "text_fingerprint" ->
+        """SELECT doc_id, md5(text) AS fp_full,
+          |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_norm,
+          |  md5(text[1:64]) AS fp_prefix64
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "dedup_exact" ->
         """WITH corpus AS (

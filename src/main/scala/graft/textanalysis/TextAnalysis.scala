@@ -1,0 +1,123 @@
+package graft.textanalysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus text-analysis operators for LLM training-data pipelines:
+  * language ID, quality scoring, token counting, fingerprinting.
+  *
+  * Everything is built from codegen'd builtins (split / filter /
+  * aggregate / regexp / md5) — no UDFs, so the operators stay inside
+  * whole-stage codegen and scale linearly with partitions. Each has a
+  * DuckDB-oracle CORRECTNESS entry in [[graft.SparkEntry]].
+  */
+object TextAnalysis {
+
+  // ─── Language ID (function-word profile heuristic) ───
+
+  /** Small function-word profiles (public common words). English reuses
+    * the engine stoplist (43 words, `HybridRetriever.js:409-418`). */
+  val Profiles: Map[String, Seq[String]] = Map(
+    "en" -> TextFunctions.StopWords,
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se", "del",
+      "las", "por", "un", "para", "con", "una", "su", "al", "es", "lo",
+      "como", "pero", "sus", "le", "ya"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit",
+      "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+      "eine", "als", "auch", "werden", "aus", "er", "hat"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men",
+      "zhe", "ge", "shang", "xia", "bu", "hao", "ni", "ye", "dou",
+      "hen", "dui"))
+
+  private def words(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Fraction of tokens (with multiplicity) found in a profile. Exact
+    * int/int ratio — reproducible across engines. */
+  def profileScore(text: Column, profile: Seq[String]): Column = {
+    val w = words(text)
+    size(filter(w, t => t.isin(profile: _*))).cast("double") / size(w)
+  }
+
+  /** Predicted language: argmax profile score with tie-break order
+    * en > es > de > zh; `und` when the best score < 0.02. */
+  def langId(text: Column): Column = {
+    val en = profileScore(text, Profiles("en"))
+    val es = profileScore(text, Profiles("es"))
+    val de = profileScore(text, Profiles("de"))
+    val zh = profileScore(text, Profiles("zh"))
+    when(greatest(en, es, de, zh) < 0.02, "und")
+      .when(en >= es && en >= de && en >= zh, "en")
+      .when(es >= de && es >= zh, "es")
+      .when(de >= zh, "de")
+      .otherwise("zh")
+  }
+
+  // ─── Quality scoring (C4/Gopher-style heuristics) ───
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** Mean word length — exact int sum / int count. */
+  def meanWordLen(text: Column): Column = {
+    val w = words(text)
+    aggregate(w, lit(0), (acc, t) => acc + length(t)).cast("double") / size(w)
+  }
+
+  /** Fraction of tokens in the engine stoplist. */
+  def stopwordRatio(text: Column): Column =
+    profileScore(text, TextFunctions.StopWords)
+
+  /** Fraction of characters outside [a-z0-9 ] (lowercased). */
+  def punctRatio(text: Column): Column = {
+    val lt = lower(text)
+    (length(lt) - length(regexp_replace(lt, "[^a-z0-9 ]", ""))).cast("double") /
+      length(lt)
+  }
+
+  /** Gopher-ish well-formedness gate: length in [50, 10000] chars, mean
+    * word length in [3, 10], stopword ratio ≥ 0.03. */
+  def qualityFlag(text: Column): Column =
+    length(text).between(50, 10000) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      stopwordRatio(text) >= 0.03
+
+  // ─── Token counting ───
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token count: runs of [a-z0-9]+ plus single non-space
+    * symbols (the classic pre-tokenizer shape; both engines use the
+    * same RE2/Java-compatible pattern). */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** `ceil(chars/4)` estimate (`HybridRetriever.js:246`). */
+  def estTokenCount(text: Column): Column = TextFunctions.tokenEstimate(text)
+
+  // ─── Fingerprinting ───
+
+  /** Whitespace-normalized text: lower, trim, collapse runs of
+    * whitespace to single spaces. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), "\\s+", " ")
+
+  /** Content fingerprints: exact md5, normalized md5, and a 64-char
+    * prefix md5 (cheap near-head dup probe). */
+  def fingerprints(text: Column): (Column, Column, Column) =
+    (md5(text.cast("binary")),
+      md5(normalized(text).cast("binary")),
+      md5(substring(text, 1, 64).cast("binary")))
+
+  /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
+    * keep the min hash of every sliding window of size w — the standard
+    * local document fingerprint (Schleimer et al., public algorithm).
+    * Deterministic; used for fine-grained near-dup evidence. */
+  def winnow(text: String, k: Int = 8, window: Int = 4): Seq[Long] = {
+    if (text == null || text.length < k) return Seq.empty
+    val hashes = (0 to text.length - k).map(i => graft.dedup.Dedup.fnv1a64(text.substring(i, i + k)))
+    if (hashes.length <= window) return Seq(hashes.min)
+    hashes.sliding(window).map(_.min).toVector.distinct
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.textanalysis.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("langId picks the profile with most function-word hits; und for no hits") {
+    val df = Seq(
+      (1, "the table is in the room and it has a value"),
+      (2, "el valor de la tabla en los datos es grande para un caso"),
+      (3, "der wert und die tabelle mit den daten ist nicht klein"),
+      (4, "qqqq zzzz xxxx wwww")).toDF("id", "text")
+      .select($"id", TextAnalysis.langId($"text").as("lang"))
+    val got = df.as[(Int, String)].collect().toMap
+    assert(got == Map(1 -> "en", 2 -> "es", 3 -> "de", 4 -> "und"))
+  }
+
+  test("quality metrics: known values on a fixed sentence") {
+    val df = Seq((1, "the cat sat on the mat")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.wordCount($"text"),
+      round(TextAnalysis.meanWordLen($"text"), 4),
+      round(TextAnalysis.stopwordRatio($"text"), 4),
+      TextAnalysis.punctRatio($"text")).head
+    assert(r.getInt(0) == 6)
+    assert(r.getDouble(1) == 2.8333) // 17 letters / 6 words
+    assert(r.getDouble(2) == 0.5)    // the, on, the
+    assert(r.getDouble(3) == 0.0)
+  }
+
+  test("token counts: bpe-ish regex splits symbols, est = ceil(chars/4)") {
+    val df = Seq((1, "hello, world! x2")).toDF("id", "text")
+    val r = df.select(
+      TextAnalysis.wsTokenCount($"text"),
+      TextAnalysis.bpeishTokenCount($"text"),
+      TextAnalysis.estTokenCount($"text")).head
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 5) // hello , world ! x2
+    assert(r.getLong(2) == 4) // ceil(16/4)
+  }
+
+  test("fingerprints: normalization collapses whitespace/case; prefix md5 matches head dups") {
+    val df = Seq((1, "Hello   World"), (2, "hello world"), (3, "hello world X")).toDF("id", "text")
+    val (full, norm, _) = TextAnalysis.fingerprints($"text")
+    val rows = df.select($"id", full.as("f"), norm.as("n")).collect()
+    val byId = rows.map(r => r.getInt(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(byId(1)._1 != byId(2)._1) // raw differs
+    assert(byId(1)._2 == byId(2)._2) // normalized equal
+    assert(byId(1)._2 != byId(3)._2)
+  }
+
+  test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    val c = TextAnalysis.winnow("XX the quick brown fox jumps over the lazy dog YY")
+    val d = TextAnalysis.winnow("completely unrelated text with different characters")
+    assert(a == b && a.nonEmpty)
+    assert(a.toSet.intersect(c.toSet).size > a.size / 2) // shared run survives offset
+    assert(a.toSet.intersect(d.toSet).isEmpty)
+    assert(TextAnalysis.winnow("short", k = 8).isEmpty)
+  }
+}
