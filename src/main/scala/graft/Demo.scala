@@ -79,6 +79,18 @@ object Demo {
         else """{"score": 0.8}"""))
     println(s"  LLM-guided traversal: ${llmGuided.count()} results")
 
+    println("=== 1e. Recursive learning ===")
+    val learn = new graft.learning.LearningEngine(memory)
+    (1 to 5).foreach(i => learn.recordRetrievalFeedback("agent-3",
+      "find the safety documents quickly", "vector", 0.9,
+      now = Some(new java.sql.Timestamp(1000000L + i)).get))
+    val (wv, wt, wk) = learn.getOptimalWeights("agent-3", "find the safety documents quickly")
+    println(f"  learned weights after 5x vector q=0.9: vector=$wv%.3f tree=$wt%.3f keyword=$wk%.3f")
+    learn.learnSkill("agent-3", "s1", "extract_dates", "Extract dates", keywords = Seq("date"))
+    learn.recordSkillOutcome("agent-3", "s1", success = false)
+    println(s"  skill EMA after one failure: ${learn.skills.select("success_rate").head.getDouble(0)}")
+    println(s"  triples extracted: ${learn.extractKnowledge("agent-3", "OSHA 1910 is the standard. It covers safety.")}; reflection: '${learn.reflect("agent-3").take(60)}...'")
+
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
     engine.deleteByIds("demo", Seq("d3"))

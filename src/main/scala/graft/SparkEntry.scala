@@ -275,6 +275,148 @@ object SparkEntry {
         .limit(maxResults)
     }),
 
+    // §2.4 adaptive weight update (RecursiveLearningEngine.js:747-770):
+    // one additive step from the default weights per pattern, driven by
+    // the pattern's most recent feedback row — boost on q>0.7, penalize
+    // on q<0.3, clamp, renormalize. Pure per-row column math after a
+    // partitioned latest-row window.
+    "weights_update" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fb = feedbackFromEvents(s, dir)
+      val w = Window.partitionBy($"pattern").orderBy(desc("ts"), desc("event_id"))
+      val latest = fb.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      val q = $"quality"
+      val v1 = when(q > 0.7 && $"strategy".isin("vector", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
+        .when(q < 0.3 && $"strategy" === "vector", greatest(lit(0.1), lit(0.4) - lit(0.1)))
+        .otherwise(0.4)
+      val t1 = when(q > 0.7 && $"strategy".isin("tree", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
+        .when(q < 0.3 && $"strategy" === "tree", greatest(lit(0.1), lit(0.4) - lit(0.1)))
+        .otherwise(0.4)
+      val k1 = when(q > 0.7 && $"strategy".isin("keyword", "hybrid"), least(lit(0.5), lit(0.2) + lit(0.1) * q * lit(0.5)))
+        .when(q < 0.3 && $"strategy" === "keyword", greatest(lit(0.05), lit(0.2) - lit(0.1)))
+        .otherwise(0.2)
+      latest
+        .withColumn("v1", v1).withColumn("t1", t1).withColumn("k1", k1)
+        .select($"pattern", $"strategy", $"quality",
+          round($"v1" / ($"v1" + $"t1" + $"k1"), 6).as("w_vector"),
+          round($"t1" / ($"v1" + $"t1" + $"k1"), 6).as("w_tree"),
+          round($"k1" / ($"v1" + $"t1" + $"k1"), 6).as("w_keyword"))
+        .orderBy($"pattern")
+    }),
+
+    // §2.4 skill success EMA (RecursiveLearningEngine.js:472-482):
+    // rate ← 0.3·outcome + 0.7·rate folded over each skill's last 10
+    // outcomes — expressed CLOSED-FORM as Σ 0.3·o_i·0.7^k + 0.7^n with
+    // the powers as exact shared decimal literals (never platform pow),
+    // decimal-summed (order-free).
+    "skill_ema" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fb = feedbackFromEvents(s, dir)
+      val w = Window.partitionBy($"skill_id").orderBy(desc("ts"), desc("event_id"))
+      val ranked = fb.withColumn("k", row_number().over(w) - 1).filter($"k" < 10)
+      def p7(c: org.apache.spark.sql.Column) = {
+        val zero = when(c === 0, lit(Pow07(0).underlying.toPlainString).cast("decimal(20,12)"))
+        (1 to 10).foldLeft(zero)((acc, i) =>
+          acc.when(c === i, lit(Pow07(i).underlying.toPlainString).cast("decimal(20,12)")))
+      }
+      val term = when($"quality" > 0.5, 1).otherwise(0) *
+        p7($"k") * lit(new java.math.BigDecimal("0.3"))
+      ranked.groupBy($"skill_id")
+        .agg(count(lit(1)).cast("int").as("n"), sum(term).as("ema_part"))
+        .withColumn("success_rate",
+          round(($"ema_part" + p7($"n")).cast("double"), 6))
+        .select($"skill_id", $"n", $"success_rate")
+        .orderBy($"skill_id")
+    }),
+
+    // §2.7 regex triple extraction (RecursiveLearningEngine.js:803-813)
+    // over synthetic sentences built from document columns — exercises
+    // both patterns (is/are + covers/requires/...) and the trim caps.
+    "triples_extract" -> ((s, dir) => {
+      import s.implicits._
+      val r1 = "(?i)(.{3,30})\\s+(?:is|are|was|were)\\s+(.{3,50})"
+      val r2 = "(?i)(.{3,30})\\s+(covers|requires|includes|contains|provides|manages)\\s+(.{3,50})"
+      t(s, dir, "documents")
+        .withColumn("sent", concat(lit("the "), $"source", lit(" system is "), $"lang",
+          lit(" ready and covers "), $"n_chars", lit(" chars")))
+        .select($"doc_id",
+          trim(regexp_extract($"sent", r1, 1)).as("s1"),
+          trim(regexp_extract($"sent", r1, 2)).as("o1"),
+          trim(regexp_extract($"sent", r2, 1)).as("s2"),
+          trim(regexp_extract($"sent", r2, 2)).as("p2"),
+          trim(regexp_extract($"sent", r2, 3)).as("o2"))
+        .orderBy($"doc_id")
+    }),
+
+    // §2.4 consolidation decay/strengthen/prune
+    // (RecursiveLearningEngine.js:139-187) as pure column arithmetic
+    // over an events-derived memory table; 'now' = max(ts) (data-derived
+    // → deterministic).
+    "consolidation_decay" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("imp", round($"value" - floor($"value"), 6))
+        .withColumn("access", ($"event_id" % 5).cast("int"))
+      val mx = ev.agg(max($"ts").as("now_ts"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("rec_h", ($"now_ts" - $"ts") / 3.6e12) // ts read as ns
+        .withColumn("boost", least($"access" * 0.02, lit(0.3)))
+        .withColumn("net", greatest(lit(0.0), lit(0.05) * ($"rec_h" / 24.0) - $"boost"))
+        .withColumn("imp2", when($"net" > 0, greatest(lit(0.0), $"imp" - $"net")).otherwise($"imp"))
+        .withColumn("imp3", when($"access" > 3, least(lit(1.0), $"imp2" + 0.01)).otherwise($"imp2"))
+        .select($"event_id", round($"imp3", 6).as("importance"),
+          ($"net" > 0).as("decayed"), ($"access" > 3).as("strengthened"),
+          ($"imp3" < 0.05).as("pruned"))
+        .orderBy($"event_id")
+    }),
+
+    // §2.4 result-quality estimate (RecursiveLearningEngine.js:779-790):
+    // 0.4·topScore + 0.4·termOverlap(top-3) + 0.2·min(n/5,1) over the
+    // bm25 top-20 — a one-row scalar from an aggregation.
+    "quality_estimate" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val terms = kwTerms
+      val top20 = t(s, dir, "documents")
+        .withColumn("score", round(bm25ish($"text", terms), 6))
+        .filter($"score" > 0)
+        .select($"doc_id", $"score", lower($"text").as("lt"))
+        .orderBy(desc("score"), asc("doc_id")).limit(20)
+      val rn = row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+      val termHits = terms.map(tm => when($"lt".contains(tm), 1).otherwise(0))
+        .reduce((a, b) => a + b)
+      top20.withColumn("rn", rn)
+        .withColumn("hits", when($"rn" <= 3, termHits).otherwise(0))
+        .agg(max(when($"rn" === 1, $"score")).as("top"),
+          sum($"hits").cast("double").as("overlap"),
+          count(lit(1)).as("n"))
+        .select(round(
+          least(lit(1.0), greatest(lit(0.0),
+            $"top" * 0.4 +
+              least(lit(1.0), $"overlap" / (terms.length * 2)) * 0.4 +
+              least($"n" / 5.0, lit(1.0)) * 0.2)), 6).as("quality"))
+    }),
+
+    // §2.4 reflection context (RecursiveLearningEngine.js:599-612):
+    // last-20 feedback per agent → avg quality (decimal-exact), failure
+    // counts, earliest failed id.
+    "reflection_stats" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val fb = feedbackFromEvents(s, dir)
+      val w = Window.partitionBy($"agent_id").orderBy(desc("ts"), desc("event_id"))
+      fb.withColumn("rn", row_number().over(w)).filter($"rn" <= 20)
+        .groupBy($"agent_id")
+        .agg(
+          count(lit(1)).cast("int").as("n"),
+          round(sum($"quality".cast("decimal(12,6)")).cast("double") / count(lit(1)), 6).as("avg_quality"),
+          sum(when($"quality" < 0.3, 1).otherwise(0)).cast("int").as("n_failed"),
+          min(when($"quality" < 0.3, $"event_id")).as("first_failed_event"))
+        .orderBy($"agent_id")
+    }),
+
     // LLM-pipeline: language ID via function-word profiles — argmax of
     // per-language token-hit ratios (exact int/int math, codegen'd).
     "text_langid" -> ((s, dir) => {
@@ -421,6 +563,38 @@ object SparkEntry {
     }),
   )
 
+  /** Exact powers of 0.7 up to 10 as decimal literals — shared by both
+    * engines so `0.7^k` never goes through platform `pow`. */
+  private val Pow07: IndexedSeq[BigDecimal] =
+    (0 to 10).scanLeft(BigDecimal(1))((acc, _) => acc * BigDecimal("0.7")).take(11).toIndexedSeq
+
+  /** Feedback rows derived deterministically from `events`: strategy by
+    * event type, quality = round(frac(value), 6). */
+  private val FeedbackFromEventsSql =
+    """SELECT event_id, ts,
+      | 'p' || CAST(user_id % 10 AS VARCHAR) AS pattern,
+      | 'agent' || CAST(user_id % 10 AS VARCHAR) AS agent_id,
+      | 'u' || CAST(user_id AS VARCHAR) AS skill_id,
+      | CASE event_type WHEN 'view' THEN 'vector' WHEN 'click' THEN 'tree'
+      |                 WHEN 'purchase' THEN 'keyword' ELSE 'hybrid' END AS strategy,
+      | round(value - floor(value), 6) AS quality
+      |FROM events""".stripMargin
+
+  /** Spark twin of [[FeedbackFromEventsSql]]. */
+  private def feedbackFromEvents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events").select(
+      $"event_id", $"ts",
+      concat(lit("p"), $"user_id" % 10).as("pattern"),
+      concat(lit("agent"), $"user_id" % 10).as("agent_id"),
+      concat(lit("u"), $"user_id").as("skill_id"),
+      when($"event_type" === "view", "vector")
+        .when($"event_type" === "click", "tree")
+        .when($"event_type" === "purchase", "keyword")
+        .otherwise("hybrid").as("strategy"),
+      round($"value" - floor($"value"), 6).as("quality"))
+  }
+
   /** DuckDB re-implementation of the recursive chunker for the word-soup
     * corpus. On single-line text without "\n\n"/"\n"/". ", the reference
     * algorithm (`RAGPipeline.js:260-303`) reduces to greedy word-packing
@@ -560,6 +734,96 @@ object SparkEntry {
           |         event_id, event_type,
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
+
+      "weights_update" ->
+        s"""WITH fb AS ($FeedbackFromEventsSql),
+           |latest AS (SELECT * FROM (
+           |  SELECT fb.*, row_number() OVER (PARTITION BY pattern ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM fb) t WHERE rn = 1),
+           |calc AS (SELECT pattern, strategy, quality,
+           |  CASE WHEN quality > 0.7 AND strategy IN ('vector','hybrid') THEN least(0.8, 0.4 + 0.1*quality)
+           |       WHEN quality < 0.3 AND strategy = 'vector' THEN greatest(0.1, 0.4 - 0.1)
+           |       ELSE 0.4 END AS v1,
+           |  CASE WHEN quality > 0.7 AND strategy IN ('tree','hybrid') THEN least(0.8, 0.4 + 0.1*quality)
+           |       WHEN quality < 0.3 AND strategy = 'tree' THEN greatest(0.1, 0.4 - 0.1)
+           |       ELSE 0.4 END AS t1,
+           |  CASE WHEN quality > 0.7 AND strategy IN ('keyword','hybrid') THEN least(0.5, 0.2 + 0.1*quality*0.5)
+           |       WHEN quality < 0.3 AND strategy = 'keyword' THEN greatest(0.05, 0.2 - 0.1)
+           |       ELSE 0.2 END AS k1
+           | FROM latest)
+           |SELECT pattern, strategy, quality,
+           |  round(v1/(v1+t1+k1), 6) AS w_vector,
+           |  round(t1/(v1+t1+k1), 6) AS w_tree,
+           |  round(k1/(v1+t1+k1), 6) AS w_keyword
+           |FROM calc ORDER BY pattern""".stripMargin,
+
+      "skill_ema" -> {
+        def p7(e: String) = "CASE " + e + (0 to 10).map(i =>
+          s" WHEN $i THEN CAST('${Pow07(i).underlying.toPlainString}' AS DECIMAL(20,12))").mkString + " END"
+        s"""WITH fb AS ($FeedbackFromEventsSql),
+           |ranked AS (SELECT skill_id, quality,
+           |  CAST(row_number() OVER (PARTITION BY skill_id ORDER BY ts DESC, event_id DESC) AS INT) - 1 AS k
+           | FROM fb),
+           |last10 AS (SELECT * FROM ranked WHERE k < 10),
+           |agg AS (SELECT skill_id, CAST(count(*) AS INT) AS n,
+           |  sum((CASE WHEN quality > 0.5 THEN 1 ELSE 0 END) * ${p7("k")} * 0.3) AS ema_part
+           | FROM last10 GROUP BY skill_id)
+           |SELECT skill_id, n,
+           |  round(CAST(ema_part + ${p7("n")} AS DOUBLE), 6) AS success_rate
+           |FROM agg ORDER BY skill_id""".stripMargin
+      },
+
+      "triples_extract" ->
+        """WITH s AS (SELECT doc_id,
+          |  'the ' || source || ' system is ' || lang || ' ready and covers ' || CAST(n_chars AS VARCHAR) || ' chars' AS sent
+          | FROM documents)
+          |SELECT doc_id,
+          |  trim(regexp_extract(sent, '(?i)(.{3,30})\s+(?:is|are|was|were)\s+(.{3,50})', 1)) AS s1,
+          |  trim(regexp_extract(sent, '(?i)(.{3,30})\s+(?:is|are|was|were)\s+(.{3,50})', 2)) AS o1,
+          |  trim(regexp_extract(sent, '(?i)(.{3,30})\s+(covers|requires|includes|contains|provides|manages)\s+(.{3,50})', 1)) AS s2,
+          |  trim(regexp_extract(sent, '(?i)(.{3,30})\s+(covers|requires|includes|contains|provides|manages)\s+(.{3,50})', 2)) AS p2,
+          |  trim(regexp_extract(sent, '(?i)(.{3,30})\s+(covers|requires|includes|contains|provides|manages)\s+(.{3,50})', 3)) AS o2
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      "consolidation_decay" ->
+        """WITH ev AS (SELECT event_id, ts,
+          |  round(value - floor(value), 6) AS imp,
+          |  CAST(event_id % 5 AS INT) AS access FROM events),
+          |mx AS (SELECT max(ts) AS now_ts FROM events),
+          |c AS (SELECT ev.*, (epoch_ns(mx.now_ts) - epoch_ns(ev.ts)) / 3.6e12 AS rec_h FROM ev, mx),
+          |d AS (SELECT *, greatest(0.0, 0.05 * (rec_h / 24.0) - least(access * 0.02, 0.3)) AS net FROM c),
+          |e AS (SELECT *, CASE WHEN net > 0 THEN greatest(0.0, imp - net) ELSE imp END AS imp2 FROM d),
+          |f AS (SELECT *, CASE WHEN access > 3 THEN least(1.0, imp2 + 0.01) ELSE imp2 END AS imp3 FROM e)
+          |SELECT event_id, round(imp3, 6) AS importance,
+          |  net > 0 AS decayed, access > 3 AS strengthened, imp3 < 0.05 AS pruned
+          |FROM f ORDER BY event_id""".stripMargin,
+
+      "quality_estimate" -> {
+        val terms = kwTerms
+        val hits = terms.map(tm => s"(CASE WHEN contains(lt, '$tm') THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH top20 AS (
+           |  SELECT doc_id, round($bm25Expr, 6) AS score, lower(text) AS lt
+           |  FROM documents WHERE round($bm25Expr, 6) > 0
+           |  ORDER BY score DESC, doc_id LIMIT 20),
+           |ranked AS (SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rn FROM top20),
+           |agg AS (SELECT max(CASE WHEN rn = 1 THEN score END) AS top,
+           |  CAST(sum(CASE WHEN rn <= 3 THEN $hits ELSE 0 END) AS DOUBLE) AS overlap,
+           |  count(*) AS n FROM ranked)
+           |SELECT round(least(1.0, greatest(0.0,
+           |  top * 0.4 + least(1.0, overlap / ${terms.length * 2}) * 0.4 + least(n / 5.0, 1.0) * 0.2)), 6) AS quality
+           |FROM agg""".stripMargin
+      },
+
+      "reflection_stats" ->
+        s"""WITH fb AS ($FeedbackFromEventsSql),
+           |ranked AS (SELECT * FROM (
+           |  SELECT fb.*, row_number() OVER (PARTITION BY agent_id ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM fb) t WHERE rn <= 20)
+           |SELECT agent_id, CAST(count(*) AS INT) AS n,
+           |  round(CAST(sum(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS avg_quality,
+           |  CAST(sum(CASE WHEN quality < 0.3 THEN 1 ELSE 0 END) AS INT) AS n_failed,
+           |  min(CASE WHEN quality < 0.3 THEN event_id END) AS first_failed_event
+           |FROM ranked GROUP BY agent_id ORDER BY agent_id""".stripMargin,
 
       "text_langid" -> {
         def prof(lang: String) = graft.textanalysis.TextAnalysis.Profiles(lang)
