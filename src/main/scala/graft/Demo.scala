@@ -91,6 +91,15 @@ object Demo {
     println(s"  skill EMA after one failure: ${learn.skills.select("success_rate").head.getDouble(0)}")
     println(s"  triples extracted: ${learn.extractKnowledge("agent-3", "OSHA 1910 is the standard. It covers safety.")}; reflection: '${learn.reflect("agent-3").take(60)}...'")
 
+    println("=== 1f. Orchestrator + multimodal ===")
+    val orch = new graft.orchestration.Orchestrator(memory)
+    orch.register("researcher", Seq("search", "analyze"))
+    orch.register("writer", Seq("write", "edit", "summarize"))
+    println(s"  delegate(write+summarize) -> ${orch.delegate("boss", Seq("write", "summarize"), "draft report").getOrElse("none")}; broadcast reached ${orch.send("boss", "*", "status", "hi")} agents")
+    val media = Seq((1L, "image", "abcdefgh".repeat(12).getBytes("UTF-8"))).toDF("media_id", "media_type", "data")
+    val frames = graft.multimodal.Multimodal.sampleFrames(media)
+    println(s"  multimodal: ${frames.count()} frames sampled from 96-byte payload (stub decode)")
+
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
     engine.deleteByIds("demo", Seq("d3"))

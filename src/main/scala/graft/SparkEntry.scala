@@ -502,6 +502,54 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: multimodal byte metadata — media as opaque BINARY
+    // with typed metadata columns (size, sha256 digest, header hex,
+    // frame-sampling arithmetic). Payloads = utf8 document bytes with a
+    // modality tag cycling by id.
+    "multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").select(
+        $"doc_id".as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          ($"doc_id" % 3 + 1).cast("int")).as("media_type"),
+        $"text".cast("binary").as("data"))
+      Multimodal.withByteMeta(media)
+        .withColumn("n_frames", Multimodal.frameCount($"n_bytes", 32, 64))
+        .select($"media_id", $"media_type", $"n_bytes", $"sha256",
+          $"header_hex", $"n_frames")
+        .orderBy($"media_id")
+    }),
+
+    // LLM-pipeline: frame sampling via batched mapPartitions with a
+    // clearly-stubbed decode (byte histogram stands in for a codec) —
+    // the schema/batching/offset arithmetic is the real pipeline shape.
+    "multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents").filter($"doc_id" < 50).select(
+        $"doc_id".as("media_id"), $"text".cast("binary").as("data"))
+      Multimodal.sampleFrames(media, frameSize = 32, stride = 64)
+        .orderBy($"media_id", $"frame_index")
+    }),
+
+    // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
+    // agents = sources with their language sets as capabilities; rank
+    // by |required ∩ capabilities| — argmax as a sorted limit.
+    "delegation_match" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"source")
+        .agg(sort_array(collect_set($"lang")).as("caps"))
+        .withColumn("match_count",
+          size(array_intersect($"caps", array(lit("en"), lit("de")))))
+        .filter($"match_count" > 0)
+        .withColumn("caps_str", array_join($"caps", ","))
+        .select($"source", $"match_count", $"caps_str")
+        .orderBy(desc("match_count"), asc("source"))
+        .limit(5)
+    }),
+
     // §3.1 flagship, all THREE strategies (HybridRetriever.js:115-219):
     // vector + tree + keyword, each a top-(2k) TakeOrderedAndProject;
     // ranks assigned AFTER the union by ONE window partitioned by
@@ -908,6 +956,43 @@ object SparkEntry {
            |  WHERE a.vec_id < b.vec_id AND a.label = b.label)
            |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "multimodal_meta" ->
+        """SELECT doc_id AS media_id,
+          |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+          |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+          |  sha256(text) AS sha256,
+          |  lower(hex(encode(text[1:8]))) AS header_hex,
+          |  CASE WHEN octet_length(encode(text)) < 32 THEN 0
+          |       ELSE CAST(floor((octet_length(encode(text)) - 32) / 64) + 1 AS INT) END AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin,
+
+      "multimodal_frames" ->
+        """WITH media AS (
+          |  SELECT doc_id AS media_id, text,
+          |    CASE WHEN len(text) < 32 THEN 0 ELSE CAST(floor((len(text) - 32) / 64) AS INT) + 1 END AS nf
+          |  FROM documents WHERE doc_id < 50),
+          |frames AS (
+          |  SELECT media_id, CAST(f AS INT) AS frame_index, CAST(f * 64 AS INT) AS frame_offset,
+          |         substring(text, CAST(f AS INT) * 64 + 1, 32) AS chunk
+          |  FROM (SELECT media_id, text, unnest(range(0, nf)) AS f FROM media) u),
+          |hist AS (
+          |  SELECT media_id, frame_index, frame_offset,
+          |    list_transform(range(0, 4), b ->
+          |      CAST(len(list_filter(range(1, 33), i -> ord(chunk[i]) % 4 = b)) AS FLOAT)) AS feature
+          |  FROM frames)
+          |SELECT media_id, frame_index, frame_offset, feature
+          |FROM hist ORDER BY media_id, frame_index""".stripMargin,
+
+      "delegation_match" ->
+        """SELECT source, match_count, caps_str FROM (
+          |  SELECT source,
+          |    CAST(len(list_intersect(caps, ['en','de'])) AS INT) AS match_count,
+          |    array_to_string(caps, ',') AS caps_str
+          |  FROM (SELECT source, list_sort(list(DISTINCT lang)) AS caps
+          |        FROM documents GROUP BY source) t1) t2
+          |WHERE match_count > 0
+          |ORDER BY match_count DESC, source LIMIT 5""".stripMargin,
 
       "tree_keyword_search" -> {
         val ts = treeScoreSql("txt", graft.tree.TreeIndex.keywordTerms(KeywordQuery))

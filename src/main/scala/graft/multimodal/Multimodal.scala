@@ -1,0 +1,94 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media as opaque
+  * `BINARY` columns with typed metadata, processed by batched
+  * per-partition operators.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic stub ([[StubDecoder]]) — the Spark-side
+  * plumbing (schema, batching, partitioning, operator signatures,
+  * frame-sampling arithmetic) is real and oracle-tested; swapping the
+  * stub for a JNI/codec implementation changes no plan shape.
+  */
+object Multimodal {
+
+  /** Canonical media table schema: media id, modality tag, opaque
+    * payload, and a typed metadata map. */
+  val MediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image | audio | video | text
+    StructField("data", BinaryType, nullable = true),
+    StructField("meta", MapType(StringType, StringType), nullable = true)))
+
+  /** Byte-level metadata — pure column math: payload size, sha256
+    * content digest, header-prefix hex (magic-byte sniffing slot). */
+  def withByteMeta(df: DataFrame, dataCol: String = "data"): DataFrame =
+    df.withColumn("n_bytes", length(col(dataCol)))
+      .withColumn("sha256", sha2(col(dataCol), 256))
+      .withColumn("header_hex", lower(hex(substring(col(dataCol), 1, 8))))
+
+  /** Frame sampling arithmetic: with `frameSize`-byte frames at a
+    * `stride`-byte hop, the number of sampled frames of an `n`-byte
+    * payload. Shared by the planner and the decode stub. */
+  def frameCount(nBytes: Column, frameSize: Int, stride: Int): Column =
+    when(nBytes < frameSize, lit(0))
+      .otherwise(floor((nBytes - frameSize) / stride) + 1).cast("int")
+
+  /** Deterministic fake decode: "decoding" is slicing the payload into
+    * frames and summing bytes — a STUB standing in for a codec
+    * (`???`-equivalent, but runnable end-to-end so the pipeline shape
+    * is testable). Real implementations replace `decodeFrame` only. */
+  object StubDecoder extends Serializable {
+    /** STUB — a real decoder would produce pixels/samples here. */
+    def decodeFrame(bytes: Array[Byte]): Array[Float] = {
+      // deterministic fake "features": byte histogram over 4 buckets
+      val acc = new Array[Float](4)
+      var i = 0
+      while (i < bytes.length) { acc((bytes(i) & 0xff) % 4) += 1f; i += 1 }
+      acc
+    }
+  }
+
+  /** Frame extraction via batched `mapPartitions`: one output row per
+    * sampled frame with its stub feature vector. Narrow (no shuffle);
+    * the batch shape (iterator-of-rows → iterator-of-frames) is exactly
+    * how a Pandas-UDF/JNI decoder runs. Output:
+    * `(media_id, frame_index, frame_offset, feature ARRAY<FLOAT>)`. */
+  def sampleFrames(df: DataFrame, frameSize: Int = 32, stride: Int = 64,
+                   idCol: String = "media_id", dataCol: String = "data"): DataFrame = {
+    val out = StructType(Seq(
+      StructField("media_id", LongType), StructField("frame_index", IntegerType),
+      StructField("frame_offset", IntegerType),
+      StructField("feature", ArrayType(FloatType))))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val dataIdx = df.schema.fieldIndex(dataCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(dataIdx)) Iterator.empty
+        else {
+          val id = r.getLong(idIdx)
+          val bytes = r.getAs[Array[Byte]](dataIdx)
+          val n = if (bytes.length < frameSize) 0
+            else (bytes.length - frameSize) / stride + 1
+          (0 until n).iterator.map { f =>
+            val off = f * stride
+            Row(id, f, off, StubDecoder.decodeFrame(
+              java.util.Arrays.copyOfRange(bytes, off, off + frameSize)))
+          }
+        }
+      }
+    }(Encoders.row(out))
+  }
+
+  /** "Resize" stub: truncate the payload to `targetBytes` (shorter
+    * payloads pass through) — stands in for image resize / audio
+    * resample, preserving the binary-in/binary-out operator shape. */
+  def resizeStub(df: DataFrame, targetBytes: Int, dataCol: String = "data"): DataFrame =
+    df.withColumn(dataCol,
+      when(length(col(dataCol)) > targetBytes, substring(col(dataCol), 1, targetBytes))
+        .otherwise(col(dataCol)))
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.rag.RagPipeline
+
+/** Structured Streaming ingest path (SURVEY §2.8 decision): where the
+  * reference has incremental `insert()` per document, the streaming
+  * parity is `readStream → chunk/embed → append` with exactly-once
+  * micro-batches.
+  *
+  * Each micro-batch runs the SAME batch pipeline
+  * ([[RagPipeline.ingest]]) via `foreachBatch` — chunking and embedding
+  * stay narrow per batch; the parquet append is the only sink work. No
+  * watermark is needed for capability parity (the reference never drops
+  * late data; SURVEY §2.8).
+  */
+object StreamingIngest {
+
+  /** Start ingesting a stream of `(doc_id, text)` rows. The caller owns
+    * the checkpoint location (exactly-once bookkeeping). */
+  def start(stream: Dataset[(String, String)], rag: RagPipeline,
+            checkpointDir: String,
+            tenantId: Option[String] = None,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    rag.init()
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>
+        if (!batch.isEmpty) rag.ingest(batch, tenantId = tenantId): Unit
+      }
+      .start()
+  }
+
+  /** Streaming auto-save twin of the reference's 30 s timer
+    * (`FusionEngine.js:340-344`): periodic JSON snapshot export driven
+    * by a processing-time trigger over any ticking stream. Parquet
+    * appends are already durable, so this is interop-only — exposed as
+    * a helper the caller wires to a rate source if wanted. */
+  def autoSaveBatch(engine: graft.engine.FusionEngine, outDir: String): Unit =
+    engine.exportData(outDir)
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.FusionEngine
+import graft.memory.AgentMemory
+import graft.multimodal.Multimodal
+import graft.orchestration.Orchestrator
+import graft.providers.MockEmbedderProvider
+import graft.rag.RagPipeline
+import graft.streaming.StreamingIngest
+
+/** Multimodal plumbing, Structured Streaming ingest, and orchestrator
+  * (reference `test/fusionpact.test.js:252-288` for the orchestrator). */
+class SubsystemsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("multimodal: byte meta + frame sampling offsets/counts/features are consistent") {
+    val media = Seq((1L, "image", "abcdefgh".repeat(12).getBytes("UTF-8")), // 96 bytes
+      (2L, "audio", "xy".getBytes("UTF-8"))) // 2 bytes < frame
+      .toDF("media_id", "media_type", "data")
+    val meta = Multimodal.withByteMeta(media)
+      .withColumn("n_frames", Multimodal.frameCount($"n_bytes", 32, 64))
+    val byId = meta.collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(byId(1L).getAs[Int]("n_bytes") == 96 && byId(1L).getAs[Int]("n_frames") == 2) // offsets 0, 64
+    assert(byId(2L).getAs[Int]("n_frames") == 0)
+    assert(byId(1L).getAs[String]("header_hex") == "6162636465666768") // 'abcdefgh'
+
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.length == 2)
+    assert(frames.map(_.getAs[Int]("frame_offset")).sorted.toSeq == Seq(0, 64))
+    // histogram sums to frameSize
+    frames.foreach(f => assert(f.getAs[Seq[Float]]("feature").sum == 32f))
+    // resize stub truncates only
+    val resized = Multimodal.resizeStub(media, 10)
+      .select("media_id", "data").as[(Long, Array[Byte])].collect().toMap
+    assert(resized(1L).length == 10 && resized(2L).length == 2)
+  }
+
+  test("streaming ingest: MemoryStream docs flow through chunk/embed/append exactly once") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_stream").toString)
+    val rag = new RagPipeline(engine, new MockEmbedderProvider(64), chunkSize = 80, chunkOverlap = 10)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val checkpoint = Files.createTempDirectory("graft_ckpt").toString
+
+    stream.addData(("doc1", "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron pi rho sigma tau"))
+    val q1 = StreamingIngest.start(stream.toDS(), rag, checkpoint)
+    q1.awaitTermination(60000)
+    val afterFirst = engine.count(rag.collection)
+    assert(afterFirst > 0)
+
+    stream.addData(("doc2", "second streamed document with several more words to chunk"))
+    val q2 = StreamingIngest.start(stream.toDS(), rag, checkpoint)
+    q2.awaitTermination(60000)
+    val afterSecond = engine.count(rag.collection)
+    assert(afterSecond > afterFirst)
+    val sources = engine.table(rag.collection)
+      .selectExpr("metadata['source']").distinct().as[String].collect().toSet
+    assert(sources == Set("doc1", "doc2"))
+
+    // exactly-once: restarting on the same checkpoint with no new data adds nothing
+    val q3 = StreamingIngest.start(stream.toDS(), rag, checkpoint)
+    q3.awaitTermination(60000)
+    assert(engine.count(rag.collection) == afterSecond)
+  }
+
+  test("orchestrator: register/list, delegation argmax routes to best-capability agent (test.js:278-287)") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_orch").toString)
+    val memory = new AgentMemory(engine, new MockEmbedderProvider(64))
+    val o = new Orchestrator(memory)
+    o.register("researcher", Seq("search", "analyze"))
+    o.register("writer", Seq("write", "edit", "summarize"))
+    assert(o.listAgents() == Seq("researcher", "writer"))
+
+    val chosen = o.delegate("boss", Seq("write", "summarize"), "draft the report")
+    assert(chosen.contains("writer"))
+    val queue = o.drain("writer").select("msg_type", "payload").as[(String, String)].collect()
+    assert(queue.toSeq == Seq(("task", "draft the report")))
+    assert(o.delegate("boss", Seq("juggle"), "nope").isEmpty)
+  }
+
+  test("orchestrator: broadcast fan-out + collaborative recall over agents' memory union") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_orch2").toString)
+    val memory = new AgentMemory(engine, new MockEmbedderProvider(64))
+    val o = new Orchestrator(memory)
+    o.register("a1", Seq("x")); o.register("a2", Seq("y")); o.register("a3", Seq("z"))
+    assert(o.send("a1", "*", "status", "hello all") == 2) // everyone but sender
+    assert(o.drain("a2").count() == 1 && o.drain("a1").count() == 0)
+
+    memory.remember("a1", "safety protocols for chemical storage")
+    memory.learn("a2", "chemical handling requires ventilation")
+    val recall = o.collaborativeRecall(Seq("a1", "a2"), "chemical safety", topK = 3)
+    val byAgent = recall.groupBy("agent_id").count().as[(String, Long)].collect().toMap
+    assert(byAgent.keySet == Set("a1", "a2"))
+  }
+}
