@@ -284,7 +284,7 @@ object FusionEngine {
     StructField("content", StringType, nullable = true),
     StructField("metadata", MapType(StringType, StringType), nullable = true)))
 
-  private[engine] def jstr(s: String): String =
+  private[graft] def jstr(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"

@@ -1,0 +1,124 @@
+package graft.retrieval
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.FusionEngine
+import graft.functions.TextFunctions
+import graft.providers.Embedder
+import graft.tree.TreeIndex
+
+/** The flagship retrieval entry point (reference
+  * `/root/reference/src/retrieval/HybridRetriever.js:115-219`):
+  * strategy routing over vector / tree / keyword branches, per-branch
+  * graceful failure, topK×2 over-fetch, weighted Reciprocal Rank
+  * Fusion, tree-content preference.
+  *
+  * Plan shape (SURVEY §3.1): each selected branch is a top-(2k)
+  * `TakeOrderedAndProject`; ranks are assigned after the union by ONE
+  * window partitioned by strategy; fusion is a groupBy with
+  * decimal-cast contributions (order-free sums).
+  */
+final class HybridRetriever(
+    val engine: FusionEngine,
+    val embedder: Embedder,
+    val collection: String,
+    val treeIndex: Option[TreeIndex] = None,
+    val weights: (Double, Double, Double) = (0.4, 0.4, 0.2), // vector, tree, keyword
+    val rrfK: Int = 60) {
+
+  import engine.spark
+  import spark.implicits._
+
+  /** Retrieve with a strategy ∈ {hybrid, vector, tree, keyword}
+    * (`HybridRetriever.js:132, 156, 189`). A branch that throws —
+    * missing collection, no tree, provider down — contributes an empty
+    * branch and the others proceed (`:150-152, 183-185, 201-203`).
+    * Returns `(id, fused_score, content, n_strategies)` top-K. */
+  def retrieve(query: String, topK: Int = 10,
+               strategy: String = "hybrid",
+               tenantId: Option[String] = None): DataFrame = {
+    require(Set("hybrid", "vector", "tree", "keyword").contains(strategy),
+      s"unknown strategy: $strategy")
+    val fetch = topK * 2 // over-fetch (`:136, 163, 191`)
+    val runVector = strategy == "hybrid" || strategy == "vector"
+    val runTree = (strategy == "hybrid" || strategy == "tree") && treeIndex.isDefined
+    val runKeyword = strategy == "hybrid" || strategy == "keyword"
+
+    def branch(name: String)(f: => DataFrame): DataFrame =
+      try f
+      catch { case _: Exception => emptyBranch } // graceful branch failure
+
+    val vec = if (!runVector) emptyBranch else branch("vector") {
+      val qv = embedder.embed(query).map(_.toDouble).toSeq
+      engine.search(collection, qv, fetch, tenantId = tenantId)
+        .select($"id", $"score", $"content", lit("vector").as("strategy"))
+    }
+
+    val tree = if (!runTree) emptyBranch else branch("tree") {
+      treeIndex.get.searchAll(query, maxResults = fetch)
+        .select($"node_id".as("id"), $"score", $"content", lit("tree").as("strategy"))
+    }
+
+    val kw = if (!runKeyword) emptyBranch else branch("keyword") {
+      val terms = TextFunctions.queryTerms(query)
+      engine.table(collection)
+        .withColumn("score", round(TextFunctions.bm25ish(coalesce($"content", lit("")), terms), 6))
+        .filter($"score" > 0)
+        .select($"id", $"score", $"content", lit("keyword").as("strategy"))
+        .orderBy(desc("score"), asc("id")).limit(fetch)
+    }
+
+    val (wv, wt, wk) = weights
+    val wCol = when($"strategy" === "vector", wv)
+      .when($"strategy" === "tree", wt).otherwise(wk)
+    val prio = when($"strategy" === "tree", 2)
+      .when($"strategy" === "keyword", 1).otherwise(0) // tree content wins (`:327-329`)
+    val rankW = Window.partitionBy($"strategy").orderBy(desc("score"), asc("id"))
+
+    vec.unionByName(tree).unionByName(kw)
+      .withColumn("rank", row_number().over(rankW))
+      .withColumn("prio", prio)
+      .groupBy($"id")
+      .agg(
+        sum((wCol / (lit(rrfK) + $"rank")).cast("decimal(18,9)")).cast("double").as("fused_score"),
+        max_by($"content", $"prio").as("content"),
+        count(lit(1)).cast("int").as("n_strategies"))
+      .orderBy(desc("fused_score"), asc("id"))
+      .limit(topK)
+  }
+
+  private def emptyBranch: DataFrame =
+    Seq.empty[(String, Double, String, String)].toDF("id", "score", "content", "strategy")
+}
+
+/** Retrieve-with-critique control loop
+  * (`RecursiveLearningEngine.js:323-371`): retrieve, estimate quality,
+  * retry with the `tree` strategy when quality < 0.3, keep the better
+  * result, record feedback. */
+final class CritiqueLoop(retriever: HybridRetriever,
+                         learning: graft.learning.LearningEngine,
+                         qualityThreshold: Double = 0.3) {
+
+  final case class Critiqued(results: DataFrame, quality: Double,
+                             retried: Boolean, strategy: String)
+
+  def retrieveWithCritique(agentId: String, query: String, topK: Int = 10): Critiqued = {
+    def run(strategy: String): (DataFrame, Double) = {
+      val df = retriever.retrieve(query, topK, strategy)
+      val rows = df.select("fused_score", "content").collect()
+        .map(r => (r.getDouble(0), Option(r.getString(1)).getOrElse("")))
+      (df, graft.learning.LearningEngine.estimateResultQuality(query, rows.toSeq))
+    }
+    val (first, q1) = run("hybrid")
+    val out =
+      if (q1 < qualityThreshold) {
+        val (second, q2) = run("tree")
+        if (q2 > q1) Critiqued(second, q2, retried = true, "tree")
+        else Critiqued(first, q1, retried = true, "hybrid")
+      } else Critiqued(first, q1, retried = false, "hybrid")
+    learning.recordRetrievalFeedback(agentId, query, out.strategy, out.quality)
+    out
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.FusionEngine
+import graft.memory.AgentMemory
+import graft.providers.MockEmbedderProvider
+import graft.rag.RagPipeline
+import graft.server.{EngineFacade, McpServer, RestServer}
+import graft.tree.TreeIndex
+
+/** HTTP + MCP adapters (`HTTPServer.js:88-177`, `MCPServer.js:50-107`;
+  * behavioral bar from `test/fusionpact.test.js:292-314`: manifest
+  * non-empty, tool call works, unknown tool errors). */
+class AdaptersSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def facade(): EngineFacade = {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_srv").toString)
+    val embedder = new MockEmbedderProvider(64)
+    val memory = new AgentMemory(engine, embedder)
+    val rag = new RagPipeline(engine, embedder, chunkSize = 120, chunkOverlap = 20)
+    val tree = new TreeIndex(spark, Files.createTempDirectory("graft_srv_tree").toString)
+    new EngineFacade(engine, embedder, memory, rag, tree)
+  }
+
+  test("REST: health, create/insert/search round-trip over a real socket; bad input 400; no route 404") {
+    val srv = new RestServer(facade())
+    val port = srv.start()
+    try {
+      val client = HttpClient.newHttpClient()
+      def post(path: String, body: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+          HttpResponse.BodyHandlers.ofString())
+      def get(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+
+      assert(get("/health").body().contains("\"ok\""))
+      assert(post("/api/collections", """{"name": "demo", "dimensions": 64}""").statusCode() == 200)
+      assert(post("/api/insert",
+        """{"collection": "demo", "id": "d1", "content": "chemical safety data sheets"}""").statusCode() == 200)
+      val hits = post("/api/search", """{"collection": "demo", "query": "chemical safety", "topK": 3}""")
+      assert(hits.statusCode() == 200 && hits.body().contains("\"id\":\"d1\""))
+
+      assert(post("/api/rag/ingest", """{"source": "m.txt", "text": "All employees must complete safety orientation within thirty days of hire. The orientation covers fire evacuation and chemical handling."}""").body().contains("\"chunks\""))
+      assert(post("/api/rag/query", """{"query": "safety orientation"}""").body().contains("\"prompt\""))
+      assert(post("/api/memory/remember", """{"agentId": "a1", "content": "user prefers metric units"}""").statusCode() == 200)
+      assert(post("/api/memory/recall", """{"agentId": "a1", "query": "units"}""").body().contains("episodic"))
+      assert(post("/api/conversation/add", """{"agentId": "a1", "threadId": "t1", "seq": 1, "role": "user", "content": "hi"}""").statusCode() == 200)
+      assert(post("/api/conversation/get", """{"agentId": "a1", "threadId": "t1"}""").body().contains("hi"))
+
+      // error paths
+      assert(post("/api/search", """{"query": "missing collection field"}""").statusCode() == 400)
+      assert(post("/api/nope", "{}").statusCode() == 404)
+      assert(post("/api/collections", """{"name": "demo"}""").statusCode() == 400) // duplicate -> client error
+    } finally srv.stop()
+  }
+
+  test("MCP: 11-tool manifest, tool call works, unknown tool errors (test.js:292-314)") {
+    val f = facade()
+    val mcp = new McpServer(f)
+    assert(mcp.tools.length == 11)
+    assert(mcp.manifest.contains("fusionpact_hybrid_search"))
+    val created = mcp.callTool("fusionpact_create_collection", """{"name": "mcp_demo", "dimensions": 64}""")
+    assert(created.contains("mcp_demo"))
+    assert(mcp.callTool("fusionpact_list_collections", "{}").contains("mcp_demo"))
+    assertThrows[NoSuchElementException](mcp.callTool("fusionpact_nope", "{}"))
+  }
+}

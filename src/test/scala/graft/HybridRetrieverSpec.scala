@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.FusionEngine
+import graft.learning.LearningEngine
+import graft.memory.AgentMemory
+import graft.model.CollectionConfig
+import graft.providers.{Embed, MockEmbedderProvider}
+import graft.retrieval.{CritiqueLoop, HybridRetriever}
+import graft.tree.TreeIndex
+
+/** Strategy routing / graceful failure / critique loop
+  * (`HybridRetriever.js:115-219`, `RecursiveLearningEngine.js:323-371`). */
+class HybridRetrieverSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val embedder = new MockEmbedderProvider(64)
+
+  private def build(): (FusionEngine, HybridRetriever) = {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_hr").toString)
+    engine.createCollection("docs", CollectionConfig(dimensions = 64))
+    val docs = Seq(
+      "d1" -> "OSHA requires chemical hazard communication including safety data sheets",
+      "d2" -> "Personal protective equipment must be provided at no cost",
+      "d3" -> "Quarterly revenue increased driven by cloud services growth")
+    engine.insert("docs", Embed.withEmbedding(docs.toDF("id", "content"), "content", "vector", embedder))
+    val tree = new TreeIndex(spark, Files.createTempDirectory("graft_hr_tree").toString)
+    tree.indexDocument("manual",
+      "# Safety\n## Chemical Handling\nchemical hazard communication requires safety data sheets\n## Finance\nrevenue and growth",
+      "markdown")
+    (engine, new HybridRetriever(engine, embedder, "docs", Some(tree)))
+  }
+
+  test("hybrid fuses three strategies; single-strategy routing runs only that branch") {
+    val (_, r) = build()
+    val hybrid = r.retrieve("chemical safety data sheets", topK = 5)
+    assert(hybrid.count() > 0)
+    // tree branch contributes: some result carries tree content preference
+    val strategies = hybrid.select("n_strategies").as[Int].collect()
+    assert(strategies.max >= 1)
+
+    val vecOnly = r.retrieve("chemical safety data sheets", strategy = "vector")
+    assert(vecOnly.select("n_strategies").as[Int].collect().forall(_ == 1))
+    val kwOnly = r.retrieve("chemical safety data sheets", strategy = "keyword")
+    // keyword branch: all results have matching content
+    assert(kwOnly.select("content").as[String].collect()
+      .forall(c => c.toLowerCase.contains("chemical") || c.toLowerCase.contains("safety") || c.toLowerCase.contains("data")))
+    assertThrows[IllegalArgumentException](r.retrieve("q", strategy = "bogus"))
+  }
+
+  test("graceful branch failure: missing collection kills the vector+keyword branches, tree still answers") {
+    val (engine, r0) = build()
+    val broken = new HybridRetriever(engine, embedder, "no_such_collection", r0.treeIndex)
+    val res = broken.retrieve("chemical safety data sheets")
+    assert(res.count() > 0) // tree-only survivors
+    val contents = res.select("content").as[String].collect()
+    assert(contents.forall(c => c != null)) // tree rows carry content
+  }
+
+  test("retrieveWithCritique records feedback; low quality triggers tree retry") {
+    val (engine, r) = build()
+    val learning = new LearningEngine(new AgentMemory(engine, embedder))
+    val loop = new CritiqueLoop(r, learning)
+    val good = loop.retrieveWithCritique("a", "chemical safety data sheets")
+    assert(good.quality > 0 && !good.retried)
+    assert(learning.feedbackLog("a").count() == 1)
+
+    val bad = loop.retrieveWithCritique("a", "zzzzz qqqqq wwwww")
+    assert(bad.retried) // nothing matches -> quality below threshold -> retried
+    assert(learning.feedbackLog("a").count() == 2)
+  }
+}
