@@ -275,6 +275,46 @@ object SparkEntry {
         .limit(maxResults)
     }),
 
+    // §2.2 metadata filter model (HNSWIndex.js:283-292): equality +
+    // IN-list ANDed over the schemaless MAP tail. Map built from
+    // columns; DuckDB oracle filters the equivalent plain predicates
+    // (same semantics — the gate compares values, not plans).
+    "metadata_filter" -> ((s, dir) => {
+      import s.implicits._
+      import graft.engine.MetadataFilter
+      val m = map(lit("lang"), $"lang", lit("source"), $"source")
+      t(s, dir, "documents")
+        .filter(MetadataFilter.and(
+          eqs = Map("lang" -> "en"),
+          ins = Map("source" -> Seq("src1", "src2", "src3")),
+          metadataCol = m))
+        .select($"doc_id", $"lang", $"source")
+        .orderBy($"doc_id")
+    }),
+
+    // §2.7 both query-pattern functions (two DISTINCT functions in the
+    // reference, both preserved — SURVEY §7.4): retriever = first 5
+    // sorted words; learning = punctuation-stripped words >3 chars,
+    // sorted, first 4, 'generic' fallback.
+    "query_patterns" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select(
+        $"doc_id",
+        queryPatternRetriever($"text").as("retriever_pattern"),
+        queryPatternLearning($"text").as("learning_pattern"))
+        .orderBy($"doc_id")
+    }),
+
+    // §2.4 per-pattern strategy average (HybridRetriever.js:258-303):
+    // last-100 quality scores per (pattern, strategy) averaged, default
+    // weights for silent strategies, normalized across strategies.
+    "strategy_avg_weights" -> ((s, dir) => {
+      import s.implicits._
+      val fb = feedbackFromEvents(s, dir)
+        .select($"pattern", $"strategy", $"quality", $"ts", $"event_id".as("id"))
+      graft.retrieval.AdaptiveWeights.compute(fb).orderBy($"pattern")
+    }),
+
     // §2.4 adaptive weight update (RecursiveLearningEngine.js:747-770):
     // one additive step from the default weights per pattern, driven by
     // the pattern's most recent feedback row — boost on q>0.7, penalize
@@ -782,6 +822,42 @@ object SparkEntry {
           |         event_id, event_type,
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
+
+      "metadata_filter" ->
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE lang = 'en' AND source IN ('src1', 'src2', 'src3')
+          |ORDER BY doc_id""".stripMargin,
+
+      "query_patterns" ->
+        """SELECT doc_id,
+          |  array_to_string(list_sort(string_split_regex(lower(text), '\s+'))[1:5], '_') AS retriever_pattern,
+          |  CASE WHEN len(list_filter(string_split_regex(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+'), w -> len(w) > 3)) = 0
+          |       THEN 'generic'
+          |       ELSE array_to_string(list_sort(list_filter(string_split_regex(regexp_replace(lower(text), '[^\w\s]', '', 'g'), '\s+'), w -> len(w) > 3))[1:4], '_')
+          |  END AS learning_pattern
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "strategy_avg_weights" ->
+        s"""WITH fb AS ($FeedbackFromEventsSql),
+           |ranked AS (SELECT * FROM (
+           |  SELECT pattern, strategy, quality,
+           |    row_number() OVER (PARTITION BY pattern, strategy ORDER BY ts DESC, event_id DESC) AS rn
+           |  FROM fb WHERE strategy IN ('vector','tree','keyword')) t WHERE rn <= 100),
+           |avgs AS (
+           |  SELECT pattern, strategy,
+           |    CAST(sum(CAST(quality AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS avg_q
+           |  FROM ranked GROUP BY pattern, strategy),
+           |piv AS (
+           |  SELECT pattern,
+           |    coalesce(max(CASE WHEN strategy = 'vector' THEN avg_q END), 0.4) AS v,
+           |    coalesce(max(CASE WHEN strategy = 'tree' THEN avg_q END), 0.4) AS t,
+           |    coalesce(max(CASE WHEN strategy = 'keyword' THEN avg_q END), 0.2) AS k
+           |  FROM avgs GROUP BY pattern)
+           |SELECT pattern,
+           |  round(v/(v+t+k), 6) AS w_vector,
+           |  round(t/(v+t+k), 6) AS w_tree,
+           |  round(k/(v+t+k), 6) AS w_keyword
+           |FROM piv ORDER BY pattern""".stripMargin,
 
       "weights_update" ->
         s"""WITH fb AS ($FeedbackFromEventsSql),

@@ -61,6 +61,40 @@ class HybridRetrieverSpec extends AnyFunSuite {
     assert(contents.forall(c => c != null)) // tree rows carry content
   }
 
+  test("adaptive weights: last-N average with defaults for silent strategies, normalized") {
+    import java.sql.Timestamp
+    val fb = Seq(
+      ("p1", "vector", 0.9, new Timestamp(1000), 1L),
+      ("p1", "vector", 0.7, new Timestamp(2000), 2L),
+      ("p1", "keyword", 0.2, new Timestamp(3000), 3L),
+      ("p1", "hybrid", 1.0, new Timestamp(4000), 4L), // ignored (not a tracked list)
+      ("p2", "tree", 0.5, new Timestamp(5000), 5L))
+      .toDF("pattern", "strategy", "quality", "ts", "id")
+    val w = graft.retrieval.AdaptiveWeights.compute(fb).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // p1: v=0.8 avg, t=0.4 default, k=0.2 -> normalized
+    val (v1, t1, k1) = w("p1")
+    assert(math.abs(v1 - 0.8 / 1.4) < 1e-6 && math.abs(t1 - 0.4 / 1.4) < 1e-6)
+    assert(math.abs(v1 + t1 + k1 - 1.0) < 1e-9)
+    // p2: only tree observed at 0.5; vector/keyword defaults
+    val (v2, t2, k2) = w("p2")
+    assert(math.abs(t2 - 0.5 / 1.1) < 1e-6)
+  }
+
+  test("metadata filter model: equality + IN-list ANDed over the map tail through engine.search") {
+    val (engine, _) = build()
+    import graft.engine.MetadataFilter
+    val qv = embedder.embed("chemical").map(_.toDouble).toSeq
+    // tag rows with metadata then filter through the search API
+    val all = engine.search("docs", qv, topK = 10,
+      filter = Some(MetadataFilter.and())) // empty spec keeps all
+    assert(all.count() == 3)
+    // no metadata map set on these rows -> element_at is null -> filtered out
+    val none = engine.search("docs", qv, topK = 10,
+      filter = Some(MetadataFilter.eq("category", "safety")))
+    assert(none.count() == 0)
+  }
+
   test("retrieveWithCritique records feedback; low quality triggers tree retry") {
     val (engine, r) = build()
     val learning = new LearningEngine(new AgentMemory(engine, embedder))
