@@ -100,6 +100,13 @@ object Demo {
     val frames = graft.multimodal.Multimodal.sampleFrames(media)
     println(s"  multimodal: ${frames.count()} frames sampled from 96-byte payload (stub decode)")
 
+    println("=== 1g. VectorStore facade ===")
+    val store = graft.integrations.VectorStore.fromTexts(
+      Seq("chemical safety requires protective equipment",
+        "quarterly revenue grew with cloud services"), engine, embedder)
+    val top = store.similaritySearchWithScore("chemical safety requires protective equipment", k = 1).head
+    println(f"  fromTexts + similaritySearch top hit [${top.getAs[Double]("score")}%.3f]: ${top.getAs[String]("content").take(40)}")
+
     println("=== 2. Write path ===")
     println(s"  collections: ${engine.listCollections().map { case (n, c, s) => s"$n(dims=${c.dimensions}, rows=$s)" }.mkString(", ")}")
     engine.deleteByIds("demo", Seq("d3"))
