@@ -1,5 +1,7 @@
 package graft.ann
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
@@ -65,7 +67,7 @@ object Ann {
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .map { case (id, v) => (id, v, model.nearestCells(v, 1).head) }
       .toDF("id", "v", "cell")
   }
@@ -89,6 +91,71 @@ object Ann {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "id", "score", "rank")
+  }
+
+  /** Throughput IVF shape: invert the probe lists into a
+    * cell → query-index table (broadcast), then one `mapPartitions`
+    * pass where each row is scored ONLY against the queries probing its
+    * cell, into per-query bounded heaps. Work ∝ scanned fraction — the
+    * windowed [[ivfSearchBatch]] shuffles every candidate row with its
+    * vector and loses that proportionality at large fleets. */
+  def ivfSearchBatchFast(cells: DataFrame, model: IvfModel,
+                         queries: Seq[(Long, Seq[Double])], k: Int,
+                         nProbe: Int): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val qArr = queries.toArray
+    val cellToQueries: Array[Array[Int]] = {
+      val m = Array.fill(model.nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+      qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+        model.nearestCells(qv, nProbe).foreach(c => m(c) += qi)
+      }
+      m.map(_.toArray)
+    }
+    val qBc = spark.sparkContext.broadcast((qArr.map(_._1), qArr.map(_._2.toArray), cellToQueries))
+    val pairs = cells.select(col("id"), col("v"), col("cell"))
+      .as[(Long, Array[Double], Int)]
+      .mapPartitions { it =>
+        val (qids, qVecs, c2q) = qBc.value
+        val qNorms = qVecs.map { q =>
+          var s = 0.0; var i = 0
+          while (i < q.length) { s += q(i) * q(i); i += 1 }
+          math.sqrt(s)
+        }
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))
+        val heaps = Array.fill(qids.length)(new java.util.PriorityQueue[(Double, Long)](k + 1, heapOrd))
+        it.foreach { case (id, v, cell) =>
+          val probing = c2q(cell)
+          if (probing.nonEmpty) {
+            var vNorm = 0.0
+            var i = 0
+            while (i < v.length) { vNorm += v(i) * v(i); i += 1 }
+            vNorm = math.sqrt(vNorm)
+            var pi = 0
+            while (pi < probing.length) {
+              val qi = probing(pi)
+              val qv = qVecs(qi)
+              var dot = 0.0; var j = 0
+              while (j < v.length) { dot += v(j) * qv(j); j += 1 }
+              val s = dot / (vNorm * qNorms(qi))
+              val h = heaps(qi)
+              if (h.size < k) h.add((s, id))
+              else {
+                val worst = h.peek()
+                if (s > worst._1 || (s == worst._1 && id < worst._2)) {
+                  h.poll(); h.add((s, id))
+                }
+              }
+              pi += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator().asScala.map { case (s, id) => (qids(qi), id, s) }
+        }
+      }.toDF("qid", "id", "score")
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** recall@k of `ann` against `exact` (both `(qid, id, ...)` with ≤ k

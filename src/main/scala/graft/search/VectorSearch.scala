@@ -137,7 +137,7 @@ object VectorSearch {
                    vectorCol: String = "vector", idCol: String = "id"): DataFrame = {
     import df.sparkSession.implicits._
     val spark = df.sparkSession
-    val qBc = spark.sparkContext.broadcast(queries)
+    val qBc = spark.sparkContext.broadcast(queries.toArray)
     val metricName = m match {
       case Cosine => "cosine"; case CosineUnit => "cosineUnit"
       case Euclidean => "euclidean"; case DotProduct => "dot"
@@ -147,37 +147,58 @@ object VectorSearch {
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val qs = qBc.value
-        // per-query bounded min-heap of (score, id)
-        val heaps = qs.map { case (qid, _) =>
-          qid -> new java.util.PriorityQueue[(Double, Long)](k + 1,
-            Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2)))
-        }.toMap
+        val nq = qs.length
+        val qVecs = qs.map(_._2)
+        val qNorms = qVecs.map { q =>
+          var s = 0.0; var i = 0
+          while (i < q.length) { s += q(i) * q(i); i += 1 }
+          math.sqrt(s)
+        }
+        // per-query bounded min-heap of (score, id), evict-worst =
+        // lowest score then largest id (matches the final rank order)
+        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))
+        val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Double, Long)](k + 1, heapOrd))
+        val isCosine = metricName == "cosine"
         it.foreach { case (id, v) =>
+          // row norm hoisted out of the query loop
+          var vNorm = 0.0
+          if (isCosine) {
+            var i = 0
+            while (i < v.length) { vNorm += v(i) * v(i); i += 1 }
+            vNorm = math.sqrt(vNorm)
+          }
           var qi = 0
-          while (qi < qs.length) {
-            val (qid, qv) = qs(qi)
+          while (qi < nq) {
+            val qv = qVecs(qi)
             var s = 0.0
             metricName match {
               case "cosine" =>
-                var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-                while (i < v.length) { dot += v(i)*qv(i); na += v(i)*v(i); nb += qv(i)*qv(i); i += 1 }
-                s = dot / (math.sqrt(na) * math.sqrt(nb))
+                var dot = 0.0; var i = 0
+                while (i < v.length) { dot += v(i) * qv(i); i += 1 }
+                s = dot / (vNorm * qNorms(qi))
               case "cosineUnit" | "dot" =>
                 var dot = 0.0; var i = 0
-                while (i < v.length) { dot += v(i)*qv(i); i += 1 }
+                while (i < v.length) { dot += v(i) * qv(i); i += 1 }
                 s = if (metricName == "dot") 1.0 + dot else dot
               case "euclidean" =>
                 var d2 = 0.0; var i = 0
-                while (i < v.length) { val d = v(i)-qv(i); d2 += d*d; i += 1 }
+                while (i < v.length) { val d = v(i) - qv(i); d2 += d * d; i += 1 }
                 s = 1.0 - math.sqrt(d2)
             }
-            val h = heaps(qid)
-            h.add((s, id))
-            if (h.size > k) h.poll()
+            val h = heaps(qi)
+            if (h.size < k) h.add((s, id))
+            else {
+              // peek-before-insert: expected O(k·ln N) inserts per query
+              val worst = h.peek()
+              if (s > worst._1 || (s == worst._1 && id < worst._2)) {
+                h.poll(); h.add((s, id))
+              }
+            }
             qi += 1
           }
         }
-        heaps.iterator.flatMap { case (qid, h) =>
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          val qid = qs(qi)._1
           h.iterator().asScala.map { case (s, id) => (qid, id, s) }
         }
       }(org.apache.spark.sql.Encoders.tuple(
