@@ -1,0 +1,95 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.search.VectorSearch
+
+/** Property-based checks (SURVEY §5 implication): the declarative kNN
+  * plan equals a driver-side brute force on arbitrary inputs; RRF is
+  * rank-monotone; chunking loses no words; minhash similarity tracks
+  * Jaccard. */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic sampling: seeds 1..n (scalatestplus is not in the
+    * offline cache; explicit seeds also make failures reproducible). */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val vecGen = Gen.listOfN(8, Gen.choose(-1.0, 1.0))
+  private val corpusGen = Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, vecGen))
+
+  test("exact kNN == driver-side brute force for arbitrary vectors (cosine + euclidean)") {
+    samples(Gen.zip(corpusGen, vecGen), 10).foreach { case (corpus, q) =>
+      if (corpus.nonEmpty && corpus.forall(v => v.exists(_ != 0.0)) && q.exists(_ != 0.0)) {
+        val df = corpus.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.map(_.toFloat).toArray) }
+          .toDF("id", "vector")
+        val k = math.min(5, corpus.size)
+
+        val spark1 = VectorSearch.knn(df, q, k, VectorSearch.Cosine)
+          .select("id").as[Long].collect().toSeq
+        def cos(v: Seq[Double]): Double = {
+          val dot = v.zip(q).map { case (a, b) => a * b }.sum
+          dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(q.map(x => x * x).sum))
+        }
+        val brute1 = corpus.zipWithIndex
+          .map { case (v, i) => (i.toLong, cos(v.map(_.toFloat.toDouble))) }
+          .sortBy { case (i, s) => (-s, i) }.take(k).map(_._1)
+        assert(spark1 == brute1)
+
+        val spark2 = VectorSearch.knn(df, q, k, VectorSearch.Euclidean)
+          .select("id").as[Long].collect().toSeq
+        def euc(v: Seq[Double]): Double =
+          1.0 - math.sqrt(v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val brute2 = corpus.zipWithIndex
+          .map { case (v, i) => (i.toLong, euc(v.map(_.toFloat.toDouble))) }
+          .sortBy { case (i, s) => (-s, i) }.take(k).map(_._1)
+        assert(spark2 == brute2)
+      }
+    }
+  }
+
+  test("RRF contribution is strictly decreasing in rank and increasing in weight") {
+    samples(Gen.zip(Gen.chooseNum(1, 200), Gen.choose(0.01, 1.0)), 20).foreach { case (rank, w) =>
+      def c(weight: Double, r: Int): Double = weight / (60.0 + r)
+      assert(c(w, rank) > c(w, rank + 1))
+      assert(c(w + 0.1, rank) > c(w, rank))
+    }
+  }
+
+  test("recursive chunking preserves every word of the source text") {
+    val wordGen = Gen.chooseNum(2, 10).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val textGen = Gen.chooseNum(5, 120).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    samples(textGen, 20).foreach { text =>
+      val chunks = graft.text.Chunkers.recursiveChunk(text, chunkSize = 48, chunkOverlap = 8)
+      val sourceWords = text.split(" ").toSet
+      val chunkWords = chunks.flatMap(_.split(" ")).toSet
+      // every full source word appears in some chunk (overlap tails may
+      // add truncated fragments, never lose words)
+      assert(sourceWords.subsetOf(chunkWords))
+      assert(chunks.forall(_.nonEmpty))
+    }
+  }
+
+  test("minhash signature agreement approximates Jaccard within tolerance") {
+    val setGen = Gen.chooseNum(20, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"shingle_$i")).map(_.distinct))
+    val coeffs = {
+      val rnd = new scala.util.Random(7)
+      Array.fill(256)((rnd.nextLong() | 1L, rnd.nextLong()))
+    }
+    samples(Gen.zip(setGen, setGen), 10).foreach { case (a, b) =>
+      if (a.nonEmpty && b.nonEmpty) {
+        val j = (a.toSet & b.toSet).size.toDouble / (a.toSet | b.toSet).size
+        val sa = graft.dedup.Dedup.minhashSignature(a, coeffs)
+        val sb = graft.dedup.Dedup.minhashSignature(b, coeffs)
+        val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+        assert(math.abs(est - j) < 0.15) // 256 hashes: ~3 sigma tolerance
+      }
+    }
+  }
+}
