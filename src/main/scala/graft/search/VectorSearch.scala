@@ -91,7 +91,15 @@ object VectorSearch {
     var in = df
     tenantId.foreach(t => in = in.filter(col(tenantCol) === lit(t)))
     preFilter.foreach(p => in = in.filter(p))
-    val raw = m.score(col(vectorCol), q)
+    // Catalyst does not constant-fold aggregate() over a literal array,
+    // so the cosine query self-norm would be recomputed per row; inline
+    // it as a literal (same left-to-right double sum → bit-identical).
+    val raw = m match {
+      case Cosine =>
+        val qNorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+        dotProduct(col(vectorCol), q) / (norm(col(vectorCol)) * lit(qNorm))
+      case other => other.score(col(vectorCol), q)
+    }
     val s = roundTo.map(d => round(raw, d)).getOrElse(raw)
     val scored = in.withColumn(scoreCol, s)
     val out = if (includeVector) scored else scored.drop(vectorCol)

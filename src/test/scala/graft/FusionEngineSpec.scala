@@ -141,6 +141,21 @@ class FusionEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("edge cases: empty-collection search, dimension-mismatched query, zero vector") {
+    val e = freshEngine()
+    e.createCollection("empty", CollectionConfig(dimensions = 4))
+    // search before any insert: empty result, no error
+    assert(e.search("empty", Seq(1.0, 0.0, 0.0, 0.0)).count() == 0)
+    // wrong query dimension fails fast with a named error
+    val ex = intercept[IllegalArgumentException](e.search("empty", Seq(1.0, 0.0)))
+    assert(ex.getMessage.contains("dimension"))
+    // zero vector passes through normalize-at-write unchanged (reference
+    // HNSWIndex.js:472-479 divides only when norm > 0) and scores 0
+    e.insert("empty", Seq(("z", Array(0f, 0f, 0f, 0f))).toDF("id", "vector"))
+    val score = e.search("empty", Seq(1.0, 0.0, 0.0, 0.0)).select("score").as[Double].head
+    assert(score == 0.0)
+  }
+
   test("search metric follows collection config: euclidean collection ranks by euclidean score") {
     val e = freshEngine()
     e.createCollection("euc", CollectionConfig(dimensions = 2, distanceMetric = "euclidean"))
