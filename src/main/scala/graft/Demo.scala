@@ -125,13 +125,15 @@ object Demo {
     val r2 = engine2.search("demo", qv, topK = 1).select("id").as[String].head
     println(s"  imported rows=${engine2.count("demo")}, top result after import: $r2")
 
-    println("=== 4. Tenancy ===")
-    engine.createCollection("mt", CollectionConfig(dimensions = 64))
+    println("=== 4. Tenancy (hive-partitioned by tenant) ===")
+    engine.createCollection("mt", CollectionConfig(dimensions = 64, partitionByTenant = true))
     engine.tenant("mt", "acme").insert(Embed.withEmbedding(Seq("a1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
     engine.tenant("mt", "globex").insert(Embed.withEmbedding(Seq("g1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
     val seen = engine.tenant("mt", "acme").search(embedder.embed("alpha").map(_.toDouble).toSeq)
       .select("id").as[String].collect().toSeq
-    println(s"  acme sees: ${seen.mkString(",")}")
+    val partDirs = new java.io.File(s"${engine.root}/mt/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.mkString(", ")
+    println(s"  acme sees: ${seen.mkString(",")}; partition dirs: [$partDirs]")
 
     spark.stop()
   }

@@ -167,9 +167,12 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     if (cfg.distanceMetric == "cosine")
       in = in.withColumn("vector", VectorFunctions.l2Normalize(col("vector")).cast(ArrayType(FloatType)))
 
-    in.select(Schema.fieldNames.map(col): _*)
+    val out = in.select(Schema.fieldNames.map(col): _*)
       .select(Schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-      .write.mode(SaveMode.Append).parquet(dataDir(name).toString)
+    val writer = out.write.mode(SaveMode.Append)
+    // Hive-partitioned layout: tenant filters prune at the storage level
+    (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
+      .parquet(dataDir(name).toString)
   }
 
   /** Delete by ids — anti-filter rewrite with an atomic dir swap.
@@ -193,14 +196,17 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     if (Files.exists(dataDir(name))) deleteRecursively(dataDir(name))
   }
 
-  /** Rewrite the collection without rows matching `condemned`. */
+  /** Rewrite the collection without rows matching `condemned`
+    * (preserving the tenant-partitioned layout when configured). */
   private def rewrite(name: String, condemned: Column): Long = {
-    getConfig(name)
+    val cfg = getConfig(name)
     if (!Files.exists(dataDir(name))) return 0L
     val before = count(name)
     val tmp = dir(name).resolve("data_tmp")
-    table(name).filter(!coalesce(condemned, lit(false))).write
-      .mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val writer = table(name).filter(!coalesce(condemned, lit(false))).write
+      .mode(SaveMode.Overwrite)
+    (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
+      .parquet(tmp.toString)
     val old = dir(name).resolve("data_old")
     Files.move(dataDir(name), old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, dataDir(name), StandardCopyOption.ATOMIC_MOVE)
@@ -295,7 +301,7 @@ object FusionEngine {
   private[engine] def configJson(c: CollectionConfig): String =
     s"""{"dimensions":${c.dimensions},"distanceMetric":${jstr(c.distanceMetric)},""" +
       s""""M":${c.m},"efConstruction":${c.efConstruction},"efSearch":${c.efSearch},""" +
-      s""""createdAt":${jstr(c.createdAt)}}"""
+      s""""partitionByTenant":${c.partitionByTenant},"createdAt":${jstr(c.createdAt)}}"""
 
   // Minimal flat-JSON field extraction (configs are engine-written, flat,
   // and free of nested braces in values).
@@ -312,7 +318,10 @@ object FusionEngine {
       m = jint(json, "M", 16),
       efConstruction = jint(json, "efConstruction", 200),
       efSearch = jint(json, "efSearch", 50),
-      createdAt = jstrv(json, "createdAt", ""))
+      createdAt = jstrv(json, "createdAt", ""),
+      partitionByTenant =
+        s""""partitionByTenant":\\s*(true|false)""".r.findFirstMatchIn(json)
+          .exists(_.group(1) == "true"))
 
   private[engine] def extractCollections(manifest: String): Seq[(String, CollectionConfig)] = {
     val entry = """\{"name":"((?:[^"\\]|\\.)*)","size":\d+,"config":(\{[^}]*\})\}""".r

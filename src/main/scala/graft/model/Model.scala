@@ -29,7 +29,12 @@ final case class CollectionConfig(
     m: Int = 16,
     efConstruction: Int = 200,
     efSearch: Int = 50,
-    createdAt: String = "")
+    createdAt: String = "",
+    /** Hive-partition the data dir by tenant: tenant filters become
+      * storage-level partition pruning (the 100 TB multi-tenant layout;
+      * the reference's tenancy is a post-filter). Off by default —
+      * right when tenants are few and searches are tenant-scoped. */
+    partitionByTenant: Boolean = false)
 
 /** One chunk of an ingested document (`RAGPipeline.js:100-122`). */
 final case class Chunk(

@@ -156,6 +156,31 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(score == 0.0)
   }
 
+  test("tenant-partitioned layout: hive dirs per tenant, pruned scans, rewrite preserves layout") {
+    val e = freshEngine()
+    e.createCollection("pt", CollectionConfig(dimensions = 64, partitionByTenant = true))
+    e.tenant("pt", "acme").insert(Embed.withEmbedding(
+      Seq("a1" -> "alpha", "a2" -> "alpha two").toDF("id", "content"), "content", "vector", embedder))
+    e.tenant("pt", "globex").insert(Embed.withEmbedding(
+      Seq("g1" -> "gamma").toDF("id", "content"), "content", "vector", embedder))
+    // physical layout: one hive partition dir per tenant
+    val dirs = new java.io.File(s"${e.root}/pt/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("tenant_id=acme", "tenant_id=globex"))
+    // tenant filter reaches the scan as a PartitionFilter
+    val qv = embedder.embed("alpha").map(_.toDouble).toSeq
+    val plan = e.search("pt", qv, topK = 5, tenantId = Some("acme"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tenant_id"))
+    assert(e.search("pt", qv, topK = 5, tenantId = Some("acme")).count() == 2)
+    // rewrite (delete) keeps the partitioned layout and the other tenant
+    e.deleteByIds("pt", Seq("a1"))
+    assert(e.count("pt") == 2)
+    val dirs2 = new java.io.File(s"${e.root}/pt/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs2.contains("tenant_id=globex"))
+  }
+
   test("search metric follows collection config: euclidean collection ranks by euclidean score") {
     val e = freshEngine()
     e.createCollection("euc", CollectionConfig(dimensions = 2, distanceMetric = "euclidean"))
