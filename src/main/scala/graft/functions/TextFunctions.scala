@@ -22,7 +22,11 @@ object TextFunctions {
 
   private val stopSet = StopWords.toSet
 
-  /** `toLowerCase().split(/\s+/)` (`HybridRetriever.js:366`). */
+  /** `toLowerCase().split(/\s+/)` (`HybridRetriever.js:366`).
+    * Known divergence (ADVICE r1): Java `\s` is ASCII-only while JS
+    * `/\s+/` also matches Unicode whitespace (NBSP, BOM, …) — identical
+    * on ASCII corpora; switch to an explicit Unicode class if JS parity
+    * on such input ever matters. */
   def tokenize(c: Column): Column = split(lower(c), "\\s+")
 
   /** Driver-side term extraction for a literal query string: tokens with
