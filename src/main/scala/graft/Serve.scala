@@ -4,16 +4,10 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 
-import graft.engine.FusionEngine
-import graft.memory.AgentMemory
-import graft.providers.MockEmbedderProvider
-import graft.rag.RagPipeline
-import graft.server.{EngineFacade, RestServer}
-import graft.tree.TreeIndex
-
-/** REST serving mode (reference `bin/cli.js serve`): start the engine
-  * behind the HTTP adapter. `sbt "runMain graft.Serve [port] [root]"` —
-  * port 0 picks a free port (printed); serves until killed. */
+/** REST serving mode (reference `bin/cli.js serve`): the [[Graft]]
+  * composition root behind the HTTP adapter.
+  * `sbt "runMain graft.Serve [port] [root]"` — port 0 picks a free port
+  * (printed); serves until killed. */
 object Serve {
   def main(args: Array[String]): Unit = {
     val port = args.headOption.map(_.toInt).getOrElse(0)
@@ -26,14 +20,7 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val engine = new FusionEngine(spark, root)
-    val embedder = new MockEmbedderProvider(64)
-    val facade = new EngineFacade(engine, embedder,
-      new AgentMemory(engine, embedder),
-      new RagPipeline(engine, embedder, chunkSize = 120, chunkOverlap = 20),
-      new TreeIndex(spark, Files.createTempDirectory("graft_serve_tree").toString))
-    val srv = new RestServer(facade, port)
-    val bound = srv.start()
+    val bound = Graft.create(spark, root).restServer(port).start()
     println(s"[serve] listening on http://127.0.0.1:$bound  (root=$root)")
     Thread.currentThread().join() // serve until killed
   }
