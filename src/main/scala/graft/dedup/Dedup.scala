@@ -240,18 +240,40 @@ object Dedup {
     * cells are (by construction) bounded. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             clusterCol: String, tau: Double): DataFrame = {
-    // norms precomputed ONCE per row before the pair join (the pair-side
-    // expression dot/(na*nb) is numerically identical to computing both
-    // norms per pair, at a third of the flops)
-    val normed = df.select(col(clusterCol).as("cl"), col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"), sqrt(VectorFunctions.normSq(col(vecCol))).as("n"))
-    val a = normed.select(col("cl"), col("id").as("id_a"), col("v").as("va"), col("n").as("na"))
-    val b = normed.select(col("cl"), col("id").as("id_b"), col("v").as("vb"), col("n").as("nb"))
-    a.join(b, Seq("cl"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", round(
-        VectorFunctions.dotProduct(col("va"), col("vb")) / (col("na") * col("nb")), 6))
-      .filter(col("cos") >= tau)
-      .select("id_a", "id_b", "cos")
+    // Repartition by cluster, then compute each cell's pairs locally in
+    // one kernel pass — no pair join, no vector shuffle beyond the
+    // cluster exchange. Numerics match the SQL form bit-for-bit:
+    // left-to-right double dot, sqrt norms, HALF_UP round.
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(clusterCol).cast("string").as("cl"),
+        col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("cl"))
+      .as[(String, Long, Array[Double])]
+      .mapPartitions { it =>
+        val byCell = it.toArray.groupBy(_._1)
+        byCell.iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val norms = sorted.map { case (_, _, v) =>
+            var s = 0.0; var i = 0
+            while (i < v.length) { s += v(i) * v(i); i += 1 }
+            math.sqrt(s)
+          }
+          for {
+            i <- sorted.indices.iterator
+            j <- (i + 1) until sorted.length
+            cos = {
+              val (_, _, va) = sorted(i); val (_, _, vb) = sorted(j)
+              var dot = 0.0; var d = 0
+              while (d < va.length) { dot += va(d) * vb(d); d += 1 }
+              BigDecimal(dot / (norms(i) * norms(j)))
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+            }
+            if cos >= tau
+          } yield (sorted(i)._2, sorted(j)._2, cos)
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
   }
 }
