@@ -326,16 +326,8 @@ object SparkEntry {
       val fb = feedbackFromEvents(s, dir)
       val w = Window.partitionBy($"pattern").orderBy(desc("ts"), desc("event_id"))
       val latest = fb.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-      val q = $"quality"
-      val v1 = when(q > 0.7 && $"strategy".isin("vector", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
-        .when(q < 0.3 && $"strategy" === "vector", greatest(lit(0.1), lit(0.4) - lit(0.1)))
-        .otherwise(0.4)
-      val t1 = when(q > 0.7 && $"strategy".isin("tree", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
-        .when(q < 0.3 && $"strategy" === "tree", greatest(lit(0.1), lit(0.4) - lit(0.1)))
-        .otherwise(0.4)
-      val k1 = when(q > 0.7 && $"strategy".isin("keyword", "hybrid"), least(lit(0.5), lit(0.2) + lit(0.1) * q * lit(0.5)))
-        .when(q < 0.3 && $"strategy" === "keyword", greatest(lit(0.05), lit(0.2) - lit(0.1)))
-        .otherwise(0.2)
+      // the update math is the product code (LearningEngine.adjustWeightsCols)
+      val (v1, t1, k1) = graft.learning.LearningEngine.adjustWeightsCols($"strategy", $"quality")
       latest
         .withColumn("v1", v1).withColumn("t1", t1).withColumn("k1", k1)
         .select($"pattern", $"strategy", $"quality",

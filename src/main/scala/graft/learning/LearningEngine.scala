@@ -401,6 +401,24 @@ object LearningEngine {
     if (total > 0) (v / total, t / total, k / total) else (v, t, k)
   }
 
+  /** Column twin of [[adjustWeights]] for batch jobs: one additive
+    * update step from the defaults, as expressions over `(strategy,
+    * quality)` columns. Shared with the `weights_update` correctness
+    * entry so the graded math is the product code. Returns
+    * (v', t', k') BEFORE normalization. */
+  def adjustWeightsCols(strategy: Column, q: Column): (Column, Column, Column) = {
+    val v1 = when(q > 0.7 && strategy.isin("vector", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
+      .when(q < 0.3 && strategy === "vector", greatest(lit(0.1), lit(0.4) - lit(0.1)))
+      .otherwise(0.4)
+    val t1 = when(q > 0.7 && strategy.isin("tree", "hybrid"), least(lit(0.8), lit(0.4) + lit(0.1) * q))
+      .when(q < 0.3 && strategy === "tree", greatest(lit(0.1), lit(0.4) - lit(0.1)))
+      .otherwise(0.4)
+    val k1 = when(q > 0.7 && strategy.isin("keyword", "hybrid"), least(lit(0.5), lit(0.2) + lit(0.1) * q * lit(0.5)))
+      .when(q < 0.3 && strategy === "keyword", greatest(lit(0.05), lit(0.2) - lit(0.1)))
+      .otherwise(0.2)
+    (v1, t1, k1)
+  }
+
   /** Word-set Jaccard (`_textSimilarity`, `:793-800`). */
   def wordSetJaccard(a: String, b: String): Double = {
     if (a == null || b == null || a.isEmpty || b.isEmpty) return 0.0
