@@ -275,6 +275,27 @@ object SparkEntry {
         .limit(maxResults)
     }),
 
+    // §2.2 TTL lazy-expiry filter (HNSWIndex.js:295-300) through the
+    // PRODUCT predicate (VectorSearch.ttlAlive): events get cycling
+    // ttls (none / 1h / ~1000y), 'now' = max(ts) (data-derived). All
+    // timestamp math in integer ns→ms divides (ns exceed 2^53 — double
+    // round-trips would corrupt them).
+    "ttl_filter" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("ts2", timestamp_micros(expr("ts div 1000"))) // ns -> µs
+        .withColumn("ttl_ms",
+          when($"event_id" % 3 === 0, lit(null).cast("long"))
+            .when($"event_id" % 3 === 1, lit(3600000L)) // 1 hour
+            .otherwise(lit(31536000000000L)))           // ~1000 years
+      val mx = ev.agg(max($"ts").as("mx"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("now_ms", expr("mx div 1000000"))
+        .filter(VectorSearch.ttlAlive($"ts2", $"ttl_ms", $"now_ms"))
+        .select($"event_id", $"ttl_ms")
+        .orderBy($"event_id")
+    }),
+
     // §2.2 metadata filter model (HNSWIndex.js:283-292): equality +
     // IN-list ANDed over the schemaless MAP tail. Map built from
     // columns; DuckDB oracle filters the equivalent plain predicates
@@ -800,6 +821,17 @@ object SparkEntry {
           |         event_id, event_type,
           |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS INT) AS rn
           |  FROM events) t WHERE rn <= 5 ORDER BY agent_id, thread_id, rn""".stripMargin,
+
+      "ttl_filter" ->
+        """WITH ev AS (SELECT event_id, epoch_ns(ts) AS ns,
+          |  CASE CAST(event_id % 3 AS INT) WHEN 0 THEN NULL
+          |       WHEN 1 THEN 3600000 ELSE 31536000000000 END AS ttl_ms
+          | FROM events),
+          |mx AS (SELECT max(epoch_ns(ts)) AS mxns FROM events)
+          |SELECT event_id, CAST(ttl_ms AS BIGINT) AS ttl_ms FROM ev, mx
+          |WHERE ttl_ms IS NULL OR ttl_ms <= 0
+          |   OR ((mxns // 1000000) - ((ns // 1000) // 1000)) < ttl_ms
+          |ORDER BY event_id""".stripMargin,
 
       "metadata_filter" ->
         """SELECT doc_id, lang, source FROM documents
