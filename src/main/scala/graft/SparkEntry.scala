@@ -582,7 +582,12 @@ object SparkEntry {
       import graft.multimodal.Multimodal
       val media = t(s, dir, "documents").filter($"doc_id" < 50).select(
         $"doc_id".as("media_id"), $"text".cast("binary").as("data"))
+      // Unpack the 4-bin stub feature into scalar columns: the driver's
+      // pandas comparator cannot sort/hash ARRAY<FLOAT> (VERDICT r2 #2).
       Multimodal.sampleFrames(media, frameSize = 32, stride = 64)
+        .select($"media_id", $"frame_index", $"frame_offset",
+          element_at($"feature", 1).as("f0"), element_at($"feature", 2).as("f1"),
+          element_at($"feature", 3).as("f2"), element_at($"feature", 4).as("f3"))
         .orderBy($"media_id", $"frame_index")
     }),
 
@@ -758,8 +763,11 @@ object SparkEntry {
       "point_lookup" ->
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",
 
+      // CAST the sum: DuckDB sum(BIGINT) yields HUGEINT, which pandas
+      // renders float64 and hash-mismatches Spark's long (VERDICT r2 #1).
       "corpus_stats" ->
-        """SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        """SELECT source, count(*) AS n_docs,
+          | CAST(sum(n_chars) AS BIGINT) AS total_chars,
           | min(n_chars) AS min_chars, max(n_chars) AS max_chars,
           | count(DISTINCT lang) AS n_langs
           |FROM documents GROUP BY source ORDER BY source""".stripMargin,
@@ -1067,7 +1075,8 @@ object SparkEntry {
           |    list_transform(range(0, 4), b ->
           |      CAST(len(list_filter(range(1, 33), i -> ord(chunk[i]) % 4 = b)) AS FLOAT)) AS feature
           |  FROM frames)
-          |SELECT media_id, frame_index, frame_offset, feature
+          |SELECT media_id, frame_index, frame_offset,
+          |  feature[1] AS f0, feature[2] AS f1, feature[3] AS f2, feature[4] AS f3
           |FROM hist ORDER BY media_id, frame_index""".stripMargin,
 
       "delegation_match" ->
