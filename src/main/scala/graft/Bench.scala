@@ -62,30 +62,66 @@ object Bench {
         System.err.println(s"[bench] batch_knn failed: ${e.getMessage}"); -1.0
       }
 
-    // ANN scale path: IVF recall@10 + scanned fraction at one operating
-    // point (16 cells, 4 probes), 100-query fleet.
-    val ann =
+    // ANN scale path: the full recall / scanned-fraction tradeoff
+    // (VERDICT r2 #3) over {8,16,32,64} cells × {1,2,4,8,16} probes,
+    // measured on TWO corpora: (a) the driver's embeddings — near-
+    // isotropic random unit vectors (within-label cos ≈ 0.0016), the
+    // unfavorable case for ANY sublinear ANN; (b) a seeded 50-cluster
+    // Gaussian mixture — the shape of real embedding corpora. The
+    // headline ann_ivf row is the measured point per corpus with
+    // recall ≥ 0.9 at the LOWEST scan fraction.
+    def annGrid(df: org.apache.spark.sql.DataFrame): (String, String) = {
+      val queries = df.filter(org.apache.spark.sql.functions.col("vec_id") < 100)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      val rows = for {
+        cells <- Seq(8, 16, 32, 64)
+        (p, recall, fraction) <- graft.ann.Ann.recallCurve(
+          df, "embedding", "vec_id", queries, k = 10,
+          nCells = cells, nProbes = Seq(1, 2, 4, 8, 16).filter(_ <= cells))
+      } yield (cells, p, recall, fraction)
+      val curveJson = rows.map { case (c, p, r, f) =>
+        s"""{"cells":$c,"probes":$p,"recall":$r,"fraction":$f}"""
+      }.mkString("[", ",", "]")
+      val best = rows.filter(_._3 >= 0.9).minByOption(_._4).getOrElse(rows.maxBy(_._3))
+      val headline =
+        s"""{"recall_at_10":${best._3},"scanned_fraction":${best._4},"cells":${best._1},"probes":${best._2}}"""
+      (headline, curveJson)
+    }
+    val (ann, annCurves, annClustered, annClusteredCurves) =
       try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 100)
-          .select("vec_id", "embedding").collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
-        val t0 = System.nanoTime()
-        val curve = graft.ann.Ann.recallCurve(e, "embedding", "vec_id", queries,
-          k = 10, nCells = 16, nProbes = Seq(4))
-        val sec = (System.nanoTime() - t0) / 1e9
-        val (_, recall, fraction) = curve.head
-        s"""{"recall_at_10":$recall,"scanned_fraction":$fraction,"sec":$sec}"""
+        val (h1, c1) = annGrid(e)
+        // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5
+        val clustered = {
+          import spark.implicits._
+          val dim = 64
+          val nClusters = 50
+          spark.range(20000).as[Long].mapPartitions { it =>
+            it.map { i =>
+              val cl = (i % nClusters).toInt
+              val rc = new scala.util.Random(cl * 1009 + 7)
+              val center = Array.fill(dim)(rc.nextGaussian())
+              val rn = new scala.util.Random(i)
+              (i, center.map(x => (x + rn.nextGaussian()).toFloat))
+            }
+          }.toDF("vec_id", "embedding")
+        }
+        val (h2, c2) = annGrid(clustered)
+        (h1, c1, h2, c2)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}"); "null"
+        System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}")
+        ("null", "[]", "null", "[]")
       }
 
     // BASELINE-scale probe: the reference's headline row is 100k vectors
-    // (README.md:435 — 0.5 ms p50, ~2,000 QPS single-node HNSW). Tile
-    // the embeddings to 100k rows (ids offset per copy; throughput is
-    // payload-size-bound, not value-bound) and answer a 256-query fleet
-    // with the exact spine — the honest apples-to-apples number, and the
-    // one that scales with executors.
+    // (README.md:435 — 0.5 ms p50, ~2,000 QPS single-node HNSW, measured
+    // over a PREBUILT in-RAM index). Tile the embeddings to 100k rows
+    // (ids offset per copy; throughput is payload-size-bound, not
+    // value-bound) and answer a 256-query fleet. The apples-to-apples
+    // number is the packed-index path (build untimed, exactly as the
+    // reference's HNSW build is untimed); the unindexed scan path is
+    // reported alongside as *_scan_qps.
     val qps100k =
       try {
         import org.apache.spark.sql.functions._
@@ -102,24 +138,42 @@ object Bench {
           .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
           .toSeq
+
+        // exact: packed index (build untimed), then the fleet
+        val idx = graft.search.PackedIndex.buildExact(tiled, "embedding", "vec_id")
+        idx.search(queries.take(4), k = 10).count() // warm the path
         val t0 = System.nanoTime()
+        idx.search(queries, k = 10).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        idx.unpersist()
+
+        // exact, no index: straight scan over the cached DataFrame
+        val tScan = System.nanoTime()
         graft.search.VectorSearch.knnBatchFast(
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count()
-        val sec = (System.nanoTime() - t0) / 1e9
+        val scanSec = (System.nanoTime() - tScan) / 1e9
+
         // IVF at the same scale: 32 cells, 8 probes (~25% scanned)
-        val ivfQps =
+        val (ivfQps, ivfScanQps) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = 32, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
             cells.count()
             val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
+            val ivfIdx = graft.search.PackedIndex.buildIvf(cells, model)
+            ivfIdx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm
             val t1 = System.nanoTime()
+            ivfIdx.search(qSeq, k = 10, nProbe = 8).count()
+            val qps = queries.size / ((System.nanoTime() - t1) / 1e9)
+            ivfIdx.unpersist()
+            val t2 = System.nanoTime()
             graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = 8).count()
-            val r = queries.size / ((System.nanoTime() - t1) / 1e9)
-            cells.unpersist(); r
-          } catch { case _: Throwable => -1.0 }
+            val scanQps = queries.size / ((System.nanoTime() - t2) / 1e9)
+            cells.unpersist()
+            (qps, scanQps)
+          } catch { case _: Throwable => (-1.0, -1.0) }
         tiled.unpersist()
-        s"""{"n_vectors":$total,"n_queries":${queries.size},"exact_qps":${queries.size / sec},"ivf_qps":$ivfQps}"""
+        s"""{"n_vectors":$total,"n_queries":${queries.size},"exact_qps":${queries.size / sec},"ivf_qps":$ivfQps,"exact_scan_qps":${queries.size / scanSec},"ivf_scan_qps":$ivfScanQps}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] knn_100k failed: ${e.getMessage}"); "null"
       }
@@ -127,7 +181,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"knn_100k":$qps100k,"ann_ivf":$ann,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"knn_100k":$qps100k,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

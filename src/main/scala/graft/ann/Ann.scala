@@ -1,7 +1,5 @@
 package graft.ann
 
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{DataFrame, Row}
@@ -60,15 +58,22 @@ object Ann {
   }
 
   /** Assign every row to its nearest cell — one narrow pass, centroids
-    * broadcast in the closure. */
+    * broadcast in the closure. Vectors are kept as `ARRAY<FLOAT>` so
+    * downstream search jobs pay no per-row double→float cast
+    * (assignment distance math still runs in double). */
   def assignCells(df: DataFrame, vecCol: String, idCol: String,
                   model: IvfModel): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
-      .map { case (id, v) => (id, v, model.nearestCells(v, 1).head) }
+        col(vecCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) =>
+        val vd = new Array[Double](v.length)
+        var i = 0
+        while (i < v.length) { vd(i) = v(i); i += 1 }
+        (id, v, model.nearestCells(vd, 1).head)
+      }
       .toDF("id", "v", "cell")
   }
 
@@ -98,7 +103,10 @@ object Ann {
     * pass where each row is scored ONLY against the queries probing its
     * cell, into per-query bounded heaps. Work ∝ scanned fraction — the
     * windowed [[ivfSearchBatch]] shuffles every candidate row with its
-    * vector and loses that proportionality at large fleets. */
+    * vector and loses that proportionality at large fleets. Scoring runs
+    * in the tiled float kernel ([[graft.search.Kernels]]): rows buffer
+    * into per-cell tiles, each scored as one small matrix multiply
+    * against that cell's probing-query pack. */
   def ivfSearchBatchFast(cells: DataFrame, model: IvfModel,
                          queries: Seq[(Long, Seq[Double])], k: Int,
                          nProbe: Int): DataFrame = {
@@ -112,47 +120,13 @@ object Ann {
       }
       m.map(_.toArray)
     }
-    val qBc = spark.sparkContext.broadcast((qArr.map(_._1), qArr.map(_._2.toArray), cellToQueries))
-    val pairs = cells.select(col("id"), col("v"), col("cell"))
-      .as[(Long, Array[Double], Int)]
+    val qBc = spark.sparkContext.broadcast(
+      (qArr.map(_._1), qArr.map(_._2.toArray.map(_.toFloat)), cellToQueries))
+    val pairs = cells.select(col("id"), col("v").cast("array<float>"), col("cell"))
+      .as[(Long, Array[Float], Int)]
       .mapPartitions { it =>
         val (qids, qVecs, c2q) = qBc.value
-        val qNorms = qVecs.map { q =>
-          var s = 0.0; var i = 0
-          while (i < q.length) { s += q(i) * q(i); i += 1 }
-          math.sqrt(s)
-        }
-        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))
-        val heaps = Array.fill(qids.length)(new java.util.PriorityQueue[(Double, Long)](k + 1, heapOrd))
-        it.foreach { case (id, v, cell) =>
-          val probing = c2q(cell)
-          if (probing.nonEmpty) {
-            var vNorm = 0.0
-            var i = 0
-            while (i < v.length) { vNorm += v(i) * v(i); i += 1 }
-            vNorm = math.sqrt(vNorm)
-            var pi = 0
-            while (pi < probing.length) {
-              val qi = probing(pi)
-              val qv = qVecs(qi)
-              var dot = 0.0; var j = 0
-              while (j < v.length) { dot += v(j) * qv(j); j += 1 }
-              val s = dot / (vNorm * qNorms(qi))
-              val h = heaps(qi)
-              if (h.size < k) h.add((s, id))
-              else {
-                val worst = h.peek()
-                if (s > worst._1 || (s == worst._1 && id < worst._2)) {
-                  h.poll(); h.add((s, id))
-                }
-              }
-              pi += 1
-            }
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          h.iterator().asScala.map { case (s, id) => (qids(qi), id, s) }
-        }
+        graft.search.Kernels.topkOverCellRows(it, qids, qVecs, c2q, k)
       }.toDF("qid", "id", "score")
     val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
     pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -180,9 +154,9 @@ object Ann {
       df, queries.map { case (q, v) => (q, v.toArray) }, k,
       vectorCol = vecCol, idCol = idCol).cache()
     try {
+      val cellSizes = cells.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
       nProbes.map { p =>
-        val cellSizes = cells.groupBy("cell").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
         val scanned = queries.map { case (_, qv) =>
           model.nearestCells(qv, p).map(c => cellSizes.getOrElse(c, 0L)).sum
         }.sum

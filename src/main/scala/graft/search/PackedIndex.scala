@@ -1,0 +1,196 @@
+package graft.search
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann.IvfModel
+
+/** Prebuilt in-memory vector indexes for query-fleet serving.
+  *
+  * The reference's bench QPS is measured over a PREBUILT in-RAM HNSW
+  * graph (`/root/reference/bin/cli.js:81-90` builds, then loops
+  * queries); the Spark analog is packing the collection once into
+  * cached primitive float blocks and answering every subsequent fleet
+  * from them — no per-row Dataset decode, no per-query job setup
+  * beyond the scan itself. Executors each hold their partitions'
+  * blocks; a search is one narrow pass emitting ≤ partitions × Q × k
+  * candidate rows.
+  *
+  * At cluster scale the blocks live in executor storage memory
+  * (`RDD.cache()`), exactly like any hot cached table; rebuilding after
+  * executor loss is a narrow re-pack of the source partition.
+  */
+object PackedIndex {
+
+  /** One packed tile: row ids + row-major float matrix (n × dim). */
+  final case class VecBlock(ids: Array[Long], xs: Array[Float])
+
+  /** A packed tile of a single IVF cell. */
+  final case class CellBlock(cell: Int, ids: Array[Long], xs: Array[Float])
+
+  /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
+    * most [[Kernels.TileRows]] rows. */
+  private def packRows(it: Iterator[(Long, Array[Float])], dim: Int): Iterator[VecBlock] =
+    it.grouped(Kernels.TileRows).map { g =>
+      val n = g.length
+      val ids = new Array[Long](n)
+      val xs = new Array[Float](n * dim)
+      var i = 0
+      g.foreach { case (id, v) =>
+        ids(i) = id
+        System.arraycopy(v, 0, xs, i * dim, dim)
+        i += 1
+      }
+      VecBlock(ids, xs)
+    }
+
+  /** Exact-scan index: the whole collection packed. */
+  final class Exact private[PackedIndex] (
+      @transient val spark: SparkSession,
+      val blocks: RDD[VecBlock], val dim: Int, val n: Long) {
+
+    /** Answer a query fleet: top-k per query, `(qid, id, score, rank)`. */
+    def search(queries: Seq[(Long, Array[Double])], k: Int,
+               m: VectorSearch.Metric = VectorSearch.Cosine): DataFrame = {
+      val qids = queries.map(_._1).toArray
+      val qVecs = queries.map(_._2.map(_.toFloat)).toArray
+      val code = metricCode(m)
+      val bc = blocks.sparkContext.broadcast((qids, qVecs))
+      val pairs = blocks.mapPartitions { bit =>
+        val (ids, vecs) = bc.value
+        val nq = ids.length
+        if (nq == 0 || bit.isEmpty) Iterator.empty
+        else {
+          val qp = Kernels.packQueries(vecs)
+          val heaps = Array.fill(nq)(new Kernels.TopKHeap(k))
+          val out = new Array[Float](nq)
+          bit.foreach(b => Kernels.scoreTile(code, qp, b.xs, b.ids, b.ids.length, heaps, out))
+          Kernels.drain(heaps, ids)
+        }
+      }
+      rank(spark, pairs, k)
+    }
+
+    def unpersist(): Unit = { blocks.unpersist(); () }
+  }
+
+  /** IVF index: cells repartitioned by cell id and packed per cell, so
+    * a probe touches only its cells' blocks — the in-memory analog of
+    * partition pruning on a cell-partitioned table. */
+  final class Ivf private[PackedIndex] (
+      @transient val spark: SparkSession,
+      val model: IvfModel, val blocks: RDD[CellBlock], val dim: Int) {
+
+    /** Cosine top-k per query over the probed cells only. */
+    def search(queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+      val qArr = queries.toArray
+      val qids = qArr.map(_._1)
+      val qVecs = qArr.map(_._2.toArray.map(_.toFloat))
+      val c2q: Array[Array[Int]] = {
+        val m = Array.fill(model.nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+          model.nearestCells(qv, nProbe).foreach(c => m(c) += qi)
+        }
+        m.map(_.toArray)
+      }
+      val bc = blocks.sparkContext.broadcast((qids, qVecs, c2q))
+      val pairs = blocks.mapPartitions { bit =>
+        val (ids, vecs, cq) = bc.value
+        val nqAll = ids.length
+        if (nqAll == 0 || bit.isEmpty) Iterator.empty
+        else {
+          val nCells = cq.length
+          val heaps = Array.fill(nqAll)(new Kernels.TopKHeap(k))
+          val packs = new Array[Kernels.QueryPack](nCells)
+          val cellHeaps = new Array[Array[Kernels.TopKHeap]](nCells)
+          var maxNq = 0
+          var c = 0
+          while (c < nCells) {
+            if (cq(c).length > maxNq) maxNq = cq(c).length
+            c += 1
+          }
+          val out = new Array[Float](maxNq)
+          bit.foreach { cb =>
+            val probing = cq(cb.cell)
+            if (probing.nonEmpty) {
+              if (packs(cb.cell) == null) {
+                packs(cb.cell) = Kernels.packQueries(probing.map(vecs(_)))
+                cellHeaps(cb.cell) = probing.map(heaps(_))
+              }
+              Kernels.scoreTile(Kernels.MetricCosine, packs(cb.cell), cb.xs, cb.ids,
+                cb.ids.length, cellHeaps(cb.cell), out)
+            }
+          }
+          Kernels.drain(heaps, ids)
+        }
+      }
+      rank(spark, pairs, k)
+    }
+
+    def unpersist(): Unit = { blocks.unpersist(); () }
+  }
+
+  /** Build the exact-scan index: one narrow pack pass, cached. */
+  def buildExact(df: DataFrame, vectorCol: String, idCol: String): Exact = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val src = df.select(col(idCol).cast("long").as("id"),
+        col(vectorCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
+    val dim = src.head._2.length
+    val blocks = src.rdd.mapPartitions(packRows(_, dim)).cache()
+    val n = blocks.map(_.ids.length.toLong).reduce(_ + _) // materialize
+    new Exact(spark, blocks, dim, n)
+  }
+
+  /** Build the IVF index from an assigned cell table `(id, v, cell)`
+    * ([[graft.ann.Ann.assignCells]]): repartition by cell, pack each
+    * cell's rows into dedicated blocks. */
+  def buildIvf(cells: DataFrame, model: IvfModel): Ivf = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val src = cells.select(col("id").cast("long"),
+        col("v").cast("array<float>"), col("cell").cast("int"))
+      .repartition(col("cell"))
+      .as[(Long, Array[Float], Int)]
+    val dim = src.head._2.length
+    val blocks = src.rdd.mapPartitions { it =>
+      // per-cell accumulation: a partition holds whole cells (hash
+      // partitioning by cell), possibly several
+      val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofFloat)]
+      val done = scala.collection.mutable.ArrayBuffer.empty[CellBlock]
+      it.foreach { case (id, v, cell) =>
+        val (ids, xs) = bufs.getOrElseUpdate(cell.toLong,
+          (new scala.collection.mutable.ArrayBuffer[Long], new scala.collection.mutable.ArrayBuilder.ofFloat))
+        ids += id
+        xs ++= v
+        if (ids.length == Kernels.TileRows) {
+          done += CellBlock(cell, ids.toArray, xs.result())
+          bufs.remove(cell.toLong)
+        }
+      }
+      bufs.foreach { case (cell, (ids, xs)) =>
+        if (ids.nonEmpty) done += CellBlock(cell.toInt, ids.toArray, xs.result())
+      }
+      done.iterator
+    }.cache()
+    blocks.count() // materialize
+    new Ivf(spark, model, blocks, dim)
+  }
+
+  private def metricCode(m: VectorSearch.Metric): Int = m match {
+    case VectorSearch.Cosine => Kernels.MetricCosine
+    case VectorSearch.CosineUnit => Kernels.MetricCosineUnit
+    case VectorSearch.DotProduct => Kernels.MetricDot
+    case VectorSearch.Euclidean => Kernels.MetricEuclidean
+  }
+
+  private def rank(spark: SparkSession, pairs: RDD[(Long, Long, Double)], k: Int): DataFrame = {
+    import spark.implicits._
+    val df = spark.createDataFrame(pairs).toDF("qid", "id", "score")
+    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+}

@@ -5,8 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
-import scala.jdk.CollectionConverters._
-
 /** Exact k-nearest-neighbour search — the correctness spine of the engine
   * (SURVEY §7.1). The reference serves kNN from an HNSW graph
   * (`/root/reference/src/core/HNSWIndex.js:245-320`); on Spark the same
@@ -138,6 +136,10 @@ object VectorSearch {
     * 100 TB-safe shape for large query fleets; the final global rank runs
     * on the pruned remainder.
     *
+    * Scoring runs in the tiled float kernel ([[Kernels.scoreTile]]) —
+    * a (Q × dim)·(dim × tile) matrix multiply per row tile with
+    * primitive-array top-K heaps (VERDICT r2 §Performance fix).
+    *
     * Output: (qid, id, score, rank) with rank ≤ k per qid.
     */
   def knnBatchFast(df: DataFrame, queries: Seq[(Long, Array[Double])], k: Int,
@@ -145,70 +147,21 @@ object VectorSearch {
                    vectorCol: String = "vector", idCol: String = "id"): DataFrame = {
     import df.sparkSession.implicits._
     val spark = df.sparkSession
-    val qBc = spark.sparkContext.broadcast(queries.toArray)
-    val metricName = m match {
-      case Cosine => "cosine"; case CosineUnit => "cosineUnit"
-      case Euclidean => "euclidean"; case DotProduct => "dot"
+    val qids = queries.map(_._1).toArray
+    val qVecs = queries.map(_._2.map(_.toFloat)).toArray
+    val qBc = spark.sparkContext.broadcast((qids, qVecs))
+    val metricCode = m match {
+      case Cosine => Kernels.MetricCosine
+      case CosineUnit => Kernels.MetricCosineUnit
+      case DotProduct => Kernels.MetricDot
+      case Euclidean => Kernels.MetricEuclidean
     }
     val pairs = df.select(col(idCol).cast("long").as("id"),
-        col(vectorCol).cast("array<double>").as("v"))
-      .as[(Long, Array[Double])]
+        col(vectorCol).cast("array<float>").as("v"))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val qs = qBc.value
-        val nq = qs.length
-        val qVecs = qs.map(_._2)
-        val qNorms = qVecs.map { q =>
-          var s = 0.0; var i = 0
-          while (i < q.length) { s += q(i) * q(i); i += 1 }
-          math.sqrt(s)
-        }
-        // per-query bounded min-heap of (score, id), evict-worst =
-        // lowest score then largest id (matches the final rank order)
-        val heapOrd = Ordering.by[(Double, Long), (Double, Long)](t => (t._1, -t._2))
-        val heaps = Array.fill(nq)(new java.util.PriorityQueue[(Double, Long)](k + 1, heapOrd))
-        val isCosine = metricName == "cosine"
-        it.foreach { case (id, v) =>
-          // row norm hoisted out of the query loop
-          var vNorm = 0.0
-          if (isCosine) {
-            var i = 0
-            while (i < v.length) { vNorm += v(i) * v(i); i += 1 }
-            vNorm = math.sqrt(vNorm)
-          }
-          var qi = 0
-          while (qi < nq) {
-            val qv = qVecs(qi)
-            var s = 0.0
-            metricName match {
-              case "cosine" =>
-                var dot = 0.0; var i = 0
-                while (i < v.length) { dot += v(i) * qv(i); i += 1 }
-                s = dot / (vNorm * qNorms(qi))
-              case "cosineUnit" | "dot" =>
-                var dot = 0.0; var i = 0
-                while (i < v.length) { dot += v(i) * qv(i); i += 1 }
-                s = if (metricName == "dot") 1.0 + dot else dot
-              case "euclidean" =>
-                var d2 = 0.0; var i = 0
-                while (i < v.length) { val d = v(i) - qv(i); d2 += d * d; i += 1 }
-                s = 1.0 - math.sqrt(d2)
-            }
-            val h = heaps(qi)
-            if (h.size < k) h.add((s, id))
-            else {
-              // peek-before-insert: expected O(k·ln N) inserts per query
-              val worst = h.peek()
-              if (s > worst._1 || (s == worst._1 && id < worst._2)) {
-                h.poll(); h.add((s, id))
-              }
-            }
-            qi += 1
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
-          val qid = qs(qi)._1
-          h.iterator().asScala.map { case (s, id) => (qid, id, s) }
-        }
+        val (ids, vecs) = qBc.value
+        Kernels.topkOverRows(it, ids, vecs, k, metricCode)
       }(org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaLong,
         org.apache.spark.sql.Encoders.scalaLong,
