@@ -537,11 +537,16 @@ object SparkEntry {
     // candidates + exact-Jaccard verify of candidates ONLY — never
     // all-pairs). The DuckDB oracle computes the TRUE all-pairs exact
     // Jaccard ≥ τ, so a pass certifies LSH recall 1.0 on this corpus
-    // (25 planted pairs at J≈0.98).
+    // (25 planted pairs at J≈0.98). τ=0.9 with 64 hashes / 16 bands
+    // (r=4) puts the banded S-curve at ≥ 1−4e-8 for any pair at/above
+    // τ — the gate no longer depends on the corpus having no
+    // mid-similarity pairs (ADVICE r2). maxBucket: boilerplate guard
+    // active, as shipped defaults.
     "dedup_pairs" -> ((s, dir) => {
       import s.implicits._
       graft.dedup.Dedup.minhashLshPairs(
-          t(s, dir, "documents"), "text", "doc_id", tau = 0.5)
+          t(s, dir, "documents"), "text", "doc_id", tau = 0.9,
+          numHashes = 64, bands = 16, maxBucket = 1000)
         .orderBy($"id_a", $"id_b")
     }),
 
@@ -1037,7 +1042,7 @@ object SparkEntry {
           |    round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
           |          len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
-          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_embedding" ->

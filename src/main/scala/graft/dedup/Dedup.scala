@@ -119,12 +119,17 @@ object Dedup {
     * candidate probability is `1-(1-J^r)^B`; tune (numHashes, bands) so
     * banded recall covers the τ of interest.
     *
-    * @param maxBucket drop pathological buckets larger than this
-    *                  (boilerplate guard; disabled when ≤ 0)
+    * @param maxBucket drop pathological buckets larger than this — the
+    *                  boilerplate guard. ON BY DEFAULT (VERDICT r2 #4):
+    *                  on real corpora, boilerplate shingle sets create
+    *                  quadratic fan-out in one key. Each drop logs a
+    *                  warning executor-side and increments the
+    *                  `graft.lsh.dropped_buckets` accumulator (Spark UI
+    *                  visible). Pass ≤ 0 to disable (validation only).
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       tau: Double, numHashes: Int = 48, bands: Int = 8,
-                      seed: Int = 42, maxBucket: Int = 0): DataFrame = {
+                      seed: Int = 42, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = df.sparkSession
@@ -143,8 +148,17 @@ object Dedup {
 
     val buckets =
       if (maxBucket > 0) {
+        val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+        val keepBucket = udf { n: Long =>
+          if (n > maxBucket) {
+            dropAcc.add(1L)
+            org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+              s"LSH boilerplate guard: dropping bucket of $n rows (> maxBucket=$maxBucket)")
+            false
+          } else true
+        }
         val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-          .filter(col("_n") <= maxBucket).drop("_n")
+          .filter(keepBucket(col("_n"))).drop("_n")
         banded.join(sizes, Seq("band", "bucket"))
       } else banded
 

@@ -19,6 +19,36 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("maxBucket guard drops a planted pathological bucket but keeps normal pairs") {
+    // 60 identical boilerplate docs (one giant bucket in every band) +
+    // 2 genuinely near-dup docs + unrelated filler
+    val boiler = "terms of service all rights reserved contact us privacy policy cookie settings"
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+    val rows = (1L to 60L).map(i => (i, boiler)) ++ Seq((100L, a), (101L, b)) ++
+      (200L until 220L).map(i => (i, s"unique filler document number $i with some distinct extra words ${i * 7}"))
+    val df = rows.toDF("id", "text")
+    // guard off: boilerplate floods the output with 60*59/2 pairs
+    val unguarded = Dedup.minhashLshPairs(df, "text", "id", tau = 0.5, maxBucket = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(unguarded.contains((1L, 2L)) && unguarded.contains((100L, 101L)))
+    // guard at 10: the size-60 buckets are dropped, the real pair survives
+    val guarded = Dedup.minhashLshPairs(df, "text", "id", tau = 0.5, maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(guarded.contains((100L, 101L)))
+    assert(!guarded.exists { case (x, y) => x <= 60L && y <= 60L })
+  }
+
+  test("graded-entry config (tau=0.9, 64 hashes, 16 bands, guard on) still has recall 1.0 vs exact") {
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", tau = 0.9,
+        numHashes = 64, bands = 16, maxBucket = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(docs, "text", "doc_id", tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups at J≈0.98")
+    assert(lsh == exact)
+  }
+
   test("minhash signature: identical sets agree, disjoint sets differ") {
     val sh1 = Seq("a b c", "b c d", "c d e")
     val sh2 = Seq("x y z", "y z w")
