@@ -62,6 +62,37 @@ class AdaptersSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("AiTools: 6 well-formed JSON-Schema definitions + end-to-end executes (test.js:613-648)") {
+    import graft.integrations.AiTools
+    val f = facade()
+    val tools = AiTools.getTools(f)
+    assert(tools.length == 6)
+    // every definition: name, description, object-typed parameters, required list
+    tools.foreach { t =>
+      assert(t.name.startsWith("fusionpact_"))
+      assert(t.definition.name == t.name)
+      assert(t.definition.description.nonEmpty)
+      val j = t.definition.json
+      assert(j.contains(""""parameters":{"type":"object","properties":{"""), j)
+      assert(j.contains(""""required":["""), j)
+    }
+    // remember execute returns an id (test.js:631-638)
+    val res = AiTools.getToolMap(f)("fusionpact_remember")(
+      Map("content" -> "User likes dark mode", "importance" -> "0.8"))
+    assert(res.contains("\"id\""))
+    // recall finds it back through the facade
+    val recalled = AiTools.getToolMap(f)("fusionpact_recall")(Map("query" -> "dark mode"))
+    assert(recalled.contains("episodic"))
+    // ingest + search_documents round-trip over the default collection
+    f.call("create_collection", """{"name": "default", "dimensions": 64}""")
+    AiTools.getToolMap(f)("fusionpact_ingest_document")(
+      Map("text" -> "Fire drills are mandatory each quarter for all staff on every floor."))
+    val hits = AiTools.getToolMap(f)("fusionpact_search_documents")(Map("query" -> "fire drills"))
+    assert(hits.startsWith("["))
+    // forget with enum'd type
+    assert(AiTools.getToolMap(f)("fusionpact_forget")(Map("type" -> "all")).contains("deleted"))
+  }
+
   test("MCP: 11-tool manifest, tool call works, unknown tool errors (test.js:292-314)") {
     val f = facade()
     val mcp = new McpServer(f)
