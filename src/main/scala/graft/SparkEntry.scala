@@ -48,6 +48,18 @@ object SparkEntry {
         .select($"embedding").head.getSeq[Float](0).map(_.toDouble)
     })
 
+  /** Derived unified memory table (§3.3): documents ⋈ embeddings with
+    * agent = `source` and type cycling by doc_id — the one-table input
+    * of [[graft.memory.AgentMemory.recallPlan]] / `searchAllPlan`. */
+  private def memoryTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
+      .withColumn("mem_type",
+        element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
+          ($"doc_id" % 3 + 1).cast("int")))
+  }
+
   /** DuckDB rendering of [[TextFunctions.bm25ish]] for a literal term set.
     * Terms are interpolated into SQL: restrict to [a-z0-9]+ so quoting/regex
     * metacharacters can never skew the oracle (ADVICE r1). */
@@ -196,36 +208,23 @@ object SparkEntry {
     // partitioned by mem_type.
     "memory_recall" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val mem = t(s, dir, "documents")
-        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
-        .withColumn("mem_type",
-          element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
-            ($"doc_id" % 3 + 1).cast("int")))
-      val qv = vecLit(queryVec(s, dir))
-      val w = Window.partitionBy($"mem_type").orderBy(desc("score"), asc("doc_id"))
-      mem.filter($"source" === "src1")
-        .withColumn("score", round(cosineSimilarity($"embedding", qv), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= 5)
+      graft.memory.AgentMemory.recallPlan(
+          memoryTable(s, dir), queryVec(s, dir), topK = 5,
+          tenant = Some("src1"), tenantCol = "source",
+          idCol = "doc_id", vecCol = "embedding")
         .select($"mem_type", $"doc_id", $"score", $"rank")
     }),
 
     // §2.5 memory searchAll (AgentMemory.js:455-465): flat ranked list
-    // across all memory types — union of branches + global top-K.
+    // across all memory types — global top-K via the shared
+    // AgentMemory.searchAllPlan builder.
     "memory_searchall" -> ((s, dir) => {
       import s.implicits._
-      val mem = t(s, dir, "documents")
-        .join(t(s, dir, "embeddings"), $"doc_id" === $"vec_id")
-        .withColumn("mem_type",
-          element_at(array(lit("episodic"), lit("semantic"), lit("procedural")),
-            ($"doc_id" % 3 + 1).cast("int")))
-      val qv = vecLit(queryVec(s, dir))
-      mem.filter($"source" === "src1")
-        .withColumn("score", round(cosineSimilarity($"embedding", qv), 6))
+      graft.memory.AgentMemory.searchAllPlan(
+          memoryTable(s, dir), queryVec(s, dir), topK = 10,
+          tenant = Some("src1"), tenantCol = "source",
+          idCol = "doc_id", vecCol = "embedding")
         .select($"mem_type", $"doc_id", $"score")
-        .orderBy(desc("score"), asc("doc_id"))
-        .limit(10)
     }),
 
     // §2.5 conversation last-N (AgentMemory.js:305-307, 323-336):

@@ -223,8 +223,7 @@ final class AgentMemory(
       .filter(col("_rn") <= maxConversationLength).drop("_rn")
     val tmp = Paths.get(engine.root, "_conversations_tmp")
     kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    FusionEngine.deleteRecursively(convPath)
-    Files.move(tmp, convPath)
+    FusionEngine.atomicSwap(convPath, tmp)
     before - conversations.count()
   }
 
@@ -258,6 +257,46 @@ object AgentMemory {
   private val idCounter = new java.util.concurrent.atomic.AtomicLong()
   private def newId(prefix: String): String =
     s"${prefix}_${System.currentTimeMillis()}_${idCounter.incrementAndGet()}"
+
+  /** Unified-table recall plan — the 100 TB shape of
+    * [[AgentMemory.recall]]: ONE memory table partitioned by
+    * `(tenant, mem_type)` instead of a collection per type, so tenant
+    * and type predicates become partition pruning. Semantics match the
+    * per-collection path: tenant filter BEFORE scoring
+    * (filter-then-rank), cosine score rounded for cross-engine
+    * reproducibility, ONE rank window partitioned by memory type.
+    * Graded by the `memory_recall` entry. */
+  def recallPlan(mem: DataFrame, queryVec: Seq[Double], topK: Int,
+                 tenant: Option[String] = None,
+                 tenantCol: String = "tenant_id", typeCol: String = "mem_type",
+                 idCol: String = "id", vecCol: String = "vector",
+                 roundTo: Option[Int] = Some(6)): DataFrame = {
+    val scored = scoredMemories(mem, queryVec, tenant, tenantCol, vecCol, roundTo)
+    val w = Window.partitionBy(col(typeCol)).orderBy(desc("score"), asc(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+  }
+
+  /** Unified-table flat search — [[AgentMemory.searchAll]] over one
+    * table: score, then ONE global top-K (TakeOrderedAndProject, no
+    * full sort). Graded by the `memory_searchall` entry. */
+  def searchAllPlan(mem: DataFrame, queryVec: Seq[Double], topK: Int,
+                    tenant: Option[String] = None,
+                    tenantCol: String = "tenant_id", idCol: String = "id",
+                    vecCol: String = "vector",
+                    roundTo: Option[Int] = Some(6)): DataFrame =
+    scoredMemories(mem, queryVec, tenant, tenantCol, vecCol, roundTo)
+      .orderBy(desc("score"), asc(idCol))
+      .limit(topK)
+
+  private def scoredMemories(mem: DataFrame, queryVec: Seq[Double],
+                             tenant: Option[String], tenantCol: String,
+                             vecCol: String, roundTo: Option[Int]): DataFrame = {
+    import graft.functions.VectorFunctions
+    var in = mem
+    tenant.foreach(t => in = in.filter(col(tenantCol) === lit(t)))
+    val raw = VectorFunctions.cosineSimilarity(col(vecCol), VectorFunctions.vecLit(queryVec))
+    in.withColumn("score", roundTo.map(d => round(raw, d)).getOrElse(raw))
+  }
 
   val ConversationSchema: StructType = StructType(Seq(
     StructField("agent_id", StringType, nullable = false),

@@ -21,6 +21,22 @@ class AgentMemorySpec extends AnyFunSuite {
       new FusionEngine(spark, Files.createTempDirectory("graft_mem").toString),
       new MockEmbedderProvider(64))
 
+  test("unified-table plan builders: tenant filter before scoring, per-type rank, flat top-K") {
+    val mem = Seq(
+      ("m1", "episodic", "a1", Array(1f, 0f)),
+      ("m2", "episodic", "a1", Array(0.6f, 0.8f)),
+      ("m3", "semantic", "a1", Array(0.8f, 0.6f)),
+      ("m4", "episodic", "a2", Array(1f, 0f)) // other tenant — must not appear
+    ).toDF("id", "mem_type", "tenant_id", "vector")
+    val qv = Seq(1.0, 0.0)
+    val recalled = AgentMemory.recallPlan(mem, qv, topK = 1, tenant = Some("a1"))
+      .select("mem_type", "id", "rank").as[(String, String, Int)].collect().toSet
+    assert(recalled == Set(("episodic", "m1", 1), ("semantic", "m3", 1)))
+    val flat = AgentMemory.searchAllPlan(mem, qv, topK = 2, tenant = Some("a1"))
+      .select("id").as[String].collect().toSeq
+    assert(flat == Seq("m1", "m3")) // cos: m1=1.0 > m3=0.8 > m2=0.6
+  }
+
   test("remember/learn/registerTool then recall returns per-type ranked hits for the right agent") {
     val m = freshMemory()
     m.remember("agent-1", "User asked about chemical storage safety requirements")

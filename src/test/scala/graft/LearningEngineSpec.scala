@@ -110,6 +110,29 @@ class LearningEngineSpec extends AnyFunSuite {
     assert(math.abs(rate2 - (0.3 + 0.7 * 0.7)) < 1e-9)
   }
 
+  test("batched skill outcomes: one rewrite equals the sequential single updates") {
+    val l = fresh()
+    l.learnSkill("a", "s1", "alpha", successRate = 1.0)
+    l.learnSkill("a", "s2", "beta", successRate = 0.5)
+    l.learnSkill("b", "s1", "gamma", successRate = 0.8)
+    // batch: s1/a gets (false, true, true) in order; s2/a gets (true); b untouched
+    l.recordSkillOutcomes(Seq(
+      ("a", "s1", false), ("a", "s2", true), ("a", "s1", true), ("a", "s1", true)))
+    import spark.implicits._
+    def rate(agent: String, skill: String): (Double, Long) = {
+      val r = l.skills.filter($"agent_id" === agent && $"skill_id" === skill)
+        .select("success_rate", "use_count").as[(Double, Long)].head
+      r
+    }
+    // sequential reference: 1.0 -> .7 -> .3+.7*.7=.79 -> .3+.7*.79=.853
+    val (r1, k1) = rate("a", "s1")
+    assert(math.abs(r1 - 0.853) < 1e-9 && k1 == 3)
+    val (r2, k2) = rate("a", "s2")
+    assert(math.abs(r2 - (0.3 + 0.7 * 0.5)) < 1e-9 && k2 == 1)
+    val (r3, k3) = rate("b", "s1")
+    assert(r3 == 0.8 && k3 == 0)
+  }
+
   test("triple extraction without LLM: is/covers patterns, graph query + entities") {
     val l = fresh()
     val n = l.extractKnowledge("a",
