@@ -125,15 +125,27 @@ object Demo {
     val r2 = engine2.search("demo", qv, topK = 1).select("id").as[String].head
     println(s"  imported rows=${engine2.count("demo")}, top result after import: $r2")
 
-    println("=== 4. Tenancy (hive-partitioned by tenant) ===")
-    engine.createCollection("mt", CollectionConfig(dimensions = 64, partitionByTenant = true))
-    engine.tenant("mt", "acme").insert(Embed.withEmbedding(Seq("a1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
-    engine.tenant("mt", "globex").insert(Embed.withEmbedding(Seq("g1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
-    val seen = engine.tenant("mt", "acme").search(embedder.embed("alpha").map(_.toDouble).toSeq)
-      .select("id").as[String].collect().toSeq
-    val partDirs = new java.io.File(s"${engine.root}/mt/data").listFiles()
+    println("=== 4. Graft.create + tenancy (hive-partitioned, pruned scans) ===")
+    // composition-root boot (reference create()): all subsystems wired
+    val g = Graft.create(spark, Files.createTempDirectory("graft_demo_g").toString)
+    g.engine.createCollection("mt", CollectionConfig(dimensions = 64, partitionByTenant = true))
+    g.engine.tenant("mt", "acme").insert(Embed.withEmbedding(Seq("a1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
+    g.engine.tenant("mt", "globex").insert(Embed.withEmbedding(Seq("g1" -> "alpha").toDF("id", "content"), "content", "vector", embedder))
+    val tenantHits = g.engine.tenant("mt", "acme").search(embedder.embed("alpha").map(_.toDouble).toSeq)
+    val seen = tenantHits.select("id").as[String].collect().toSeq
+    val partDirs = new java.io.File(s"${g.engine.root}/mt/data").listFiles()
       .filter(_.isDirectory).map(_.getName).sorted.mkString(", ")
     println(s"  acme sees: ${seen.mkString(",")}; partition dirs: [$partDirs]")
+    // the 100×-scale story, inspectable: the tenant predicate must reach
+    // the scan as a PartitionFilter (directory pruning, not a row filter)
+    val plan = tenantHits.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    require(pf.exists(_.contains("tenant_id")), "tenant predicate did not prune partitions")
+    pf.foreach(l => println(s"  ${l.trim.take(110)}"))
+    // the full Graft surface stays live end-to-end through the facade
+    g.memory.remember("demo-agent", "Graft boots through create()")
+    println(s"  facade health: ${g.mcpServer().callTool("fusionpact_list_collections", "{}").take(80)}")
 
     spark.stop()
   }

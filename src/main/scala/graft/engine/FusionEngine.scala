@@ -207,10 +207,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       .mode(SaveMode.Overwrite)
     (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
       .parquet(tmp.toString)
-    val old = dir(name).resolve("data_old")
-    Files.move(dataDir(name), old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, dataDir(name), StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(old)
+    FusionEngine.atomicSwap(dataDir(name), tmp)
     before - count(name)
   }
 
@@ -270,6 +267,63 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
         }
       }
     }
+  }
+
+  /** Import a snapshot produced by the REFERENCE engine's `exportData()`
+    * (`FusionEngine.js:278-292`: one object
+    * `{collections: {name: {config, index}}}` where `index` is the
+    * serialized HNSW state, `HNSWIndex.js:389-416`). Graph structure
+    * (levels, neighbors, entry point) describes the reference's physical
+    * index and has no Spark counterpart — ids, vectors and metadata are
+    * the portable content and are imported in full (ADVICE r2:
+    * reference-produced snapshots were previously unreadable). Parsed
+    * with Jackson (on the Spark classpath). Returns rows imported. */
+  def importReferenceSnapshot(jsonFile: String, overwrite: Boolean = false): Long = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(Paths.get(jsonFile)))
+    val colls = root.path("collections")
+    if (!colls.isObject) return 0L
+    var imported = 0L
+    colls.fields().asScala.foreach { e =>
+      val (name, coll) = (e.getKey, e.getValue)
+      if (!hasCollection(name) || overwrite) {
+        if (hasCollection(name)) deleteCollection(name)
+        val cfgNode = coll.path("config")
+        val idxCfg = coll.path("index").path("config")
+        def pick(field: String) =
+          if (cfgNode.has(field)) cfgNode.path(field) else idxCfg.path(field)
+        createCollection(name, CollectionConfig(
+          dimensions = coll.path("index").path("dimensions")
+            .asInt(cfgNode.path("dimensions").asInt(768)),
+          distanceMetric = pick("distanceMetric").asText("cosine"),
+          m = pick("M").asInt(16),
+          efConstruction = pick("efConstruction").asInt(200),
+          efSearch = pick("efSearch").asInt(50)))
+        val rows = coll.path("index").path("nodes").asScala.map { node =>
+          val vec = node.path("vector").asScala.map(_.floatValue).toArray
+          val meta = node.path("metadata").fields().asScala.map { m =>
+            m.getKey -> (if (m.getValue.isTextual) m.getValue.asText
+                         else m.getValue.toString)
+          }.toMap
+          (node.path("id").asText, vec, meta)
+        }.toSeq
+        if (rows.nonEmpty) {
+          // straight to parquet: reference vectors are already
+          // unit-normalized at insert (HNSWIndex.js:137-140)
+          val df = rows.toDF("id", "vector", "metadata")
+            .withColumn("tenant_id", lit(null).cast("string"))
+            .withColumn("ts", lit(null).cast("timestamp"))
+            .withColumn("ttl_ms", lit(null).cast("long"))
+            .withColumn("content", element_at(col("metadata"), "_content"))
+            .select(Schema.fieldNames.map(col): _*)
+          df.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
+          imported += rows.size
+        }
+      }
+    }
+    imported
   }
 
   private def normalize(v: Seq[Double]): Seq[Double] = {
@@ -336,5 +390,20 @@ object FusionEngine {
       try s.sorted(Comparator.reverseOrder[Path]()).forEach(f => Files.delete(f))
       finally s.close()
     }
+  }
+
+  /** Crash-safe table replacement: move the live dir aside atomically,
+    * move the freshly-written `tmp` in, then delete the old data. At no
+    * instant is the table directory absent, so a crash between steps
+    * leaves either the old or the new table readable (ADVICE r2: the
+    * delete-then-move sequence loses the whole table if interrupted).
+    * A leftover `*_old` dir from a previous crash is cleared first. */
+  private[graft] def atomicSwap(live: Path, tmp: Path): Unit = {
+    val old = live.resolveSibling(live.getFileName.toString + "_old")
+    if (Files.exists(old)) deleteRecursively(old)
+    val had = Files.exists(live)
+    if (had) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
+    if (had) deleteRecursively(old)
   }
 }

@@ -46,9 +46,20 @@ final class HybridRetriever(
     val runTree = (strategy == "hybrid" || strategy == "tree") && treeIndex.isDefined
     val runKeyword = strategy == "hybrid" || strategy == "keyword"
 
+    // Graceful branch failure, matched to the reference's EXECUTION-time
+    // isolation (`:150-152, 183-185, 201-203`): because DataFrames are
+    // lazy, a plan that builds fine can still fail when the fused query
+    // runs (corrupt file, provider error mid-scan). Each branch is a
+    // top-(2k) — ≤ 2k rows — so force it INSIDE the guard and re-lift;
+    // a failing branch degrades to empty instead of failing the fuse
+    // (ADVICE r2). The driver round-trip is bounded by the over-fetch,
+    // the same in-process merge the reference itself performs.
     def branch(name: String)(f: => DataFrame): DataFrame =
-      try f
-      catch { case _: Exception => emptyBranch } // graceful branch failure
+      try {
+        val df = f
+        val rows = df.collect().toSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
+      } catch { case _: Exception => emptyBranch }
 
     val vec = if (!runVector) emptyBranch else branch("vector") {
       val qv = embedder.embed(query).map(_.toDouble).toSeq

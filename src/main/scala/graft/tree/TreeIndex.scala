@@ -64,8 +64,7 @@ final class TreeIndex(val spark: SparkSession, val root: String) {
     if (!isIndexed(docId)) return false
     val tmp = Paths.get(root, "_tree_nodes_tmp")
     nodes.filter(col("doc_id") =!= docId).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    graft.engine.FusionEngine.deleteRecursively(nodesPath)
-    Files.move(tmp, nodesPath)
+    graft.engine.FusionEngine.atomicSwap(nodesPath, tmp)
     true
   }
 

@@ -127,6 +127,41 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("importReferenceSnapshot reads the reference's {collections:{name:{config,index}}} shape") {
+    val e = freshEngine()
+    // hand-written snapshot in the exact exportData() format
+    // (FusionEngine.js:278-292 + HNSWIndex.js:389-416)
+    val snapshot =
+      """{"_engine":"FusionPact","_version":"2.0.0","exportedAt":"2026-01-01T00:00:00Z",
+        |"collections":{"kb":{
+        |  "config":{"dimensions":4,"distanceMetric":"cosine","M":8,"efConstruction":100,"efSearch":40},
+        |  "index":{"_version":2,"_engine":"FusionPact","dimensions":4,
+        |    "config":{"M":8,"efConstruction":100,"efSearch":40,"distanceMetric":"cosine"},
+        |    "entryPoint":"v1","maxLevel":1,"size":2,
+        |    "nodes":{
+        |      "v1":{"id":"v1","vector":[1,0,0,0],"metadata":{"_content":"alpha doc","score":0.5},"level":1,"neighbors":{"0":["v2"]}},
+        |      "v2":{"id":"v2","vector":[0,1,0,0],"metadata":{"_content":"beta doc"},"level":0,"neighbors":{"0":["v1"]}}},
+        |    "stats":{"inserts":2}}}}}""".stripMargin
+    val f = Files.createTempFile("ref_snapshot", ".json")
+    Files.writeString(f, snapshot)
+    val n = e.importReferenceSnapshot(f.toString)
+    assert(n == 2)
+    assert(e.hasCollection("kb"))
+    assert(e.getConfig("kb").dimensions == 4)
+    assert(e.getConfig("kb").m == 8)
+    val rows = e.table("kb").orderBy("id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("v1", "v2"))
+    assert(rows.head.getSeq[Float](rows.head.fieldIndex("vector")).toSeq == Seq(1f, 0f, 0f, 0f))
+    assert(rows.head.getAs[String]("content") == "alpha doc")
+    assert(rows.head.getAs[Map[String, String]]("metadata")("score") == "0.5")
+    // skip-unless-overwrite semantics
+    assert(e.importReferenceSnapshot(f.toString) == 0L)
+    assert(e.importReferenceSnapshot(f.toString, overwrite = true) == 2L)
+    // imported vectors are queryable through the normal search path
+    val hits = e.search("kb", Seq(1.0, 0.0, 0.0, 0.0), topK = 1)
+    assert(hits.select("id").as[String].head == "v1")
+  }
+
   test("embedding cache: hits reuse cached vectors, misses embed and are returned for append") {
     val texts = Seq("t1" -> "alpha", "t2" -> "beta", "t3" -> "gamma").toDF("id", "content")
     val cache = Seq((embedder.cacheKey("alpha"), embedder.embed("alpha"))).toDF("cache_key", "vector")

@@ -61,6 +61,21 @@ class HybridRetrieverSpec extends AnyFunSuite {
     assert(contents.forall(c => c != null)) // tree rows carry content
   }
 
+  test("EXECUTION-time branch failure degrades that branch, others still answer (ADVICE r2)") {
+    val (engine, r) = build()
+    // corrupt the collection's parquet AFTER the table exists: the scan
+    // plan builds fine (explicit schema, no footer read) but scoring it
+    // fails at execution — exactly the failure mode the lazy try/catch
+    // used to miss. Branch materialization must contain it.
+    val dataDir = java.nio.file.Paths.get(engine.root, "docs", "data")
+    java.nio.file.Files.list(dataDir).filter(_.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.write(p, "not a parquet file".getBytes))
+    val res = r.retrieve("chemical safety data sheets")
+    assert(res.count() > 0) // tree branch still answers
+    val contents = res.select("content").as[String].collect()
+    assert(contents.forall(_ != null))
+  }
+
   test("adaptive weights: last-N average with defaults for silent strategies, normalized") {
     import java.sql.Timestamp
     val fb = Seq(
