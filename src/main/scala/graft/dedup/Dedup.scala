@@ -136,7 +136,12 @@ object Dedup {
     import spark.implicits._
     val coeffs = coefficients(numHashes, seed)
 
+    // The shingle table feeds BOTH banding and candidate verification —
+    // persist so shingling runs once (Spark's ContextCleaner unpersists
+    // it when the plan is no longer referenced). At warehouse scale this
+    // is the intermediate you would materialize as a table.
     val sh = shingled(df, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
       val sig = minhashSignature(s, coeffs)
@@ -146,27 +151,31 @@ object Dedup {
       }
     }.toDF("id", "band", "bucket")
 
-    val buckets =
-      if (maxBucket > 0) {
-        val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
-        val keepBucket = udf { n: Long =>
-          if (n > maxBucket) {
-            dropAcc.add(1L)
-            org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
-              s"LSH boilerplate guard: dropping bucket of $n rows (> maxBucket=$maxBucket)")
-            false
-          } else true
+    // ONE shuffle from bands to candidate pairs: group each (band,
+    // bucket) and emit its member pairs in-place. The boilerplate guard
+    // is inherent — an oversized bucket is dropped before any pair
+    // exists (warned executor-side + counted in the accumulator), so
+    // fan-out is bounded by maxBucket². The former shape (bucket-size
+    // agg + join + self-join) paid three shuffles for the same result.
+    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+    val candidates = banded
+      .groupBy("band", "bucket").agg(collect_list(col("id")).as("ids"))
+      .select(col("ids")).as[Seq[Long]]
+      .flatMap { ids =>
+        if (maxBucket > 0 && ids.length > maxBucket) {
+          dropAcc.add(1L)
+          org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+            s"LSH boilerplate guard: dropping bucket of ${ids.length} rows (> maxBucket=$maxBucket)")
+          Iterator.empty
+        } else {
+          val sorted = ids.sorted
+          for {
+            i <- sorted.indices.iterator
+            j <- ((i + 1) until sorted.length).iterator
+          } yield (sorted(i), sorted(j))
         }
-        val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("_n"))
-          .filter(keepBucket(col("_n"))).drop("_n")
-        banded.join(sizes, Seq("band", "bucket"))
-      } else banded
-
-    val left = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val right = buckets.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = left.join(right, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      }
+      .toDF("id_a", "id_b").distinct()
 
     verifyJaccard(candidates, sh, tau)
   }

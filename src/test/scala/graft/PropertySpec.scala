@@ -75,6 +75,21 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("TopKHeap equals sort-based selection for arbitrary offer sequences") {
+    val entryGen = Gen.zip(Gen.choose(-1.0, 1.0), Gen.chooseNum(0L, 50L))
+    val seqGen = Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, entryGen))
+    samples(Gen.zip(Gen.chooseNum(1, 12), seqGen), 25).foreach { case (k, raw) =>
+      val offers = raw.distinct // ids are unique per partition in real use
+      val h = new graft.search.Kernels.TopKHeap(k)
+      offers.foreach { case (s, id) => h.offer(s, id) }
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      h.foreachEntry((s, id) => kept += ((s, id)))
+      val expected = offers.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(kept.sortBy { case (s, id) => (-s, id) }.toList == expected,
+        s"k=$k offers=$offers")
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard within tolerance") {
     val setGen = Gen.chooseNum(20, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"shingle_$i")).map(_.distinct))
