@@ -294,7 +294,12 @@ object AgentMemory {
     import graft.functions.VectorFunctions
     var in = mem
     tenant.foreach(t => in = in.filter(col(tenantCol) === lit(t)))
-    val raw = VectorFunctions.cosineSimilarity(col(vecCol), VectorFunctions.vecLit(queryVec))
+    // Catalyst does not constant-fold aggregate() over a literal array —
+    // inline the query self-norm as a literal (same left-to-right double
+    // sum → bit-identical), exactly as VectorSearch.knn does.
+    val qNorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
+    val raw = VectorFunctions.dotProduct(col(vecCol), VectorFunctions.vecLit(queryVec)) /
+      (VectorFunctions.norm(col(vecCol)) * lit(qNorm))
     in.withColumn("score", roundTo.map(d => round(raw, d)).getOrElse(raw))
   }
 

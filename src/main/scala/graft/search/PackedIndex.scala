@@ -2,7 +2,6 @@ package graft.search
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann.IvfModel
@@ -187,10 +186,19 @@ object PackedIndex {
     case VectorSearch.Euclidean => Kernels.MetricEuclidean
   }
 
+  /** Final per-query ranking via a driver-side merge — the same
+    * bounded-candidates contract `TakeOrderedAndProject` uses: the
+    * input is ≤ partitions × Q × k rows (each partition already kept
+    * only its local top-k per query), so collecting and merging on the
+    * driver replaces a shuffle + sort with milliseconds of local work
+    * on the serving path. */
   private def rank(spark: SparkSession, pairs: RDD[(Long, Long, Double)], k: Int): DataFrame = {
     import spark.implicits._
-    val df = spark.createDataFrame(pairs).toDF("qid", "id", "score")
-    val w = Window.partitionBy("qid").orderBy(desc("score"), asc("id"))
-    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val merged = pairs.collect().groupBy(_._1).iterator.flatMap { case (qid, cand) =>
+      cand.sortBy { case (_, id, s) => (-s, id) }
+        .iterator.take(k).zipWithIndex
+        .map { case ((_, id, s), i) => (qid, id, s, i + 1) }
+    }.toSeq
+    spark.createDataFrame(merged).toDF("qid", "id", "score", "rank")
   }
 }
