@@ -595,6 +595,19 @@ object SparkEntry {
         .orderBy($"media_id", $"frame_index")
     }),
 
+    // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
+    // counts per event type via EventStreams.windowedEventCounts — the
+    // SAME code serves the watermarked streaming path (StreamingSpec);
+    // batch mode grades it against a date_trunc oracle. events.ts is
+    // LONG nanoseconds (TESTDATA.md) → timestamp via micros.
+    "events_windowed" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .withColumn("ts_t", timestamp_micros(($"ts" / 1000).cast("long")))
+      graft.streaming.EventStreams.windowedEventCounts(ev, "ts_t", "1 hour")
+        .orderBy($"window_start", $"event_type")
+    }),
+
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
     // agents = sources with their language sets as capabilities; rank
     // by |required ∩ capabilities| — argmax as a sorted limit.
@@ -1082,6 +1095,13 @@ object SparkEntry {
           |SELECT media_id, frame_index, frame_offset,
           |  feature[1] AS f0, feature[2] AS f1, feature[3] AS f2, feature[4] AS f3
           |FROM hist ORDER BY media_id, frame_index""".stripMargin,
+
+      // DuckDB reads the nanos parquet column natively as TIMESTAMP
+      // (only Spark needs nanosAsLong), so truncate directly.
+      "events_windowed" ->
+        """SELECT date_trunc('hour', ts) AS window_start,
+          |  event_type, count(*) AS n
+          |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
       "delegation_match" ->
         """SELECT source, match_count, caps_str FROM (

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+/** Streaming event operators (§2.8 extension): watermarked windowed
+  * counts and event-time sessionization, driven with MemoryStream. */
+class EventStreamsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+  private implicit def sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp = new Timestamp(minute * 60000L)
+
+  test("windowedEventCounts on a batch frame equals a plain windowed aggregate") {
+    val ev = Seq(
+      (ts(1), "click"), (ts(2), "click"), (ts(5), "view"),
+      (ts(61), "click"), (ts(62), "view"))
+      .toDF("ts", "event_type")
+    val out = EventStreams.windowedEventCounts(ev, "ts", "1 hour")
+      .orderBy("window_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, "click", 2L), (0L, "view", 1L),
+      (60L, "click", 1L), (60L, "view", 1L)))
+  }
+
+  test("windowedEventCounts streaming: watermark drops late rows, windows finalize") {
+    val stream = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.windowedEventCounts(
+        stream.toDF().toDF("ts", "event_type"), "ts", "1 hour", "5 minutes")
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("append").start()
+    try {
+      stream.addData((ts(1), "click"), (ts(3), "click"))
+      q.processAllAvailable()
+      // advance event time far past window end + watermark → finalize hour 0
+      stream.addData((ts(130), "view"))
+      q.processAllAvailable()
+      // a LATE row for hour 0 (watermark is now ~125min) must be dropped
+      stream.addData((ts(2), "late-click"))
+      q.processAllAvailable()
+      val rows = spark.table("wincounts")
+        .collect().map(r => (r.getTimestamp(0).getTime / 60000,
+          r.getString(1), r.getLong(2)))
+      assert(rows.toSeq.contains((0L, "click", 2L)))
+      assert(!rows.exists(_._2 == "late-click"))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after the inactivity gap, state dropped") {
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "1 minute")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 7: events at minute 1, 4; user 9: minute 2
+      stream.addData((7L, ts(1)), (7L, ts(4)), (9L, ts(2)))
+      q.processAllAvailable()
+      assert(spark.table("sessions").isEmpty) // nothing closed yet
+      // jump event time to minute 60 → watermark 59 > last+gap for both
+      stream.addData((7L, ts(60)))
+      q.processAllAvailable()
+      stream.addData((7L, ts(120))) // push watermark past session 2's gap
+      q.processAllAvailable()
+      val sessions = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 60000,
+          r.getLong(2) / 60000, r.getLong(3))).toSet
+      assert(sessions.contains((7L, 1L, 4L, 2L)))  // first session of user 7
+      assert(sessions.contains((9L, 2L, 2L, 1L)))  // user 9's singleton
+      assert(sessions.contains((7L, 60L, 60L, 1L))) // second session of user 7
+    } finally q.stop()
+  }
+}
