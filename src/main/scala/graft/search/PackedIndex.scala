@@ -138,9 +138,9 @@ object PackedIndex {
     val src = df.select(col(idCol).cast("long").as("id"),
         col(vectorCol).cast("array<float>").as("v"))
       .as[(Long, Array[Float])]
-    val dim = src.head._2.length
+    val dim = src.take(1).headOption.map(_._2.length).getOrElse(0)
     val blocks = src.rdd.mapPartitions(packRows(_, dim)).cache()
-    val n = blocks.map(_.ids.length.toLong).reduce(_ + _) // materialize
+    val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize
     new Exact(spark, blocks, dim, n)
   }
 
@@ -154,7 +154,7 @@ object PackedIndex {
         col("v").cast("array<float>"), col("cell").cast("int"))
       .repartition(col("cell"))
       .as[(Long, Array[Float], Int)]
-    val dim = src.head._2.length
+    val dim = src.take(1).headOption.map(_._2.length).getOrElse(0)
     val blocks = src.rdd.mapPartitions { it =>
       // per-cell accumulation: a partition holds whole cells (hash
       // partitioning by cell), possibly several
@@ -191,7 +191,11 @@ object PackedIndex {
     * input is ≤ partitions × Q × k rows (each partition already kept
     * only its local top-k per query), so collecting and merging on the
     * driver replaces a shuffle + sort with milliseconds of local work
-    * on the serving path. */
+    * on the serving path. Sized for serving fleets (Q up to ~10⁴ at
+    * k=10 collects a few MB); for larger analytical fleets use the
+    * scan APIs ([[VectorSearch.knnBatchFast]] /
+    * [[graft.ann.Ann.ivfSearchBatchFast]]), whose partitioned-window
+    * rank keeps the result distributed. */
   private def rank(spark: SparkSession, pairs: RDD[(Long, Long, Double)], k: Int): DataFrame = {
     import spark.implicits._
     val merged = pairs.collect().groupBy(_._1).iterator.flatMap { case (qid, cand) =>
