@@ -185,12 +185,17 @@ object Kernels {
     val out = new Array[Float](nq)
     var n = 0
     rows.foreach { case (id, v) =>
-      System.arraycopy(v, 0, xs, n * dim, dim)
-      ids(n) = id
-      n += 1
-      if (n == TileRows) {
-        scoreTile(metric, qp, xs, ids, n, heaps, out)
-        n = 0
+      // dimension-mismatched rows are skipped (cleaning-engine stance:
+      // a malformed row must not fail the fleet; insert validates dims
+      // so this only fires on foreign data)
+      if (v != null && v.length == dim) {
+        System.arraycopy(v, 0, xs, n * dim, dim)
+        ids(n) = id
+        n += 1
+        if (n == TileRows) {
+          scoreTile(metric, qp, xs, ids, n, heaps, out)
+          n = 0
+        }
       }
     }
     if (n > 0) scoreTile(metric, qp, xs, ids, n, heaps, out)
@@ -224,7 +229,7 @@ object Kernels {
     val out = new Array[Float](maxNq)
     rows.foreach { case (id, v, cell) =>
       val probing = cellQueries(cell)
-      if (probing.nonEmpty) {
+      if (probing.nonEmpty && v != null && v.length == dim) {
         if (packs(cell) == null) {
           packs(cell) = packQueries(probing.map(qVecs(_)))
           cellHeaps(cell) = probing.map(heaps(_))

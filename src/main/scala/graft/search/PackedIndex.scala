@@ -32,18 +32,19 @@ object PackedIndex {
   /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
     * most [[Kernels.TileRows]] rows. */
   private def packRows(it: Iterator[(Long, Array[Float])], dim: Int): Iterator[VecBlock] =
-    it.grouped(Kernels.TileRows).map { g =>
-      val n = g.length
-      val ids = new Array[Long](n)
-      val xs = new Array[Float](n * dim)
-      var i = 0
-      g.foreach { case (id, v) =>
-        ids(i) = id
-        System.arraycopy(v, 0, xs, i * dim, dim)
-        i += 1
+    it.filter { case (_, v) => v != null && v.length == dim } // skip malformed
+      .grouped(Kernels.TileRows).map { g =>
+        val n = g.length
+        val ids = new Array[Long](n)
+        val xs = new Array[Float](n * dim)
+        var i = 0
+        g.foreach { case (id, v) =>
+          ids(i) = id
+          System.arraycopy(v, 0, xs, i * dim, dim)
+          i += 1
+        }
+        VecBlock(ids, xs)
       }
-      VecBlock(ids, xs)
-    }
 
   /** Exact-scan index: the whole collection packed. */
   final class Exact private[PackedIndex] (
@@ -161,13 +162,15 @@ object PackedIndex {
       val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofFloat)]
       val done = scala.collection.mutable.ArrayBuffer.empty[CellBlock]
       it.foreach { case (id, v, cell) =>
-        val (ids, xs) = bufs.getOrElseUpdate(cell.toLong,
-          (new scala.collection.mutable.ArrayBuffer[Long], new scala.collection.mutable.ArrayBuilder.ofFloat))
-        ids += id
-        xs ++= v
-        if (ids.length == Kernels.TileRows) {
-          done += CellBlock(cell, ids.toArray, xs.result())
-          bufs.remove(cell.toLong)
+        if (v != null && v.length == dim) { // skip malformed rows
+          val (ids, xs) = bufs.getOrElseUpdate(cell.toLong,
+            (new scala.collection.mutable.ArrayBuffer[Long], new scala.collection.mutable.ArrayBuilder.ofFloat))
+          ids += id
+          xs ++= v
+          if (ids.length == Kernels.TileRows) {
+            done += CellBlock(cell, ids.toArray, xs.result())
+            bufs.remove(cell.toLong)
+          }
         }
       }
       bufs.foreach { case (cell, (ids, xs)) =>

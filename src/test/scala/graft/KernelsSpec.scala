@@ -45,6 +45,19 @@ class KernelsSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed rows (null / wrong dim) are skipped, not fatal") {
+    val qids = Array(1L)
+    val qVecs = Array(Array(1f, 0f))
+    val rows = Iterator(
+      (1L, Array(1f, 0f)),
+      (2L, null: Array[Float]),
+      (3L, Array(1f, 0f, 0f)), // wrong dim
+      (4L, Array(0f, 1f)))
+    val out = Kernels.topkOverRows(rows, qids, qVecs, k = 10,
+      Kernels.MetricCosineUnit).map(_._2).toSet
+    assert(out == Set(1L, 4L))
+  }
+
   test("topkOverCellRows scores rows only against their cell's probing queries") {
     // 2 cells; q0 probes cell 0 only, q1 probes both
     val qids = Array(100L, 200L)
