@@ -602,8 +602,10 @@ object SparkEntry {
     // LONG nanoseconds (TESTDATA.md) → timestamp via micros.
     "events_windowed" -> ((s, dir) => {
       import s.implicits._
+      // integer DIV, not `/`: long/1000 via double rounds by up to
+      // 128 ns at 1.7e18 and can shift boundary events across windows
       val ev = t(s, dir, "events")
-        .withColumn("ts_t", timestamp_micros(($"ts" / 1000).cast("long")))
+        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       graft.streaming.EventStreams.windowedEventCounts(ev, "ts_t", "1 hour")
         .orderBy($"window_start", $"event_type")
     }),

@@ -137,11 +137,15 @@ object Dedup {
     val coeffs = coefficients(numHashes, seed)
 
     // The shingle table feeds BOTH banding and candidate verification —
-    // persist so shingling runs once (Spark's ContextCleaner unpersists
-    // it when the plan is no longer referenced). At warehouse scale this
-    // is the intermediate you would materialize as a table.
-    val sh = shingled(df, textCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cache it so shingling runs once. RDD-level cache, NOT
+    // Dataset.persist: the session CacheManager pins persisted plans
+    // until an explicit unpersist (a leak for a lazily-returned result),
+    // while cached RDDs are auto-unpersisted by the ContextCleaner once
+    // the returned plan is garbage-collected. At warehouse scale this is
+    // the intermediate you would materialize as a table.
+    val shRdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = spark.createDataset(shRdd).toDF("id", "sh")
 
     val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
       val sig = minhashSignature(s, coeffs)

@@ -92,14 +92,17 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     * nothing has been inserted yet). */
   def table(name: String): DataFrame = {
     getConfig(name) // existence check
+    FusionEngine.recoverSwap(dataDir(name)) // crashed-swap restore
     if (Files.exists(dataDir(name)))
       spark.read.schema(Schema).parquet(dataDir(name).toString)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
   }
 
-  def count(name: String): Long =
+  def count(name: String): Long = {
+    FusionEngine.recoverSwap(dataDir(name))
     if (Files.exists(dataDir(name))) table(name).count() else 0L
+  }
 
   /** Point lookup (`FusionEngine.js:225-228`) — id-pushdown scan. */
   def get(name: String, id: String): DataFrame = table(name).filter(col("id") === lit(id))
@@ -200,6 +203,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     * (preserving the tenant-partitioned layout when configured). */
   private def rewrite(name: String, condemned: Column): Long = {
     val cfg = getConfig(name)
+    FusionEngine.recoverSwap(dataDir(name))
     if (!Files.exists(dataDir(name))) return 0L
     val before = count(name)
     val tmp = dir(name).resolve("data_tmp")
@@ -393,17 +397,31 @@ object FusionEngine {
   }
 
   /** Crash-safe table replacement: move the live dir aside atomically,
-    * move the freshly-written `tmp` in, then delete the old data. At no
-    * instant is the table directory absent, so a crash between steps
-    * leaves either the old or the new table readable (ADVICE r2: the
-    * delete-then-move sequence loses the whole table if interrupted).
-    * A leftover `*_old` dir from a previous crash is cleared first. */
+    * move the freshly-written `tmp` in, then delete the old data
+    * (ADVICE r2: the delete-then-move sequence loses the whole table if
+    * interrupted). A crash between the two moves leaves the sole copy
+    * in `*_old`; [[recoverSwap]] — run at every read site and at the
+    * start of the next swap — restores it, so readers never observe a
+    * silently-empty table. An `*_old` leftover ALONGSIDE live data is a
+    * crash after install and is safe to clear. */
   private[graft] def atomicSwap(live: Path, tmp: Path): Unit = {
+    recoverSwap(live)
     val old = live.resolveSibling(live.getFileName.toString + "_old")
     if (Files.exists(old)) deleteRecursively(old)
     val had = Files.exists(live)
     if (had) Files.move(live, old, StandardCopyOption.ATOMIC_MOVE)
     Files.move(tmp, live, StandardCopyOption.ATOMIC_MOVE)
     if (had) deleteRecursively(old)
+  }
+
+  /** Crash recovery for [[atomicSwap]]: when `live` is absent but
+    * `live_old` exists (crash between the swap's two moves), the old
+    * dir holds the only copy — move it back. Idempotent, cheap (two
+    * existence checks), called at read sites so a post-crash reader
+    * sees the pre-swap table instead of an empty one. */
+  private[graft] def recoverSwap(live: Path): Unit = {
+    val old = live.resolveSibling(live.getFileName.toString + "_old")
+    if (!Files.exists(live) && Files.exists(old))
+      Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
   }
 }

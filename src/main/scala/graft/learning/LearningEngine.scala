@@ -44,10 +44,12 @@ final class LearningEngine(
 
   private def tablePath(name: String) = Paths.get(engine.root, name)
 
-  private def readTable(name: String, schema: StructType): DataFrame =
+  private def readTable(name: String, schema: StructType): DataFrame = {
+    FusionEngine.recoverSwap(tablePath(name)) // crashed-swap restore
     if (Files.exists(tablePath(name)))
       spark.read.schema(schema).parquet(tablePath(name).toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
 
   private def append(name: String, df: DataFrame, schema: StructType): Unit =
     df.select(schema.fieldNames.map(col): _*)

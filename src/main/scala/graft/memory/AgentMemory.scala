@@ -175,10 +175,12 @@ final class AgentMemory(
 
   private def convPath = Paths.get(engine.root, "_conversations")
 
-  def conversations: DataFrame =
+  def conversations: DataFrame = {
+    FusionEngine.recoverSwap(convPath) // crashed-swap restore
     if (Files.exists(convPath))
       spark.read.schema(ConversationSchema).parquet(convPath.toString)
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ConversationSchema)
+  }
 
   /** Append messages. `df` columns: (agent_id, thread_id, seq, role,
     * content[, ts]). */

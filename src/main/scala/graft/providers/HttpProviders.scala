@@ -49,7 +49,35 @@ object Http {
     * the single-occurrence fields these APIs return). */
   private[providers] def strField(json: String, key: String): Option[String] =
     (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r.findFirstMatchIn(json)
-      .map(_.group(1).replace("\\n", "\n").replace("\\\"", "\"").replace("\\\\", "\\"))
+      .map(m => unescapeJson(m.group(1)))
+
+  /** Single-pass JSON string unescape — sequential `.replace` chains
+    * corrupt text containing literal backslashes (`\\n` of an escaped
+    * backslash + 'n' is not a newline) and miss \t \r \uXXXX. */
+  private[graft] def unescapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => b.append('\n'); i += 2
+          case 't' => b.append('\t'); i += 2
+          case 'r' => b.append('\r'); i += 2
+          case 'b' => b.append('\b'); i += 2
+          case 'f' => b.append('\f'); i += 2
+          case '"' => b.append('"'); i += 2
+          case '/' => b.append('/'); i += 2
+          case '\\' => b.append('\\'); i += 2
+          case 'u' if i + 5 < s.length =>
+            try { b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6 }
+            catch { case _: NumberFormatException => b.append(c); i += 1 }
+          case _ => b.append(c); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
 
   /** First `"key": [numbers...]` array of a JSON body. */
   private[providers] def vecField(json: String, key: String): Option[Array[Float]] =

@@ -52,18 +52,24 @@ final class RagPipeline(
 
   /** Ingest a corpus: chunk → embed → append. Returns chunks indexed.
     * `docs` columns: `(doc_id STRING, text STRING)`. Chunk metadata
-    * mirrors the reference (`_chunk_index`, `_total_chunks`, `source`). */
+    * mirrors the reference (`_chunk_index`, `_total_chunks`, `source`);
+    * `extraMeta` entries (e.g. `title`, `RAGPipeline.js` ingest opts)
+    * are merged in — keys must not collide with the built-ins. */
   def ingest(docs: Dataset[(String, String)],
              tenantId: Option[String] = None,
              ttlMs: Option[Long] = None,
-             now: Option[Timestamp] = None): Long = {
+             now: Option[Timestamp] = None,
+             extraMeta: Map[String, String] = Map.empty): Long = {
     init()
     val chunked = chunkDocs(docs)
+    val baseMeta = map(
+      lit("_chunk_index"), col("chunk_index").cast("string"),
+      lit("_total_chunks"), col("total_chunks").cast("string"),
+      lit("source"), col("doc_id"))
+    val meta = if (extraMeta.isEmpty) baseMeta
+      else map_concat(baseMeta, typedLit(extraMeta))
     val embedded = graft.providers.Embed.withEmbedding(chunked, "content", "vector", embedder)
-      .withColumn("metadata", map(
-        lit("_chunk_index"), col("chunk_index").cast("string"),
-        lit("_total_chunks"), col("total_chunks").cast("string"),
-        lit("source"), col("doc_id")))
+      .withColumn("metadata", meta)
       .drop("doc_id", "chunk_index", "total_chunks")
     engine.insert(collection, embedded, tenantId = tenantId, ttlMs = ttlMs, now = now)
     engine.count(collection)

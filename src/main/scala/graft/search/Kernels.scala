@@ -113,9 +113,12 @@ object Kernels {
 
   /** Score `nRows` packed rows against the fleet and push into heaps.
     * `heaps(qi)` receives query `qi`'s candidates (pass subset-aligned
-    * references for IVF). `out` is caller-owned scratch of ≥ nq floats. */
+    * references for IVF). `out` is caller-owned scratch of ≥ nq floats.
+    * `norm2` (optional): precomputed per-row squared norms — a prebuilt
+    * index computes them once at pack time instead of once per fleet. */
   def scoreTile(metric: Int, qp: QueryPack, xs: Array[Float], ids: Array[Long],
-                nRows: Int, heaps: Array[TopKHeap], out: Array[Float]): Unit = {
+                nRows: Int, heaps: Array[TopKHeap], out: Array[Float],
+                norm2: Array[Double] = null): Unit = {
     val nq = qp.nq
     val dim = qp.dim
     val qT = qp.qT
@@ -132,11 +135,17 @@ object Kernels {
         d += 1
       }
       val id = ids(r)
-      metric match {
-        case MetricCosine =>
+      @inline def rowNorm2: Double =
+        if (norm2 ne null) norm2(r)
+        else {
           var vn2 = 0.0
           var d2 = 0
           while (d2 < dim) { val x = xs(off + d2).toDouble; vn2 += x * x; d2 += 1 }
+          vn2
+        }
+      metric match {
+        case MetricCosine =>
+          val vn2 = rowNorm2
           val inv = if (vn2 > 0) 1.0 / math.sqrt(vn2) else 0.0
           var qi = 0
           while (qi < nq) {
@@ -150,9 +159,7 @@ object Kernels {
           var qi = 0
           while (qi < nq) { heaps(qi).offer(1.0 + out(qi), id); qi += 1 }
         case MetricEuclidean =>
-          var vn2 = 0.0
-          var d2 = 0
-          while (d2 < dim) { val x = xs(off + d2).toDouble; vn2 += x * x; d2 += 1 }
+          val vn2 = rowNorm2
           var qi = 0
           while (qi < nq) {
             val sq = qp.norm2(qi) + vn2 - 2.0 * out(qi)

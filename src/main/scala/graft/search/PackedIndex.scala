@@ -23,11 +23,13 @@ import graft.ann.Ann.IvfModel
   */
 object PackedIndex {
 
-  /** One packed tile: row ids + row-major float matrix (n × dim). */
-  final case class VecBlock(ids: Array[Long], xs: Array[Float])
+  /** One packed tile: row ids + row-major float matrix (n × dim) +
+    * per-row squared norms (computed once at pack time, reused by
+    * every fleet — cosine/euclidean skip a full per-search pass). */
+  final case class VecBlock(ids: Array[Long], xs: Array[Float], norm2: Array[Double])
 
   /** A packed tile of a single IVF cell. */
-  final case class CellBlock(cell: Int, ids: Array[Long], xs: Array[Float])
+  final case class CellBlock(cell: Int, ids: Array[Long], xs: Array[Float], norm2: Array[Double])
 
   /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
     * most [[Kernels.TileRows]] rows. */
@@ -37,14 +39,25 @@ object PackedIndex {
         val n = g.length
         val ids = new Array[Long](n)
         val xs = new Array[Float](n * dim)
+        val norm2 = new Array[Double](n)
         var i = 0
         g.foreach { case (id, v) =>
           ids(i) = id
           System.arraycopy(v, 0, xs, i * dim, dim)
+          norm2(i) = rowNorm2(v)
           i += 1
         }
-        VecBlock(ids, xs)
+        VecBlock(ids, xs, norm2)
       }
+
+  /** Squared norm with the same accumulation order the kernel uses —
+    * identical doubles whether computed at pack or search time. */
+  private def rowNorm2(v: Array[Float]): Double = {
+    var s = 0.0
+    var d = 0
+    while (d < v.length) { val x = v(d).toDouble; s += x * x; d += 1 }
+    s
+  }
 
   /** Exact-scan index: the whole collection packed. */
   final class Exact private[PackedIndex] (
@@ -66,7 +79,7 @@ object PackedIndex {
           val qp = Kernels.packQueries(vecs)
           val heaps = Array.fill(nq)(new Kernels.TopKHeap(k))
           val out = new Array[Float](nq)
-          bit.foreach(b => Kernels.scoreTile(code, qp, b.xs, b.ids, b.ids.length, heaps, out))
+          bit.foreach(b => Kernels.scoreTile(code, qp, b.xs, b.ids, b.ids.length, heaps, out, b.norm2))
           Kernels.drain(heaps, ids)
         }
       }
@@ -120,7 +133,7 @@ object PackedIndex {
                 cellHeaps(cb.cell) = probing.map(heaps(_))
               }
               Kernels.scoreTile(Kernels.MetricCosine, packs(cb.cell), cb.xs, cb.ids,
-                cb.ids.length, cellHeaps(cb.cell), out)
+                cb.ids.length, cellHeaps(cb.cell), out, cb.norm2)
             }
           }
           Kernels.drain(heaps, ids)
@@ -138,6 +151,7 @@ object PackedIndex {
     import spark.implicits._
     val src = df.select(col(idCol).cast("long").as("id"),
         col(vectorCol).cast("array<float>").as("v"))
+      .filter(col("v").isNotNull)
       .as[(Long, Array[Float])]
     val dim = src.take(1).headOption.map(_._2.length).getOrElse(0)
     val blocks = src.rdd.mapPartitions(packRows(_, dim)).cache()
@@ -153,28 +167,32 @@ object PackedIndex {
     import spark.implicits._
     val src = cells.select(col("id").cast("long"),
         col("v").cast("array<float>"), col("cell").cast("int"))
+      .filter(col("v").isNotNull)
       .repartition(col("cell"))
       .as[(Long, Array[Float], Int)]
     val dim = src.take(1).headOption.map(_._2.length).getOrElse(0)
     val blocks = src.rdd.mapPartitions { it =>
       // per-cell accumulation: a partition holds whole cells (hash
       // partitioning by cell), possibly several
-      val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofFloat)]
+      val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofFloat, scala.collection.mutable.ArrayBuilder.ofDouble)]
       val done = scala.collection.mutable.ArrayBuffer.empty[CellBlock]
       it.foreach { case (id, v, cell) =>
         if (v != null && v.length == dim) { // skip malformed rows
-          val (ids, xs) = bufs.getOrElseUpdate(cell.toLong,
-            (new scala.collection.mutable.ArrayBuffer[Long], new scala.collection.mutable.ArrayBuilder.ofFloat))
+          val (ids, xs, n2) = bufs.getOrElseUpdate(cell.toLong,
+            (new scala.collection.mutable.ArrayBuffer[Long],
+              new scala.collection.mutable.ArrayBuilder.ofFloat,
+              new scala.collection.mutable.ArrayBuilder.ofDouble))
           ids += id
           xs ++= v
+          n2 += rowNorm2(v)
           if (ids.length == Kernels.TileRows) {
-            done += CellBlock(cell, ids.toArray, xs.result())
+            done += CellBlock(cell, ids.toArray, xs.result(), n2.result())
             bufs.remove(cell.toLong)
           }
         }
       }
-      bufs.foreach { case (cell, (ids, xs)) =>
-        if (ids.nonEmpty) done += CellBlock(cell.toInt, ids.toArray, xs.result())
+      bufs.foreach { case (cell, (ids, xs, n2)) =>
+        if (ids.nonEmpty) done += CellBlock(cell.toInt, ids.toArray, xs.result(), n2.result())
       }
       done.iterator
     }.cache()

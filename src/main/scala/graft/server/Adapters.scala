@@ -92,7 +92,8 @@ final class EngineFacade(
     case "rag_ingest" =>
       val text = jfield(body, "text").getOrElse(throw new IllegalArgumentException("text required"))
       val source = jfield(body, "source").getOrElse("doc")
-      val n = rag.ingest(Seq((source, text)).toDS())
+      val extra = jfield(body, "title").map(t => Map("title" -> t)).getOrElse(Map.empty)
+      val n = rag.ingest(Seq((source, text)).toDS(), extraMeta = extra)
       s"""{"chunks":$n}"""
 
     case "rag_query" =>
@@ -114,12 +115,16 @@ final class EngineFacade(
     case "memory_remember" =>
       val agent = jfield(body, "agentId").getOrElse(throw new IllegalArgumentException("agentId required"))
       val content = jfield(body, "content").getOrElse(throw new IllegalArgumentException("content required"))
-      s"""{"id":${jstr(memory.remember(agent, content))}}"""
+      val importance = jfield(body, "importance")
+        .flatMap(v => scala.util.Try(v.toDouble).toOption).getOrElse(0.5)
+      s"""{"id":${jstr(memory.remember(agent, content, importance = importance))}}"""
 
     case "memory_learn" =>
       val agent = jfield(body, "agentId").getOrElse(throw new IllegalArgumentException("agentId required"))
       val content = jfield(body, "content").getOrElse(throw new IllegalArgumentException("content required"))
-      s"""{"id":${jstr(memory.learn(agent, content))}}"""
+      val meta = Seq("source", "category")
+        .flatMap(k => jfield(body, k).map(k -> _)).toMap
+      s"""{"id":${jstr(memory.learn(agent, content, metadata = meta))}}"""
 
     case "memory_recall" =>
       val agent = jfield(body, "agentId").getOrElse(throw new IllegalArgumentException("agentId required"))

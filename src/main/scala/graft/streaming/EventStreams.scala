@@ -77,6 +77,12 @@ object EventStreams {
                 case Some(s) if t - s.lastMs > gapMs =>
                   closed ::= Session(user, s.startMs, s.lastMs, s.n)
                   Some(SessionState(t, t, 1))
+                case Some(s) if s.startMs - t > gapMs =>
+                  // out-of-order straggler from BEFORE the running
+                  // session (watermark allowed it, but merging would
+                  // span an inactivity gap): emit as its own session
+                  closed ::= Session(user, t, t, 1)
+                  Some(s)
                 case Some(s) =>
                   Some(SessionState(math.min(s.startMs, t), math.max(s.lastMs, t), s.n + 1))
                 case None => Some(SessionState(t, t, 1))

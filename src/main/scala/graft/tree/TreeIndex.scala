@@ -28,9 +28,11 @@ final class TreeIndex(val spark: SparkSession, val root: String) {
 
   private def nodesPath = Paths.get(root, "_tree_nodes")
 
-  def nodes: DataFrame =
+  def nodes: DataFrame = {
+    graft.engine.FusionEngine.recoverSwap(nodesPath) // crashed-swap restore
     if (Files.exists(nodesPath)) spark.read.parquet(nodesPath.toString)
     else Seq.empty[TreeNodeRow].toDS().toDF()
+  }
 
   /** Parse + build + append one document
     * (`TreeIndex.js:112-142`). Returns node count. */

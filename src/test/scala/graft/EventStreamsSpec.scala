@@ -51,6 +51,30 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("out-of-order straggler older than the running session becomes its own session") {
+    val stream = MemoryStream[(Long, Timestamp)]
+    // 60-minute allowed lateness so the straggler survives the watermark
+    val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "60 minutes")
+      .writeStream.format("memory").queryName("straggler_sessions")
+      .outputMode("append").start()
+    try {
+      stream.addData((7L, ts(100)))    // session starts at min 100; watermark -> 40
+      q.processAllAvailable()
+      stream.addData((7L, ts(45)))     // in-lateness straggler, 55 min BEFORE start
+      q.processAllAvailable()
+      stream.addData((7L, ts(300)))    // forward gap closes [100,100]; watermark on
+      q.processAllAvailable()
+      stream.addData((7L, ts(500)))    // push watermark to close everything open
+      q.processAllAvailable()
+      val sessions = spark.table("straggler_sessions")
+        .collect().map(r => (r.getLong(0), r.getLong(1) / 60000,
+          r.getLong(2) / 60000, r.getLong(3))).toSet
+      assert(sessions.contains((7L, 45L, 45L, 1L)),
+        s"straggler session missing: $sessions") // NOT merged into [100,...]
+      assert(sessions.contains((7L, 100L, 100L, 1L)))
+    } finally q.stop()
+  }
+
   test("sessionize closes a session after the inactivity gap, state dropped") {
     val stream = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "1 minute")

@@ -127,6 +127,23 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(r1 == r2)
   }
 
+  test("crashed swap (live moved aside, tmp never installed) recovers on read") {
+    val e = freshEngine()
+    insertDemo(e)
+    assert(e.count("demo") == 4)
+    // simulate a crash between atomicSwap's two moves: live data dir is
+    // gone, the sole copy sits in data_old
+    val data = java.nio.file.Paths.get(e.root, "demo", "data")
+    val old = java.nio.file.Paths.get(e.root, "demo", "data_old")
+    java.nio.file.Files.move(data, old)
+    // a reader must see the pre-swap table, not a silent empty one
+    assert(e.count("demo") == 4)
+    assert(java.nio.file.Files.exists(data) && !java.nio.file.Files.exists(old))
+    // and a subsequent rewrite proceeds normally
+    e.deleteByIds("demo", Seq("d1"))
+    assert(e.count("demo") == 3)
+  }
+
   test("importReferenceSnapshot reads the reference's {collections:{name:{config,index}}} shape") {
     val e = freshEngine()
     // hand-written snapshot in the exact exportData() format

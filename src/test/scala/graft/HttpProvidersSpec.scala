@@ -72,6 +72,20 @@ class HttpProvidersSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("Is Ollama running?"))
   }
 
+  test("JSON unescape: escaped backslashes survive, \\t \\r \\uXXXX decode") {
+    import graft.providers.Http
+    // C:\new arrives as C,:,\,\,n,e,w — naive replace chains turn the
+    // second backslash + n into a newline
+    assert(Http.unescapeJson("""C:\\new""") == """C:\new""")
+    assert(Http.unescapeJson("""a\tb\rc""") == "a\tb\rc")
+    assert(Http.unescapeJson("""snow\u2603man""") == "snow\u2603man")
+    assert(Http.unescapeJson("""say \"hi\"""") == """say "hi"""")
+    val t = new Http.HttpTransport {
+      def send(req: Http.Request): String = """{"response":"path C:\\dir\\new"}"""
+    }
+    assert(new HttpLLMProvider(t, "ollama").complete("x") == """path C:\dir\new""")
+  }
+
   test("HttpLLMProvider: all three backends parse their response shapes") {
     def canned(resp: String) = new Http.HttpTransport {
       def send(req: Http.Request): String = resp
