@@ -165,6 +165,15 @@ object Bench {
         val idx = graft.search.PackedIndex.buildExact(tiled, "embedding", "vec_id")
         idx.search(queries.take(4), k = 10).count() // warm the path
         val sec = bestSec(2)(idx.search(queries, k = 10).count(): Unit)
+        // single-query p50 (the reference's 0.5 ms row is per-query over
+        // its in-RAM graph; Spark's floor is per-job scheduling — report
+        // the honest measured number alongside fleet throughput)
+        val lats = (0 until 20).map { i =>
+          val t = System.nanoTime()
+          idx.search(Seq(queries(i % queries.size)), k = 10).count()
+          (System.nanoTime() - t) / 1e6
+        }.sorted
+        val p50ms = lats(lats.size / 2)
         idx.unpersist()
 
         // exact, no index: straight scan over the cached DataFrame
@@ -189,7 +198,7 @@ object Bench {
             (qps, scanQps)
           } catch { case _: Throwable => (-1.0, -1.0) }
         tiled.unpersist()
-        s"""{"n_vectors":$total,"n_queries":${queries.size},"exact_qps":${queries.size / sec},"ivf_qps":$ivfQps,"exact_scan_qps":${queries.size / scanSec},"ivf_scan_qps":$ivfScanQps}"""
+        s"""{"n_vectors":$total,"n_queries":${queries.size},"exact_qps":${queries.size / sec},"ivf_qps":$ivfQps,"exact_scan_qps":${queries.size / scanSec},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$p50ms}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] knn_100k failed: ${e.getMessage}"); "null"
       }
