@@ -404,7 +404,7 @@ object FusionEngine {
     * start of the next swap — restores it, so readers never observe a
     * silently-empty table. An `*_old` leftover ALONGSIDE live data is a
     * crash after install and is safe to clear. */
-  private[graft] def atomicSwap(live: Path, tmp: Path): Unit = {
+  private[graft] def atomicSwap(live: Path, tmp: Path): Unit = swapLock.synchronized {
     recoverSwap(live)
     val old = live.resolveSibling(live.getFileName.toString + "_old")
     if (Files.exists(old)) deleteRecursively(old)
@@ -414,12 +414,21 @@ object FusionEngine {
     if (had) deleteRecursively(old)
   }
 
+  /** Serializes swap/recovery file moves JVM-wide (ADVICE r3): a reader's
+    * [[recoverSwap]] racing a writer inside [[atomicSwap]]'s two-move
+    * window could move `live_old` back to `live` between the moves,
+    * failing the writer's install and stranding `tmp`. The moves are
+    * metadata-only local-fs renames, so one coarse lock costs nothing;
+    * cross-PROCESS coordination stays out of scope (single-JVM engine,
+    * in-process server surface). */
+  private val swapLock = new Object
+
   /** Crash recovery for [[atomicSwap]]: when `live` is absent but
     * `live_old` exists (crash between the swap's two moves), the old
     * dir holds the only copy — move it back. Idempotent, cheap (two
     * existence checks), called at read sites so a post-crash reader
     * sees the pre-swap table instead of an empty one. */
-  private[graft] def recoverSwap(live: Path): Unit = {
+  private[graft] def recoverSwap(live: Path): Unit = swapLock.synchronized {
     val old = live.resolveSibling(live.getFileName.toString + "_old")
     if (!Files.exists(live) && Files.exists(old))
       Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)

@@ -115,7 +115,13 @@ object Kernels {
     * `heaps(qi)` receives query `qi`'s candidates (pass subset-aligned
     * references for IVF). `out` is caller-owned scratch of ≥ nq floats.
     * `norm2` (optional): precomputed per-row squared norms — a prebuilt
-    * index computes them once at pack time instead of once per fleet. */
+    * index computes them once at pack time instead of once per fleet.
+    *
+    * Dot products accumulate in SINGLE precision (`out` is float — the
+    * price of the vectorizable SAXPY layout), and Euclidean uses the
+    * cancellation-prone norm identity: near-tied candidates may rank
+    * differently than a double-precision rescore (ADVICE r3 — tolerance
+    * documented at the public call sites). */
   def scoreTile(metric: Int, qp: QueryPack, xs: Array[Float], ids: Array[Long],
                 nRows: Int, heaps: Array[TopKHeap], out: Array[Float],
                 norm2: Array[Double] = null): Unit = {

