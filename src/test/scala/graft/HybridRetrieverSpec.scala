@@ -76,6 +76,38 @@ class HybridRetrieverSpec extends AnyFunSuite {
     assert(contents.forall(_ != null))
   }
 
+  test("scoredTopKBranches == per-branch orderBy/limit over the same corpus, in ONE scan") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${TestSpark.Sf0001}/documents.parquet")
+    val kwTerms = graft.functions.TextFunctions.queryTerms("data processing pipeline quality")
+    val treeTerms = graft.tree.TreeIndex.keywordTerms("data processing pipeline quality")
+    val kwScore = round(graft.functions.TextFunctions.bm25ish(col("text"), kwTerms), 6)
+    val treeScore = round(graft.tree.TreeIndex.keywordRelevance(treeTerms,
+      concat(concat(lit("doc "), col("doc_id")), lit("  "), col("text"))), 6)
+    val fetch = 20
+
+    val combined = HybridRetriever.scoredTopKBranches(docs, col("doc_id"), col("text"),
+      Seq(("keyword", kwScore, 0.0), ("tree", treeScore, 0.1)), fetch)
+
+    def oneBranch(score: org.apache.spark.sql.Column, min: Double, name: String) =
+      docs.withColumn("score", score).filter(col("score") > min)
+        .select(col("doc_id").as("id"), col("score"), col("text").as("content"))
+        .orderBy(desc("score"), asc("id")).limit(fetch)
+        .withColumn("strategy", lit(name))
+    val expected = oneBranch(kwScore, 0.0, "keyword").unionByName(oneBranch(treeScore, 0.1, "tree"))
+
+    val got = combined.select("strategy", "id", "score", "content")
+      .as[(String, Long, Double, String)].collect().toSet
+    val want = expected.select("strategy", "id", "score", "content")
+      .as[(String, Long, Double, String)].collect().toSet
+    assert(got == want)
+
+    // the point of the helper: the corpus appears ONCE in the physical plan
+    val plan = combined.queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).size <= 1,
+      s"expected a single documents scan, plan:\n$plan")
+  }
+
   test("adaptive weights: last-N average with defaults for silent strategies, normalized") {
     import java.sql.Timestamp
     val fb = Seq(
