@@ -43,21 +43,19 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
 
-    // Steady-state timing: best of `runs` timed passes — QPS probes
-    // measure the plan, not a transient scheduler hiccup (observed ~30%
-    // machine variance between otherwise identical runs).
-    def bestSec(runs: Int)(body: => Unit): Double = {
-      var best = Double.MaxValue
-      var i = 0
-      while (i < runs) {
+    // Steady-state timing: `runs` timed passes — QPS probes report the
+    // BEST (the plan's cost, not a transient scheduler hiccup; observed
+    // ~30% machine variance between otherwise identical runs) plus the
+    // full run list so the spread is visible (VERDICT r3 #5).
+    def timedRuns(runs: Int)(body: => Unit): Array[Double] =
+      Array.fill(runs) {
         val t0 = System.nanoTime()
         body
-        val sec = (System.nanoTime() - t0) / 1e9
-        if (sec < best) best = sec
-        i += 1
+        (System.nanoTime() - t0) / 1e9
       }
-      best
-    }
+    def bestSec(runs: Int)(body: => Unit): Double = timedRuns(runs)(body).min
+    def runsJson(secs: Array[Double], nQueries: Int): String =
+      secs.map(s => f"${nQueries / s}%.1f").mkString("[", ",", "]")
 
     // Throughput: 1,000-query batched exact kNN (topK=10) answered in one
     // job — mirrors the reference's 1,000-query bench loop, which runs
@@ -144,69 +142,118 @@ object Bench {
     // number is the packed-index path (build untimed, exactly as the
     // reference's HNSW build is untimed); the unindexed scan path is
     // reported alongside as *_scan_qps.
-    val qps100k =
+    // One scale probe: tile the embeddings to `target` rows and measure
+    // exact/IVF fleet QPS (best-of-3 with the run list — VERDICT r3 #5),
+    // the serving-session single-query p50 (driver-local kernel, no job
+    // — VERDICT r3 #1), the job-path p50 (honesty: what a cold Spark job
+    // costs), and IVF score-recall vs the exact top-k (ties from tiled
+    // duplicate vectors count as hits — id-based recall would undercount
+    // equal-score copies).
+    def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): String =
       try {
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val n = e.count()
-        val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
+        val copies = math.max(1, (target / math.max(1L, n)).toInt)
         val tiled = e.crossJoin(
             spark.range(copies).select(col("id").as("copy")))
           .select((col("vec_id") + col("copy") * n).as("vec_id"), col("embedding"))
           .repartition(cpus.toInt)
           .cache()
         val total = tiled.count() // materialize
-        val queries = e.filter(col("vec_id") < 256)
+        val queries = e.filter(col("vec_id") < nFleet)
           .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
           .toSeq
 
-        // exact: packed index (build untimed), then the fleet
+        // exact: packed index (build untimed, like the reference's HNSW
+        // build), then the fleet
         val idx = graft.search.PackedIndex.buildExact(tiled, "embedding", "vec_id")
         idx.search(queries.take(4), k = 10).count() // warm the path
-        val sec = bestSec(2)(idx.search(queries, k = 10).count(): Unit)
-        // single-query p50 (the reference's 0.5 ms row is per-query over
-        // its in-RAM graph; Spark's floor is per-job scheduling — report
-        // the honest measured number alongside fleet throughput)
-        val lats = (0 until 20).map { i =>
+        val exactRuns = timedRuns(3)(idx.search(queries, k = 10).count(): Unit)
+
+        // single-query p50, SERVING path: driver-local kernel over the
+        // same packed blocks — zero jobs (the reference's 0.5 ms row is
+        // per-query over its in-RAM graph; this is the comparable path)
+        val serving = graft.search.ServingSession.fromExact(idx)
+        val servingP50 = serving.map { s =>
+          s.searchOne(queries.head._2, k = 10) // warm (JIT)
+          val lats = (0 until 50).map { i =>
+            val t = System.nanoTime()
+            s.searchOne(queries(i % queries.size)._2, k = 10)
+            (System.nanoTime() - t) / 1e6
+          }.sorted
+          lats(lats.size / 2)
+        }.getOrElse(-1.0)
+        // single-query p50, JOB path (what falling back to the cluster
+        // costs — per-job scheduling floor, documented)
+        val jobLats = (0 until 20).map { i =>
           val t = System.nanoTime()
           idx.search(Seq(queries(i % queries.size)), k = 10).count()
           (System.nanoTime() - t) / 1e6
         }.sorted
-        val p50ms = lats(lats.size / 2)
+        val jobP50 = jobLats(jobLats.size / 2)
+
+        // exact top-k score floor per query (for IVF score-recall)
+        val exactKth = idx.search(queries, k = 10).groupBy("qid")
+          .agg(min("score").as("kth")).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         idx.unpersist()
 
         // exact, no index: straight scan over the cached DataFrame
-        val scanSec = bestSec(2)(graft.search.VectorSearch.knnBatchFast(
+        val scanRuns = timedRuns(2)(graft.search.VectorSearch.knnBatchFast(
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
-        // IVF at the same scale: 32 cells, 8 probes (~25% scanned)
-        val (ivfQps, ivfScanQps) =
+        // IVF at the same scale
+        val (ivfRuns, ivfScanQps, ivfRecall) =
           try {
-            val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = 32, maxIter = 5)
+            val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
             cells.count()
             val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
             val ivfIdx = graft.search.PackedIndex.buildIvf(cells, model)
-            ivfIdx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm
-            val qps = queries.size /
-              bestSec(2)(ivfIdx.search(qSeq, k = 10, nProbe = 8).count(): Unit)
+            ivfIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
+            val runs = timedRuns(3)(ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
+            // score-recall@10: an IVF hit scoring >= the exact kth score
+            // (minus float slack) is a true top-k member
+            val hits = ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+            val recall = hits.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
+              (queries.size * 10)
             ivfIdx.unpersist()
             val scanQps = queries.size / bestSec(2)(
-              graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = 8).count(): Unit)
+              graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
             cells.unpersist()
-            (qps, scanQps)
-          } catch { case _: Throwable => (-1.0, -1.0) }
+            (runs, scanQps, recall)
+          } catch { case _: Throwable => (Array(-1.0), -1.0, -1.0) }
         tiled.unpersist()
-        s"""{"n_vectors":$total,"n_queries":${queries.size},"exact_qps":${queries.size / sec},"ivf_qps":$ivfQps,"exact_scan_qps":${queries.size / scanSec},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$p50ms}"""
+        val nq = queries.size
+        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"ivf_qps":${nq / ivfRuns.min},"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] knn_100k failed: ${e.getMessage}"); "null"
+        System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
       }
+
+    // BASELINE-scale probe: the reference's headline row is 100k vectors
+    // (README.md:435 — 0.5 ms p50, ~2,000 QPS single-node HNSW, measured
+    // over a PREBUILT in-RAM index). 32 cells / 8 probes ≈ 25% scanned.
+    val qps100k = scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8)
+    // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
+    // 64 cells / 8 probes ≈ 12.5% scanned.
+    val qps1m = scaleProbe(1000000L, nFleet = 256, ivfCells = 64, ivfProbes = 8)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"knn_100k":$qps100k,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    // Durable copy FIRST (VERDICT r3 #2: BENCH_r03's captured stdout tail
+    // was truncated mid-JSON and the round lost its per-query history) —
+    // the file survives even if the console capture is cut.
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

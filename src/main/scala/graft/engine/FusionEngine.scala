@@ -215,6 +215,122 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     before - count(name)
   }
 
+  // ─── Serving tier (VERDICT r3 §Next #1) ───
+
+  /** One serving hit: the engine row's string id + score + content. */
+  final case class ServingHit(id: String, score: Double, content: String, rank: Int)
+
+  /** Driver-local serving snapshot of one collection: answers interactive
+    * queries from packed in-memory blocks via
+    * [[graft.search.ServingSession]] — NO Spark job, so the per-query
+    * cost is the scoring kernel itself (sub-ms at the reference's
+    * 100k-vector scale) instead of the ~60 ms per-job scheduling floor.
+    *
+    * Semantics vs [[FusionEngine.search]]: TTL expiry is applied at
+    * snapshot time and the handle self-invalidates at the earliest
+    * future expiry; tenant/metadata filtering is NOT served here —
+    * filtered calls stay on the job path (the snapshot holds vectors +
+    * content only). Scores come from the float kernel: near-tied ranks
+    * can differ from the declarative double path within ~1e-7 relative
+    * (documented in [[graft.search.Kernels.scoreTile]]); exact ties
+    * break identically (rows are snapshot in id order, so the kernel's
+    * id tie-break matches the job path's `ASC id`). */
+  final class ServingHandle private[FusionEngine] (
+      val collection: String,
+      session: graft.search.ServingSession.Exact,
+      metric: VectorSearch.Metric,
+      cosine: Boolean,
+      dims: Int,
+      ids: Array[String],
+      contents: Array[String],
+      private[FusionEngine] val version: Long,
+      minExpiryMs: Long,
+      private[FusionEngine] val estBytes: Long) {
+
+    /** Rows served (post-TTL snapshot count). */
+    def size: Long = session.n
+
+    private[FusionEngine] def stale(currentVersion: Long): Boolean =
+      version != currentVersion ||
+        (minExpiryMs != Long.MaxValue && System.currentTimeMillis() >= minExpiryMs)
+
+    /** Top-k for one query — driver-local, no job. */
+    def search(queryVec: Seq[Double], topK: Int = 10): Seq[ServingHit] = {
+      require(queryVec.length == dims,
+        s"query dimension ${queryVec.length} != collection dimension $dims")
+      val q = if (cosine) normalize(queryVec) else queryVec
+      session.search(Seq((0L, q.toArray)), topK, metric).map { case (_, sid, s, r) =>
+        ServingHit(ids(sid.toInt), s, contents(sid.toInt), r)
+      }
+    }
+  }
+
+  private val servingCache = new java.util.concurrent.ConcurrentHashMap[String, ServingHandle]()
+
+  /** Resident serving session for a collection, built lazily and cached;
+    * rebuilt automatically when the collection's data dir changes
+    * (every write path lands a file or swaps the dir — millisecond mtime
+    * granularity, ample for a serving cache) or a TTL row expires.
+    * Returns None when the collection is empty or its estimated resident
+    * footprint exceeds `maxBytes` (default 4 GiB) — callers fall back to
+    * the distributed [[search]] path, which remains the source of truth. */
+  def serving(name: String, maxBytes: Long = FusionEngine.DefaultServingBytes): Option[ServingHandle] = {
+    val cfg = getConfig(name)
+    val ver = dataVersion(name)
+    val cached = servingCache.get(name)
+    if (cached != null && !cached.stale(ver) && cached.estBytes <= maxBytes) Some(cached)
+    else {
+      servingCache.remove(name)
+      val built = buildServing(name, cfg, ver, maxBytes)
+      built.foreach(h => servingCache.put(name, h))
+      built
+    }
+  }
+
+  private def dataVersion(name: String): Long = {
+    FusionEngine.recoverSwap(dataDir(name))
+    if (Files.exists(dataDir(name)))
+      Files.getLastModifiedTime(dataDir(name)).toMillis
+    else -1L
+  }
+
+  private def buildServing(name: String, cfg: CollectionConfig, ver: Long,
+                           maxBytes: Long): Option[ServingHandle] = {
+    val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
+    val src = table(name).filter(alive)
+    // cheap size/expiry probe BEFORE collecting anything
+    val probe = src.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      coalesce(sum(length(col("content"))), lit(0L)).as("chars"),
+      min(when(col("ttl_ms").isNotNull, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
+      .collect()(0)
+    val n = probe.getLong(0)
+    val contentChars = probe.getLong(1)
+    val minExpiry = if (probe.isNullAt(2)) Long.MaxValue else probe.getLong(2)
+    // floats + ids/norms + JVM string overhead per row + content chars
+    val est = n * (cfg.dimensions.toLong * 4 + 16 + 96) + contentChars * 2
+    if (n == 0 || est > maxBytes) return None
+    // id-ordered snapshot: the kernel's long tie-break then equals the
+    // job path's `ASC id` string tie-break
+    val rows = src.select(col("id"), col("vector"), col("content"))
+      .orderBy(col("id")).collect()
+    val ids = new Array[String](rows.length)
+    val contents = new Array[String](rows.length)
+    val packed = rows.iterator.zipWithIndex.map { case (r, i) =>
+      ids(i) = r.getString(0)
+      contents(i) = if (r.isNullAt(2)) null else r.getString(2)
+      val v = if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray
+      (i.toLong, v)
+    }
+    val session = graft.search.ServingSession.fromLocalRows(packed, cfg.dimensions)
+    val m = cfg.distanceMetric match {
+      case "cosine" => VectorSearch.CosineUnit // normalized at insert
+      case other    => VectorSearch.metric(other)
+    }
+    Some(new ServingHandle(name, session, m, cfg.distanceMetric == "cosine",
+      cfg.dimensions, ids, contents, ver, minExpiry, est))
+  }
+
   // ─── Tenant proxy (`FusionEngine.js:258-270`) ───
 
   /** Tenant-scoped view. Quirk preserved from the reference: `get` and
@@ -337,6 +453,9 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
 }
 
 object FusionEngine {
+
+  /** Serving-cache resident-footprint cap (see [[FusionEngine.serving]]). */
+  val DefaultServingBytes: Long = 4L << 30
 
   /** Canonical collection schema (FIXTURES.md §1). */
   val Schema: StructType = StructType(Seq(

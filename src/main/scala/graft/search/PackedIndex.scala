@@ -32,8 +32,9 @@ object PackedIndex {
   final case class CellBlock(cell: Int, ids: Array[Long], xs: Array[Float], norm2: Array[Double])
 
   /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
-    * most [[Kernels.TileRows]] rows. */
-  private def packRows(it: Iterator[(Long, Array[Float])], dim: Int): Iterator[VecBlock] =
+    * most [[Kernels.TileRows]] rows. Also the driver-local pack path
+    * ([[ServingSession]]). */
+  private[search] def packRows(it: Iterator[(Long, Array[Float])], dim: Int): Iterator[VecBlock] =
     it.filter { case (_, v) => v != null && v.length == dim } // skip malformed
       .grouped(Kernels.TileRows).map { g =>
         val n = g.length

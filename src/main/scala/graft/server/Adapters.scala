@@ -79,9 +79,21 @@ final class EngineFacade(
     case "search" =>
       val coll = jfield(body, "collection").getOrElse(throw new IllegalArgumentException("collection required"))
       val q = jfield(body, "query").getOrElse(throw new IllegalArgumentException("query required"))
-      val hits = engine.search(coll, embedder.embed(q).map(_.toDouble).toSeq,
-        topK = jint(body, "topK", 10))
-      rowsJson(hits.select($"id", $"score", $"content"))
+      val topK = jint(body, "topK", 10)
+      val qv = embedder.embed(q).map(_.toDouble).toSeq
+      // Interactive surface: answer from the engine's resident serving
+      // snapshot when the collection fits (no Spark job — sub-ms kernel
+      // vs the per-job scheduling floor); oversized collections fall
+      // back to the distributed path. Scores are float-kernel-computed:
+      // near-ties may order within ~1e-7 of the job path (documented).
+      engine.serving(coll) match {
+        case Some(h) =>
+          h.search(qv, topK).map { hit =>
+            s"""{"id":${jstr(hit.id)},"score":${hit.score},"content":${jstr(Option(hit.content).getOrElse(""))}}"""
+          }.mkString("[", ",", "]")
+        case None =>
+          rowsJson(engine.search(coll, qv, topK).select($"id", $"score", $"content"))
+      }
 
     case "hybrid_search" =>
       val coll = jfield(body, "collection").getOrElse(throw new IllegalArgumentException("collection required"))

@@ -34,6 +34,66 @@ class FusionEngineSpec extends AnyFunSuite {
     e.insert(coll, Embed.withEmbedding(df, "content", "vector", embedder))
   }
 
+  test("serving tier: matches the job path, invalidates on mutation, falls back over the cap") {
+    val e = freshEngine()
+    insertDemo(e)
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+
+    val h = e.serving("demo").getOrElse(fail("4 docs must fit the serving cap"))
+    assert(h.size == 4)
+    val served = h.search(qv, topK = 3)
+    val job = e.search("demo", qv, topK = 3)
+      .select("id", "score", "content").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2)))
+    assert(served.map(_.id) == job.map(_._1).toSeq) // same ranking
+    served.zip(job).foreach { case (s, (_, js, jc)) =>
+      assert(math.abs(s.score - js) < 1e-5, "float-kernel score within documented tolerance")
+      assert(s.content == jc)
+    }
+    assert(served.map(_.rank) == Seq(1, 2, 3))
+
+    // cached handle is reused while the collection is unchanged
+    assert(e.serving("demo").get eq h)
+
+    // a mutation invalidates: the new row must be visible
+    Thread.sleep(5) // dir mtime granularity
+    e.insert("demo", Embed.withEmbedding(
+      Seq("d5" -> "chemical safety requirements exactly").toDF("id", "content"),
+      "content", "vector", embedder))
+    val h2 = e.serving("demo").get
+    assert(!(h2 eq h) && h2.size == 5)
+    assert(h2.search(qv, topK = 1).head.id == "d5" ||
+      h2.search(qv, topK = 5).map(_.id).contains("d5"))
+
+    // over the cap: serving declines, callers keep the job path
+    assert(e.serving("demo", maxBytes = 64L).isEmpty)
+    // query dimension is validated like the job path
+    assertThrows[IllegalArgumentException](h2.search(Seq(1.0, 2.0), topK = 1))
+  }
+
+  test("serving tier: TTL rows are excluded at snapshot and expiry invalidates the handle") {
+    val e = freshEngine()
+    e.createCollection("sttl", CollectionConfig(dimensions = 64))
+    val now = System.currentTimeMillis()
+    val df = Seq("live" -> "stays", "dead" -> "expires", "gone" -> "already expired")
+      .toDF("id", "content")
+    e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "live"), "content", "vector", embedder))
+    // already expired at snapshot time: backdated 10 s with a 1 s TTL
+    e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "gone"), "content", "vector", embedder),
+      ttlMs = Some(1000L), now = Some(new Timestamp(now - 10000)))
+    // expires 4 s from now — ample headroom for the snapshot's warm jobs
+    e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "dead"), "content", "vector", embedder),
+      ttlMs = Some(4000L), now = Some(new Timestamp(now)))
+    val qv = embedder.embed("stays").map(_.toDouble).toSeq
+    val h = e.serving("sttl").get
+    assert(h.search(qv, topK = 5).map(_.id).toSet == Set("live", "dead")) // gone pre-filtered
+    Thread.sleep(now + 4100 - System.currentTimeMillis()) // past dead's expiry
+    // expiry passed -> handle is stale -> rebuilt snapshot drops the row
+    val h2 = e.serving("sttl").get
+    assert(!(h2 eq h))
+    assert(h2.search(qv, topK = 5).map(_.id) == Seq("live"))
+  }
+
   test("collection CRUD: create/list/get/delete, duplicate + missing throw") {
     val e = freshEngine()
     e.createCollection("a", CollectionConfig(dimensions = 4))

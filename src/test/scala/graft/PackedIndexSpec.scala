@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ann.Ann
-import graft.search.{PackedIndex, VectorSearch}
+import graft.search.{PackedIndex, ServingSession, VectorSearch}
 
 class PackedIndexSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -38,6 +38,52 @@ class PackedIndexSpec extends AnyFunSuite {
       val scan = Ann.ivfSearchBatchFast(cells, model, queries, k = 5, nProbe = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(packed == scan)
+    } finally { idx.unpersist(); cells.unpersist() }
+  }
+
+  test("serving session (driver-local) == distributed packed search, every metric, rank included") {
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val idx = PackedIndex.buildExact(e, "embedding", "vec_id")
+    try {
+      val local = ServingSession.fromExact(idx)
+        .getOrElse(fail("sf0.001 embeddings must fit the serving cap"))
+      for (m <- Seq(VectorSearch.Cosine, VectorSearch.CosineUnit,
+                    VectorSearch.DotProduct, VectorSearch.Euclidean)) {
+        val dist = idx.search(queries, k = 10, m)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+        val loc = local.search(queries, k = 10, m).toSet
+        assert(loc == dist, s"metric $m")
+      }
+      // searchOne agrees with the fleet path for a single query
+      val one = local.searchOne(queries.head._2, k = 10)
+      val fleetOne = local.search(Seq((0L, queries.head._2)), k = 10)
+        .map { case (_, id, s, r) => (id, s, r) }
+      assert(one == fleetOne)
+    } finally idx.unpersist()
+  }
+
+  test("serving session respects the driver-memory cap (oversized collection -> None)") {
+    val idx = PackedIndex.buildExact(e, "embedding", "vec_id")
+    try assert(ServingSession.fromExact(idx, maxBytes = 16L).isEmpty)
+    finally idx.unpersist()
+  }
+
+  test("IVF serving session == distributed IVF packed search") {
+    val model = Ann.trainIvf(e, "embedding", nCells = 4)
+    val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val idx = PackedIndex.buildIvf(cells, model)
+    try {
+      val local = ServingSession.fromIvf(idx)
+        .getOrElse(fail("sf0.001 embeddings must fit the serving cap"))
+      val dist = idx.search(queries, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val loc = local.search(queries, k = 5, nProbe = 2).toSet
+      assert(loc == dist)
     } finally { idx.unpersist(); cells.unpersist() }
   }
 
