@@ -236,10 +236,12 @@ object Bench {
               graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
             cells.unpersist()
             (runs, scanQps, recall)
-          } catch { case _: Throwable => (Array(-1.0), -1.0, -1.0) }
+          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0) }
         tiled.unpersist()
         val nq = queries.size
-        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":${nq / ivfRuns.min},"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
+        // -1.0 failure sentinel, consistent with every other metric
+        val ivfQps = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
+        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":$ivfQps,"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
       }

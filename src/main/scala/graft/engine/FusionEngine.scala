@@ -83,6 +83,8 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   def deleteCollection(name: String): Boolean = {
     val existed = Files.exists(dir(name))
     if (existed) deleteRecursively(dir(name))
+    servingCache.remove(name)
+    bumpWrite(name)
     existed
   }
 
@@ -176,6 +178,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     // Hive-partitioned layout: tenant filters prune at the storage level
     (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
       .parquet(dataDir(name).toString)
+    bumpWrite(name)
   }
 
   /** Delete by ids — anti-filter rewrite with an atomic dir swap.
@@ -197,6 +200,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   def clear(name: String): Unit = {
     getConfig(name)
     if (Files.exists(dataDir(name))) deleteRecursively(dataDir(name))
+    bumpWrite(name)
   }
 
   /** Rewrite the collection without rows matching `condemned`
@@ -212,6 +216,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
       .parquet(tmp.toString)
     FusionEngine.atomicSwap(dataDir(name), tmp)
+    bumpWrite(name)
     before - count(name)
   }
 
@@ -266,20 +271,31 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   }
 
   private val servingCache = new java.util.concurrent.ConcurrentHashMap[String, ServingHandle]()
+  // Monotonic per-collection write counter, bumped by THIS engine's write
+  // paths: closes the same-millisecond (or coarse-mtime-filesystem) hole
+  // where a write lands without changing the data dir's mtime. External
+  // writers are still caught by the mtime half of the version.
+  private val writeCounters = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def bumpWrite(name: String): Unit =
+    writeCounters.computeIfAbsent(name, _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
 
   /** Resident serving session for a collection, built lazily and cached;
-    * rebuilt automatically when the collection's data dir changes
-    * (every write path lands a file or swaps the dir — millisecond mtime
-    * granularity, ample for a serving cache) or a TTL row expires.
-    * Returns None when the collection is empty or its estimated resident
-    * footprint exceeds `maxBytes` (default 4 GiB) — callers fall back to
-    * the distributed [[search]] path, which remains the source of truth. */
+    * rebuilt automatically when the collection changes (data-dir mtime OR
+    * this engine's write counter — either moving invalidates) or a TTL
+    * row expires. Returns None when the collection is empty or its
+    * estimated resident footprint exceeds `maxBytes` (default 4 GiB) —
+    * callers fall back to the distributed [[search]] path, which remains
+    * the source of truth. A cap miss on a still-valid cached handle
+    * leaves the cache untouched for other callers. */
   def serving(name: String, maxBytes: Long = FusionEngine.DefaultServingBytes): Option[ServingHandle] = {
     val cfg = getConfig(name)
     val ver = dataVersion(name)
     val cached = servingCache.get(name)
-    if (cached != null && !cached.stale(ver) && cached.estBytes <= maxBytes) Some(cached)
-    else {
+    if (cached != null && !cached.stale(ver)) {
+      if (cached.estBytes <= maxBytes) Some(cached)
+      else None // over this caller's cap; keep the handle for others
+    } else {
       servingCache.remove(name)
       val built = buildServing(name, cfg, ver, maxBytes)
       built.foreach(h => servingCache.put(name, h))
@@ -287,11 +303,19 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Collection version = data-dir mtime combined with this engine's
+    * write counter (see [[bumpWrite]]). */
   private def dataVersion(name: String): Long = {
     FusionEngine.recoverSwap(dataDir(name))
-    if (Files.exists(dataDir(name)))
-      Files.getLastModifiedTime(dataDir(name)).toMillis
-    else -1L
+    val mtime =
+      if (Files.exists(dataDir(name)))
+        Files.getLastModifiedTime(dataDir(name)).toMillis
+      else -1L
+    val writes = writeCounters.get(name) match {
+      case null => 0L
+      case c => c.get()
+    }
+    mtime * 1000003L + writes
   }
 
   private def buildServing(name: String, cfg: CollectionConfig, ver: Long,
@@ -302,7 +326,9 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val probe = src.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
       coalesce(sum(length(col("content"))), lit(0L)).as("chars"),
-      min(when(col("ttl_ms").isNotNull, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
+      // ttl_ms <= 0 means never-expires (ttlAlive) — exclude it here or
+      // minExpiry lands in the past and the handle is permanently stale
+      min(when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
       .collect()(0)
     val n = probe.getLong(0)
     val contentChars = probe.getLong(1)

@@ -145,10 +145,17 @@ object HybridRetriever {
     val names = scorers.map(_._1).toArray
     val mins = scorers.map(_._3).toArray
     val nS = names.length
+    if (fetch <= 0) // parity with orderBy().limit(<=0): empty, not an error
+      return Seq.empty[(Long, Double, String, String)].toDF("id", "score", "content", "strategy")
 
+    // null score (e.g. a scorer over null text) = miss, like the
+    // per-branch `filter(score > min)` this replaces — -Inf never
+    // exceeds a finite threshold (and avoids the non-nullable Array
+    // decode failing on a null element)
     val partial = corpus
       .select(idCol.cast("long").as("id"), contentCol.cast("string").as("content"),
-        array(scorers.map(_._2.cast("double")): _*).as("s"))
+        array(scorers.map(s =>
+          coalesce(s._2.cast("double"), lit(Double.NegativeInfinity))): _*).as("s"))
       .as[(Long, String, Array[Double])]
       .mapPartitions { it =>
         // worst-first queues: head = lowest score, ties broken by

@@ -65,8 +65,10 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(h2.search(qv, topK = 1).head.id == "d5" ||
       h2.search(qv, topK = 5).map(_.id).contains("d5"))
 
-    // over the cap: serving declines, callers keep the job path
+    // over the cap: serving declines for THIS caller but keeps the valid
+    // cached handle for everyone else (no rebuild thrash)
     assert(e.serving("demo", maxBytes = 64L).isEmpty)
+    assert(e.serving("demo").get eq h2)
     // query dimension is validated like the job path
     assertThrows[IllegalArgumentException](h2.search(Seq(1.0, 2.0), topK = 1))
   }
@@ -77,17 +79,21 @@ class FusionEngineSpec extends AnyFunSuite {
     val now = System.currentTimeMillis()
     val df = Seq("live" -> "stays", "dead" -> "expires", "gone" -> "already expired")
       .toDF("id", "content")
-    e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "live"), "content", "vector", embedder))
+    // ttl_ms = 0 is the never-expires encoding (ttlAlive) — it must NOT
+    // contribute a past minExpiry that leaves the handle permanently stale
+    e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "live"), "content", "vector", embedder),
+      ttlMs = Some(0L))
     // already expired at snapshot time: backdated 10 s with a 1 s TTL
     e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "gone"), "content", "vector", embedder),
       ttlMs = Some(1000L), now = Some(new Timestamp(now - 10000)))
-    // expires 4 s from now — ample headroom for the snapshot's warm jobs
+    // expires 8 s from now — ample headroom for the snapshot's warm jobs
     e.insert("sttl", Embed.withEmbedding(df.filter($"id" === "dead"), "content", "vector", embedder),
-      ttlMs = Some(4000L), now = Some(new Timestamp(now)))
+      ttlMs = Some(8000L), now = Some(new Timestamp(now)))
     val qv = embedder.embed("stays").map(_.toDouble).toSeq
     val h = e.serving("sttl").get
     assert(h.search(qv, topK = 5).map(_.id).toSet == Set("live", "dead")) // gone pre-filtered
-    Thread.sleep(now + 4100 - System.currentTimeMillis()) // past dead's expiry
+    assert(e.serving("sttl").get eq h) // ttl_ms=0 row doesn't perma-stale the handle
+    Thread.sleep(math.max(0L, now + 8100 - System.currentTimeMillis())) // past dead's expiry
     // expiry passed -> handle is stale -> rebuilt snapshot drops the row
     val h2 = e.serving("sttl").get
     assert(!(h2 eq h))

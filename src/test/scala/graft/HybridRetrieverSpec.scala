@@ -108,6 +108,19 @@ class HybridRetrieverSpec extends AnyFunSuite {
       s"expected a single documents scan, plan:\n$plan")
   }
 
+  test("scoredTopKBranches: null-text rows are misses (not a decode crash); fetch<=0 is empty") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val terms = graft.functions.TextFunctions.queryTerms("alpha beta")
+    val score = round(graft.functions.TextFunctions.bm25ish(col("text"), terms), 6)
+    val out = HybridRetriever.scoredTopKBranches(df, col("doc_id"), col("text"),
+      Seq(("keyword", score, 0.0)), fetch = 10)
+    assert(out.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(HybridRetriever.scoredTopKBranches(df, col("doc_id"), col("text"),
+      Seq(("keyword", score, 0.0)), fetch = 0).count() == 0)
+  }
+
   test("adaptive weights: last-N average with defaults for silent strategies, normalized") {
     import java.sql.Timestamp
     val fb = Seq(
