@@ -177,6 +177,59 @@ object Kernels {
     }
   }
 
+  /** Single-query top-k kernel over packed rows — the serving path's
+    * interactive shape. The fleet tile kernel degenerates at nq = 1 (its
+    * per-dim SAXPY becomes a store-load dependency chain through a
+    * 1-element scratch array); this loop keeps four independent DOUBLE
+    * accumulators in registers instead. Double accumulation makes the
+    * single-query score at least as precise as the declarative path —
+    * near-tied ranks may differ from the float fleet kernel within the
+    * tolerance documented on [[scoreTile]].
+    *
+    * `invNormQ` = 1/‖q‖ (0 for a zero query), `norm2Q` = ‖q‖². */
+  def scoreSingle(metric: Int, q: Array[Float], invNormQ: Double, norm2Q: Double,
+                  xs: Array[Float], ids: Array[Long], n: Int,
+                  norm2: Array[Double], heap: TopKHeap): Unit = {
+    val dim = q.length
+    var r = 0
+    while (r < n) {
+      val off = r * dim
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var d = 0
+      val lim = dim - 3
+      while (d < lim) {
+        s0 += xs(off + d).toDouble * q(d)
+        s1 += xs(off + d + 1).toDouble * q(d + 1)
+        s2 += xs(off + d + 2).toDouble * q(d + 2)
+        s3 += xs(off + d + 3).toDouble * q(d + 3)
+        d += 4
+      }
+      while (d < dim) { s0 += xs(off + d).toDouble * q(d); d += 1 }
+      val dot = (s0 + s1) + (s2 + s3)
+      val id = ids(r)
+      @inline def rowNorm2: Double =
+        if (norm2 ne null) norm2(r)
+        else {
+          var vn2 = 0.0
+          var d2 = 0
+          while (d2 < dim) { val x = xs(off + d2).toDouble; vn2 += x * x; d2 += 1 }
+          vn2
+        }
+      metric match {
+        case MetricCosine =>
+          val vn2 = rowNorm2
+          val inv = if (vn2 > 0) 1.0 / math.sqrt(vn2) else 0.0
+          heap.offer(dot * inv * invNormQ, id)
+        case MetricCosineUnit => heap.offer(dot, id)
+        case MetricDot => heap.offer(1.0 + dot, id)
+        case MetricEuclidean =>
+          val sq = norm2Q + rowNorm2 - 2.0 * dot
+          heap.offer(1.0 - math.sqrt(if (sq > 0) sq else 0.0), id)
+      }
+      r += 1
+    }
+  }
+
   /** Rows per scoring tile — sized so tile floats (tile × dim × 4 B) stay
     * L2-resident at typical dims. */
   val TileRows = 1024

@@ -72,7 +72,10 @@ object ServingSession {
                                              val dim: Int, val n: Long) {
 
     /** Top-k per query: `(qid, id, score, rank)` — same rows the
-      * distributed [[PackedIndex.Exact.search]] returns, no job. */
+      * distributed [[PackedIndex.Exact.search]] returns, no job.
+      * Single-query calls route to [[Kernels.scoreSingle]] (double
+      * accumulators — at least as precise as the fleet tile; near-tied
+      * ranks may differ within the documented float tolerance). */
     def search(queries: Seq[(Long, Array[Double])], k: Int,
                m: VectorSearch.Metric = VectorSearch.Cosine): Seq[(Long, Long, Double, Int)] = {
       val qids = queries.map(_._1).toArray
@@ -84,6 +87,7 @@ object ServingSession {
         case VectorSearch.DotProduct => Kernels.MetricDot
         case VectorSearch.Euclidean => Kernels.MetricEuclidean
       }
+      if (qids.length == 1) return searchSingle(qids(0), qVecs(0), k, code)
       val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
         math.max(1, blocks.length / 4))
       val heaps =
@@ -126,6 +130,46 @@ object ServingSession {
     def searchOne(q: Array[Double], k: Int,
                   m: VectorSearch.Metric = VectorSearch.Cosine): Seq[(Long, Double, Int)] =
       search(Seq((0L, q)), k, m).map { case (_, id, s, r) => (id, s, r) }
+
+    private def searchSingle(qid: Long, qv: Array[Float], k: Int,
+                             code: Int): Seq[(Long, Long, Double, Int)] = {
+      var n2 = 0.0
+      var d = 0
+      while (d < qv.length) { n2 += qv(d).toDouble * qv(d); d += 1 }
+      val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+      val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
+        math.max(1, blocks.length / 4))
+      val heaps =
+        if (n < ParallelRowThreshold || nThreads <= 1) {
+          val h = new Kernels.TopKHeap(k)
+          var b = 0
+          while (b < blocks.length) {
+            val blk = blocks(b)
+            Kernels.scoreSingle(code, qv, invNorm, n2, blk.xs, blk.ids,
+              blk.ids.length, blk.norm2, h)
+            b += 1
+          }
+          Array(h)
+        } else {
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val h = new Kernels.TopKHeap(k)
+              var b = t
+              while (b < blocks.length) {
+                val blk = blocks(b)
+                Kernels.scoreSingle(code, qv, invNorm, n2, blk.xs, blk.ids,
+                  blk.ids.length, blk.norm2, h)
+                b += nThreads
+              }
+              h
+            }
+            .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
+          val merged = new Kernels.TopKHeap(k)
+          workers.forEach(w => w.foreachEntry((s, id) => merged.offer(s, id)))
+          Array(merged)
+        }
+      rank(heaps, Array(qid), k)
+    }
   }
 
   /** Driver-local IVF index: per-cell blocks, probe-pruned scoring. */
@@ -133,7 +177,9 @@ object ServingSession {
                                            val cellBlocks: Array[Array[CellBlock]],
                                            val dim: Int) {
 
-    /** Cosine top-k per query over the probed cells only. */
+    /** Cosine top-k per query over the probed cells only (per-query
+      * [[Kernels.scoreSingle]] — the probe set differs per query, so the
+      * fleet tile shape does not apply). */
     def search(queries: Seq[(Long, Seq[Double])], k: Int,
                nProbe: Int): Seq[(Long, Long, Double, Int)] = {
       val qArr = queries.toArray
@@ -143,17 +189,20 @@ object ServingSession {
       var qi = 0
       while (qi < qArr.length) {
         val qv = qArr(qi)._2.toArray
-        val qp = Kernels.packQueries(Array(qv.map(_.toFloat)))
-        val hs = Array(heaps(qi))
-        val out = new Array[Float](1)
+        val qf = qv.map(_.toFloat)
+        var n2 = 0.0
+        var d = 0
+        while (d < qf.length) { n2 += qf(d).toDouble * qf(d); d += 1 }
+        val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+        val h = heaps(qi)
         model.nearestCells(qv, nProbe).foreach { c =>
           if (c >= 0 && c < cellBlocks.length) {
             val blks = cellBlocks(c)
             var b = 0
             while (b < blks.length) {
               val blk = blks(b)
-              Kernels.scoreTile(Kernels.MetricCosine, qp, blk.xs, blk.ids,
-                blk.ids.length, hs, out, blk.norm2)
+              Kernels.scoreSingle(Kernels.MetricCosine, qf, invNorm, n2,
+                blk.xs, blk.ids, blk.ids.length, blk.norm2, h)
               b += 1
             }
           }

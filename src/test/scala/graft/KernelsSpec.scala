@@ -24,6 +24,53 @@ class KernelsSpec extends AnyFunSuite {
     assert(h.size == 2)
   }
 
+  test("scoreSingle == naive double-precision scoring, every metric, dim not divisible by 4") {
+    val rnd = new scala.util.Random(7)
+    val dim = 13 // exercises the unroll tail
+    val n = 257
+    val rows = Array.fill(n)(Array.fill(dim)(rnd.nextFloat() * 2 - 1))
+    val ids = Array.tabulate(n)(_.toLong)
+    val xs = new Array[Float](n * dim)
+    val norm2 = rows.map { v =>
+      var s = 0.0; var d = 0
+      while (d < dim) { s += v(d).toDouble * v(d); d += 1 }
+      s
+    }
+    rows.zipWithIndex.foreach { case (v, i) => System.arraycopy(v, 0, xs, i * dim, dim) }
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    var qn2 = 0.0
+    (0 until dim).foreach(d => qn2 += q(d).toDouble * q(d))
+    val qInv = 1.0 / math.sqrt(qn2)
+
+    def naive(metric: Int, v: Array[Float], vn2: Double): Double = {
+      var dot = 0.0
+      (0 until dim).foreach(d => dot += v(d).toDouble * q(d))
+      metric match {
+        case Kernels.MetricCosine => dot / (math.sqrt(vn2) * math.sqrt(qn2))
+        case Kernels.MetricCosineUnit => dot
+        case Kernels.MetricDot => 1.0 + dot
+        case Kernels.MetricEuclidean =>
+          val sq = qn2 + vn2 - 2.0 * dot
+          1.0 - math.sqrt(math.max(sq, 0.0))
+      }
+    }
+    for (metric <- Seq(Kernels.MetricCosine, Kernels.MetricCosineUnit,
+                       Kernels.MetricDot, Kernels.MetricEuclidean)) {
+      val h = new Kernels.TopKHeap(10)
+      Kernels.scoreSingle(metric, q, qInv, qn2, xs, ids, n, norm2, h)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+      h.foreachEntry((s, id) => kept += ((s, id)))
+      val expect = rows.indices
+        .map(i => (naive(metric, rows(i), norm2(i)), i.toLong))
+        .sortBy(t => (-t._1, t._2)).take(10)
+      val got = kept.sortBy(t => (-t._1, t._2))
+      assert(got.map(_._2) == expect.map(_._2), s"metric $metric ids")
+      got.zip(expect).foreach { case ((gs, _), (es, _)) =>
+        assert(math.abs(gs - es) < 1e-12, s"metric $metric score") // same doubles, order aside
+      }
+    }
+  }
+
   test("knnBatchFast matches the declarative knn per query, every metric") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 5)

@@ -61,6 +61,13 @@ class PackedIndexSpec extends AnyFunSuite {
       val fleetOne = local.search(Seq((0L, queries.head._2)), k = 10)
         .map { case (_, id, s, r) => (id, s, r) }
       assert(one == fleetOne)
+      // single-query kernel (double accumulators) vs the distributed
+      // float fleet path: same ids/ranks, scores within tolerance
+      val distOne = idx.search(Seq((0L, queries.head._2)), k = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(_._3)
+      assert(one.map(t => (t._1, t._3)) == distOne.map(t => (t._1, t._3)).toSeq)
+      one.zip(distOne).foreach { case (l, d) => assert(math.abs(l._2 - d._2) < 1e-5) }
     } finally idx.unpersist()
   }
 
@@ -81,9 +88,13 @@ class PackedIndexSpec extends AnyFunSuite {
       val local = ServingSession.fromIvf(idx)
         .getOrElse(fail("sf0.001 embeddings must fit the serving cap"))
       val dist = idx.search(queries, k = 5, nProbe = 2)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-      val loc = local.search(queries, k = 5, nProbe = 2).toSet
-      assert(loc == dist)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val loc = local.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      // serving scores are double-accumulated (Kernels.scoreSingle): same
+      // ids/ranks, scores within the documented float tolerance
+      assert(loc.map(t => (t._1, t._2, t._4)) == dist.map(t => (t._1, t._2, t._4)).toSeq)
+      loc.zip(dist).foreach { case (l, d) => assert(math.abs(l._3 - d._3) < 1e-5) }
     } finally { idx.unpersist(); cells.unpersist() }
   }
 
