@@ -62,7 +62,7 @@ object Bench {
     // over a PREBUILT in-RAM HNSW. batch_knn_qps is the packed-index
     // fleet (build untimed, like the reference's build); the
     // parquet-scan path is reported as batch_knn_scan_qps.
-    val (qps, scanQps1k, servingQps1k) =
+    val (qps, scanQps1k, servingQps1k, servingP50Small) =
       try {
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -74,18 +74,26 @@ object Bench {
         idx.search(queries.take(4), k = 10).count() // warm
         val q1 = queries.size / bestSec(2)(idx.search(queries, k = 10).count(): Unit)
         // serving path: same fleet answered driver-locally (no job) —
-        // the closest protocol to the reference's in-process bench loop
-        val servingQps = graft.search.ServingSession.fromExact(idx).map { s =>
+        // the closest protocol to the reference's in-process bench loop;
+        // also the single-query p50 at this (small) scale, pairing the
+        // baseline's 1k-scale p50 row
+        val (servingQps, servingP50) = graft.search.ServingSession.fromExact(idx).map { s =>
           s.search(queries.take(4), k = 10) // warm
-          queries.size / timedRuns(3)(s.search(queries, k = 10): Unit).min
-        }.getOrElse(-1.0)
+          val fleet = queries.size / timedRuns(3)(s.search(queries, k = 10): Unit).min
+          val lats = (0 until 50).map { i =>
+            val t0 = System.nanoTime()
+            s.searchOne(queries(i % queries.size)._2, k = 10)
+            (System.nanoTime() - t0) / 1e6
+          }.sorted
+          (fleet, lats(lats.size / 2))
+        }.getOrElse((-1.0, -1.0))
         idx.unpersist()
         val q2 = queries.size / bestSec(2)(graft.search.VectorSearch.knnBatchFast(
           e, queries, k = 10, m = graft.search.VectorSearch.Cosine,
           vectorCol = "embedding", idCol = "vec_id").count(): Unit)
-        (q1, q2, servingQps)
+        (q1, q2, servingQps, servingP50)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] batch_knn failed: ${e.getMessage}"); (-1.0, -1.0, -1.0)
+        System.err.println(s"[bench] batch_knn failed: ${e.getMessage}"); (-1.0, -1.0, -1.0, -1.0)
       }
 
     // ANN scale path: the full recall / scanned-fraction tradeoff
@@ -246,9 +254,9 @@ object Bench {
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
       }
 
-    // BASELINE-scale probe: the reference's headline row is 100k vectors
-    // (README.md:435 — 0.5 ms p50, ~2,000 QPS single-node HNSW, measured
-    // over a PREBUILT in-RAM index). 32 cells / 8 probes ≈ 25% scanned.
+    // BASELINE-scale probes — one per row of the reference's README
+    // table (10k: 0.3 ms p50 / ~3,300 QPS; 100k: 0.5 ms / ~2,000 QPS).
+    val qps10k = scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 4)
     val qps100k = scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8)
     // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
     // 64 cells / 8 probes ≈ 12.5% scanned.
@@ -257,7 +265,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"knn_10k":$qps10k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable copy FIRST (VERDICT r3 #2: BENCH_r03's captured stdout tail
     // was truncated mid-JSON and the round lost its per-query history) —
     // the file survives even if the console capture is cut.

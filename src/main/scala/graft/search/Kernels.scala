@@ -180,11 +180,12 @@ object Kernels {
   /** Single-query top-k kernel over packed rows — the serving path's
     * interactive shape. The fleet tile kernel degenerates at nq = 1 (its
     * per-dim SAXPY becomes a store-load dependency chain through a
-    * 1-element scratch array); this loop keeps four independent DOUBLE
-    * accumulators in registers instead. Double accumulation makes the
-    * single-query score at least as precise as the declarative path —
-    * near-tied ranks may differ from the float fleet kernel within the
-    * tolerance documented on [[scoreTile]].
+    * 1-element scratch array); this loop keeps four independent FLOAT
+    * accumulator lanes in registers — the SLP pattern HotSpot
+    * auto-vectorizes (measured 2.5× over double lanes at 64-D).
+    * Accumulation is single-precision with a different summation order
+    * than both the fleet tile and the declarative path: near-tied ranks
+    * may differ within the tolerance documented on [[scoreTile]].
     *
     * `invNormQ` = 1/‖q‖ (0 for a zero query), `norm2Q` = ‖q‖². */
   def scoreSingle(metric: Int, q: Array[Float], invNormQ: Double, norm2Q: Double,
@@ -194,18 +195,18 @@ object Kernels {
     var r = 0
     while (r < n) {
       val off = r * dim
-      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
       var d = 0
       val lim = dim - 3
       while (d < lim) {
-        s0 += xs(off + d).toDouble * q(d)
-        s1 += xs(off + d + 1).toDouble * q(d + 1)
-        s2 += xs(off + d + 2).toDouble * q(d + 2)
-        s3 += xs(off + d + 3).toDouble * q(d + 3)
+        s0 += xs(off + d) * q(d)
+        s1 += xs(off + d + 1) * q(d + 1)
+        s2 += xs(off + d + 2) * q(d + 2)
+        s3 += xs(off + d + 3) * q(d + 3)
         d += 4
       }
-      while (d < dim) { s0 += xs(off + d).toDouble * q(d); d += 1 }
-      val dot = (s0 + s1) + (s2 + s3)
+      while (d < dim) { s0 += xs(off + d) * q(d); d += 1 }
+      val dot = ((s0 + s1) + (s2 + s3)).toDouble
       val id = ids(r)
       @inline def rowNorm2: Double =
         if (norm2 ne null) norm2(r)

@@ -33,9 +33,11 @@ import graft.search.PackedIndex.{CellBlock, VecBlock}
   */
 object ServingSession {
 
-  /** Rows below this score single-threaded — the fork-join handoff
-    * costs more than the scan itself. */
-  private val ParallelRowThreshold = 32 * 1024
+  /** Work units (rows × queries) below this score single-threaded — the
+    * fork-join handoff costs more than the scan itself. A 1-query search
+    * of 10k rows stays inline; a 256-query fleet over the same rows
+    * (2.6M units) fans out. */
+  private val ParallelWorkThreshold = 32 * 1024
 
   private def rank(heaps: Array[Kernels.TopKHeap], qids: Array[Long],
                    k: Int): Seq[(Long, Long, Double, Int)] = {
@@ -73,9 +75,9 @@ object ServingSession {
 
     /** Top-k per query: `(qid, id, score, rank)` — same rows the
       * distributed [[PackedIndex.Exact.search]] returns, no job.
-      * Single-query calls route to [[Kernels.scoreSingle]] (double
-      * accumulators — at least as precise as the fleet tile; near-tied
-      * ranks may differ within the documented float tolerance). */
+      * Single-query calls route to [[Kernels.scoreSingle]] (vectorized
+      * float lanes; near-tied ranks may differ from the fleet tile /
+      * declarative paths within the documented float tolerance). */
     def search(queries: Seq[(Long, Array[Double])], k: Int,
                m: VectorSearch.Metric = VectorSearch.Cosine): Seq[(Long, Long, Double, Int)] = {
       val qids = queries.map(_._1).toArray
@@ -91,7 +93,7 @@ object ServingSession {
       val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
         math.max(1, blocks.length / 4))
       val heaps =
-        if (n < ParallelRowThreshold || nThreads <= 1) {
+        if (n * qids.length < ParallelWorkThreshold || nThreads <= 1) {
           val qp = Kernels.packQueries(qVecs)
           val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
           val out = new Array[Float](qids.length)
@@ -140,7 +142,7 @@ object ServingSession {
       val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
         math.max(1, blocks.length / 4))
       val heaps =
-        if (n < ParallelRowThreshold || nThreads <= 1) {
+        if (n < ParallelWorkThreshold || nThreads <= 1) {
           val h = new Kernels.TopKHeap(k)
           var b = 0
           while (b < blocks.length) {

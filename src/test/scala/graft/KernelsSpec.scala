@@ -66,7 +66,8 @@ class KernelsSpec extends AnyFunSuite {
       val got = kept.sortBy(t => (-t._1, t._2))
       assert(got.map(_._2) == expect.map(_._2), s"metric $metric ids")
       got.zip(expect).foreach { case ((gs, _), (es, _)) =>
-        assert(math.abs(gs - es) < 1e-12, s"metric $metric score") // same doubles, order aside
+        // float accumulator lanes vs double oracle: documented tolerance
+        assert(math.abs(gs - es) < 1e-5, s"metric $metric score")
       }
     }
   }
