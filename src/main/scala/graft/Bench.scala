@@ -56,6 +56,17 @@ object Bench {
     def bestSec(runs: Int)(body: => Unit): Double = timedRuns(runs)(body).min
     def runsJson(secs: Array[Double], nQueries: Int): String =
       secs.map(s => f"${nQueries / s}%.1f").mkString("[", ",", "]")
+    // median latency in ms over `reps` single calls (first call untimed —
+    // warms the exact code path being measured)
+    def p50Ms(reps: Int)(body: => Unit): Double = {
+      body // warm
+      val lats = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      lats(lats.size / 2)
+    }
 
     // Throughput: 1,000-query batched exact kNN (topK=10) answered in one
     // job — mirrors the reference's 1,000-query bench loop, which runs
@@ -78,14 +89,14 @@ object Bench {
         // also the single-query p50 at this (small) scale, pairing the
         // baseline's 1k-scale p50 row
         val (servingQps, servingP50) = graft.search.ServingSession.fromExact(idx).map { s =>
-          s.search(queries.take(4), k = 10) // warm
+          s.search(queries.take(4), k = 10) // warm the fleet path
           val fleet = queries.size / timedRuns(3)(s.search(queries, k = 10): Unit).min
-          val lats = (0 until 50).map { i =>
-            val t0 = System.nanoTime()
+          var i = 0
+          val p50 = p50Ms(201) {
             s.searchOne(queries(i % queries.size)._2, k = 10)
-            (System.nanoTime() - t0) / 1e6
-          }.sorted
-          (fleet, lats(lats.size / 2))
+            i += 1
+          }
+          (fleet, p50)
         }.getOrElse((-1.0, -1.0))
         idx.unpersist()
         val q2 = queries.size / bestSec(2)(graft.search.VectorSearch.knnBatchFast(
@@ -193,25 +204,23 @@ object Bench {
         // batched call.
         val serving = graft.search.ServingSession.fromExact(idx)
         val servingP50 = serving.map { s =>
-          s.searchOne(queries.head._2, k = 10) // warm (JIT)
-          val lats = (0 until 50).map { i =>
-            val t = System.nanoTime()
+          var i = 0
+          p50Ms(201) {
             s.searchOne(queries(i % queries.size)._2, k = 10)
-            (System.nanoTime() - t) / 1e6
-          }.sorted
-          lats(lats.size / 2)
+            i += 1
+          }
         }.getOrElse(-1.0)
         val servingFleetQps = serving.map { s =>
+          s.search(queries.take(4), k = 10) // warm the fleet path
           queries.size / timedRuns(3)(s.search(queries, k = 10): Unit).min
         }.getOrElse(-1.0)
         // single-query p50, JOB path (what falling back to the cluster
         // costs — per-job scheduling floor, documented)
-        val jobLats = (0 until 20).map { i =>
-          val t = System.nanoTime()
-          idx.search(Seq(queries(i % queries.size)), k = 10).count()
-          (System.nanoTime() - t) / 1e6
-        }.sorted
-        val jobP50 = jobLats(jobLats.size / 2)
+        var ji = 0
+        val jobP50 = p50Ms(20) {
+          idx.search(Seq(queries(ji % queries.size)), k = 10).count()
+          ji += 1
+        }
 
         // exact top-k score floor per query (for IVF score-recall)
         val exactKth = idx.search(queries, k = 10).groupBy("qid")
@@ -224,7 +233,7 @@ object Bench {
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
         // IVF at the same scale
-        val (ivfRuns, ivfScanQps, ivfRecall) =
+        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
@@ -233,6 +242,15 @@ object Bench {
             val ivfIdx = graft.search.PackedIndex.buildIvf(cells, model)
             ivfIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
             val runs = timedRuns(3)(ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
+            // IVF serving p50: approximate-vs-approximate latency row
+            // (the reference's HNSW p50 is also an approximate method)
+            val servP50 = graft.search.ServingSession.fromIvf(ivfIdx).map { s =>
+              var i = 0
+              p50Ms(201) {
+                s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = ivfProbes)
+                i += 1
+              }
+            }.getOrElse(-1.0)
             // score-recall@10: an IVF hit scoring >= the exact kth score
             // (minus float slack) is a true top-k member
             val hits = ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes)
@@ -243,13 +261,13 @@ object Bench {
             val scanQps = queries.size / bestSec(2)(
               graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
             cells.unpersist()
-            (runs, scanQps, recall)
-          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0) }
+            (runs, scanQps, recall, servP50)
+          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0) }
         tiled.unpersist()
         val nq = queries.size
         // -1.0 failure sentinel, consistent with every other metric
         val ivfQps = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
-        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":$ivfQps,"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
+        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":$ivfQps,"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"ivf_serving_p50_ms":$ivfServingP50,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
       }

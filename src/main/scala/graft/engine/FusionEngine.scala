@@ -236,7 +236,8 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     * future expiry; tenant/metadata filtering is NOT served here —
     * filtered calls stay on the job path (the snapshot holds vectors +
     * content only). Scores come from the float kernel: near-tied ranks
-    * can differ from the declarative double path within ~1e-7 relative
+    * can differ from the declarative double path within the float
+    * tolerance (grows with dimension — ~1e-6 relative at 64-D)
     * (documented in [[graft.search.Kernels.scoreTile]]); exact ties
     * break identically (rows are snapshot in id order, so the kernel's
     * id tie-break matches the job path's `ASC id`). */

@@ -15,10 +15,15 @@ import graft.search.PackedIndex.{CellBlock, VecBlock}
   * queries by running [[Kernels.scoreTile]] locally — zero jobs, zero
   * scheduling, sub-ms at 100k × 64-D.
   *
-  * Results are bit-identical to the distributed path: the blocks are the
-  * same bytes, [[Kernels.scoreTile]] is the same code (row-independent
-  * double arithmetic — thread chunking cannot change any score), and the
-  * final merge applies the same `(score DESC, id ASC)` rank.
+  * Fleet results (nq ≥ 2) are bit-identical to the distributed path: the
+  * blocks are the same bytes, [[Kernels.scoreTile]] is the same code
+  * (row-independent arithmetic — thread chunking cannot change any
+  * score), and the final merge applies the same `(score DESC, id ASC)`
+  * rank. Single-query calls route to the faster [[Kernels.scoreSingle]]
+  * (vectorized float lanes, different summation order): same ids/ranks
+  * except near-ties, scores within the float tolerance documented on
+  * [[Kernels.scoreTile]] (grows with dimension — ~1e-6 relative at
+  * 64-D).
   *
   * Scale stance: this is the SERVING tier, deliberately bounded by
   * `maxBytes` (default 4 GiB ≈ 4 B rows at 64-D... practically: 15M
@@ -91,7 +96,7 @@ object ServingSession {
       }
       if (qids.length == 1) return searchSingle(qids(0), qVecs(0), k, code)
       val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
-        math.max(1, blocks.length / 4))
+        math.max(1, blocks.length))
       val heaps =
         if (n * qids.length < ParallelWorkThreshold || nThreads <= 1) {
           val qp = Kernels.packQueries(qVecs)
@@ -140,7 +145,7 @@ object ServingSession {
       while (d < qv.length) { n2 += qv(d).toDouble * qv(d); d += 1 }
       val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
       val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
-        math.max(1, blocks.length / 4))
+        math.max(1, blocks.length))
       val heaps =
         if (n < ParallelWorkThreshold || nThreads <= 1) {
           val h = new Kernels.TopKHeap(k)
@@ -197,17 +202,34 @@ object ServingSession {
         while (d < qf.length) { n2 += qf(d).toDouble * qf(d); d += 1 }
         val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
         val h = heaps(qi)
+        // gather the probed blocks, then fan out when the probed work is
+        // large enough (a 100k-collection probe at 25% scans ~25k rows —
+        // single-threaded it costs more than the exact parallel scan)
+        val probed = scala.collection.mutable.ArrayBuffer.empty[CellBlock]
+        var probedRows = 0L
         model.nearestCells(qv, nProbe).foreach { c =>
-          if (c >= 0 && c < cellBlocks.length) {
-            val blks = cellBlocks(c)
-            var b = 0
-            while (b < blks.length) {
-              val blk = blks(b)
-              Kernels.scoreSingle(Kernels.MetricCosine, qf, invNorm, n2,
-                blk.xs, blk.ids, blk.ids.length, blk.norm2, h)
-              b += 1
+          if (c >= 0 && c < cellBlocks.length)
+            cellBlocks(c).foreach { b => probed += b; probedRows += b.ids.length }
+        }
+        val nThreads = math.min(Runtime.getRuntime.availableProcessors(), probed.length)
+        if (probedRows < ParallelWorkThreshold || nThreads <= 1) {
+          probed.foreach(blk => Kernels.scoreSingle(Kernels.MetricCosine, qf,
+            invNorm, n2, blk.xs, blk.ids, blk.ids.length, blk.norm2, h))
+        } else {
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val wh = new Kernels.TopKHeap(k)
+              var b = t
+              while (b < probed.length) {
+                val blk = probed(b)
+                Kernels.scoreSingle(Kernels.MetricCosine, qf, invNorm, n2,
+                  blk.xs, blk.ids, blk.ids.length, blk.norm2, wh)
+                b += nThreads
+              }
+              wh
             }
-          }
+            .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
+          workers.forEach(w => w.foreachEntry((s, id) => h.offer(s, id)))
         }
         qi += 1
       }
@@ -232,12 +254,56 @@ object ServingSession {
     new Exact(blocks, dim, n)
   }
 
+  /** Compact collected blocks into full [[Kernels.TileRows]]-row tiles:
+    * a Spark-partitioned source yields rows/partitions-sized fragments
+    * (63-row blocks for 2k rows on 32 partitions), and per-block call
+    * overhead + lost locality measurably tax small-collection serving.
+    * Row ORDER is preserved, so scores, tie-breaks and results are
+    * unchanged — only the block boundaries move. */
+  private def repack(blocks: Array[VecBlock], dim: Int): Array[VecBlock] = {
+    var total = 0L
+    blocks.foreach(b => total += b.ids.length)
+    if (total == 0) return Array.empty
+    val out = Array.newBuilder[VecBlock]
+    var dstN = math.min(Kernels.TileRows.toLong, total).toInt
+    var dIds = new Array[Long](dstN)
+    var dXs = new Array[Float](dstN * dim)
+    var dN2 = new Array[Double](dstN)
+    var dPos = 0
+    var remaining = total
+    blocks.foreach { b =>
+      var sPos = 0
+      val sN = b.ids.length
+      while (sPos < sN) {
+        val copy = math.min(sN - sPos, dstN - dPos)
+        System.arraycopy(b.ids, sPos, dIds, dPos, copy)
+        System.arraycopy(b.norm2, sPos, dN2, dPos, copy)
+        System.arraycopy(b.xs, sPos * dim, dXs, dPos * dim, copy * dim)
+        sPos += copy
+        dPos += copy
+        if (dPos == dstN) {
+          out += VecBlock(dIds, dXs, dN2)
+          remaining -= dstN
+          dstN = math.min(Kernels.TileRows.toLong, remaining).toInt
+          if (dstN > 0) {
+            dIds = new Array[Long](dstN)
+            dXs = new Array[Float](dstN * dim)
+            dN2 = new Array[Double](dstN)
+          }
+          dPos = 0
+        }
+      }
+    }
+    out.result()
+  }
+
   /** Pull a distributed exact index's blocks to the driver when they fit
     * in `maxBytes`; None = stay on the cluster path (caller falls back to
-    * [[PackedIndex.Exact.search]]). */
+    * [[PackedIndex.Exact.search]]). Blocks are compacted to full tiles
+    * ([[repack]]) — same rows, same order, better serving locality. */
   def fromExact(idx: PackedIndex.Exact, maxBytes: Long = 4L << 30): Option[Exact] =
     if (idx.n <= 0 || exactBytes(idx.n, idx.dim) > maxBytes) None
-    else Some(new Exact(idx.blocks.collect(), idx.dim, idx.n))
+    else Some(new Exact(repack(idx.blocks.collect(), idx.dim), idx.dim, idx.n))
 
   /** Same for an IVF index: cell blocks grouped by cell id. */
   def fromIvf(idx: PackedIndex.Ivf, maxBytes: Long = 4L << 30): Option[Ivf] = {

@@ -85,7 +85,8 @@ final class EngineFacade(
       // snapshot when the collection fits (no Spark job — sub-ms kernel
       // vs the per-job scheduling floor); oversized collections fall
       // back to the distributed path. Scores are float-kernel-computed:
-      // near-ties may order within ~1e-7 of the job path (documented).
+      // near-ties may order within the documented float tolerance of
+      // the job path (~1e-6 relative at 64-D, grows with dimension).
       engine.serving(coll) match {
         case Some(h) =>
           h.search(qv, topK).map { hit =>

@@ -6,20 +6,22 @@ import graft.search.Kernels
   * product surface; run via `runMain graft.tools.KernelProbe`). */
 object KernelProbe {
 
-  // float 4-lane variant for comparison
-  private def dotFloat(q: Array[Float], xs: Array[Float], off: Int, dim: Int): Double = {
-    var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+  // double 4-lane variant — what scoreSingle used before the float-lane
+  // switch; kept as the A/B that justified it (float lanes SLP-vectorize,
+  // double-with-conversion does not)
+  private def dotDouble4(q: Array[Float], xs: Array[Float], off: Int, dim: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
     var d = 0
     val lim = dim - 3
     while (d < lim) {
-      s0 += xs(off + d) * q(d)
-      s1 += xs(off + d + 1) * q(d + 1)
-      s2 += xs(off + d + 2) * q(d + 2)
-      s3 += xs(off + d + 3) * q(d + 3)
+      s0 += xs(off + d).toDouble * q(d)
+      s1 += xs(off + d + 1).toDouble * q(d + 1)
+      s2 += xs(off + d + 2).toDouble * q(d + 2)
+      s3 += xs(off + d + 3).toDouble * q(d + 3)
       d += 4
     }
-    while (d < dim) { s0 += xs(off + d) * q(d); d += 1 }
-    ((s0 + s1) + (s2 + s3)).toDouble
+    while (d < dim) { s0 += xs(off + d).toDouble * q(d); d += 1 }
+    (s0 + s1) + (s2 + s3)
   }
 
   // 8-lane double variant
@@ -70,14 +72,14 @@ object KernelProbe {
       println(f"$label%-28s p50=${lats(reps / 2)}%.4f ms  best=${lats.head}%.4f ms")
     }
 
-    time("scoreSingle (double x4)") {
+    time("scoreSingle (float x4)") {
       val h = new Kernels.TopKHeap(10)
       Kernels.scoreSingle(Kernels.MetricCosineUnit, q, qInv, qn2, xs, ids, n, norm2, h)
     }
-    time("float x4 lanes") {
+    time("double x4 lanes") {
       val h = new Kernels.TopKHeap(10)
       var r = 0
-      while (r < n) { h.offer(dotFloat(q, xs, r * dim, dim), ids(r)); r += 1 }
+      while (r < n) { h.offer(dotDouble4(q, xs, r * dim, dim), ids(r)); r += 1 }
     }
     time("double x8 lanes") {
       val h = new Kernels.TopKHeap(10)
@@ -90,6 +92,14 @@ object KernelProbe {
       val h = Array(new Kernels.TopKHeap(10))
       val out = new Array[Float](1)
       Kernels.scoreTile(Kernels.MetricCosineUnit, qp, xs, ids, n, h, out, norm2)
+    }
+
+    // end-to-end ServingSession.searchOne (where does the bench p50 go?)
+    val qd = q.map(_.toDouble)
+    for (rows <- Seq(2000, 10000)) {
+      val sess = graft.search.ServingSession.fromLocalRows(
+        Iterator.tabulate(rows)(i => (i.toLong, java.util.Arrays.copyOfRange(xs, (i % n) * dim, (i % n) * dim + dim))), dim)
+      time(s"searchOne e2e n=$rows") { sess.searchOne(qd, 10) }
     }
   }
 }

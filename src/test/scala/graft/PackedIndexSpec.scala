@@ -56,13 +56,20 @@ class PackedIndexSpec extends AnyFunSuite {
         val loc = local.search(queries, k = 10, m).toSet
         assert(loc == dist, s"metric $m")
       }
-      // searchOne agrees with the fleet path for a single query
+      // searchOne == search(Seq(one query)) — both route through the
+      // single-query kernel (API consistency, not cross-path parity)
       val one = local.searchOne(queries.head._2, k = 10)
       val fleetOne = local.search(Seq((0L, queries.head._2)), k = 10)
         .map { case (_, id, s, r) => (id, s, r) }
       assert(one == fleetOne)
-      // single-query kernel (double accumulators) vs the distributed
-      // float fleet path: same ids/ranks, scores within tolerance
+      // cross-path: the single-query kernel (float lanes, different
+      // summation order) vs the LOCAL FLEET tile path (duplicated query
+      // forces nq=2) and vs the DISTRIBUTED path — same ids/ranks,
+      // scores within the documented float tolerance
+      val viaFleet = local.search(Seq((0L, queries.head._2), (1L, queries.head._2)), k = 10)
+        .filter(_._1 == 0L).map { case (_, id, s, r) => (id, s, r) }
+      assert(one.map(t => (t._1, t._3)) == viaFleet.map(t => (t._1, t._3)))
+      one.zip(viaFleet).foreach { case (l, f) => assert(math.abs(l._2 - f._2) < 1e-5) }
       val distOne = idx.search(Seq((0L, queries.head._2)), k = 10)
         .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
         .sortBy(_._3)
@@ -91,7 +98,8 @@ class PackedIndexSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
         .sortBy(t => (t._1, t._4))
       val loc = local.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
-      // serving scores are double-accumulated (Kernels.scoreSingle): same
+      // serving scores come from Kernels.scoreSingle (float lanes,
+      // different summation order than the distributed tile): same
       // ids/ranks, scores within the documented float tolerance
       assert(loc.map(t => (t._1, t._2, t._4)) == dist.map(t => (t._1, t._2, t._4)).toSeq)
       loc.zip(dist).foreach { case (l, d) => assert(math.abs(l._3 - d._3) < 1e-5) }
