@@ -63,8 +63,21 @@ final class HybridRetriever(
 
     val vec = if (!runVector) emptyBranch else branch("vector") {
       val qv = embedder.embed(query).map(_.toDouble).toSeq
-      engine.search(collection, qv, fetch, tenantId = tenantId)
-        .select($"id", $"score", $"content", lit("vector").as("strategy"))
+      // Interactive fast path: tenant-free retrieval over a collection
+      // with a resident serving snapshot skips the Spark job for this
+      // branch entirely (same rows; float-kernel scores within the
+      // documented tolerance). Tenant-scoped or oversized collections
+      // stay on the distributed path.
+      (if (tenantId.isEmpty) engine.serving(collection) else None) match {
+        case Some(h) =>
+          h.search(qv, fetch)
+            .map(hit => (hit.id, hit.score, hit.content))
+            .toDF("id", "score", "content")
+            .withColumn("strategy", lit("vector"))
+        case None =>
+          engine.search(collection, qv, fetch, tenantId = tenantId)
+            .select($"id", $"score", $"content", lit("vector").as("strategy"))
+      }
     }
 
     val tree = if (!runTree) emptyBranch else branch("tree") {

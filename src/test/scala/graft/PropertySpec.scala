@@ -90,6 +90,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scoreSingle == scoreTile(nq=1) ids/ranks for arbitrary dims/rows (scores to 1e-5)") {
+    import graft.search.Kernels
+    val caseGen = Gen.zip(Gen.chooseNum(1, 97), Gen.chooseNum(1, 300), Gen.chooseNum(1L, 1000L))
+    samples(caseGen, 15).foreach { case (dim, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val xs = Array.fill(n * dim)(rnd.nextFloat() * 2 - 1)
+      val ids = Array.tabulate(n)(_.toLong)
+      val norm2 = Array.tabulate(n) { r =>
+        var s = 0.0; var d = 0
+        while (d < dim) { val x = xs(r * dim + d).toDouble; s += x * x; d += 1 }
+        s
+      }
+      val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+      var qn2 = 0.0
+      (0 until dim).foreach(d => qn2 += q(d).toDouble * q(d))
+      val qInv = if (qn2 > 0) 1.0 / math.sqrt(qn2) else 0.0
+      val k = math.min(10, n)
+      for (metric <- Seq(Kernels.MetricCosine, Kernels.MetricCosineUnit,
+                         Kernels.MetricDot, Kernels.MetricEuclidean)) {
+        val hSingle = new Kernels.TopKHeap(k)
+        Kernels.scoreSingle(metric, q, qInv, qn2, xs, ids, n, norm2, hSingle)
+        val qp = Kernels.packQueries(Array(q))
+        val hTile = Array(new Kernels.TopKHeap(k))
+        val out = new Array[Float](1)
+        Kernels.scoreTile(metric, qp, xs, ids, n, hTile, out, norm2)
+        def drained(h: Kernels.TopKHeap) = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          h.foreachEntry((s, id) => buf += ((s, id)))
+          buf.sortBy { case (s, id) => (-s, id) }
+        }
+        val a = drained(hSingle)
+        val b = drained(hTile(0))
+        // near-ties can swap between summation orders: compare scores
+        // pointwise and ids as sets (random floats make exact ties
+        // vanishingly rare, but keep the property robust)
+        assert(a.size == b.size, s"dim=$dim n=$n metric=$metric")
+        a.zip(b).foreach { case ((sa, _), (sb, _)) =>
+          assert(math.abs(sa - sb) < 1e-5, s"dim=$dim n=$n metric=$metric")
+        }
+        assert(a.map(_._2).toSet.diff(b.map(_._2).toSet).size <= 1,
+          s"dim=$dim n=$n metric=$metric ids diverged beyond a boundary swap")
+      }
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard within tolerance") {
     val setGen = Gen.chooseNum(20, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"shingle_$i")).map(_.distinct))
