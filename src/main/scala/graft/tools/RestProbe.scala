@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch probe: where does REST /api/search latency go?
+  * Layers: engine.serving() lookup, handle.search kernel, facade.call,
+  * HTTP round-trip. */
+object RestProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+
+    val root = java.nio.file.Files.createTempDirectory("graft_restprobe").toString
+    val g = graft.Graft.create(spark, root)
+    g.engine.createCollection("bench", graft.model.CollectionConfig(dimensions = 64))
+    val e = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val n = e.count()
+    val copies = math.max(1, (100000 / math.max(1L, n)).toInt)
+    val tiled = e.crossJoin(spark.range(copies).select(col("id").as("copy")))
+      .select(concat(lit("v"), (col("vec_id") + col("copy") * n)).as("id"),
+        col("embedding").cast("array<float>").as("vector"),
+        concat(lit("doc "), col("vec_id")).as("content"))
+    g.engine.insert("bench", tiled)
+
+    def p50(label: String, reps: Int)(body: => Unit): Unit = {
+      body
+      val lats = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        body
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      println(f"[probe] $label%-28s p50=${lats(lats.size / 2)}%.3f ms")
+    }
+
+    val qv = g.embedder.embed("finding relevant documents").map(_.toDouble).toSeq
+    val h = g.engine.serving("bench").get
+    p50("serving() lookup", 200)(g.engine.serving("bench").get: Unit)
+    p50("handle.search", 200)(h.search(qv, 10): Unit)
+    val facade = new graft.server.EngineFacade(g.engine, g.embedder, g.memory, g.rag, g.tree)
+    val body = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
+    p50("facade.call(search)", 200)(facade.call("search", body): Unit)
+    val rest = g.restServer(0)
+    val port = rest.start()
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(): String = {
+      val req = java.net.http.HttpRequest.newBuilder()
+        .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+    }
+    p50("http round-trip", 200)(post(): Unit)
+    rest.stop() // HttpServer dispatcher is non-daemon — JVM hangs otherwise
+    spark.stop()
+  }
+}

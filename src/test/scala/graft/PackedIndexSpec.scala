@@ -106,6 +106,33 @@ class PackedIndexSpec extends AnyFunSuite {
     } finally { idx.unpersist(); cells.unpersist() }
   }
 
+  test("serving session: concurrent searches return identical results (thread-safety)") {
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val idx = PackedIndex.buildExact(e, "embedding", "vec_id")
+    try {
+      val local = ServingSession.fromExact(idx).get
+      val expected = queries.map(q => local.searchOne(q._2, k = 10))
+      val results = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Boolean]())
+      val threads = (0 until 8).map { t =>
+        new Thread(() => {
+          var ok = true
+          (0 until 50).foreach { i =>
+            val qi = (t + i) % queries.size
+            if (local.searchOne(queries(qi)._2, k = 10) != expected(qi)) ok = false
+          }
+          results.add(ok)
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(30000))
+      import scala.jdk.CollectionConverters._
+      assert(results.size == 8 && results.asScala.forall(b => b))
+    } finally idx.unpersist()
+  }
+
   test("packed index counts every source row exactly once") {
     val idx = PackedIndex.buildExact(e, "embedding", "vec_id")
     try assert(idx.n == e.count())
