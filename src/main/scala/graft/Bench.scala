@@ -56,17 +56,8 @@ object Bench {
     def bestSec(runs: Int)(body: => Unit): Double = timedRuns(runs)(body).min
     def runsJson(secs: Array[Double], nQueries: Int): String =
       secs.map(s => f"${nQueries / s}%.1f").mkString("[", ",", "]")
-    // median latency in ms over `reps` single calls (first call untimed —
-    // warms the exact code path being measured)
-    def p50Ms(reps: Int)(body: => Unit): Double = {
-      body // warm
-      val lats = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      lats(lats.size / 2)
-    }
+    // median latency in ms (shared protocol — graft.tools.Timing)
+    def p50Ms(reps: Int)(body: => Unit): Double = graft.tools.Timing.p50Ms(reps)(body)
 
     // Throughput: 1,000-query batched exact kNN (topK=10) answered in one
     // job — mirrors the reference's 1,000-query bench loop, which runs
@@ -298,30 +289,42 @@ object Bench {
           .select(concat(lit("v"), (col("vec_id") + col("copy") * n)).as("id"),
             col("embedding").cast("array<float>").as("vector"),
             concat(lit("doc "), col("vec_id")).as("content"))
-        g.engine.insert("bench", tiled)
+        // pair the baseline's "insert 100k vectors: 2.8 s" row: full
+        // engine write path (dim check + unit-normalize + parquet)
+        val tInsert = System.nanoTime()
+        g.engine.insert("bench", tiled.repartition(cpus.toInt))
+        val insertSec = (System.nanoTime() - tInsert) / 1e9
+        // serving snapshot build (the analog of the reference's HNSW
+        // build, which its insert time includes)
+        val tSnap = System.nanoTime()
+        g.engine.serving("bench")
+        val snapSec = (System.nanoTime() - tSnap) / 1e9
         val rest = g.restServer(0)
         val port = rest.start()
-        val client = java.net.http.HttpClient.newHttpClient()
-        def post(body: String): String = {
-          val req = java.net.http.HttpRequest.newBuilder()
-            .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
-            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-            .build()
-          client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-        }
-        val q = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
-        require(post(q).contains("\"id\""), "rest search must return hits")
-        val p = p50Ms(201)(post(q): Unit)
-        rest.stop() // non-daemon dispatcher thread — release it
-        p
+        // stop in finally: the dispatcher thread is non-daemon — a probe
+        // failure would otherwise keep the bench JVM alive forever
+        try {
+          val client = java.net.http.HttpClient.newHttpClient()
+          def post(body: String): String = {
+            val req = java.net.http.HttpRequest.newBuilder()
+              .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
+              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+              .build()
+            client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+          }
+          val q = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
+          require(post(q).contains("\"id\""), "rest search must return hits")
+          val p = p50Ms(201)(post(q): Unit)
+          s"""{"rest_search_p50_ms":$p,"insert_100k_sec":$insertSec,"serving_build_100k_sec":$snapSec}"""
+        } finally rest.stop()
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); -1.0
+        System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); "null"
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"rest_search_p50_ms_100k":$restP50,"knn_10k":$qps10k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":$restP50,"knn_10k":$qps10k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable copy FIRST (VERDICT r3 #2: BENCH_r03's captured stdout tail
     // was truncated mid-JSON and the round lost its per-query history) —
     // the file survives even if the console capture is cut.

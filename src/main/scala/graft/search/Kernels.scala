@@ -183,30 +183,53 @@ object Kernels {
     * 1-element scratch array); this loop keeps four independent FLOAT
     * accumulator lanes in registers — the SLP pattern HotSpot
     * auto-vectorizes (measured 2.5× over double lanes at 64-D).
-    * Accumulation is single-precision with a different summation order
-    * than both the fleet tile and the declarative path: near-tied ranks
-    * may differ within the tolerance documented on [[scoreTile]].
+    * Dot/cosine accumulate in single precision with a different
+    * summation order than both the fleet tile and the declarative path:
+    * near-tied ranks may differ within the tolerance documented on
+    * [[scoreTile]]. EUCLIDEAN accumulates in DOUBLE lanes: the norm
+    * identity `‖q‖² + ‖v‖² − 2·dot` cancels catastrophically for
+    * near-duplicate vectors, and a float dot's absolute error passes
+    * through the sqrt amplified — the double path keeps near-dup
+    * ranking at declarative precision (the cancellation itself is
+    * inherent to the identity and documented on [[scoreTile]]).
     *
     * `invNormQ` = 1/‖q‖ (0 for a zero query), `norm2Q` = ‖q‖². */
   def scoreSingle(metric: Int, q: Array[Float], invNormQ: Double, norm2Q: Double,
                   xs: Array[Float], ids: Array[Long], n: Int,
                   norm2: Array[Double], heap: TopKHeap): Unit = {
     val dim = q.length
+    val euclid = metric == MetricEuclidean
     var r = 0
     while (r < n) {
       val off = r * dim
-      var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
-      var d = 0
-      val lim = dim - 3
-      while (d < lim) {
-        s0 += xs(off + d) * q(d)
-        s1 += xs(off + d + 1) * q(d + 1)
-        s2 += xs(off + d + 2) * q(d + 2)
-        s3 += xs(off + d + 3) * q(d + 3)
-        d += 4
+      var dot = 0.0
+      if (euclid) {
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+        var d = 0
+        val lim = dim - 3
+        while (d < lim) {
+          s0 += xs(off + d).toDouble * q(d)
+          s1 += xs(off + d + 1).toDouble * q(d + 1)
+          s2 += xs(off + d + 2).toDouble * q(d + 2)
+          s3 += xs(off + d + 3).toDouble * q(d + 3)
+          d += 4
+        }
+        while (d < dim) { s0 += xs(off + d).toDouble * q(d); d += 1 }
+        dot = (s0 + s1) + (s2 + s3)
+      } else {
+        var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+        var d = 0
+        val lim = dim - 3
+        while (d < lim) {
+          s0 += xs(off + d) * q(d)
+          s1 += xs(off + d + 1) * q(d + 1)
+          s2 += xs(off + d + 2) * q(d + 2)
+          s3 += xs(off + d + 3) * q(d + 3)
+          d += 4
+        }
+        while (d < dim) { s0 += xs(off + d) * q(d); d += 1 }
+        dot = ((s0 + s1) + (s2 + s3)).toDouble
       }
-      while (d < dim) { s0 += xs(off + d) * q(d); d += 1 }
-      val dot = ((s0 + s1) + (s2 + s3)).toDouble
       val id = ids(r)
       @inline def rowNorm2: Double =
         if (norm2 ne null) norm2(r)

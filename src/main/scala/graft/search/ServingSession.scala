@@ -40,9 +40,11 @@ object ServingSession {
 
   /** Work units (rows × queries) below this score single-threaded — the
     * fork-join handoff costs more than the scan itself. A 1-query search
-    * of 10k rows stays inline; a 256-query fleet over the same rows
-    * (2.6M units) fans out. */
-  private val ParallelWorkThreshold = 32 * 1024
+    * of 2k rows stays inline; 10k+ rows (or any real fleet) fan out —
+    * review r4 found the old 32k threshold kept the bench's own
+    * 25k-row IVF probes sequential, slower than the exact parallel
+    * scan of 4× the rows. */
+  private val ParallelWorkThreshold = 8 * 1024
 
   private def rank(heaps: Array[Kernels.TopKHeap], qids: Array[Long],
                    k: Int): Seq[(Long, Long, Double, Int)] = {

@@ -190,9 +190,13 @@ final class RestServer(facade: EngineFacade, port: Int = 0) {
   // The JDK HttpServer leaves Nagle's algorithm on; a small
   // headers+body response goes out as two segments and the second
   // stalls behind the peer's delayed ACK — measured ~48 ms p50 per
-  // loopback request against a ~1 ms facade. Must be set before
-  // com.sun.net.httpserver.ServerConfig class-loads (i.e. before the
-  // first HttpServer.create in the JVM), hence before `server` below.
+  // loopback request against a ~1 ms facade. ServerConfig reads this
+  // property ONCE, at the first HttpServer.create in the JVM — setting
+  // it here (before `server` below) covers every in-repo entry point,
+  // but an embedding application that creates its own JDK HttpServer
+  // BEFORE constructing a RestServer locks Nagle on for the process
+  // (load-order caveat; no per-socket API exists to verify or fix it
+  // afterwards — such hosts should set the property at JVM startup).
   System.setProperty("sun.net.httpserver.nodelay", "true")
 
   /** route → facade op (the reference's 15-route surface). */

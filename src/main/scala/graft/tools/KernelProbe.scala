@@ -62,14 +62,9 @@ object KernelProbe {
     val qInv = 1.0 / math.sqrt(qn2)
 
     def time(label: String)(body: => Unit): Unit = {
-      (0 until 200).foreach(_ => body) // JIT warm
-      val reps = 200
-      val lats = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      println(f"$label%-28s p50=${lats(reps / 2)}%.4f ms  best=${lats.head}%.4f ms")
+      (0 until 199).foreach(_ => body) // JIT warm (Timing adds 1 warm call)
+      val (p50, best) = Timing.p50BestMs(200)(body)
+      println(f"$label%-28s p50=$p50%.4f ms  best=$best%.4f ms")
     }
 
     time("scoreSingle (float x4)") {

@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** Scratch probe: where does REST /api/search latency go?
   * Layers: engine.serving() lookup, handle.search kernel, facade.call,
-  * HTTP round-trip. */
+  * HTTP round-trip. (This probe isolated the ~40 ms JDK-HttpServer
+  * Nagle stall fixed in RestServer.) */
 object RestProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -25,16 +26,11 @@ object RestProbe {
       .select(concat(lit("v"), (col("vec_id") + col("copy") * n)).as("id"),
         col("embedding").cast("array<float>").as("vector"),
         concat(lit("doc "), col("vec_id")).as("content"))
-    g.engine.insert("bench", tiled)
+    g.engine.insert("bench", tiled.repartition(8))
 
     def p50(label: String, reps: Int)(body: => Unit): Unit = {
-      body
-      val lats = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        body
-        (System.nanoTime() - t0) / 1e6
-      }.sorted
-      println(f"[probe] $label%-28s p50=${lats(lats.size / 2)}%.3f ms")
+      val (p, best) = Timing.p50BestMs(reps)(body)
+      println(f"[probe] $label%-28s p50=$p%.3f ms  best=$best%.3f ms")
     }
 
     val qv = g.embedder.embed("finding relevant documents").map(_.toDouble).toSeq
@@ -46,16 +42,18 @@ object RestProbe {
     p50("facade.call(search)", 200)(facade.call("search", body): Unit)
     val rest = g.restServer(0)
     val port = rest.start()
-    val client = java.net.http.HttpClient.newHttpClient()
-    def post(): String = {
-      val req = java.net.http.HttpRequest.newBuilder()
-        .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
-        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-        .build()
-      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-    }
-    p50("http round-trip", 200)(post(): Unit)
-    rest.stop() // HttpServer dispatcher is non-daemon — JVM hangs otherwise
+    // finally: HttpServer dispatcher is non-daemon — JVM hangs otherwise
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(): String = {
+        val req = java.net.http.HttpRequest.newBuilder()
+          .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+          .build()
+        client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+      p50("http round-trip", 200)(post(): Unit)
+    } finally rest.stop()
     spark.stop()
   }
 }
