@@ -54,8 +54,11 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       }
     def bestSec(runs: Int)(body: => Unit): Double = timedRuns(runs)(body).min
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would silently corrupt the JSON run lists
     def runsJson(secs: Array[Double], nQueries: Int): String =
-      secs.map(s => f"${nQueries / s}%.1f").mkString("[", ",", "]")
+      secs.map(s => String.format(java.util.Locale.ROOT, "%.1f",
+        Double.box(nQueries / s))).mkString("[", ",", "]")
     // median latency in ms (shared protocol — graft.tools.Timing)
     def p50Ms(reps: Int)(body: => Unit): Double = graft.tools.Timing.p50Ms(reps)(body)
 
@@ -165,7 +168,12 @@ object Bench {
     // costs), and IVF score-recall vs the exact top-k (ties from tiled
     // duplicate vectors count as hits — id-based recall would undercount
     // equal-score copies).
-    def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): String =
+    def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): String = {
+      // every cached artifact also registers an (idempotent) unpersist
+      // here, run in finally — a mid-probe failure must not leak pinned
+      // memory into the LATER probes of the same JVM (review r4); the
+      // inline unpersists below still free memory early on success
+      val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       try {
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -176,6 +184,7 @@ object Bench {
           .select((col("vec_id") + col("copy") * n).as("vec_id"), col("embedding"))
           .repartition(cpus.toInt)
           .cache()
+        cleanups += (() => { tiled.unpersist(); () })
         val total = tiled.count() // materialize
         val queries = e.filter(col("vec_id") < nFleet)
           .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
@@ -185,6 +194,7 @@ object Bench {
         // exact: packed index (build untimed, like the reference's HNSW
         // build), then the fleet
         val idx = graft.search.PackedIndex.buildExact(tiled, "embedding", "vec_id")
+        cleanups += (() => idx.unpersist())
         idx.search(queries.take(4), k = 10).count() // warm the path
         val exactRuns = timedRuns(3)(idx.search(queries, k = 10).count(): Unit)
 
@@ -228,9 +238,11 @@ object Bench {
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
+            cleanups += (() => { cells.unpersist(); () })
             cells.count()
             val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
             val ivfIdx = graft.search.PackedIndex.buildIvf(cells, model)
+            cleanups += (() => ivfIdx.unpersist())
             ivfIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
             val runs = timedRuns(3)(ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
             // IVF serving p50: approximate-vs-approximate latency row
@@ -261,7 +273,8 @@ object Bench {
         s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":$ivfQps,"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"ivf_serving_p50_ms":$ivfServingP50,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
-      }
+      } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
+    }
 
     // BASELINE-scale probes — one per row of the reference's README
     // table (10k: 0.3 ms p50 / ~3,300 QPS; 100k: 0.5 ms / ~2,000 QPS).

@@ -106,6 +106,16 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     if (Files.exists(dataDir(name))) table(name).count() else 0L
   }
 
+  /** The metric both the job path and the serving snapshot score with —
+    * ONE mapping, so the parity-tested paths cannot drift: cosine
+    * collections store unit vectors (normalize-at-insert), making
+    * query-time cosine the dot-product fast path. */
+  private def servingMetric(cfg: CollectionConfig): VectorSearch.Metric =
+    cfg.distanceMetric match {
+      case "cosine" => VectorSearch.CosineUnit
+      case other    => VectorSearch.metric(other)
+    }
+
   /** Point lookup (`FusionEngine.js:225-228`) — id-pushdown scan. */
   def get(name: String, id: String): DataFrame = table(name).filter(col("id") === lit(id))
 
@@ -122,10 +132,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val cfg = getConfig(name)
     require(queryVec.length == cfg.dimensions,
       s"query dimension ${queryVec.length} != collection dimension ${cfg.dimensions}")
-    val m = cfg.distanceMetric match {
-      case "cosine" => VectorSearch.CosineUnit // normalized at insert
-      case other    => VectorSearch.metric(other)
-    }
+    val m = servingMetric(cfg)
     val q = if (cfg.distanceMetric == "cosine") normalize(queryVec) else queryVec
     val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
     VectorSearch.knn(table(name), q, topK, m,
@@ -253,8 +260,14 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       minExpiryMs: Long,
       private[FusionEngine] val estBytes: Long) {
 
+    /** For aggregate-budget LRU eviction (see [[serving]]). */
+    @volatile private[FusionEngine] var lastUsedMs: Long = System.currentTimeMillis()
+
     /** Rows served (post-TTL snapshot count). */
     def size: Long = session.n
+
+    /** Estimated resident footprint (vectors + ids + contents). */
+    def estimatedBytes: Long = estBytes
 
     private[FusionEngine] def stale(currentVersion: Long): Boolean =
       version != currentVersion ||
@@ -294,12 +307,31 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val ver = dataVersion(name)
     val cached = servingCache.get(name)
     if (cached != null && !cached.stale(ver)) {
-      if (cached.estBytes <= maxBytes) Some(cached)
-      else None // over this caller's cap; keep the handle for others
+      if (cached.estBytes <= maxBytes) {
+        cached.lastUsedMs = System.currentTimeMillis()
+        Some(cached)
+      } else None // over this caller's cap; keep the handle for others
     } else {
       servingCache.remove(name)
       val built = buildServing(name, cfg, ver, maxBytes)
-      built.foreach(h => servingCache.put(name, h))
+      built.foreach { h =>
+        // AGGREGATE budget across all cached snapshots (review r4: N
+        // collections each under the per-collection cap could otherwise
+        // pin N × cap of driver memory): evict least-recently-used
+        // handles until this one fits; if it can't fit at all it is
+        // returned un-cached (served once, GC'd after use).
+        servingCache.synchronized {
+          var others = servingCache.values().toArray(Array.empty[ServingHandle])
+            .filter(_.collection != name).sortBy(_.lastUsedMs)
+          var total = others.map(_.estBytes).sum + h.estBytes
+          while (total > FusionEngine.AggregateServingBytes && others.nonEmpty) {
+            servingCache.remove(others.head.collection)
+            total -= others.head.estBytes
+            others = others.tail
+          }
+          if (total <= FusionEngine.AggregateServingBytes) servingCache.put(name, h)
+        }
+      }
       built
     }
   }
@@ -350,11 +382,8 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       (i.toLong, v)
     }
     val session = graft.search.ServingSession.fromLocalRows(packed, cfg.dimensions)
-    val m = cfg.distanceMetric match {
-      case "cosine" => VectorSearch.CosineUnit // normalized at insert
-      case other    => VectorSearch.metric(other)
-    }
-    Some(new ServingHandle(name, session, m, cfg.distanceMetric == "cosine",
+    Some(new ServingHandle(name, session, servingMetric(cfg),
+      cfg.distanceMetric == "cosine",
       cfg.dimensions, ids, contents, ver, minExpiry, est))
   }
 
@@ -481,8 +510,19 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
 
 object FusionEngine {
 
-  /** Serving-cache resident-footprint cap (see [[FusionEngine.serving]]). */
-  val DefaultServingBytes: Long = 4L << 30
+  /** Per-collection serving-cache resident-footprint cap — aliases the
+    * serving tier's single source of truth
+    * ([[graft.search.ServingSession.DefaultMaxBytes]]). */
+  val DefaultServingBytes: Long = graft.search.ServingSession.DefaultMaxBytes
+
+  /** Aggregate budget across ALL cached serving snapshots (LRU-evicted
+    * past this — see [[FusionEngine.serving]]): 2× the per-collection
+    * cap by default, overridable via the
+    * `graft.serving.aggregate.bytes` system property (re-read per use —
+    * also what lets the eviction path be tested without GiB fixtures). */
+  def AggregateServingBytes: Long =
+    sys.props.get("graft.serving.aggregate.bytes").map(_.toLong)
+      .getOrElse(DefaultServingBytes * 2)
 
   /** Canonical collection schema (FIXTURES.md §1). */
   val Schema: StructType = StructType(Seq(

@@ -61,23 +61,31 @@ final class HybridRetriever(
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
       } catch { case _: Exception => emptyBranch }
 
-    val vec = if (!runVector) emptyBranch else branch("vector") {
-      val qv = embedder.embed(query).map(_.toDouble).toSeq
-      // Interactive fast path: tenant-free retrieval over a collection
-      // with a resident serving snapshot skips the Spark job for this
-      // branch entirely (same rows; float-kernel scores within the
-      // documented tolerance). Tenant-scoped or oversized collections
-      // stay on the distributed path.
-      (if (tenantId.isEmpty) engine.serving(collection) else None) match {
-        case Some(h) =>
-          h.search(qv, fetch)
-            .map(hit => (hit.id, hit.score, hit.content))
-            .toDF("id", "score", "content")
-            .withColumn("strategy", lit("vector"))
-        case None =>
-          engine.search(collection, qv, fetch, tenantId = tenantId)
-            .select($"id", $"score", $"content", lit("vector").as("strategy"))
-      }
+    // Interactive fast path: tenant-free retrieval over a collection
+    // with a resident serving snapshot skips the Spark job for this
+    // branch entirely (same rows; float-kernel scores within the
+    // documented tolerance). The hits are ALREADY driver-local and
+    // eagerly computed, so they go straight into a local DataFrame —
+    // no branch() wrapper (whose collect-and-relift exists to contain
+    // lazy execution-time failures) and no extra job. A serving failure
+    // degrades to the empty branch, like any branch failure; oversized
+    // or tenant-scoped collections stay on the distributed path.
+    val vec = if (!runVector) emptyBranch else {
+      val served: Option[DataFrame] =
+        if (tenantId.isDefined) None
+        else
+          try engine.serving(collection).map { h =>
+            val qv = embedder.embed(query).map(_.toDouble).toSeq
+            h.search(qv, fetch)
+              .map(hit => (hit.id, hit.score, hit.content))
+              .toDF("id", "score", "content")
+              .withColumn("strategy", lit("vector"))
+          } catch { case _: Exception => Some(emptyBranch) }
+      served.getOrElse(branch("vector") {
+        val qv = embedder.embed(query).map(_.toDouble).toSeq
+        engine.search(collection, qv, fetch, tenantId = tenantId)
+          .select($"id", $"score", $"content", lit("vector").as("strategy"))
+      })
     }
 
     val tree = if (!runTree) emptyBranch else branch("tree") {

@@ -100,7 +100,8 @@ object PackedIndex {
     * partition pruning on a cell-partitioned table. */
   final class Ivf private[PackedIndex] (
       @transient val spark: SparkSession,
-      val model: IvfModel, val blocks: RDD[CellBlock], val dim: Int) {
+      val model: IvfModel, val blocks: RDD[CellBlock], val dim: Int,
+      val n: Long) {
 
     /** Cosine top-k per query over the probed cells only. */
     def search(queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
@@ -202,8 +203,8 @@ object PackedIndex {
       }
       done.iterator
     }.cache()
-    blocks.count() // materialize
-    new Ivf(spark, model, blocks, dim)
+    val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize + row count
+    new Ivf(spark, model, blocks, dim, n)
   }
 
   private def metricCode(m: VectorSearch.Metric): Int = m match {

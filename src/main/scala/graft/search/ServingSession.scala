@@ -38,6 +38,11 @@ import graft.search.PackedIndex.{CellBlock, VecBlock}
   */
 object ServingSession {
 
+  /** Default per-collection resident-footprint cap. Single source of
+    * truth for the serving-tier budget — the engine cache
+    * ([[graft.engine.FusionEngine]].DefaultServingBytes) aliases it. */
+  val DefaultMaxBytes: Long = 4L << 30
+
   /** Work units (rows × queries) below this score single-threaded — the
     * fork-join handoff costs more than the scan itself. A 1-query search
     * of 2k rows stays inline; 10k+ rows (or any real fleet) fan out —
@@ -112,11 +117,14 @@ object ServingSession {
           }
           hs
         } else {
-          // strided block chunks on the common FJ pool; worker-local
-          // heaps merged with the same tie-breaking as the final rank
+          // strided block chunks on the common FJ pool; the query pack
+          // is immutable and read-only — built ONCE and shared by all
+          // workers (review r4: packing per worker repeated the fleet
+          // transpose nThreads times); worker-local heaps merged with
+          // the same tie-breaking as the final rank
+          val qp = Kernels.packQueries(qVecs)
           val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
             .mapToObj { t =>
-              val qp = Kernels.packQueries(qVecs)
               val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
               val out = new Array[Float](qids.length)
               var b = t
@@ -303,16 +311,15 @@ object ServingSession {
     * in `maxBytes`; None = stay on the cluster path (caller falls back to
     * [[PackedIndex.Exact.search]]). Blocks are compacted to full tiles
     * ([[repack]]) — same rows, same order, better serving locality. */
-  def fromExact(idx: PackedIndex.Exact, maxBytes: Long = 4L << 30): Option[Exact] =
+  def fromExact(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes): Option[Exact] =
     if (idx.n <= 0 || exactBytes(idx.n, idx.dim) > maxBytes) None
     else Some(new Exact(repack(idx.blocks.collect(), idx.dim), idx.dim, idx.n))
 
-  /** Same for an IVF index: cell blocks grouped by cell id. */
-  def fromIvf(idx: PackedIndex.Ivf, maxBytes: Long = 4L << 30): Option[Ivf] = {
-    val counts = idx.blocks.map(b => (b.ids.length.toLong, 1L))
-      .fold((0L, 0L)) { case ((r1, b1), (r2, b2)) => (r1 + r2, b1 + b2) }
-    val (rows, _) = counts
-    if (rows <= 0 || exactBytes(rows, idx.dim) > maxBytes) None
+  /** Same for an IVF index: cell blocks grouped by cell id. The size
+    * guard uses the index's build-time row count, so nothing is
+    * collected when the collection is over the cap. */
+  def fromIvf(idx: PackedIndex.Ivf, maxBytes: Long = DefaultMaxBytes): Option[Ivf] = {
+    if (idx.n <= 0 || exactBytes(idx.n, idx.dim) > maxBytes) None
     else {
       val all = idx.blocks.collect()
       val nCells = idx.model.nCells

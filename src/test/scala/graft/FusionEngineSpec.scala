@@ -73,6 +73,25 @@ class FusionEngineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](h2.search(Seq(1.0, 2.0), topK = 1))
   }
 
+  test("serving cache: aggregate budget LRU-evicts the least recently used snapshot") {
+    val e = freshEngine()
+    insertDemo(e, "c1")
+    insertDemo(e, "c2")
+    val h1 = e.serving("c1").get
+    try {
+      // budget fits exactly one snapshot
+      sys.props("graft.serving.aggregate.bytes") = (h1.estimatedBytes + 16).toString
+      Thread.sleep(2) // distinct lastUsed timestamps
+      val h2 = e.serving("c2").get // over budget with h1 -> h1 (LRU) evicted
+      assert(e.serving("c2").get eq h2) // h2 is the cached resident
+      val h1b = e.serving("c1").get // rebuilt: the eviction was real
+      assert(!(h1b eq h1))
+    } finally sys.props -= "graft.serving.aggregate.bytes"
+    // with the default budget both fit again and cache normally
+    val h2c = e.serving("c2").get
+    assert(e.serving("c2").get eq h2c)
+  }
+
   test("serving tier: TTL rows are excluded at snapshot and expiry invalidates the handle") {
     val e = freshEngine()
     e.createCollection("sttl", CollectionConfig(dimensions = 64))
