@@ -2,13 +2,16 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main. Prints ONE JSON line:
+/** Per-round benchmark main. Prints ONE **compact** JSON line:
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`
-  * plus extra keys: `"failed"` (names whose run threw — a broken query is
-  * never reported as a fast one; VERDICT r1 §What's-wrong #4) and
-  * `"batch_knn_qps"` (throughput over a batched query fleet — the
-  * apples-to-apples number vs the reference's 1,000-query bench loop,
-  * `/root/reference/bin/cli.js:81-90`).
+  * plus headline throughput/latency keys (`batch_knn_qps`, `knn_10k/100k/1m`,
+  * `engine_100k` — the apples-to-apples numbers vs the reference's bench
+  * loop, `/root/reference/bin/cli.js:81-90`) and `"failed"` (names whose
+  * run threw — a broken query is never reported as a fast one). The FULL
+  * result — per-run spreads, scan-path QPS, and the ann recall/fraction
+  * curves — goes to `bench_latest.json`; the printed line is kept under
+  * ~2 KB because the round driver records only a small tail of console
+  * output (BENCH_r03/r04 both lost their parse to an oversized line).
   *
   * Every query gets one untimed warmup run first (JVM/codegen/parquet
   * footer warmup), then one timed run — so per-query numbers measure the
@@ -168,7 +171,14 @@ object Bench {
     // costs), and IVF score-recall vs the exact top-k (ties from tiled
     // duplicate vectors count as hits — id-based recall would undercount
     // equal-score copies).
-    def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): String = {
+    case class Probe(
+        total: Long, nq: Int, exactRuns: Array[Double], servingFleetQps: Double,
+        ivfRuns: Array[Double], ivfCells: Int, ivfProbes: Int, ivfRecall: Double,
+        ivfServingP50: Double, scanRuns: Array[Double], ivfScanQps: Double,
+        servingP50: Double, jobP50: Double) {
+      def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
+    }
+    def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
       // every cached artifact also registers an (idempotent) unpersist
       // here, run in finally — a mid-probe failure must not leak pinned
       // memory into the LATER probes of the same JVM (review r4); the
@@ -267,14 +277,25 @@ object Bench {
             (runs, scanQps, recall, servP50)
           } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0) }
         tiled.unpersist()
-        val nq = queries.size
-        // -1.0 failure sentinel, consistent with every other metric
-        val ivfQps = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
-        s"""{"n_vectors":$total,"n_queries":$nq,"exact_qps":${nq / exactRuns.min},"exact_qps_runs":${runsJson(exactRuns, nq)},"serving_fleet_qps":$servingFleetQps,"ivf_qps":$ivfQps,"ivf_qps_runs":${runsJson(ivfRuns, nq)},"ivf_cells":$ivfCells,"ivf_probes":$ivfProbes,"ivf_score_recall_at_10":$ivfRecall,"ivf_serving_p50_ms":$ivfServingP50,"exact_scan_qps":${nq / scanRuns.min},"ivf_scan_qps":$ivfScanQps,"single_query_p50_ms":$servingP50,"single_query_job_p50_ms":$jobP50}"""
+        Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
+          ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
+          servingP50, jobP50))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); "null"
+        System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
     }
+    // Full block (bench_latest.json) and compact block (stdout — the
+    // driver keeps only a ~2 KB tail of console output, so the printed
+    // line must stay small; BENCH_r03/r04 lost their parse to this).
+    def probeJson(p: Option[Probe]): String = p.map { p =>
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50}}"""
+    }.getOrElse("null")
+    def fmt(d: Double, dec: Int): String =
+      if (d == -1.0) "-1"
+      else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    def probeCompact(p: Option[Probe]): String = p.map { p =>
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_score_recall_at_10":${fmt(p.ivfRecall, 3)},"single_query_p50_ms":${fmt(p.servingP50, 3)},"ivf_serving_p50_ms":${fmt(p.ivfServingP50, 3)},"single_query_job_p50_ms":${fmt(p.jobP50, 1)}}"""
+    }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
     // table (10k: 0.3 ms p50 / ~3,300 QPS; 100k: 0.5 ms / ~2,000 QPS).
@@ -288,7 +309,7 @@ object Bench {
     // engine collection at the baseline's 100k scale — HTTP + query
     // embedding + the resident serving snapshot, the full path a user
     // of the reference's HTTP server would compare.
-    val restP50 =
+    val engine100k: Option[(Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val root = java.nio.file.Files.createTempDirectory("graft_bench_rest").toString
@@ -328,24 +349,36 @@ object Bench {
           val q = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
           require(post(q).contains("\"id\""), "rest search must return hits")
           val p = p50Ms(201)(post(q): Unit)
-          s"""{"rest_search_p50_ms":$p,"insert_100k_sec":$insertSec,"serving_build_100k_sec":$snapSec}"""
+          Some((p, insertSec, snapSec))
         } finally rest.stop()
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); "null"
+        System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); None
       }
+    def engineJson(dec: Int): String = engine100k.map { case (p, ins, snap) =>
+      s"""{"rest_search_p50_ms":${fmt(p, dec)},"insert_100k_sec":${fmt(ins, dec)},"serving_build_100k_sec":${fmt(snap, dec)}}"""
+    }.getOrElse("null")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":$restP50,"knn_10k":$qps10k,"knn_100k":$qps100k,"knn_1m":$qps1m,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
-    // Durable copy FIRST (VERDICT r3 #2: BENCH_r03's captured stdout tail
-    // was truncated mid-JSON and the round lost its per-query history) —
-    // the file survives even if the console capture is cut.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    // Durable FULL copy — per-query history, run spreads, and the ann
+    // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")),
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    println(json)
+    // Stdout gets ONLY a compact line: the driver records a ~2 KB tail of
+    // console output and parses the JSON from it — BENCH_r03/r04 both came
+    // back `parsed:null` because the full line (ann_curves + run lists)
+    // outgrew the window. Keep this line comfortably under the tail size;
+    // everything dropped here is in bench_latest.json.
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"batch_knn_serving_p50_ms":${fmt(servingP50Small, 3)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"ann_ivf_clustered":$annClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    if (compact.length > 1900)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
+    println(compact)
     System.out.flush()
     spark.stop()
   }
