@@ -549,6 +549,21 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: n-gram Jaccard similarity at a LOW threshold —
+    // the direct (non-LSH) grading of Dedup.jaccardPairsExact, in the
+    // regime LSH banding never visits (τ=0.05 catches topically-
+    // overlapping docs, not near-dups; 29 pairs here vs dedup_pairs'
+    // 25). Bounded to the first 500 doc_ids: all-pairs is the
+    // VALIDATION shape (scaladoc warns O(n²)) — at corpus scale the
+    // LSH path above is the product answer.
+    "dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.jaccardPairsExact(
+          t(s, dir, "documents").filter($"doc_id" < 500),
+          "text", "doc_id", tau = 0.05)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // LLM-pipeline: embedding near-dup in IVF shape — a coarse cluster
     // column (label) bounds the pair space, exact cosine runs
     // intra-cell only. The scalable form of embedding-based dedup.
@@ -608,6 +623,21 @@ object SparkEntry {
         .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
       graft.streaming.EventStreams.windowedEventCounts(ev, "ts_t", "1 hour")
         .orderBy($"window_start", $"event_type")
+    }),
+
+    // §2.8 batch gap-sessionization — the backfill twin of the
+    // streaming sessionize (StreamingSpec): a session closes after 8 h
+    // of per-user inactivity (median inter-event gap in the driver's
+    // events is ~7.4 h, so every SF exercises both merges and splits).
+    // ts is LONG nanos → epoch ms by integer DIV (floor matches
+    // DuckDB's epoch_ms).
+    "events_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", expr("ts DIV 1000000").as("ts_ms"))
+      graft.streaming.EventStreams.sessionizeBatch(
+          ev, "user_id", "ts_ms", gapMs = 8L * 3600 * 1000)
+        .orderBy($"user_id", $"start_ms")
     }),
 
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
@@ -1055,6 +1085,22 @@ object SparkEntry {
           |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
 
+      // same shingle machinery, low-τ direct regime, first 500 ids
+      "dedup_jaccard" ->
+        """WITH sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents WHERE doc_id < 500)
+          |  WHERE len(w) >= 3),
+          |scored AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |    round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          |          len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.05
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "dedup_embedding" ->
         s"""WITH scored AS (
            |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -1100,6 +1146,23 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS window_start,
           |  event_type, count(*) AS n
           |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+      // same lag/cumsum session definition; epoch_ms floors micros
+      // exactly like Spark's `ts DIV 1000000` floors nanos
+      "events_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+          |d AS (SELECT user_id, ts_ms,
+          |  CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+          |    OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 28800000
+          |    THEN 1 ELSE 0 END AS starts
+          |  FROM e),
+          |s AS (SELECT user_id, ts_ms,
+          |  sum(starts) OVER (PARTITION BY user_id ORDER BY ts_ms
+          |                    ROWS UNBOUNDED PRECEDING) AS sid
+          |  FROM d)
+          |SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+          |  CAST(count(*) AS BIGINT) AS n_events
+          |FROM s GROUP BY user_id, sid ORDER BY user_id, start_ms""".stripMargin,
 
       "delegation_match" ->
         """SELECT source, match_count, caps_str FROM (

@@ -36,6 +36,35 @@ object EventStreams {
   /** A closed session: user, bounds, event count. */
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
 
+  /** Batch-mode gap sessionization over a historical event table — the
+    * backfill twin of [[sessionize]] (same session definition: a session
+    * ends after `gapMs` of inactivity). Standard lag/cumsum shape:
+    * session starts where the in-user gap exceeds `gapMs`, a running sum
+    * of starts numbers the sessions, then one aggregate per session.
+    *
+    * Scale: ONE shuffle on `userCol` (all three windows and the final
+    * aggregate share its partitioning — Catalyst plans a single
+    * Exchange); per-user data is sorted within partitions, never
+    * collected. A pathologically hot user is one partition's sort —
+    * AQE skew handling applies. Input `tsMsCol` must be epoch millis.
+    * Output matches [[Session]]: `(user_id, start_ms, end_ms,
+    * n_events)`. */
+  def sessionizeBatch(events: DataFrame, userCol: String, tsMsCol: String,
+                      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(userCol).orderBy(col(tsMsCol))
+    events
+      .withColumn("_prev_ms", lag(col(tsMsCol), 1).over(byUser))
+      .withColumn("_starts", when(col("_prev_ms").isNull ||
+        col(tsMsCol) - col("_prev_ms") > gapMs, 1L).otherwise(0L))
+      .withColumn("_sid", sum(col("_starts"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol).as("user_id"), col("_sid"))
+      .agg(min(col(tsMsCol)).as("start_ms"), max(col(tsMsCol)).as("end_ms"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

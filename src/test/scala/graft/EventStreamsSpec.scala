@@ -75,6 +75,34 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionizeBatch matches the streaming session definition") {
+    // same fixture shape as the streaming tests: per-user gaps both
+    // under and over gapMs, one interleaved second user
+    val ev = Seq(
+      (7L, 1L), (7L, 4L), (9L, 2L),   // user 7 session [1,4], user 9 [2,2]
+      (7L, 60L), (7L, 65L), (7L, 68L), // user 7 session [60,68]
+      (9L, 90L))                       // user 9 session [90,90]
+      .map { case (u, m) => (u, m * 60000L) }
+      .toDF("user_id", "ts_ms")
+    val out = EventStreams.sessionizeBatch(ev, "user_id", "ts_ms", gapMs = 10 * 60000L)
+      .orderBy("user_id", "start_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1) / 60000,
+        r.getLong(2) / 60000, r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (7L, 1L, 4L, 2L), (7L, 60L, 68L, 3L),
+      (9L, 2L, 2L, 1L), (9L, 90L, 90L, 1L)))
+  }
+
+  test("sessionizeBatch: an event exactly gapMs after the previous stays in-session") {
+    val ev = Seq((1L, 0L), (1L, 10 * 60000L), (1L, 20 * 60000L + 1))
+      .toDF("user_id", "ts_ms")
+    val out = EventStreams.sessionizeBatch(ev, "user_id", "ts_ms", gapMs = 10 * 60000L)
+      .orderBy("start_ms").collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // gap == gapMs merges (strict `>` splits); the +1 ms event splits
+    assert(out.toSeq == Seq((0L, 10 * 60000L, 2L),
+      (20 * 60000L + 1, 20 * 60000L + 1, 1L)))
+  }
+
   test("sessionize closes a session after the inactivity gap, state dropped") {
     val stream = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "1 minute")
