@@ -90,16 +90,28 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
 
   // ─── Read path ───
 
-  /** The collection as a DataFrame (empty with the canonical schema when
-    * nothing has been inserted yet). */
-  def table(name: String): DataFrame = {
-    getConfig(name) // existence check
+  /** The collection with its physical layout columns: for sharded
+    * collections the hive partition column `shard INT` is present (Spark
+    * appends partition columns missing from the user schema). All
+    * internal paths that can prune or must preserve layout read this. */
+  private def raw(name: String, cfg: CollectionConfig): DataFrame = {
     FusionEngine.recoverSwap(dataDir(name)) // crashed-swap restore
+    if (cfg.shards > 0) FusionEngine.recoverShards(dataDir(name))
     if (Files.exists(dataDir(name)))
       spark.read.schema(Schema).parquet(dataDir(name).toString)
-    else
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+    else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
+      if (cfg.shards > 0)
+        empty.withColumn("shard", FusionEngine.shardExpr(cfg.shards))
+      else empty
+    }
   }
+
+  /** The collection as a DataFrame in the canonical schema (empty when
+    * nothing has been inserted yet; layout columns dropped). */
+  def table(name: String): DataFrame =
+    raw(name, getConfig(name)).drop("shard")
 
   def count(name: String): Long = {
     FusionEngine.recoverSwap(dataDir(name))
@@ -116,8 +128,18 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       case other    => VectorSearch.metric(other)
     }
 
-  /** Point lookup (`FusionEngine.js:225-228`) — id-pushdown scan. */
-  def get(name: String, id: String): DataFrame = table(name).filter(col("id") === lit(id))
+  /** Point lookup (`FusionEngine.js:225-228`) — id-pushdown scan; on a
+    * sharded collection the lookup carries the id's shard as a partition
+    * filter, so ONE partition is read instead of the whole table. */
+  def get(name: String, id: String): DataFrame = {
+    val cfg = getConfig(name)
+    if (cfg.shards > 0)
+      raw(name, cfg)
+        .filter(col("shard") === lit(FusionEngine.shardOf(id, cfg.shards)) &&
+          col("id") === lit(id))
+        .drop("shard")
+    else table(name).filter(col("id") === lit(id))
+  }
 
   /** Existence check (`HNSWIndex.js:372-374`). */
   def has(name: String, id: String): Boolean = !get(name, id).limit(1).isEmpty
@@ -181,17 +203,62 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
 
     val out = in.select(Schema.fieldNames.map(col): _*)
       .select(Schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
-    val writer = out.write.mode(SaveMode.Append)
-    // Hive-partitioned layout: tenant filters prune at the storage level
-    (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
-      .parquet(dataDir(name).toString)
+    writeLayout(cfg, out, SaveMode.Append, dataDir(name).toString)
     bumpWrite(name)
   }
 
+  /** Single write path for collection data: applies the configured
+    * physical layout (shard hash partitions above tenant partitions) so
+    * every writer — insert, rewrite, imports — produces the same dir
+    * structure. Mixing layouts within one collection would break the
+    * hive-partitioned read. */
+  private def writeLayout(cfg: CollectionConfig, df: DataFrame,
+                          mode: SaveMode, path: String): Unit = {
+    val (out, parts) =
+      if (cfg.shards > 0)
+        (df.withColumn("shard", FusionEngine.shardExpr(cfg.shards)),
+          "shard" +: (if (cfg.partitionByTenant) Seq("tenant_id") else Nil))
+      else (df, if (cfg.partitionByTenant) Seq("tenant_id") else Seq.empty)
+    val w = out.write.mode(mode)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+  }
+
   /** Delete by ids — anti-filter rewrite with an atomic dir swap.
-    * Returns rows deleted. (Delta: `DELETE WHERE id IN (...)`.) */
-  def deleteByIds(name: String, ids: Seq[String]): Long =
-    rewrite(name, col("id").isin(ids.map(lit(_)): _*))
+    * Returns rows deleted. (Delta: `DELETE WHERE id IN (...)`.) On a
+    * sharded collection only the ids' OWN shard partitions are rewritten
+    * and swapped — the rest of the table is never read or touched, so
+    * deleting k ids from a 100 TB table costs ~k/shards of a full
+    * rewrite instead of all of it. */
+  def deleteByIds(name: String, ids: Seq[String]): Long = {
+    val cfg = getConfig(name)
+    val cond = col("id").isin(ids.map(lit(_)): _*)
+    if (cfg.shards <= 0 || ids.isEmpty) return rewrite(name, cond)
+    FusionEngine.recoverSwap(dataDir(name))
+    FusionEngine.recoverShards(dataDir(name))
+    if (!Files.exists(dataDir(name))) return 0L
+    val affected = ids.map(FusionEngine.shardOf(_, cfg.shards)).distinct.sorted
+    val inAffected = col("shard").isin(affected.map(lit(_)): _*)
+    val src = raw(name, cfg)
+    val deleted = src.filter(inAffected && cond).count()
+    if (deleted == 0) return 0L
+    val tmp = dir(name).resolve("data_tmp")
+    if (Files.exists(tmp)) deleteRecursively(tmp)
+    // rewrite ONLY the affected shards into tmp (partitioned the same
+    // way), then swap each shard dir individually — each swap is the
+    // crash-safe atomicSwap; a crash mid-loop leaves earlier shards
+    // deleted and later ones not, and re-running the delete converges
+    writeLayout(cfg, src.filter(inAffected && !cond).drop("shard"),
+      SaveMode.Overwrite, tmp.toString)
+    affected.foreach { k =>
+      val liveShard = dataDir(name).resolve(s"shard=$k")
+      val tmpShard = tmp.resolve(s"shard=$k")
+      if (Files.exists(tmpShard)) FusionEngine.atomicSwap(liveShard, tmpShard)
+      else if (Files.exists(liveShard)) deleteRecursively(liveShard) // shard emptied
+    }
+    deleteRecursively(tmp)
+    bumpWrite(name)
+    deleted
+  }
 
   /** Delete rows matching a predicate (Delta `DELETE WHERE`). */
   def deleteWhere(name: String, cond: Column): Long = rewrite(name, cond)
@@ -211,17 +278,16 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   }
 
   /** Rewrite the collection without rows matching `condemned`
-    * (preserving the tenant-partitioned layout when configured). */
+    * (preserving the configured physical layout). */
   private def rewrite(name: String, condemned: Column): Long = {
     val cfg = getConfig(name)
     FusionEngine.recoverSwap(dataDir(name))
+    if (cfg.shards > 0) FusionEngine.recoverShards(dataDir(name))
     if (!Files.exists(dataDir(name))) return 0L
     val before = count(name)
     val tmp = dir(name).resolve("data_tmp")
-    val writer = table(name).filter(!coalesce(condemned, lit(false))).write
-      .mode(SaveMode.Overwrite)
-    (if (cfg.partitionByTenant) writer.partitionBy("tenant_id") else writer)
-      .parquet(tmp.toString)
+    writeLayout(cfg, table(name).filter(!coalesce(condemned, lit(false))),
+      SaveMode.Overwrite, tmp.toString)
     FusionEngine.atomicSwap(dataDir(name), tmp)
     bumpWrite(name)
     before - count(name)
@@ -439,7 +505,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
         if (Files.exists(src)) {
           val df = spark.read.schema(Schema).json(src.toString)
           if (!df.isEmpty)
-            df.write.mode(SaveMode.Overwrite).parquet(dataDir(n).toString)
+            writeLayout(cfg, df, SaveMode.Overwrite, dataDir(n).toString)
         }
       }
     }
@@ -470,13 +536,14 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
         val idxCfg = coll.path("index").path("config")
         def pick(field: String) =
           if (cfgNode.has(field)) cfgNode.path(field) else idxCfg.path(field)
-        createCollection(name, CollectionConfig(
+        val importedCfg = CollectionConfig(
           dimensions = coll.path("index").path("dimensions")
             .asInt(cfgNode.path("dimensions").asInt(768)),
           distanceMetric = pick("distanceMetric").asText("cosine"),
           m = pick("M").asInt(16),
           efConstruction = pick("efConstruction").asInt(200),
-          efSearch = pick("efSearch").asInt(50)))
+          efSearch = pick("efSearch").asInt(50))
+        createCollection(name, importedCfg)
         val rows = coll.path("index").path("nodes").asScala.map { node =>
           val vec = node.path("vector").asScala.map(_.floatValue).toArray
           val meta = node.path("metadata").fields().asScala.map { m =>
@@ -494,7 +561,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
             .withColumn("ttl_ms", lit(null).cast("long"))
             .withColumn("content", element_at(col("metadata"), "_content"))
             .select(Schema.fieldNames.map(col): _*)
-          df.write.mode(SaveMode.Overwrite).parquet(dataDir(name).toString)
+          writeLayout(importedCfg, df, SaveMode.Overwrite, dataDir(name).toString)
           imported += rows.size
         }
       }
@@ -542,10 +609,24 @@ object FusionEngine {
       case c => c.toString
     } + "\""
 
+  /** Shard of an id under the collection's hash layout — CRC32 of the
+    * UTF-8 bytes mod `shards`. Must stay bit-identical to [[shardExpr]]
+    * (Spark's `crc32` is the same CRC-32 over the same bytes), or point
+    * lookups would prune to the wrong partition. */
+  private[graft] def shardOf(id: String, shards: Int): Int = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (crc.getValue % shards).toInt
+  }
+
+  /** Column form of [[shardOf]], used at write time. */
+  private[graft] def shardExpr(shards: Int): Column =
+    pmod(crc32(col("id").cast(BinaryType)), lit(shards.toLong)).cast(IntegerType)
+
   private[engine] def configJson(c: CollectionConfig): String =
     s"""{"dimensions":${c.dimensions},"distanceMetric":${jstr(c.distanceMetric)},""" +
       s""""M":${c.m},"efConstruction":${c.efConstruction},"efSearch":${c.efSearch},""" +
-      s""""partitionByTenant":${c.partitionByTenant},"createdAt":${jstr(c.createdAt)}}"""
+      s""""partitionByTenant":${c.partitionByTenant},"shards":${c.shards},"createdAt":${jstr(c.createdAt)}}"""
 
   // Minimal flat-JSON field extraction (configs are engine-written, flat,
   // and free of nested braces in values).
@@ -565,7 +646,8 @@ object FusionEngine {
       createdAt = jstrv(json, "createdAt", ""),
       partitionByTenant =
         s""""partitionByTenant":\\s*(true|false)""".r.findFirstMatchIn(json)
-          .exists(_.group(1) == "true"))
+          .exists(_.group(1) == "true"),
+      shards = jint(json, "shards", 0))
 
   private[engine] def extractCollections(manifest: String): Seq[(String, CollectionConfig)] = {
     val entry = """\{"name":"((?:[^"\\]|\\.)*)","size":\d+,"config":(\{[^}]*\})\}""".r
@@ -618,5 +700,30 @@ object FusionEngine {
     val old = live.resolveSibling(live.getFileName.toString + "_old")
     if (!Files.exists(live) && Files.exists(old))
       Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Per-shard crash recovery: a sharded delete swaps `shard=k` dirs
+    * individually, so a crash can leave `shard=k_old` behind. Restore it
+    * when it holds the only copy (crash between moves), DELETE it when
+    * the live dir exists (crash after install) — a leftover would
+    * otherwise enter hive partition discovery as value `k_old` and
+    * poison the shard column's type inference. O(#shards) local
+    * listing, done at read sites of sharded collections only. */
+  private[graft] def recoverShards(dataDir: Path): Unit = {
+    if (!Files.exists(dataDir)) return
+    val s = Files.list(dataDir)
+    // materialize before mutating the directory we're listing
+    val leftovers =
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith("_old")).toList
+      finally s.close()
+    leftovers.foreach { old =>
+      val base = old.resolveSibling(
+        old.getFileName.toString.stripSuffix("_old"))
+      recoverSwap(base)
+      swapLock.synchronized {
+        if (Files.exists(base) && Files.exists(old)) deleteRecursively(old)
+      }
+    }
   }
 }

@@ -34,7 +34,14 @@ final case class CollectionConfig(
       * storage-level partition pruning (the 100 TB multi-tenant layout;
       * the reference's tenancy is a post-filter). Off by default —
       * right when tenants are few and searches are tenant-scoped. */
-    partitionByTenant: Boolean = false)
+    partitionByTenant: Boolean = false,
+    /** Hash-shard the data dir on `crc32(id) % shards` (0 = unsharded).
+      * Point lookups then prune to ONE partition instead of scanning
+      * every file, and delete-by-id rewrites only the affected shards —
+      * at 100 TB a get/delete touches 1/shards of the table. Sharding
+      * nests ABOVE tenant partitioning when both are on. Scans and kNN
+      * are unaffected (they read all shards either way). */
+    shards: Int = 0)
 
 /** One chunk of an ingested document (`RAGPipeline.js:100-122`). */
 final case class Chunk(

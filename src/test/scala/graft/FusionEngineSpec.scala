@@ -318,6 +318,70 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(dirs2.contains("tenant_id=globex"))
   }
 
+  test("sharded layout: shard dirs, pruned point lookup, selective delete leaves other shards untouched") {
+    val e = freshEngine()
+    e.createCollection("sh", CollectionConfig(dimensions = 64, shards = 8))
+    val docs = (0 until 64).map(i => (s"doc-$i", s"content number $i"))
+    e.insert("sh", Embed.withEmbedding(docs.toDF("id", "content"), "content", "vector", embedder))
+
+    // physical layout: hive shard dirs, ids in their CRC32 shard
+    val dirs = new java.io.File(s"${e.root}/sh/data").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.forall(_.matches("shard=\\d+")))
+
+    // point lookup prunes to the id's single shard partition
+    val lookup = e.get("sh", "doc-7")
+    val scan = lookup.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a file scan"))
+    assert(scan.partitionFilters.exists(_.toString.contains("shard")),
+      s"shard partition filter missing: ${scan.partitionFilters}")
+    assert(scan.selectedPartitions.partitionCount == 1,
+      s"expected 1 pruned partition, scanned ${scan.selectedPartitions.partitionCount}")
+    assert(lookup.select("id").as[String].collect().toSeq == Seq("doc-7"))
+    assert(e.has("sh", "doc-7") && !e.has("sh", "doc-999"))
+    // canonical surface: no layout column leaks
+    assert(!e.table("sh").columns.contains("shard"))
+
+    // selective delete: only the target id's shard dir is rewritten
+    val victim = "doc-11"
+    val victimShard = s"shard=${graft.engine.FusionEngine.shardOf(victim, 8)}"
+    val untouched = dirs.filter(_ != victimShard).map { d =>
+      d -> new java.io.File(s"${e.root}/sh/data/$d").listFiles().map(_.getName).sorted.toSeq
+    }.toMap
+    assert(e.deleteByIds("sh", Seq(victim)) == 1L)
+    assert(e.count("sh") == 63)
+    assert(e.get("sh", victim).isEmpty)
+    untouched.foreach { case (d, files) =>
+      val now = new java.io.File(s"${e.root}/sh/data/$d").listFiles().map(_.getName).sorted.toSeq
+      assert(now == files, s"unaffected shard $d was rewritten")
+    }
+    // searches see all shards
+    val qv = embedder.embed("content number 3").map(_.toDouble).toSeq
+    assert(e.search("sh", qv, topK = 3).count() == 3)
+    // serving tier over the sharded collection still matches
+    assert(e.serving("sh").map(_.size).contains(63L))
+  }
+
+  test("sharded layout: crashed per-shard swap recovers on next read") {
+    val e = freshEngine()
+    e.createCollection("shc", CollectionConfig(dimensions = 64, shards = 4))
+    val docs = (0 until 16).map(i => (s"k$i", s"text $i"))
+    e.insert("shc", Embed.withEmbedding(docs.toDF("id", "content"), "content", "vector", embedder))
+    val data = java.nio.file.Paths.get(e.root, "shc", "data")
+    val aShard = new java.io.File(data.toString).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard=")).head.toPath
+    // simulate a crash between the swap's two moves: live moved aside
+    java.nio.file.Files.move(aShard,
+      aShard.resolveSibling(aShard.getFileName.toString + "_old"))
+    assert(e.count("shc") == 16, "read must restore the mid-swap shard")
+    // and a post-install leftover (_old ALONGSIDE live) is cleared
+    val leftover = aShard.resolveSibling(aShard.getFileName.toString + "_old")
+    java.nio.file.Files.createDirectory(leftover)
+    assert(e.count("shc") == 16)
+    assert(!java.nio.file.Files.exists(leftover), "stale _old dir must be cleared")
+  }
+
   test("search metric follows collection config: euclidean collection ranks by euclidean score") {
     val e = freshEngine()
     e.createCollection("euc", CollectionConfig(dimensions = 2, distanceMetric = "euclidean"))
