@@ -35,6 +35,10 @@ object Adapters {
 
   private[server] def jint(json: String, key: String, default: Int): Int =
     jfield(json, key).flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(default)
+
+  private[server] def jbool(json: String, key: String, default: Boolean = false): Boolean =
+    s""""$key"\\s*:\\s*(true|false)""".r.findFirstMatchIn(json)
+      .map(_.group(1) == "true").getOrElse(default)
 }
 
 /** Engine facade shared by both adapters — the 11-tool / 15-route
@@ -64,7 +68,9 @@ final class EngineFacade(
       val name = jfield(body, "name").getOrElse(throw new IllegalArgumentException("name required"))
       val cfg = engine.createCollection(name, CollectionConfig(
         dimensions = jint(body, "dimensions", 768),
-        distanceMetric = jfield(body, "distanceMetric").getOrElse("cosine")))
+        distanceMetric = jfield(body, "distanceMetric").getOrElse("cosine"),
+        partitionByTenant = jbool(body, "partitionByTenant"),
+        shards = jint(body, "shards", 0)))
       s"""{"name":${jstr(name)},"dimensions":${cfg.dimensions}}"""
 
     case "insert" =>

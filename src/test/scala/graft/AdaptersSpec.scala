@@ -28,6 +28,23 @@ class AdaptersSpec extends AnyFunSuite {
     new EngineFacade(engine, embedder, memory, rag, tree)
   }
 
+  test("create_collection accepts layout options (shards, partitionByTenant)") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_srv").toString)
+    val embedder = new MockEmbedderProvider(64)
+    val memory = new AgentMemory(engine, embedder)
+    val rag = new RagPipeline(engine, embedder, chunkSize = 120, chunkOverlap = 20)
+    val tree = new TreeIndex(spark, Files.createTempDirectory("graft_srv_tree").toString)
+    val f = new EngineFacade(engine, embedder, memory, rag, tree)
+    f.call("create_collection",
+      """{"name": "layered", "dimensions": 64, "shards": 8, "partitionByTenant": true}""")
+    val cfg = engine.getConfig("layered")
+    assert(cfg.shards == 8 && cfg.partitionByTenant && cfg.dimensions == 64)
+    // defaults stay off when the options are absent
+    f.call("create_collection", """{"name": "plain", "dimensions": 32}""")
+    val plain = engine.getConfig("plain")
+    assert(plain.shards == 0 && !plain.partitionByTenant)
+  }
+
   test("REST: health, create/insert/search round-trip over a real socket; bad input 400; no route 404") {
     val srv = new RestServer(facade())
     val port = srv.start()
