@@ -5,6 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann.IvfModel
+import graft.ann.Pq.PqModel
 
 /** Prebuilt in-memory vector indexes for query-fleet serving.
   *
@@ -30,6 +31,11 @@ object PackedIndex {
 
   /** A packed tile of a single IVF cell. */
   final case class CellBlock(cell: Int, ids: Array[Long], xs: Array[Float], norm2: Array[Double])
+
+  /** A packed tile of PQ codes for a single IVF cell: `codes` is
+    * row-major n × m bytes — `m`/4·dim the footprint of a [[CellBlock]]
+    * (8 B/vector at 64-D, m=8 — 32× smaller than float32). */
+  final case class PqCellBlock(cell: Int, ids: Array[Long], codes: Array[Byte])
 
   /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
     * most [[Kernels.TileRows]] rows. Also the driver-local pack path
@@ -152,6 +158,86 @@ object PackedIndex {
     def unpersist(): Unit = { blocks.unpersist(); () }
   }
 
+  /** IVF-PQ index: per-cell PQ code blocks scored by asymmetric
+    * distance (ADC — [[graft.ann.Pq.PqModel.lookupTable]]): a probe
+    * builds one `m × 256` float table per query, then each candidate
+    * row costs `m` table adds — no float math per row. Memory is the
+    * point: codes are `m` bytes/vector vs `4·dim` float32 (32× at
+    * 64-D, m=8), so collections 30× too big for [[Ivf]] still serve
+    * from RAM. Scores are approximate (quantized); chase with
+    * [[searchRefined]] to re-rank candidates at full precision from
+    * the on-disk table.
+    */
+  final class IvfPq private[PackedIndex] (
+      @transient val spark: SparkSession,
+      val ivf: IvfModel, val pq: PqModel,
+      val blocks: RDD[PqCellBlock], val n: Long) {
+
+    /** ADC top-k per query over the probed cells. Scores are the
+      * quantized cosine (inputs unit-normalized at encode). */
+    def search(queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+      val qArr = queries.toArray
+      val qids = qArr.map(_._1)
+      val qVecs = qArr.map(q => graft.ann.Pq.l2normalize(q._2.toArray.map(_.toFloat)))
+      val c2q: Array[Array[Int]] = {
+        val m = Array.fill(ivf.nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+          ivf.nearestCells(qv, nProbe).foreach(c => m(c) += qi)
+        }
+        m.map(_.toArray)
+      }
+      val model = pq
+      val bc = blocks.sparkContext.broadcast((qids, qVecs, c2q))
+      val pairs = blocks.mapPartitions { bit =>
+        val (ids, vecs, cq) = bc.value
+        val nqAll = ids.length
+        if (nqAll == 0 || bit.isEmpty) Iterator.empty
+        else {
+          val heaps = Array.fill(nqAll)(new Kernels.TopKHeap(k))
+          // LUTs built lazily once per query, reused across this
+          // partition's blocks (m × 256 floats = 8 KB each)
+          val luts = new Array[Array[Float]](nqAll)
+          val m = model.m
+          bit.foreach { cb =>
+            val probing = cq(cb.cell)
+            var pi = 0
+            while (pi < probing.length) {
+              val qi = probing(pi)
+              if (luts(qi) == null) luts(qi) = model.lookupTable(vecs(qi))
+              val lut = luts(qi)
+              val heap = heaps(qi)
+              val nRows = cb.ids.length
+              var r = 0
+              while (r < nRows) {
+                heap.offer(model.adcScore(lut, cb.codes, r * m), cb.ids(r))
+                r += 1
+              }
+              pi += 1
+            }
+          }
+          Kernels.drain(heaps, ids)
+        }
+      }
+      rank(spark, pairs, k)
+    }
+
+    /** ADC candidates re-ranked at FULL precision against the source
+      * table (`df` — typically the on-disk parquet collection):
+      * over-fetch `k × refineFactor` by ADC, then exact-rescore only
+      * those rows ([[graft.ann.Pq.refine]] — a broadcast join touching
+      * ≤ Q × k × refineFactor rows). The scale story: codes in RAM,
+      * floats on disk. */
+    def searchRefined(df: DataFrame, vecCol: String, idCol: String,
+                      queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
+                      refineFactor: Int = 4): DataFrame = {
+      val cand = search(queries, k * refineFactor, nProbe)
+      graft.ann.Pq.refine(df, vecCol, idCol, cand,
+        queries.map { case (q, v) => (q, v.toArray) }, k)
+    }
+
+    def unpersist(): Unit = { blocks.unpersist(); () }
+  }
+
   /** Build the exact-scan index: one narrow pack pass, cached. */
   def buildExact(df: DataFrame, vectorCol: String, idCol: String): Exact = {
     val spark = df.sparkSession
@@ -205,6 +291,44 @@ object PackedIndex {
     }.cache()
     val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize + row count
     new Ivf(spark, model, blocks, dim, n)
+  }
+
+  /** Build the IVF-PQ index from an encoded `(id, cell, code)` dataset
+    * ([[graft.ann.Pq.encodeCells]]): repartition by cell, pack each
+    * cell's codes into byte blocks. The cached footprint is
+    * `n × (m + 8)` bytes — the index for a collection 30× too large to
+    * pack as floats. */
+  def buildIvfPq(codes: org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])],
+                 ivfModel: IvfModel, pqModel: PqModel): IvfPq = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val m = pqModel.m
+    val src = codes.toDF("id", "cell", "code")
+      .repartition(col("cell"))
+      .as[(Long, Int, Array[Byte])]
+    val blocks = src.rdd.mapPartitions { it =>
+      val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofByte)]
+      val done = scala.collection.mutable.ArrayBuffer.empty[PqCellBlock]
+      it.foreach { case (id, cell, code) =>
+        if (code != null && code.length == m) {
+          val (ids, cs) = bufs.getOrElseUpdate(cell.toLong,
+            (new scala.collection.mutable.ArrayBuffer[Long],
+              new scala.collection.mutable.ArrayBuilder.ofByte))
+          ids += id
+          cs ++= code
+          if (ids.length == Kernels.TileRows * 8) { // byte blocks are tiny; 8× tile rows
+            done += PqCellBlock(cell, ids.toArray, cs.result())
+            bufs.remove(cell.toLong)
+          }
+        }
+      }
+      bufs.foreach { case (cell, (ids, cs)) =>
+        if (ids.nonEmpty) done += PqCellBlock(cell.toInt, ids.toArray, cs.result())
+      }
+      done.iterator
+    }.cache()
+    val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize
+    new IvfPq(spark, ivfModel, pqModel, blocks, n)
   }
 
   private def metricCode(m: VectorSearch.Metric): Int = m match {

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{Ann, Pq}
+import graft.search.PackedIndex
+
+/** Product-quantization path: training determinism, reconstruction
+  * quality, ADC fidelity, and IVF-PQ search (raw + refined). Uses a
+  * seeded clustered corpus (the shape of real embedding data) so
+  * recall assertions are stable. */
+class PqSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private val dim = 64
+
+  /** Seeded 20-cluster Gaussian mixture, unit-normalized. */
+  private lazy val clustered = {
+    import spark.implicits._
+    val d = dim // local copy — the closure must not capture the spec
+    spark.range(2000).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val cl = (i % 20).toInt
+        val rc = new scala.util.Random(cl * 1009 + 7)
+        val center = Array.fill(d)(rc.nextGaussian())
+        val rn = new scala.util.Random(i)
+        (i, Pq.l2normalize(center.map(x => (x + 0.3 * rn.nextGaussian()).toFloat)))
+      }
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  private def queriesOf(n: Int): Seq[(Long, Array[Double])] =
+    clustered.filter(org.apache.spark.sql.functions.col("vec_id") < n)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+
+  test("training is deterministic: same seed, same codebooks") {
+    val m1 = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 500, iters = 4)
+    val m2 = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 500, iters = 4)
+    assert(m1.codebooks.sameElements(m2.codebooks))
+    assert(m1.dim == dim && m1.bytesPerVector == 8)
+  }
+
+  test("reconstruction beats a mis-seeded codebook and ADC tracks the exact dot") {
+    val model = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 8)
+    val rows = clustered.limit(200).collect()
+      .map(r => r.getSeq[Float](1).toArray)
+    // quantization error of the trained model
+    def mse(m: Pq.PqModel): Double = {
+      val code = new Array[Byte](m.m)
+      rows.map { v =>
+        m.encodeOne(v, code)
+        val rec = m.decode(code)
+        v.indices.map(i => { val d = v(i) - rec(i); d * d }).sum.toDouble
+      }.sum / rows.length
+    }
+    val trained = mse(model)
+    // a "wrong-data" codebook: train on pure noise — must be worse
+    val noise = {
+      import spark.implicits._
+      val d = dim
+      spark.range(1000).as[Long]
+        .map(i => (i, Array.fill(d)(new scala.util.Random(i + 999).nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+    }
+    val bad = Pq.train(noise, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 8)
+    assert(trained < mse(bad))
+    // ADC score == dot(q, decode(code)) by construction; check against
+    // the EXACT dot within quantization tolerance on unit vectors
+    val q = rows(0)
+    val lut = model.lookupTable(q)
+    val code = new Array[Byte](model.m)
+    val errs = rows.take(50).map { v =>
+      model.encodeOne(v, code)
+      val adc = model.adcScore(lut, code, 0)
+      val exact = v.indices.map(i => q(i).toDouble * v(i)).sum
+      math.abs(adc - exact)
+    }
+    assert(errs.sum / errs.length < 0.15, s"mean ADC error ${errs.sum / errs.length}")
+  }
+
+  test("IVF-PQ search: k ranked rows per query; refined recall >= 0.9 on clustered data") {
+    val ivf = Ann.trainIvf(clustered, "embedding", nCells = 8, maxIter = 5)
+    val cells = Ann.assignCells(clustered, "embedding", "vec_id", ivf)
+    val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 8)
+    val codes = Pq.encodeCells(cells, pq)
+    val idx = PackedIndex.buildIvfPq(codes, ivf, pq)
+    try {
+      assert(idx.n == 2000)
+      val queries = queriesOf(32)
+      val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
+      val res = idx.search(qSeq, k = 10, nProbe = 8).collect()
+      assert(res.length == queries.size * 10)
+      val byQ = res.groupBy(_.getLong(0))
+      byQ.values.foreach { rows =>
+        val ranks = rows.map(_.getAs[Int]("rank")).sorted.toSeq
+        assert(ranks == (1 to 10))
+        val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score")).toSeq
+        assert(scores == scores.sorted.reverse)
+      }
+      // refined path: exact rescore from the source table — compare to
+      // exact brute-force top-k (score-recall: ties by score count)
+      val exact = graft.search.VectorSearch.knnBatchFast(
+        clustered, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
+      val exactKth = exact.groupBy("qid")
+        .agg(org.apache.spark.sql.functions.min("score").as("kth")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      // tight clusters: within-cluster score gaps are ~quantization
+      // noise, so the ADC pool must be deep to certify recall — the
+      // refineFactor knob is exactly this tradeoff
+      val refined = idx.searchRefined(clustered, "embedding", "vec_id",
+        qSeq, k = 10, nProbe = 8, refineFactor = 16).collect()
+        .map(r => (r.getLong(0), r.getDouble(2)))
+      val recall = refined.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
+        (queries.size * 10)
+      info(f"IVF-PQ refined score-recall@10 = $recall%.3f")
+      assert(recall >= 0.9, s"refined recall $recall")
+      // raw ADC recall is lower but must be non-trivial
+      val raw = idx.search(qSeq, k = 10, nProbe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exactIds = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // raw ADC ranks by QUANTIZED score: on this corpus neighbors are
+      // near-ties (within-cluster gaps < quantization noise), so raw
+      // id-recall is intrinsically modest — ADC is the candidate
+      // generator; ranking quality is the refined number above. The
+      // floor only guards against a broken kernel (random = 10/2000).
+      val rawRecall = raw.count(exactIds.contains).toDouble / exactIds.size
+      info(f"IVF-PQ raw ADC id-recall@10 = $rawRecall%.3f")
+      assert(rawRecall >= 0.15, s"raw ADC recall $rawRecall")
+    } finally idx.unpersist()
+  }
+
+  test("encode skips dimension-mismatched rows; codes are m bytes") {
+    import spark.implicits._
+    val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 200, iters = 2)
+    val mixed = Seq(
+      (1L, Array.fill(dim)(0.1f), 0),
+      (2L, Array.fill(dim - 1)(0.1f), 0), // wrong dim — skipped
+      (3L, null.asInstanceOf[Array[Float]], 0) // null — skipped
+    ).toDF("id", "v", "cell")
+    val out = Pq.encodeCells(mixed, pq).collect()
+    assert(out.map(_._1).toSeq == Seq(1L))
+    assert(out.head._3.length == 8)
+  }
+}
