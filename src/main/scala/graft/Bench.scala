@@ -175,7 +175,8 @@ object Bench {
         total: Long, nq: Int, exactRuns: Array[Double], servingFleetQps: Double,
         ivfRuns: Array[Double], ivfCells: Int, ivfProbes: Int, ivfRecall: Double,
         ivfServingP50: Double, scanRuns: Array[Double], ivfScanQps: Double,
-        servingP50: Double, jobP50: Double) {
+        servingP50: Double, jobP50: Double,
+        pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0) {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -244,7 +245,7 @@ object Bench {
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
         // IVF at the same scale
-        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50) =
+        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50, pqQps, pqRecall) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
@@ -273,13 +274,38 @@ object Bench {
             ivfIdx.unpersist()
             val scanQps = queries.size / bestSec(2)(
               graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
+
+            // IVF-PQ at the same scale: 8-byte ADC codes (32× smaller
+            // than float32 at 64-D) — the memory-scale serving path.
+            // pq_qps is the raw ADC fleet; recall is the REFINED path
+            // (ADC candidates exact-rescored from the source table),
+            // the layout's intended contract.
+            val (pqQps, pqRecall) =
+              try {
+                val pqModel = graft.ann.Pq.train(tiled, "embedding", "vec_id", m = 8)
+                val pqIdx = graft.search.PackedIndex.buildIvfPq(
+                  graft.ann.Pq.encodeCells(cells, pqModel), model, pqModel)
+                cleanups += (() => pqIdx.unpersist())
+                pqIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
+                val q = queries.size / timedRuns(3)(
+                  pqIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit).min
+                val refined = pqIdx.searchRefined(tiled, "embedding", "vec_id",
+                  qSeq, k = 10, nProbe = ivfProbes, refineFactor = 8)
+                  .collect().map(r => (r.getLong(0), r.getDouble(2)))
+                val rec = refined.count { case (qd, s) => s >= exactKth(qd) - 1e-9 }.toDouble /
+                  (queries.size * 10)
+                pqIdx.unpersist()
+                (q, rec)
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); (-1.0, -1.0)
+              }
             cells.unpersist()
-            (runs, scanQps, recall, servP50)
-          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0) }
+            (runs, scanQps, recall, servP50, pqQps, pqRecall)
+          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0) }
         tiled.unpersist()
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
-          servingP50, jobP50))
+          servingP50, jobP50, pqQps, pqRecall))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -288,13 +314,13 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50}}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_bytes_per_vector":8}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_score_recall_at_10":${fmt(p.ivfRecall, 3)},"single_query_p50_ms":${fmt(p.servingP50, 3)},"ivf_serving_p50_ms":${fmt(p.ivfServingP50, 3)},"single_query_job_p50_ms":${fmt(p.jobP50, 1)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_score_recall_at_10":${fmt(p.ivfRecall, 3)},"single_query_p50_ms":${fmt(p.servingP50, 3)},"ivf_serving_p50_ms":${fmt(p.ivfServingP50, 3)},"single_query_job_p50_ms":${fmt(p.jobP50, 1)},"pq_adc_qps":${fmt(p.pqQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.pqRefinedRecall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README

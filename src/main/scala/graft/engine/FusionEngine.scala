@@ -270,6 +270,45 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     rewrite(name, !VectorSearch.ttlAlive(col("ts"), col("ttl_ms"), nowMs))
   }
 
+  /** Bin-pack compaction. Every [[insert]] appends one parquet file per
+    * task per partition dir, so a long-lived collection accumulates
+    * small files — and at 100 TB small files are the scan killer (each
+    * costs a footer read + a task). Rewrites the table with each hive
+    * partition's rows packed into `filesPerPartition` files (salted
+    * repartition; unpartitioned collections pack to `filesPerPartition`
+    * total) and installs it with the crash-safe [[FusionEngine.atomicSwap]].
+    * Content is byte-identical — only the file layout changes. Returns
+    * (filesBefore, filesAfter). Size `filesPerPartition` so files land
+    * near the cluster's `maxPartitionBytes` (~128 MB–1 GB). */
+  def compact(name: String, filesPerPartition: Int = 1): (Int, Int) = {
+    require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+    val cfg = getConfig(name)
+    FusionEngine.recoverSwap(dataDir(name))
+    if (cfg.shards > 0) FusionEngine.recoverShards(dataDir(name))
+    if (!Files.exists(dataDir(name))) return (0, 0)
+    def parquetFiles: Int = {
+      val s = Files.walk(dataDir(name))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val before = parquetFiles
+    val parts = (if (cfg.shards > 0) Seq(FusionEngine.shardExpr(cfg.shards)) else Nil) ++
+      (if (cfg.partitionByTenant) Seq(col("tenant_id")) else Nil)
+    val salt = pmod(crc32(col("id").cast(BinaryType)), lit(filesPerPartition.toLong))
+    val packed = parts match {
+      case Nil => table(name).repartition(filesPerPartition)
+      // repartition on the layout columns (+ salt beyond 1 file/dir):
+      // each dir's rows land in exactly `filesPerPartition` tasks, so
+      // partitionBy writes exactly that many files per dir
+      case cols => table(name).repartition((cols :+ salt): _*)
+    }
+    val tmp = dir(name).resolve("data_tmp")
+    writeLayout(cfg, packed, SaveMode.Overwrite, tmp.toString)
+    FusionEngine.atomicSwap(dataDir(name), tmp)
+    bumpWrite(name)
+    (before, parquetFiles)
+  }
+
   /** Drop all rows (`HNSWIndex.js:379-384`). */
   def clear(name: String): Unit = {
     getConfig(name)

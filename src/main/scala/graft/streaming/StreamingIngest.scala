@@ -34,6 +34,41 @@ object StreamingIngest {
       .start()
   }
 
+  /** Exactly-once CONTENT dedup on an ingest stream: drop any document
+    * whose text digest was already seen within the watermark horizon,
+    * then ingest survivors — the streaming twin of
+    * [[graft.dedup.Dedup.dedupExact]]. State is one digest per distinct
+    * document bounded by the watermark (`dropDuplicatesWithinWatermark`
+    * evicts expired keys), so a 100 TB/day firehose holds state ∝
+    * distinct-docs-per-horizon, not per-history. Duplicate arrivals
+    * WITHIN a micro-batch dedup too (first by digest wins,
+    * deterministic within the batch Spark delivers).
+    *
+    * Input rows are `(doc_id, text, event_ts)`; the digest is computed
+    * here (sha2-256 over the text), so producers need no coordination. */
+  def startDeduped(stream: Dataset[(String, String, java.sql.Timestamp)],
+                   rag: RagPipeline, checkpointDir: String,
+                   watermark: String = "10 minutes",
+                   tenantId: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    rag.init()
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.toDF("doc_id", "text", "ts")
+      .withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select("doc_id", "text").as[(String, String)]
+        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId): Unit
+      }
+      .start()
+  }
+
   /** Streaming auto-save twin of the reference's 30 s timer
     * (`FusionEngine.js:340-344`): periodic JSON snapshot export driven
     * by a processing-time trigger over any ticking stream. Parquet

@@ -382,6 +382,50 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(leftover), "stale _old dir must be cleared")
   }
 
+  test("compact: packs accumulated small files, preserves content and shard pruning") {
+    val e = freshEngine()
+    e.createCollection("cp", CollectionConfig(dimensions = 64, shards = 4))
+    // three separate inserts => three parquet files per touched shard dir
+    (0 until 3).foreach { b =>
+      val docs = (0 until 16).map(i => (s"doc-$b-$i", s"batch $b content $i"))
+      e.insert("cp", Embed.withEmbedding(docs.toDF("id", "content"), "content", "vector", embedder))
+    }
+    def files(): Int = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(e.root, "cp", "data"))
+      try s.filter(p => p.getFileName.toString.endsWith(".parquet")).count().toInt
+      finally s.close()
+    }
+    val rowsBefore = e.table("cp").select("id", "content").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    val nFilesBefore = files()
+    assert(nFilesBefore > 4, s"setup should fragment ($nFilesBefore files)")
+
+    val (before, after) = e.compact("cp")
+    assert(before == nFilesBefore && after == files())
+    assert(after <= 4, s"expected <= 1 file per shard dir, got $after") // 4 shards
+    // content byte-identical, count preserved
+    val rowsAfter = e.table("cp").select("id", "content").as[(String, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rowsAfter == rowsBefore)
+    // layout intact: point lookup still prunes to one partition
+    val scan = e.get("cp", "doc-1-7").queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.getOrElse(fail("expected a file scan"))
+    assert(scan.selectedPartitions.partitionCount == 1)
+    // multi-file knob: salted repartition caps files per dir
+    val (_, after2) = e.compact("cp", filesPerPartition = 2)
+    assert(after2 <= 8 && after2 >= after)
+    // unpartitioned collection packs to exactly filesPerPartition files
+    e.createCollection("cpu", CollectionConfig(dimensions = 64))
+    (0 until 3).foreach { b =>
+      e.insert("cpu", Embed.withEmbedding(
+        Seq((s"u$b", s"plain $b")).toDF("id", "content"), "content", "vector", embedder))
+    }
+    val (ub, ua) = e.compact("cpu")
+    assert(ub >= 3 && ua == 1)
+    assert(e.count("cpu") == 3)
+  }
+
   test("search metric follows collection config: euclidean collection ranks by euclidean score") {
     val e = freshEngine()
     e.createCollection("euc", CollectionConfig(dimensions = 2, distanceMetric = "euclidean"))

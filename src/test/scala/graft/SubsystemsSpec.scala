@@ -70,6 +70,40 @@ class SubsystemsSpec extends AnyFunSuite {
     assert(engine.count(rag.collection) == afterSecond)
   }
 
+  test("streaming dedup: duplicate content dropped within and across micro-batches, new content flows") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_sdedup").toString)
+    val rag = new RagPipeline(engine, new MockEmbedderProvider(64), chunkSize = 80, chunkOverlap = 10)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, java.sql.Timestamp)]
+    val checkpoint = Files.createTempDirectory("graft_sdedup_ckpt").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val textB = "completely different second document with its own words to chunk and embed"
+    val textC = "third document arriving later with novel content that must be ingested"
+
+    // batch 1: textA twice under different doc ids (within-batch dup) + textB
+    stream.addData(("a", textA, ts(0)), ("a2", textA, ts(0)), ("b", textB, ts(1)))
+    StreamingIngest.startDeduped(stream.toDS(), rag, checkpoint).awaitTermination(60000)
+    val sources1 = engine.table(rag.collection)
+      .selectExpr("metadata['source']").distinct().as[String].collect().toSet
+    assert(sources1.size == 2, s"within-batch dup must collapse: $sources1")
+    assert(sources1.contains("b"))
+    val n1 = engine.count(rag.collection)
+
+    // batch 2: textA AGAIN (cross-batch dup, within the watermark) — dropped
+    stream.addData(("d", textA, ts(2)))
+    StreamingIngest.startDeduped(stream.toDS(), rag, checkpoint).awaitTermination(60000)
+    assert(engine.count(rag.collection) == n1, "cross-batch duplicate must be dropped")
+
+    // batch 3: novel content — ingested
+    stream.addData(("e", textC, ts(3)))
+    StreamingIngest.startDeduped(stream.toDS(), rag, checkpoint).awaitTermination(60000)
+    assert(engine.count(rag.collection) > n1)
+    val sources3 = engine.table(rag.collection)
+      .selectExpr("metadata['source']").distinct().as[String].collect().toSet
+    assert(sources3.contains("e") && !sources3.contains("d"))
+  }
+
   test("orchestrator: register/list, delegation argmax routes to best-capability agent (test.js:278-287)") {
     val engine = new FusionEngine(spark, Files.createTempDirectory("graft_orch").toString)
     val memory = new AgentMemory(engine, new MockEmbedderProvider(64))
