@@ -564,6 +564,20 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: duplicate GROUPS — connected components over the
+    // near-dup pair graph (iterative min-label propagation), graded
+    // against a DuckDB recursive-CTE transitive closure. Pairs come
+    // from the same bounded exact-Jaccard graph as `dedup_jaccard`, so
+    // this entry isolates the component labeling itself.
+    "dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.connectedComponents(
+          graft.dedup.Dedup.jaccardPairsExact(
+            t(s, dir, "documents").filter($"doc_id" < 500),
+            "text", "doc_id", tau = 0.05))
+        .orderBy($"id")
+    }),
+
     // LLM-pipeline: embedding near-dup in IVF shape — a coarse cluster
     // column (label) bounds the pair space, exact cosine runs
     // intra-cell only. The scalable form of embedding-based dedup.
@@ -1100,6 +1114,28 @@ object SparkEntry {
           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
           |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.05
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_components" ->
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents WHERE doc_id < 500)
+          |  WHERE len(w) >= 3),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          |          len(list_distinct(a.shingles || b.shingles)), 6) >= 0.05),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(id, comp) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
+          |SELECT id, min(comp) AS comp FROM reach GROUP BY id
+          |ORDER BY id""".stripMargin,
 
       "dedup_embedding" ->
         s"""WITH scored AS (

@@ -235,6 +235,71 @@ object Dedup {
     }
   }
 
+  // ─── Duplicate groups (connected components) ───
+
+  /** Connected components over an undirected pair list `(id_a, id_b)` —
+    * the last stage of a dedup pipeline: pairwise matches become
+    * duplicate GROUPS, each labeled by its minimum member id. Returns
+    * `(id, comp)` for every id appearing in a pair.
+    *
+    * Iterative min-label propagation: each round every node takes the
+    * min of its own label and its neighbors' labels (one join + one
+    * groupBy per round) until a fixpoint, which arrives within the
+    * cluster diameter — for near-dup groups that is small (boilerplate
+    * families are dense, not chains). Deterministic: the fixpoint is
+    * exactly "min reachable id", independent of iteration order. Each
+    * round materializes ≤ |V| labels and truncates lineage
+    * (`localCheckpoint`), so the plan does not grow with rounds — the
+    * standard Spark shape for iterative graph algorithms at scale.
+    *
+    * @throws IllegalStateException if `maxIter` rounds pass without
+    *         convergence (a component with diameter > maxIter — raise
+    *         the cap; silently returning a wrong labeling would corrupt
+    *         the dedup). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = sym.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var round = 0
+      var converged = false
+      while (!converged) {
+        if (round >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds")
+        val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
+          .select(sym("src").as("id"), col("comp"))
+        val updated = labels.select("id", "comp").union(viaNeighbors)
+          .groupBy("id").agg(min("comp").as("comp"))
+          .localCheckpoint(true)
+        converged = labels.as("o").join(updated.as("n"), "id")
+          .filter(col("o.comp") =!= col("n.comp"))
+          .isEmpty
+        labels = updated
+        round += 1
+      }
+      labels
+    } finally { sym.unpersist(); () }
+  }
+
+  /** Near-duplicate dedup end-to-end: LSH pairs → duplicate groups →
+    * keep each group's canonical (min-id) member plus all unpaired
+    * rows. The 100 TB shape: the anti-join's right side is only the
+    * NON-canonical ids (≤ dup count), never the corpus. */
+  def dedupNearLsh(df: DataFrame, textCol: String, idCol: String,
+                   tau: Double, numHashes: Int = 48, bands: Int = 8,
+                   seed: Int = 42, maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashLshPairs(df, textCol, idCol, tau, numHashes, bands, seed, maxBucket)
+    val losers = connectedComponents(pairs)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("_loser"))
+    df.join(losers, df(idCol).cast("long") === col("_loser"), "left_anti")
+  }
+
   /** Exact Jaccard over candidate pairs: join shingle sets back, keep
     * `round(j, 6) ≥ tau`. */
   private def verifyJaccard(pairs: DataFrame, shingled: DataFrame, tau: Double): DataFrame = {

@@ -93,6 +93,32 @@ class DedupSpec extends AnyFunSuite {
     if (d <= 3) assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == d)
   }
 
+  test("connected components: chains merge, isolates keep own label, non-convergence throws") {
+    // chain 1-2-3 (diameter 2), pair 10-11, and 20-21-22 via hub 20
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // a long chain needs rounds ~ diameter: maxIter below that must fail
+    val chain = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    assertThrows[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 2))
+    val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(0L))
+  }
+
+  test("dedupNearLsh keeps one canonical doc per near-dup group plus all unpaired rows") {
+    val boiler = "the quick brown fox jumps over the lazy dog again and again in the park today"
+    val df = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler + " extra"), // one group, canonical 1
+      (4L, "some totally different document about spark query planning and shuffles here"))
+      .toDF("id", "text")
+    val kept = Dedup.dedupNearLsh(df, "text", "id", tau = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("embedding near-dup pairs are symmetric-free, above threshold, within cluster") {
     val df = Seq(
       (1L, Array(1f, 0f), "a"), (2L, Array(0.99f, 0.1f), "a"),
