@@ -130,7 +130,7 @@ object Bench {
         s"""{"recall_at_10":${best._3},"scanned_fraction":${best._4},"cells":${best._1},"probes":${best._2}}"""
       (headline, curveJson)
     }
-    val (ann, annCurves, annClustered, annClusteredCurves) =
+    val (ann, annCurves, annClustered, annClusteredCurves, pqClustered) =
       try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val (h1, c1) = annGrid(e)
@@ -150,10 +150,43 @@ object Bench {
           }.toDF("vec_id", "embedding")
         }
         val (h2, c2) = annGrid(clustered)
-        (h1, c1, h2, c2)
+        // PQ recall honesty pair: the scale-probe pq numbers run on the
+        // ISOTROPIC tiled embeddings (nothing for a quantizer to learn —
+        // the worst case, like the ann curves); this block measures the
+        // same refined protocol on the clustered corpus, the shape of
+        // real embedding data.
+        val pqC =
+          try {
+            import org.apache.spark.sql.functions.col
+            val cc = clustered.cache()
+            cc.count()
+            val queries = cc.filter(col("vec_id") < 100)
+              .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+            val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
+            val ivfM = graft.ann.Ann.trainIvf(cc, "embedding", nCells = 16, maxIter = 5)
+            val cells = graft.ann.Ann.assignCells(cc, "embedding", "vec_id", ivfM).cache()
+            cells.count()
+            val pqM = graft.ann.Pq.train(cc, "embedding", "vec_id", m = 8)
+            val idx = graft.search.PackedIndex.buildIvfPq(
+              graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+            val exactKth = graft.search.VectorSearch.knnBatchFast(
+                cc, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
+              .groupBy("qid").agg(org.apache.spark.sql.functions.min("score").as("kth"))
+              .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+            val refined = idx.searchRefined(cc, "embedding", "vec_id",
+                qSeq, k = 10, nProbe = 4, refineFactor = 8)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+            val rec = refined.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
+              (queries.size * 10)
+            idx.unpersist(); cells.unpersist(); cc.unpersist()
+            s"""{"refined_score_recall_at_10":$rec,"cells":16,"probes":4,"refine_factor":8}"""
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] pq clustered failed: ${e.getMessage}"); "null"
+          }
+        (h1, c1, h2, c2, pqC)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}")
-        ("null", "[]", "null", "[]")
+        ("null", "[]", "null", "[]", "null")
       }
 
     // BASELINE-scale probe: the reference's headline row is 100k vectors
@@ -176,7 +209,8 @@ object Bench {
         ivfRuns: Array[Double], ivfCells: Int, ivfProbes: Int, ivfRecall: Double,
         ivfServingP50: Double, scanRuns: Array[Double], ivfScanQps: Double,
         servingP50: Double, jobP50: Double,
-        pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0) {
+        pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0,
+        pqServingP50: Double = -1.0) {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -245,7 +279,7 @@ object Bench {
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
         // IVF at the same scale
-        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50, pqQps, pqRecall) =
+        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50, pqQps, pqRecall, pqServP50) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
@@ -280,7 +314,7 @@ object Bench {
             // pq_qps is the raw ADC fleet; recall is the REFINED path
             // (ADC candidates exact-rescored from the source table),
             // the layout's intended contract.
-            val (pqQps, pqRecall) =
+            val (pqQps, pqRecall, pqServP50) =
               try {
                 val pqModel = graft.ann.Pq.train(tiled, "embedding", "vec_id", m = 8)
                 val pqIdx = graft.search.PackedIndex.buildIvfPq(
@@ -294,18 +328,27 @@ object Bench {
                   .collect().map(r => (r.getLong(0), r.getDouble(2)))
                 val rec = refined.count { case (qd, s) => s >= exactKth(qd) - 1e-9 }.toDouble /
                   (queries.size * 10)
+                // driver-resident ADC p50 — the PQ serving headline:
+                // the same budget holds 32× more rows than float blocks
+                val sp50 = graft.search.ServingSession.fromIvfPq(pqIdx).map { s =>
+                  var i = 0
+                  p50Ms(201) {
+                    s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = ivfProbes)
+                    i += 1
+                  }
+                }.getOrElse(-1.0)
                 pqIdx.unpersist()
-                (q, rec)
+                (q, rec, sp50)
               } catch { case e: Throwable =>
-                System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); (-1.0, -1.0)
+                System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); (-1.0, -1.0, -1.0)
               }
             cells.unpersist()
-            (runs, scanQps, recall, servP50, pqQps, pqRecall)
-          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0) }
+            (runs, scanQps, recall, servP50, pqQps, pqRecall, pqServP50)
+          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
         tiled.unpersist()
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
-          servingP50, jobP50, pqQps, pqRecall))
+          servingP50, jobP50, pqQps, pqRecall, pqServP50))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -314,7 +357,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_bytes_per_vector":8}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -387,7 +430,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -401,7 +444,7 @@ object Bench {
     // everything dropped here is in bench_latest.json.
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"batch_knn_serving_p50_ms":${fmt(servingP50Small, 3)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"ann_ivf_clustered":$annClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"batch_knn_serving_p50_ms":${fmt(servingP50Small, 3)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

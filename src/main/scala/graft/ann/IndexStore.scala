@@ -1,0 +1,161 @@
+package graft.ann
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ann.Ann.IvfModel
+import graft.ann.Pq.PqModel
+
+/** Durable index artifacts: IVF centroids and PQ codebooks as small
+  * JSON files, encoded vectors as parquet.
+  *
+  * The reference persists its whole HNSW graph inside JSON snapshots
+  * (`/root/reference/src/index/hnsw.js` serialize/deserialize); the
+  * Spark analog splits by size class — MODELS are tiny (an IVF
+  * quantizer is nCells × dim doubles, PQ codebooks m × 256 × dsub
+  * floats ≈ 64 KB) and go to JSON, while the per-row artifacts (cell
+  * assignments, PQ codes) are columnar data and go to parquet, where
+  * they reload cell-partitioned exactly as the packed-index builders
+  * want them. A serving restart is then load + pack — no retraining,
+  * no re-encode of a 100 TB corpus.
+  *
+  * Writes are tmp + ATOMIC_MOVE: a crashed save leaves the previous
+  * artifact intact, never a torn file.
+  */
+object IndexStore {
+
+  // ─── models (JSON) ───
+
+  private def writeAtomic(path: String, content: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def fmtArr(a: Iterable[Double]): String =
+    a.map(d => java.lang.Double.toString(d)).mkString("[", ",", "]")
+
+  def saveIvf(model: IvfModel, path: String): Unit = {
+    val rows = model.centroids.map(c => fmtArr(c)).mkString("[", ",", "]")
+    writeAtomic(path, s"""{"format":"graft-ivf-1","n_cells":${model.nCells},"centroids":$rows}""")
+  }
+
+  def loadIvf(path: String): IvfModel = {
+    val json = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    require(json.contains("\"graft-ivf-1\""), s"$path is not a graft-ivf-1 artifact")
+    IvfModel(parseMatrix(json, "centroids").map(_.toArray))
+  }
+
+  def savePq(model: PqModel, path: String): Unit = {
+    // codebooks grouped per (sub, code) row for a readable, versioned file
+    val rows = (0 until model.m).map { sub =>
+      (0 until model.ksub).map { c =>
+        val off = (sub * model.ksub + c) * model.dsub
+        fmtArr((0 until model.dsub).map(j => model.codebooks(off + j).toDouble))
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+    writeAtomic(path,
+      s"""{"format":"graft-pq-1","m":${model.m},"dsub":${model.dsub},"ksub":${model.ksub},"codebooks":$rows}""")
+  }
+
+  def loadPq(path: String): PqModel = {
+    val json = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    require(json.contains("\"graft-pq-1\""), s"$path is not a graft-pq-1 artifact")
+    val m = intField(json, "m")
+    val dsub = intField(json, "dsub")
+    val ksub = intField(json, "ksub")
+    val books = parseMatrix3(json, "codebooks")
+    require(books.length == m && books.forall(_.length == ksub),
+      s"codebook shape mismatch in $path")
+    val flat = new Array[Float](m * ksub * dsub)
+    for (sub <- 0 until m; c <- 0 until ksub; j <- 0 until dsub)
+      flat((sub * ksub + c) * dsub + j) = books(sub)(c)(j).toFloat
+    PqModel(m, dsub, ksub, flat)
+  }
+
+  private def intField(json: String, name: String): Int =
+    ("\"" + name + "\":\\s*(\\d+)").r.findFirstMatchIn(json)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"missing field $name"))
+
+  /** Parse `"name":[[…],[…]]` into rows of doubles. Artifacts are
+    * machine-written by [[saveIvf]] (no spaces, no nested strings), so a
+    * split-based parse is exact. */
+  private def parseMatrix(json: String, name: String): Array[Seq[Double]] = {
+    val body = sliceArray(json, name)
+    splitTop(body).map(row =>
+      row.stripPrefix("[").stripSuffix("]").split(',').toSeq
+        .filter(_.nonEmpty).map(_.toDouble)).toArray
+  }
+
+  private def parseMatrix3(json: String, name: String): Array[Array[Seq[Double]]] = {
+    val body = sliceArray(json, name)
+    splitTop(body).map(sub => splitTop(sub.stripPrefix("[").stripSuffix("]"))
+      .map(row => row.stripPrefix("[").stripSuffix("]").split(',').toSeq
+        .filter(_.nonEmpty).map(_.toDouble)).toArray).toArray
+  }
+
+  /** The bracketed body (exclusive of outer brackets) of `"name":[ … ]`. */
+  private def sliceArray(json: String, name: String): String = {
+    val key = "\"" + name + "\":"
+    val start = json.indexOf(key)
+    require(start >= 0, s"missing field $name")
+    var i = json.indexOf('[', start + key.length)
+    var depth = 0
+    val from = i + 1
+    while (i < json.length) {
+      json.charAt(i) match {
+        case '[' => depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) return json.substring(from, i)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unterminated array for $name")
+  }
+
+  /** Split a bracket sequence at depth 0 commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var from = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' => depth += 1
+        case ']' => depth -= 1
+        case ',' if depth == 0 =>
+          if (i > from) out += s.substring(from, i)
+          from = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (from < s.length) out += s.substring(from)
+    out.result()
+  }
+
+  // ─── per-row artifacts (parquet) ───
+
+  /** Persist `(id, cell, code)` PQ codes (or `(id, v, cell)` IVF
+    * assignments — any cell-keyed dataset) partitioned BY CELL, so a
+    * reload prunes to probed cells and the packed-index builders see
+    * rows already cell-grouped. */
+  def saveCells(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  def loadCodes(spark: SparkSession, path: String): org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])] = {
+    import spark.implicits._
+    spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("cell").cast("int"),
+        org.apache.spark.sql.functions.col("code"))
+      .as[(Long, Int, Array[Byte])]
+  }
+}

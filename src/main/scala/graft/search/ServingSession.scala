@@ -250,9 +250,53 @@ object ServingSession {
       search(Seq((0L, q)), k, nProbe).map { case (_, id, s, r) => (id, s, r) }
   }
 
+  /** Driver-local IVF-PQ index: per-cell CODE blocks scored by ADC —
+    * `m` bytes/vector instead of `4·dim`, so the same [[DefaultMaxBytes]]
+    * budget holds ~32× more rows (64-D, m=8) than the float sessions.
+    * Scores are the quantized cosine; callers needing exact ordering
+    * re-rank the candidates against the source table
+    * ([[graft.ann.Pq.refine]] / [[PackedIndex.IvfPq.searchRefined]]). */
+  final class IvfPq private[ServingSession] (
+      val ivf: graft.ann.Ann.IvfModel, val pq: graft.ann.Pq.PqModel,
+      val cellBlocks: Array[Array[PackedIndex.PqCellBlock]]) {
+
+    def search(queries: Seq[(Long, Seq[Double])], k: Int,
+               nProbe: Int): Seq[(Long, Long, Double, Int)] = {
+      val qArr = queries.toArray
+      val qids = qArr.map(_._1)
+      if (qids.isEmpty) return Seq.empty
+      val heaps = Array.fill(qids.length)(new Kernels.TopKHeap(k))
+      val m = pq.m
+      var qi = 0
+      while (qi < qArr.length) {
+        val qv = qArr(qi)._2.toArray
+        val lut = pq.lookupTable(graft.ann.Pq.l2normalize(qv.map(_.toFloat)))
+        val h = heaps(qi)
+        ivf.nearestCells(qv, nProbe).foreach { c =>
+          if (c >= 0 && c < cellBlocks.length) cellBlocks(c).foreach { b =>
+            val nRows = b.ids.length
+            var r = 0
+            while (r < nRows) {
+              h.offer(pq.adcScore(lut, b.codes, r * m), b.ids(r))
+              r += 1
+            }
+          }
+        }
+        qi += 1
+      }
+      rank(heaps, qids, k)
+    }
+
+    def searchOne(q: Seq[Double], k: Int, nProbe: Int): Seq[(Long, Double, Int)] =
+      search(Seq((0L, q)), k, nProbe).map { case (_, id, s, r) => (id, s, r) }
+  }
+
   /** Estimated driver bytes for a packed collection: floats + ids +
     * norms per row. */
   private def exactBytes(n: Long, dim: Int): Long = n * (dim.toLong * 4 + 8 + 8)
+
+  /** Driver bytes for a PQ-coded collection: codes + ids per row. */
+  private def pqBytes(n: Long, m: Int): Long = n * (m.toLong + 8)
 
   /** Pack driver-resident rows into an [[Exact]] session directly — the
     * engine's serving-cache path, no RDD round-trip. Rows with null or
@@ -314,6 +358,20 @@ object ServingSession {
   def fromExact(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes): Option[Exact] =
     if (idx.n <= 0 || exactBytes(idx.n, idx.dim) > maxBytes) None
     else Some(new Exact(repack(idx.blocks.collect(), idx.dim), idx.dim, idx.n))
+
+  /** Driver-resident PQ serving: collect the CODE blocks (tiny — the
+    * whole point) and group by cell. Same budget knob as the float
+    * sessions; at m=8 it admits ~400M rows before refusing. */
+  def fromIvfPq(idx: PackedIndex.IvfPq, maxBytes: Long = DefaultMaxBytes): Option[IvfPq] = {
+    if (idx.n <= 0 || pqBytes(idx.n, idx.pq.m) > maxBytes) None
+    else {
+      val all = idx.blocks.collect()
+      val nCells = idx.ivf.nCells
+      val grouped = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[PackedIndex.PqCellBlock])
+      all.foreach(b => if (b.cell >= 0 && b.cell < nCells) grouped(b.cell) += b)
+      Some(new IvfPq(idx.ivf, idx.pq, grouped.map(_.toArray)))
+    }
+  }
 
   /** Same for an IVF index: cell blocks grouped by cell id. The size
     * guard uses the index's build-time row count, so nothing is

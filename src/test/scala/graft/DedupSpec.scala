@@ -101,10 +101,16 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // distributed propagation path (forced via maxLocalEdges = 0) agrees
+    val compsDist = Dedup.connectedComponents(pairs, maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(compsDist == comps)
     // a long chain needs rounds ~ diameter: maxIter below that must fail
     val chain = (0L until 6L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
-    assertThrows[IllegalStateException](Dedup.connectedComponents(chain, maxIter = 2))
-    val full = Dedup.connectedComponents(chain).as[(Long, Long)].collect().toMap
+    assertThrows[IllegalStateException](
+      Dedup.connectedComponents(chain, maxIter = 2, maxLocalEdges = 0))
+    val full = Dedup.connectedComponents(chain, maxLocalEdges = 0)
+      .as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(0L))
   }
 

@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{Ann, IndexStore, Pq}
+import graft.search.PackedIndex
+
+/** Durable index artifacts: model JSON round-trips bit-exact, codes
+  * round-trip through cell-partitioned parquet, and a reloaded index
+  * answers identically to the original. */
+class IndexStoreSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private lazy val corpus = {
+    import spark.implicits._
+    val d = 32
+    spark.range(400).as[Long].map { i =>
+      val rc = new scala.util.Random((i % 8) * 31 + 5)
+      val center = Array.fill(d)(rc.nextGaussian())
+      val rn = new scala.util.Random(i)
+      (i, Pq.l2normalize(center.map(x => (x + 0.3 * rn.nextGaussian()).toFloat)))
+    }.toDF("vec_id", "embedding").cache()
+  }
+
+  test("IVF and PQ models round-trip bit-exact through JSON") {
+    val dir = Files.createTempDirectory("graft_idx").toString
+    val ivf = Ann.trainIvf(corpus, "embedding", nCells = 4, maxIter = 4)
+    IndexStore.saveIvf(ivf, s"$dir/ivf.json")
+    val ivf2 = IndexStore.loadIvf(s"$dir/ivf.json")
+    assert(ivf2.nCells == ivf.nCells)
+    ivf.centroids.zip(ivf2.centroids).foreach { case (a, b) => assert(a.sameElements(b)) }
+
+    val pq = Pq.train(corpus, "embedding", "vec_id", m = 4, maxTrain = 300, iters = 4)
+    IndexStore.savePq(pq, s"$dir/pq.json")
+    val pq2 = IndexStore.loadPq(s"$dir/pq.json")
+    assert(pq2.m == pq.m && pq2.dsub == pq.dsub && pq2.ksub == pq.ksub)
+    assert(pq2.codebooks.sameElements(pq.codebooks))
+    // wrong-format guard
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
+      """{"format":"other"}""".getBytes("UTF-8"))
+    assertThrows[IllegalArgumentException](IndexStore.loadIvf(s"$dir/bad.json"))
+  }
+
+  test("reloaded IVF-PQ index answers identically to the original") {
+    val dir = Files.createTempDirectory("graft_idx2").toString
+    val ivf = Ann.trainIvf(corpus, "embedding", nCells = 4, maxIter = 4)
+    val pq = Pq.train(corpus, "embedding", "vec_id", m = 4, maxTrain = 300, iters = 4)
+    val cells = Ann.assignCells(corpus, "embedding", "vec_id", ivf)
+    val codes = Pq.encodeCells(cells, pq)
+    IndexStore.saveIvf(ivf, s"$dir/ivf.json")
+    IndexStore.savePq(pq, s"$dir/pq.json")
+    IndexStore.saveCells(codes.toDF("id", "cell", "code"), s"$dir/codes")
+
+    val queries = corpus.limit(8).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val idx = PackedIndex.buildIvfPq(codes, ivf, pq)
+    val want = idx.search(queries, k = 5, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+    idx.unpersist()
+
+    val idx2 = PackedIndex.buildIvfPq(
+      IndexStore.loadCodes(spark, s"$dir/codes"),
+      IndexStore.loadIvf(s"$dir/ivf.json"), IndexStore.loadPq(s"$dir/pq.json"))
+    try {
+      val got = idx2.search(queries, k = 5, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+      assert(got == want)
+    } finally idx2.unpersist()
+  }
+}

@@ -129,6 +129,24 @@ class PqSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("PQ serving session: bit-parity with the distributed ADC path, no job") {
+    val ivf = Ann.trainIvf(clustered, "embedding", nCells = 8, maxIter = 5)
+    val cells = Ann.assignCells(clustered, "embedding", "vec_id", ivf)
+    val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 8)
+    val idx = PackedIndex.buildIvfPq(Pq.encodeCells(cells, pq), ivf, pq)
+    try {
+      val s = graft.search.ServingSession.fromIvfPq(idx)
+        .getOrElse(fail("2000 codes must fit the serving budget"))
+      val qSeq = queriesOf(16).map { case (q, v) => (q, v.toSeq) }
+      val dist = idx.search(qSeq, k = 10, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+      val local = s.search(qSeq, k = 10, nProbe = 4).sorted
+      assert(local == dist) // same codes, same LUT arithmetic, same rank ties
+      // budget refusal: a 1-byte cap keeps the collection on the cluster
+      assert(graft.search.ServingSession.fromIvfPq(idx, maxBytes = 1).isEmpty)
+    } finally idx.unpersist()
+  }
+
   test("encode skips dimension-mismatched rows; codes are m bytes") {
     import spark.implicits._
     val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 200, iters = 2)
