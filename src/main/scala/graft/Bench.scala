@@ -174,12 +174,12 @@ object Bench {
               .groupBy("qid").agg(org.apache.spark.sql.functions.min("score").as("kth"))
               .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
             val refined = idx.searchRefined(cc, "embedding", "vec_id",
-                qSeq, k = 10, nProbe = 4, refineFactor = 8)
+                qSeq, k = 10, nProbe = 8, refineFactor = 16)
               .collect().map(r => (r.getLong(0), r.getDouble(2)))
             val rec = refined.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
               (queries.size * 10)
             idx.unpersist(); cells.unpersist(); cc.unpersist()
-            s"""{"refined_score_recall_at_10":$rec,"cells":16,"probes":4,"refine_factor":8}"""
+            s"""{"refined_score_recall_at_10":$rec,"cells":16,"probes":8,"refine_factor":16}"""
           } catch { case e: Throwable =>
             System.err.println(s"[bench] pq clustered failed: ${e.getMessage}"); "null"
           }

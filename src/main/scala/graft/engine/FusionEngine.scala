@@ -345,14 +345,16 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     *
     * Semantics vs [[FusionEngine.search]]: TTL expiry is applied at
     * snapshot time and the handle self-invalidates at the earliest
-    * future expiry; tenant/metadata filtering is NOT served here —
-    * filtered calls stay on the job path (the snapshot holds vectors +
-    * content only). Scores come from the float kernel: near-tied ranks
-    * can differ from the declarative double path within the float
+    * future expiry. Tenant and metadata-EQUALITY filters ARE served
+    * (exact: over-fetch, post-filter, and rerank the full snapshot when
+    * the over-fetch underfills — the result set equals the job path's
+    * filter-before-rank by construction); arbitrary `Column` filters
+    * stay on the job path. Scores come from the float kernel: near-tied
+    * ranks can differ from the declarative double path within the float
     * tolerance (grows with dimension — ~1e-6 relative at 64-D)
     * (documented in [[graft.search.Kernels.scoreTile]]); exact ties
     * break identically (rows are snapshot in id order, so the kernel's
-    * id tie-break matches the job path's `ASC id`). */
+    * long tie-break matches the job path's `ASC id`). */
   final class ServingHandle private[FusionEngine] (
       val collection: String,
       session: graft.search.ServingSession.Exact,
@@ -361,6 +363,8 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       dims: Int,
       ids: Array[String],
       contents: Array[String],
+      tenants: Array[String],
+      metas: Array[scala.collection.Map[String, String]],
       private[FusionEngine] val version: Long,
       minExpiryMs: Long,
       private[FusionEngine] val estBytes: Long) {
@@ -378,14 +382,41 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       version != currentVersion ||
         (minExpiryMs != Long.MaxValue && System.currentTimeMillis() >= minExpiryMs)
 
-    /** Top-k for one query — driver-local, no job. */
-    def search(queryVec: Seq[Double], topK: Int = 10): Seq[ServingHit] = {
+    /** Top-k for one query — driver-local, no job. `tenantId` /
+      * `metaEq` apply the same equality predicates the job path's
+      * tenant filter and [[MetadataFilter.eq]] would, with identical
+      * results: a filtered call over-fetches 4×, post-filters, and —
+      * only if still underfilled — reranks the whole snapshot, so the
+      * survivors are exactly the filtered set's true top-k. */
+    def search(queryVec: Seq[Double], topK: Int = 10,
+               tenantId: Option[String] = None,
+               metaEq: Map[String, String] = Map.empty): Seq[ServingHit] = {
       require(queryVec.length == dims,
         s"query dimension ${queryVec.length} != collection dimension $dims")
       val q = if (cosine) normalize(queryVec) else queryVec
-      session.search(Seq((0L, q.toArray)), topK, metric).map { case (_, sid, s, r) =>
-        ServingHit(ids(sid.toInt), s, contents(sid.toInt), r)
+      val qrow = Seq((0L, q.toArray))
+      if (tenantId.isEmpty && metaEq.isEmpty)
+        return session.search(qrow, topK, metric).map { case (_, sid, s, r) =>
+          ServingHit(ids(sid.toInt), s, contents(sid.toInt), r)
+        }
+      def passes(i: Int): Boolean =
+        tenantId.forall(_ == tenants(i)) &&
+          metaEq.forall { case (k, v) =>
+            val m = metas(i)
+            m != null && m.get(k).contains(v)
+          }
+      val n = session.n.toInt
+      var k = math.min(n, math.max(topK * 4, 64))
+      while (true) {
+        val hits = session.search(qrow, k, metric)
+          .collect { case (_, sid, s, _) if passes(sid.toInt) => (sid.toInt, s) }
+        if (hits.length >= topK || k >= n)
+          return hits.take(topK).zipWithIndex.map { case ((sid, s), r) =>
+            ServingHit(ids(sid), s, contents(sid), r + 1)
+          }
+        k = n // rerank everything: exact filtered top-k, no recall loss
       }
+      throw new IllegalStateException("unreachable")
     }
   }
 
@@ -464,32 +495,39 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val probe = src.agg(
       org.apache.spark.sql.functions.count(lit(1)).as("n"),
       coalesce(sum(length(col("content"))), lit(0L)).as("chars"),
+      // metadata footprint (serving filters need the maps resident)
+      coalesce(sum(length(to_json(col("metadata")))), lit(0L)).as("metaChars"),
       // ttl_ms <= 0 means never-expires (ttlAlive) — exclude it here or
       // minExpiry lands in the past and the handle is permanently stale
       min(when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
       .collect()(0)
     val n = probe.getLong(0)
     val contentChars = probe.getLong(1)
-    val minExpiry = if (probe.isNullAt(2)) Long.MaxValue else probe.getLong(2)
-    // floats + ids/norms + JVM string overhead per row + content chars
-    val est = n * (cfg.dimensions.toLong * 4 + 16 + 96) + contentChars * 2
+    val metaChars = probe.getLong(2)
+    val minExpiry = if (probe.isNullAt(3)) Long.MaxValue else probe.getLong(3)
+    // floats + ids/norms + JVM string/map overhead per row + chars
+    val est = n * (cfg.dimensions.toLong * 4 + 16 + 128) + (contentChars + metaChars) * 2
     if (n == 0 || est > maxBytes) return None
     // id-ordered snapshot: the kernel's long tie-break then equals the
     // job path's `ASC id` string tie-break
-    val rows = src.select(col("id"), col("vector"), col("content"))
-      .orderBy(col("id")).collect()
+    val rows = src.select(col("id"), col("vector"), col("content"),
+      col("tenant_id"), col("metadata")).orderBy(col("id")).collect()
     val ids = new Array[String](rows.length)
     val contents = new Array[String](rows.length)
+    val tenants = new Array[String](rows.length)
+    val metas = new Array[scala.collection.Map[String, String]](rows.length)
     val packed = rows.iterator.zipWithIndex.map { case (r, i) =>
       ids(i) = r.getString(0)
       contents(i) = if (r.isNullAt(2)) null else r.getString(2)
+      tenants(i) = if (r.isNullAt(3)) null else r.getString(3)
+      metas(i) = if (r.isNullAt(4)) null else r.getMap[String, String](4)
       val v = if (r.isNullAt(1)) null else r.getSeq[Float](1).toArray
       (i.toLong, v)
     }
     val session = graft.search.ServingSession.fromLocalRows(packed, cfg.dimensions)
     Some(new ServingHandle(name, session, servingMetric(cfg),
       cfg.distanceMetric == "cosine",
-      cfg.dimensions, ids, contents, ver, minExpiry, est))
+      cfg.dimensions, ids, contents, tenants, metas, ver, minExpiry, est))
   }
 
   // ─── Tenant proxy (`FusionEngine.js:258-270`) ───

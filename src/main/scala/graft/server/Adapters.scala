@@ -39,6 +39,17 @@ object Adapters {
   private[server] def jbool(json: String, key: String, default: Boolean = false): Boolean =
     s""""$key"\\s*:\\s*(true|false)""".r.findFirstMatchIn(json)
       .map(_.group(1) == "true").getOrElse(default)
+
+  /** Extract a FLAT string→string object field (`"key":{"a":"b",…}`). */
+  private[server] def jobj(json: String, key: String): Map[String, String] =
+    (s""""$key"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(json).map(_.group(1)) match {
+      case Some(body) =>
+        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map { m =>
+          def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+          un(m.group(1)) -> un(m.group(2))
+        }.toMap
+      case None => Map.empty[String, String]
+    })
 }
 
 /** Engine facade shared by both adapters — the 11-tool / 15-route
@@ -87,19 +98,26 @@ final class EngineFacade(
       val q = jfield(body, "query").getOrElse(throw new IllegalArgumentException("query required"))
       val topK = jint(body, "topK", 10)
       val qv = embedder.embed(q).map(_.toDouble).toSeq
+      val tenant = jfield(body, "tenantId")
+      val metaEq = jobj(body, "filter")
       // Interactive surface: answer from the engine's resident serving
       // snapshot when the collection fits (no Spark job — sub-ms kernel
-      // vs the per-job scheduling floor); oversized collections fall
-      // back to the distributed path. Scores are float-kernel-computed:
-      // near-ties may order within the documented float tolerance of
-      // the job path (~1e-6 relative at 64-D, grows with dimension).
+      // vs the per-job scheduling floor); tenant/metadata-equality
+      // filters are served too (exact post-filter with full-rerank
+      // fallback). Oversized collections fall back to the distributed
+      // path. Scores are float-kernel-computed: near-ties may order
+      // within the documented float tolerance of the job path (~1e-6
+      // relative at 64-D, grows with dimension).
       engine.serving(coll) match {
         case Some(h) =>
-          h.search(qv, topK).map { hit =>
+          h.search(qv, topK, tenantId = tenant, metaEq = metaEq).map { hit =>
             s"""{"id":${jstr(hit.id)},"score":${hit.score},"content":${jstr(Option(hit.content).getOrElse(""))}}"""
           }.mkString("[", ",", "]")
         case None =>
-          rowsJson(engine.search(coll, qv, topK).select($"id", $"score", $"content"))
+          val mf = metaEq.map { case (k, v) => graft.engine.MetadataFilter.eq(k, v) }
+            .reduceOption(_ && _)
+          rowsJson(engine.search(coll, qv, topK, tenantId = tenant, filter = mf)
+            .select($"id", $"score", $"content"))
       }
 
     case "hybrid_search" =>

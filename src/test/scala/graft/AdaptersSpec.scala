@@ -64,6 +64,13 @@ class AdaptersSpec extends AnyFunSuite {
         """{"collection": "demo", "id": "d1", "content": "chemical safety data sheets"}""").statusCode() == 200)
       val hits = post("/api/search", """{"collection": "demo", "query": "chemical safety", "topK": 3}""")
       assert(hits.statusCode() == 200 && hits.body().contains("\"id\":\"d1\""))
+      // filtered search: metadata-equality body filter served (snapshot
+      // post-filter); a non-matching filter yields an empty hit list
+      assert(post("/api/insert",
+        """{"collection": "demo", "id": "d2", "content": "chemical storage rules"}""").statusCode() == 200)
+      val filtered = post("/api/search",
+        """{"collection": "demo", "query": "chemical safety", "topK": 3, "filter": {"team": "x"}}""")
+      assert(filtered.statusCode() == 200 && !filtered.body().contains("\"id\":\"d1\""))
 
       assert(post("/api/rag/ingest", """{"source": "m.txt", "text": "All employees must complete safety orientation within thirty days of hire. The orientation covers fire evacuation and chemical handling."}""").body().contains("\"chunks\""))
       assert(post("/api/rag/query", """{"query": "safety orientation"}""").body().contains("\"prompt\""))

@@ -382,6 +382,42 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(!java.nio.file.Files.exists(leftover), "stale _old dir must be cleared")
   }
 
+  test("filtered serving: tenant + metadata equality match the job path, incl. full-rerank fallback") {
+    val e = freshEngine()
+    e.createCollection("fs", CollectionConfig(dimensions = 64))
+    // 100 docs; two "rare" docs whose content is far from the query but
+    // which the metadata filter selects — they rank beyond the 4×topK
+    // over-fetch, forcing the exact full-rerank path
+    val docs = (0 until 98).map(i => (s"d$i", s"chemical safety rule number $i", "common", s"t${i % 2}")) ++
+      Seq(("rare1", "unrelated cooking recipe entirely", "rare", "t0"),
+        ("rare2", "gardening tips for spring flowers", "rare", "t1"))
+    val df = docs.toDF("id", "content", "kind", "tenant_id")
+      .withColumn("metadata", map(lit("kind"), $"kind")).drop("kind")
+    e.insert("fs", Embed.withEmbedding(df, "content", "vector", embedder))
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    val h = e.serving("fs").getOrElse(fail("collection must fit"))
+
+    def jobIds(tenant: Option[String], metaEq: Map[String, String], k: Int) = {
+      val mf = metaEq.map { case (kk, v) => graft.engine.MetadataFilter.eq(kk, v) }
+        .reduceOption(_ && _)
+      e.search("fs", qv, k, tenantId = tenant, filter = mf)
+        .select("id").collect().map(_.getString(0)).toSeq
+    }
+    // metadata filter hitting only the 2 worst-ranked docs (fallback path)
+    val servedRare = h.search(qv, topK = 3, metaEq = Map("kind" -> "rare"))
+    assert(servedRare.map(_.id) == jobIds(None, Map("kind" -> "rare"), 3))
+    assert(servedRare.map(_.id).toSet == Set("rare1", "rare2"))
+    assert(servedRare.map(_.rank) == Seq(1, 2))
+    // tenant filter (over-fetch path)
+    assert(h.search(qv, topK = 5, tenantId = Some("t1")).map(_.id) ==
+      jobIds(Some("t1"), Map.empty, 5))
+    // combined
+    assert(h.search(qv, topK = 2, tenantId = Some("t0"), metaEq = Map("kind" -> "rare"))
+      .map(_.id) == Seq("rare1"))
+    // no-match filter is empty, not an error
+    assert(h.search(qv, topK = 2, metaEq = Map("kind" -> "nope")).isEmpty)
+  }
+
   test("compact: packs accumulated small files, preserves content and shard pruning") {
     val e = freshEngine()
     e.createCollection("cp", CollectionConfig(dimensions = 64, shards = 4))
