@@ -362,8 +362,12 @@ object Bench {
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
+    // Compact keys are ABBREVIATED (full names in bench_latest.json):
+    // recall = ivf score-recall@10, p50/ivf_p50 = serving p50 ms,
+    // pq_recall = refined score-recall@10. job p50 lives in the full
+    // JSON only.
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_score_recall_at_10":${fmt(p.ivfRecall, 3)},"single_query_p50_ms":${fmt(p.servingP50, 3)},"ivf_serving_p50_ms":${fmt(p.ivfServingP50, 3)},"single_query_job_p50_ms":${fmt(p.jobP50, 1)},"pq_adc_qps":${fmt(p.pqQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.pqRefinedRecall, 3)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -442,7 +446,7 @@ object Bench {
     // back `parsed:null` because the full line (ann_curves + run lists)
     // outgrew the window. Keep this line comfortably under the tail size;
     // everything dropped here is in bench_latest.json.
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 3) }
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"batch_knn_serving_p50_ms":${fmt(servingP50Small, 3)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1900)

@@ -578,6 +578,19 @@ object SparkEntry {
         .orderBy($"id")
     }),
 
+    // LLM-pipeline: END-TO-END corpus dedup — LSH pairs → duplicate
+    // groups → keep each group's min-id member plus all unpaired docs.
+    // 64 hashes / 16 bands (banded miss-prob ≤ 4e-8 at τ=0.9 — the
+    // hash-equality-gate setting, same as dedup_pairs); the oracle
+    // recomputes survivors from exact pairs + a recursive-CTE closure.
+    "dedup_keep" -> ((s, dir) => {
+      import s.implicits._
+      graft.dedup.Dedup.dedupNearLsh(
+          t(s, dir, "documents").filter($"doc_id" < 500).select($"doc_id", $"text"),
+          "text", "doc_id", tau = 0.9, numHashes = 64, bands = 16)
+        .select($"doc_id").orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: embedding near-dup in IVF shape — a coarse cluster
     // column (label) bounds the pair space, exact cosine runs
     // intra-cell only. The scalable form of embedding-based dedup.
@@ -1136,6 +1149,32 @@ object SparkEntry {
           |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id)
           |SELECT id, min(comp) AS comp FROM reach GROUP BY id
           |ORDER BY id""".stripMargin,
+
+      "dedup_keep" ->
+        """WITH RECURSIVE sh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+          |        FROM documents WHERE doc_id < 500)
+          |  WHERE len(w) >= 3),
+          |pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          |    AND round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          |          len(list_distinct(a.shingles || b.shingles)), 6) >= 0.9),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(id, comp) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+          |losers AS (
+          |  SELECT id FROM (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+          |  WHERE id <> comp)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id < 500 AND doc_id NOT IN (SELECT id FROM losers)
+          |ORDER BY doc_id""".stripMargin,
 
       "dedup_embedding" ->
         s"""WITH scored AS (
