@@ -155,20 +155,26 @@ object Bench {
         // the worst case, like the ann curves); this block measures the
         // same refined protocol on the clustered corpus, the shape of
         // real embedding data.
+        // cleanup in finally: a mid-probe failure must not leak pinned
+        // memory into later probes (same convention as scaleProbe)
+        val pqCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
         val pqC =
           try {
             import org.apache.spark.sql.functions.col
             val cc = clustered.cache()
+            pqCleanups += (() => { cc.unpersist(); () })
             cc.count()
             val queries = cc.filter(col("vec_id") < 100)
               .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
             val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
             val ivfM = graft.ann.Ann.trainIvf(cc, "embedding", nCells = 16, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(cc, "embedding", "vec_id", ivfM).cache()
+            pqCleanups += (() => { cells.unpersist(); () })
             cells.count()
             val pqM = graft.ann.Pq.train(cc, "embedding", "vec_id", m = 8)
             val idx = graft.search.PackedIndex.buildIvfPq(
               graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+            pqCleanups += (() => idx.unpersist())
             val exactKth = graft.search.VectorSearch.knnBatchFast(
                 cc, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
               .groupBy("qid").agg(org.apache.spark.sql.functions.min("score").as("kth"))
@@ -178,11 +184,10 @@ object Bench {
               .collect().map(r => (r.getLong(0), r.getDouble(2)))
             val rec = refined.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
               (queries.size * 10)
-            idx.unpersist(); cells.unpersist(); cc.unpersist()
             s"""{"refined_score_recall_at_10":$rec,"cells":16,"probes":8,"refine_factor":16}"""
           } catch { case e: Throwable =>
             System.err.println(s"[bench] pq clustered failed: ${e.getMessage}"); "null"
-          }
+          } finally pqCleanups.foreach(c => try c() catch { case _: Throwable => () })
         (h1, c1, h2, c2, pqC)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}")
@@ -378,6 +383,70 @@ object Bench {
     // 64 cells / 8 probes ≈ 12.5% scanned.
     val qps1m = scaleProbe(1000000L, nFleet = 256, ivfCells = 64, ivfProbes = 8)
 
+    // 1000×-scale MEMORY proof: 10M × 64-D is 2.5 GB of float32 —
+    // past the 100k-row reference's regime and heavy even packed — but
+    // 80 MB of PQ codes. PQ-only protocol: IVF trained on a bounded
+    // sample, full corpus assigned + encoded, ADC fleet QPS, refined
+    // score-recall against ONE exact fleet pass, and the
+    // driver-resident ADC p50 (the whole 10M-row index serves from
+    // ~160 MB resident).
+    val pq10mCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val pq10m: Option[(Long, Double, Double, Double, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val n = e.count()
+        val target = 10000000L
+        val copies = math.max(1, (target / math.max(1L, n)).toInt)
+        val tiled = e.crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .select((col("vec_id") + col("copy") * n).as("vec_id"), col("embedding"))
+          .repartition(cpus.toInt).cache()
+        pq10mCleanups += (() => { tiled.unpersist(); () })
+        val total = tiled.count()
+        val queries = e.filter(col("vec_id") < 256)
+          .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+        val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
+        val tBuild = System.nanoTime()
+        val ivfM = graft.ann.Ann.trainIvf(tiled.limit(100000), "embedding", nCells = 64, maxIter = 5)
+        val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", ivfM)
+        val pqM = graft.ann.Pq.train(tiled, "embedding", "vec_id", m = 8)
+        val idx = graft.search.PackedIndex.buildIvfPq(
+          graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+        pq10mCleanups += (() => idx.unpersist())
+        val buildSec = (System.nanoTime() - tBuild) / 1e9
+        idx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm
+        val adcQps = queries.size / timedRuns(3)(
+          idx.search(qSeq, k = 10, nProbe = 8).count(): Unit).min
+        // exact fleet ONCE for the recall floor (the float path at this
+        // scale is the point of comparison, not a headline)
+        val exactKth10m = graft.search.VectorSearch.knnBatchFast(
+            tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
+          .groupBy("qid").agg(min("score").as("kth"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val refined = idx.searchRefined(tiled, "embedding", "vec_id",
+            qSeq, k = 10, nProbe = 8, refineFactor = 8)
+          .collect().map(r => (r.getLong(0), r.getDouble(2)))
+        val rec = refined.count { case (q, s) => s >= exactKth10m(q) - 1e-9 }.toDouble /
+          (queries.size * 10)
+        val p50 = graft.search.ServingSession.fromIvfPq(idx).map { s =>
+          var i = 0
+          p50Ms(101) {
+            s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = 8)
+            i += 1
+          }
+        }.getOrElse(-1.0)
+        Some((total, adcQps, rec, p50, buildSec))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pq 10m probe failed: ${e.getMessage}"); None
+      } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () })
+    def pq10mJson: String = pq10m.map { case (n, q, r, p, b) =>
+      s"""{"n_vectors":$n,"pq_adc_qps":${fmt(q, 0)},"pq_refined_score_recall_at_10":${fmt(r, 3)},"pq_serving_p50_ms":${fmt(p, 2)},"build_sec":${fmt(b, 1)},"pq_bytes_per_vector":8}"""
+    }.getOrElse("null")
+    def pq10mCompact: String = pq10m.map { case (n, q, r, p, _) =>
+      s"""{"pq_qps":${fmt(q, 0)},"pq_recall":${fmt(r, 3)},"pq_p50_ms":${fmt(p, 2)}}"""
+    }.getOrElse("null")
+
     // END-TO-END product surface: REST /api/search p50 over a real
     // engine collection at the baseline's 100k scale — HTTP + query
     // embedding + the resident serving snapshot, the full path a user
@@ -434,7 +503,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -448,7 +517,7 @@ object Bench {
     // everything dropped here is in bench_latest.json.
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"batch_knn_serving_p50_ms":${fmt(servingP50Small, 3)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

@@ -105,6 +105,7 @@ object IndexStore {
     val start = json.indexOf(key)
     require(start >= 0, s"missing field $name")
     var i = json.indexOf('[', start + key.length)
+    require(i >= 0, s"field $name has no array value")
     var depth = 0
     val from = i + 1
     while (i < json.length) {

@@ -123,7 +123,7 @@ object Pq {
             seed: Long = 42L, normalize: Boolean = true): PqModel = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sample: Array[Array[Float]] = df
+    val raw: Array[Array[Float]] = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
       .filter(col("v").isNotNull)
       .as[(Long, Array[Float])]
@@ -131,15 +131,21 @@ object Pq {
       .limit(maxTrain)
       .collect()
       .map { case (_, v) => if (normalize) l2normalize(v) else v }
-    require(sample.nonEmpty, "PQ training needs at least one vector")
-    val dim = sample(0).length
+    require(raw.nonEmpty, "PQ training needs at least one vector")
+    val dim = raw(0).length
+    // dimension-mismatched rows are skipped, same stance as encodeCells
+    // (a foreign row must not corrupt the codebooks)
+    val sample = raw.filter(_.length == dim)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val dsub = dim / m
     val k = math.min(ksub, sample.length)
     val codebooks = new Array[Float](m * ksub * dsub)
-    // per-subspace training, parallel on driver threads
+    // per-subspace training, parallel on driver threads; a worker
+    // failure is rethrown (a silently missing subspace would corrupt
+    // every later encode)
+    val firstError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val threads = (0 until m).map { sub =>
-      val t = new Thread(() => {
+      val t = new Thread(() => try {
         val cents = lloyd(sample, sub * dsub, dsub, k, iters, seed + sub)
         // write into the shared array (disjoint ranges per subspace)
         var c = 0
@@ -155,10 +161,11 @@ object Pq {
           System.arraycopy(cents, (k - 1) * dsub, codebooks, (sub * ksub + c) * dsub, dsub)
           c += 1
         }
-      })
+      } catch { case e: Throwable => firstError.compareAndSet(null, e); () })
       t.start(); t
     }
     threads.foreach(_.join())
+    if (firstError.get() != null) throw firstError.get()
     PqModel(m, dsub, ksub, codebooks)
   }
 

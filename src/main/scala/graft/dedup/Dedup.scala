@@ -265,14 +265,15 @@ object Dedup {
     val spark = pairs.sparkSession
     import spark.implicits._
     val edges = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    // gate + collect use the SAME set: distinct UNDIRECTED edges (the
+    // symmetrized view is ~2× that and would halve the effective cutover)
+    val und = edges.distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nEdges = sym.count()
+      val nEdges = und.count()
       if (nEdges <= maxLocalEdges) {
         // driver-local union-find over the bounded edge list
-        val es = edges.distinct().as[(Long, Long)].collect()
+        val es = und.as[(Long, Long)].collect()
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x: Long): Long = {
           var r = x
@@ -292,6 +293,7 @@ object Dedup {
         val out = parent.keys.toArray.sorted.map(id => (id, find(id)))
         spark.createDataset(out.toSeq).toDF("id", "comp")
       } else {
+        val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
         var labels = sym.select(col("src").as("id")).distinct()
           .withColumn("comp", col("id"))
           .localCheckpoint(true)
@@ -314,7 +316,7 @@ object Dedup {
         }
         labels
       }
-    } finally { sym.unpersist(); () }
+    } finally { und.unpersist(); () }
   }
 
   /** Near-duplicate dedup end-to-end: LSH pairs → duplicate groups →
@@ -359,7 +361,14 @@ object Dedup {
     * its `maxBucket` guard is the production path, this the exact one. */
   def jaccardPairsExact(df: DataFrame, textCol: String, idCol: String, tau: Double): DataFrame = {
     require(tau > 0, "tau must be > 0: zero-overlap pairs are not enumerated")
-    val sh = shingled(df, textCol, idCol)
+    val spark = df.sparkSession
+    import spark.implicits._
+    // the shingle table feeds sizes + both join sides — persist the RDD
+    // so shingling runs once (auto-unpersisted by the ContextCleaner
+    // when the returned plan is GC'd; same pattern as minhashLshPairs)
+    val shRdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = spark.createDataset(shRdd).toDF("id", "sh")
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     ex.as("a").join(ex.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))

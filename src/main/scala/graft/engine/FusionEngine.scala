@@ -97,9 +97,16 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   private def raw(name: String, cfg: CollectionConfig): DataFrame = {
     FusionEngine.recoverSwap(dataDir(name)) // crashed-swap restore
     if (cfg.shards > 0) FusionEngine.recoverShards(dataDir(name))
-    if (Files.exists(dataDir(name)))
-      spark.read.schema(Schema).parquet(dataDir(name).toString)
-    else {
+    if (Files.exists(dataDir(name))) {
+      val df = spark.read.schema(Schema).parquet(dataDir(name).toString)
+      // A sharded collection whose shard dirs have ALL been emptied
+      // (e.g. a selective delete removed the last one) still has its
+      // data dir, but partition discovery finds nothing — synthesize
+      // the layout column so shard-filtering readers stay resolvable.
+      if (cfg.shards > 0 && !df.columns.contains("shard"))
+        df.withColumn("shard", FusionEngine.shardExpr(cfg.shards))
+      else df
+    } else {
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schema)
       if (cfg.shards > 0)

@@ -272,15 +272,36 @@ object ServingSession {
         val qv = qArr(qi)._2.toArray
         val lut = pq.lookupTable(graft.ann.Pq.l2normalize(qv.map(_.toFloat)))
         val h = heaps(qi)
+        // gather the probed blocks; fan out across threads when the
+        // probed row count is large (a 10M-row probe at 12.5% scans
+        // 1.25M codes — sequential it is ~30 ms, strided it is ~ms;
+        // the LUT is read-only and shared, heaps merge per worker)
+        val probed = scala.collection.mutable.ArrayBuffer.empty[PackedIndex.PqCellBlock]
+        var probedRows = 0L
         ivf.nearestCells(qv, nProbe).foreach { c =>
-          if (c >= 0 && c < cellBlocks.length) cellBlocks(c).foreach { b =>
-            val nRows = b.ids.length
-            var r = 0
-            while (r < nRows) {
-              h.offer(pq.adcScore(lut, b.codes, r * m), b.ids(r))
-              r += 1
-            }
+          if (c >= 0 && c < cellBlocks.length)
+            cellBlocks(c).foreach { b => probed += b; probedRows += b.ids.length }
+        }
+        @inline def scan(b: PackedIndex.PqCellBlock, into: Kernels.TopKHeap): Unit = {
+          val nRows = b.ids.length
+          var r = 0
+          while (r < nRows) {
+            into.offer(pq.adcScore(lut, b.codes, r * m), b.ids(r))
+            r += 1
           }
+        }
+        val nThreads = math.min(Runtime.getRuntime.availableProcessors(), probed.length)
+        if (probedRows < 64 * 1024 || nThreads <= 1) probed.foreach(scan(_, h))
+        else {
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val wh = new Kernels.TopKHeap(k)
+              var b = t
+              while (b < probed.length) { scan(probed(b), wh); b += nThreads }
+              wh
+            }
+            .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
+          workers.forEach(w => w.foreachEntry((s, id) => h.offer(s, id)))
         }
         qi += 1
       }

@@ -40,16 +40,43 @@ object Adapters {
     s""""$key"\\s*:\\s*(true|false)""".r.findFirstMatchIn(json)
       .map(_.group(1) == "true").getOrElse(default)
 
-  /** Extract a FLAT string→string object field (`"key":{"a":"b",…}`). */
-  private[server] def jobj(json: String, key: String): Map[String, String] =
-    (s""""$key"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(json).map(_.group(1)) match {
-      case Some(body) =>
-        """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map { m =>
-          def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
-          un(m.group(1)) -> un(m.group(2))
-        }.toMap
-      case None => Map.empty[String, String]
-    })
+  /** Extract a FLAT string→string object field (`"key":{"a":"b",…}`).
+    * The object body is found with a quote-aware scan (not a `[^}]*`
+    * regex) so a '}' INSIDE a value cannot truncate the filter — a
+    * truncated filter would silently return unfiltered results. */
+  private[server] def jobj(json: String, key: String): Map[String, String] = {
+    val open = s""""$key"\\s*:\\s*\\{""".r.findFirstMatchIn(json) match {
+      case Some(m) => m.end - 1 // index of '{'
+      case None => return Map.empty
+    }
+    var i = open
+    var depth = 0
+    var inStr = false
+    var esc = false
+    var close = -1
+    while (i < json.length && close < 0) {
+      val c = json.charAt(i)
+      if (esc) esc = false
+      else if (inStr) {
+        if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (close < 0) return Map.empty // unterminated — treat as absent
+    val body = json.substring(open + 1, close)
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map { m =>
+      def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+      un(m.group(1)) -> un(m.group(2))
+    }.toMap
+  }
 }
 
 /** Engine facade shared by both adapters — the 11-tool / 15-route

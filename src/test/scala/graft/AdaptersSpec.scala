@@ -71,6 +71,11 @@ class AdaptersSpec extends AnyFunSuite {
       val filtered = post("/api/search",
         """{"collection": "demo", "query": "chemical safety", "topK": 3, "filter": {"team": "x"}}""")
       assert(filtered.statusCode() == 200 && !filtered.body().contains("\"id\":\"d1\""))
+      // a '}' inside a filter value must not truncate the object (a
+      // truncated filter would silently return UNFILTERED results)
+      val brace = post("/api/search",
+        """{"collection": "demo", "query": "chemical safety", "topK": 3, "filter": {"team": "a}b"}}""")
+      assert(brace.statusCode() == 200 && !brace.body().contains("\"id\":\"d1\""))
 
       assert(post("/api/rag/ingest", """{"source": "m.txt", "text": "All employees must complete safety orientation within thirty days of hire. The orientation covers fire evacuation and chemical handling."}""").body().contains("\"chunks\""))
       assert(post("/api/rag/query", """{"query": "safety orientation"}""").body().contains("\"prompt\""))

@@ -363,6 +363,24 @@ class FusionEngineSpec extends AnyFunSuite {
     assert(e.serving("sh").map(_.size).contains(63L))
   }
 
+  test("sharded layout: emptying every shard keeps the collection readable and writable") {
+    val e = freshEngine()
+    e.createCollection("she", CollectionConfig(dimensions = 64, shards = 2))
+    e.insert("she", Embed.withEmbedding(
+      Seq("only" -> "the single document").toDF("id", "content"), "content", "vector", embedder))
+    assert(e.deleteByIds("she", Seq("only")) == 1L)
+    // the data dir survives with zero shard partitions: reads must not
+    // lose the synthesized layout column (review r5: shard-filtering
+    // readers threw AnalysisException here)
+    assert(e.count("she") == 0)
+    assert(e.get("she", "only").isEmpty)
+    assert(!e.has("she", "only"))
+    assert(e.deleteByIds("she", Seq("only")) == 0L)
+    e.insert("she", Embed.withEmbedding(
+      Seq("next" -> "a new document").toDF("id", "content"), "content", "vector", embedder))
+    assert(e.count("she") == 1 && e.has("she", "next"))
+  }
+
   test("sharded layout: crashed per-shard swap recovers on next read") {
     val e = freshEngine()
     e.createCollection("shc", CollectionConfig(dimensions = 64, shards = 4))
