@@ -85,18 +85,22 @@ object VectorSearch {
           tenantCol: String = "tenant_id"): DataFrame = {
     require(!df.columns.contains(scoreCol),
       s"input already has a '$scoreCol' column — pass scoreCol to avoid masking it")
-    val q = vecLit(queryVec)
     var in = df
     tenantId.foreach(t => in = in.filter(col(tenantCol) === lit(t)))
     preFilter.foreach(p => in = in.filter(p))
-    // Catalyst does not constant-fold aggregate() over a literal array,
-    // so the cosine query self-norm would be recomputed per row; inline
-    // it as a literal (same left-to-right double sum → bit-identical).
+    // Single-query scoring runs the native codegen expression
+    // ([[graft.functions.QueryScore]]): one array traversal per row, no
+    // zipped intermediate, query embedded as a constant reference.
+    // Bit-parity with the HOF form (same fold order, same cosine
+    // denominator with the precomputed left-to-right qNorm) is
+    // contract-tested in VectorFunctionsSpec and gate-checked by the
+    // knn_* oracle entries.
+    import graft.functions.QueryScore
     val raw = m match {
-      case Cosine =>
-        val qNorm = math.sqrt(queryVec.foldLeft(0.0)((acc, x) => acc + x * x))
-        dotProduct(col(vectorCol), q) / (norm(col(vectorCol)) * lit(qNorm))
-      case other => other.score(col(vectorCol), q)
+      case Cosine     => QueryScore(col(vectorCol), queryVec, QueryScore.CosineFull)
+      case CosineUnit => QueryScore(col(vectorCol), queryVec, QueryScore.Dot)
+      case Euclidean  => QueryScore(col(vectorCol), queryVec, QueryScore.EuclidScore)
+      case DotProduct => QueryScore(col(vectorCol), queryVec, QueryScore.DotScore)
     }
     val s = roundTo.map(d => round(raw, d)).getOrElse(raw)
     val scored = in.withColumn(scoreCol, s)

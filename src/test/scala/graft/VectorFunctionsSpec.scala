@@ -40,6 +40,45 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(row.getSeq[Double](1) == Seq(0.0, 0.0))
   }
 
+  test("QueryScore native expression: bit-parity with the HOF forms on all four modes") {
+    import graft.functions.QueryScore
+    import graft.search.VectorSearch
+    val rnd = new scala.util.Random(7)
+    val dim = 19 // odd, non-multiple-of-4: exercises the loop tail
+    val q = Seq.fill(dim)(rnd.nextGaussian())
+    val qc = vecLit(q)
+    val qNorm = math.sqrt(q.foldLeft(0.0)((a, x) => a + x * x))
+    val rows = (0 until 64).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "v").cache()
+    def both(native: org.apache.spark.sql.Column, hof: org.apache.spark.sql.Column): Unit = {
+      val got = df.select($"id", native.as("n"), hof.as("h")).collect()
+      got.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2), s"mode mismatch at id ${r.getLong(0)}")
+      }
+    }
+    both(QueryScore($"v", q, QueryScore.Dot), dotProduct($"v", qc))
+    both(QueryScore($"v", q, QueryScore.DotScore), lit(1.0) + dotProduct($"v", qc))
+    both(QueryScore($"v", q, QueryScore.CosineFull),
+      dotProduct($"v", qc) / (norm($"v") * lit(qNorm)))
+    both(QueryScore($"v", q, QueryScore.EuclidScore), lit(1.0) - euclideanDistance($"v", qc))
+    // double-element arrays hit the other getter
+    val dd = rows.map { case (i, v) => (i, v.map(_.toDouble)) }.toDF("id", "v")
+    val gotD = dd.select(QueryScore($"v", q, QueryScore.Dot).as("n"),
+      dotProduct($"v", qc).as("h")).collect()
+    gotD.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null array / length mismatch -> null (HOF null-propagation parity)
+    val edge = Seq((1L, null.asInstanceOf[Array[Float]]), (2L, Array(1f, 2f)))
+      .toDF("id", "v")
+    val e = edge.select(QueryScore($"v", q, QueryScore.Dot).as("n")).collect()
+    assert(e.forall(_.isNullAt(0)))
+    // the knn plan actually runs the native expression inside codegen
+    val plan = VectorSearch.knn(df.withColumnRenamed("v", "vector")
+        .withColumn("id", $"id".cast("string")), q, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("query_score"), s"expected query_score in plan:\n$plan")
+    df.unpersist()
+  }
+
   test("knn over a tiny in-memory collection ranks nearest first") {
     import graft.search.VectorSearch
     val df = Seq(
