@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** SQL-surface registration for graft's native expressions.
+  *
+  * Two routes to the same function descriptions:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `.withExtensions(new graft.GraftExtensions)`) installs them at
+  *    session build — the canonical `SparkSessionExtensions` mechanism;
+  *  - [[Registry.register]] adds them to an already-running session.
+  *
+  * `graft_query_score(vector, array(...), 'cosine')` then runs the
+  * codegen'd [[QueryScore]] from plain SQL. The query array and mode
+  * must be foldable (literals) — the expression embeds the query as a
+  * constant, which is what makes it fast.
+  */
+object Registry {
+
+  private def modeOf(s: String): Int = s match {
+    case "dot"       => QueryScore.Dot
+    case "dot_score" => QueryScore.DotScore
+    case "cosine"    => QueryScore.CosineFull
+    case "euclidean" => QueryScore.EuclidScore
+    case other => throw new IllegalArgumentException(
+      s"unknown query_score mode '$other' (dot|dot_score|cosine|euclidean)")
+  }
+
+  private val queryScoreBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 3,
+      "graft_query_score(vector, query_array, mode) takes exactly 3 arguments")
+    require(exprs(1).foldable, "query_score's query array must be a literal")
+    require(exprs(2).foldable, "query_score's mode must be a literal string")
+    // SQL array literals arrive as array<decimal>/<int>/etc — cast to
+    // array<double> before folding (numeric casts need no timezone)
+    val asDouble = org.apache.spark.sql.catalyst.expressions.Cast(
+      exprs(1), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val q = asDouble.eval() match {
+      case a: ArrayData => a.toDoubleArray()
+      case other => throw new IllegalArgumentException(
+        s"query_score's query must be an array, got $other")
+    }
+    QueryScore(exprs(0), q, modeOf(exprs(2).eval().toString))
+  }
+
+  /** The function descriptions both registration routes share. */
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq((
+      FunctionIdentifier("graft_query_score"),
+      new ExpressionInfo(classOf[QueryScore].getCanonicalName, "graft_query_score"),
+      queryScoreBuilder))
+
+  /** Register on a live session (idempotent — re-registration replaces). */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach(GraftSqlBridge.registerFunction(spark, _))
+}

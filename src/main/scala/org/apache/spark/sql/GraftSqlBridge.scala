@@ -9,4 +9,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a SQL function on a LIVE session (the
+    * `SparkSessionExtensions` route only applies to sessions built with
+    * the extension installed; `sessionState` is `private[sql]`). */
+  def registerFunction(
+      spark: SparkSession,
+      desc: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)): Unit =
+    spark.sessionState.functionRegistry.registerFunction(desc._1, desc._2, desc._3)
 }

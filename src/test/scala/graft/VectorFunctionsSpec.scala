@@ -79,6 +79,29 @@ class VectorFunctionsSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("graft_query_score SQL function: both registration routes, parity, bad input errors") {
+    import graft.functions.{QueryScore, Registry}
+    Registry.register(spark) // live-session route
+    val rows = (0 until 8).map(i => (i.toLong, Array.fill(6)(i * 0.5f + 1f)))
+    rows.toDF("id", "v").createOrReplaceTempView("qs_t")
+    val q = Seq(1.0, 0.5, 0.25, 0.125, 2.0, 1.5)
+    val qSql = q.mkString("array(", ", ", ")")
+    val sql = spark.sql(
+      s"SELECT id, graft_query_score(v, $qSql, 'cosine') AS s FROM qs_t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dsl = rows.toDF("id", "v")
+      .select($"id", QueryScore($"v", q, QueryScore.CosineFull).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sql == dsl)
+    // extensions route shares the identical descriptions
+    assert(Registry.descriptions.map(_._1.funcName) == Seq("graft_query_score"))
+    // non-literal query / unknown mode fail analysis, not silently
+    assertThrows[Exception](spark.sql(
+      "SELECT graft_query_score(v, v, 'cosine') FROM qs_t").collect())
+    assertThrows[Exception](spark.sql(
+      s"SELECT graft_query_score(v, $qSql, 'nope') FROM qs_t").collect())
+  }
+
   test("knn over a tiny in-memory collection ranks nearest first") {
     import graft.search.VectorSearch
     val df = Seq(
