@@ -147,6 +147,33 @@ object Demo {
     g.memory.remember("demo-agent", "Graft boots through create()")
     println(s"  facade health: ${g.mcpServer().callTool("fusionpact_list_collections", "{}").take(80)}")
 
+    println("=== 5. LLM-pipeline scale paths (dedup + IVF-PQ) ===")
+    // near-dup dedup end-to-end: pairs -> groups -> canonical keep
+    val boiler = "the quarterly report shows strong growth across all regions and every product line this year"
+    val dupDocs = Seq((1L, boiler), (2L, boiler), (3L, boiler + " again"),
+      (4L, "an entirely different document about spark physical planning"))
+      .toDF("id", "text")
+    val kept = graft.dedup.Dedup.dedupNearLsh(dupDocs, "text", "id", tau = 0.5)
+      .select("id").as[Long].collect().sorted
+    println(s"  dedupNearLsh(4 docs, 1 dup family) keeps: ${kept.mkString(",")}")
+    // IVF-PQ: 8-byte codes, ADC search, exact re-rank from the source
+    val corpus = spark.range(2000).map { i =>
+      val rc = new scala.util.Random((i % 10) * 31 + 5)
+      val rn = new scala.util.Random(i)
+      (i, Array.fill(64)((rc.nextGaussian() + 0.3 * rn.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val ivfM = graft.ann.Ann.trainIvf(corpus, "embedding", nCells = 8, maxIter = 4)
+    val cells = graft.ann.Ann.assignCells(corpus, "embedding", "vec_id", ivfM)
+    val pqM = graft.ann.Pq.train(corpus, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 6)
+    val pqIdx = graft.search.PackedIndex.buildIvfPq(
+      graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+    val q0 = corpus.head.getSeq[Float](1).map(_.toDouble)
+    val hit = pqIdx.searchRefined(corpus, "embedding", "vec_id",
+      Seq((0L, q0)), k = 3, nProbe = 4).orderBy("rank").collect()
+    println(s"  IVF-PQ (${pqM.bytesPerVector} B/vector vs ${64 * 4} float): top hit id=${hit.head.getLong(1)} " +
+      f"score=${hit.head.getDouble(2)}%.4f (self), ${hit.length} refined hits")
+    pqIdx.unpersist()
+
     spark.stop()
   }
 }
