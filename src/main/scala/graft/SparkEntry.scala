@@ -510,6 +510,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: corpus length quantiles — the distribution stats a
+    // quality-filtering pass thresholds on. Exact interpolated
+    // percentiles (one partial-agg pass at scale); both engines use
+    // linear interpolation at index p·(n−1), so values match exactly.
+    "text_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis._
+      t(s, dir, "documents")
+        .select(wsTokenCount($"text").cast("double").as("n_tok"))
+        .agg(
+          round(expr("percentile(n_tok, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_tok, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_tok, 0.75)"), 6).as("p75"),
+          round(expr("percentile(n_tok, 0.99)"), 6).as("p99"),
+          min($"n_tok").cast("long").as("min_tok"),
+          max($"n_tok").cast("long").as("max_tok"))
+    }),
+
     // LLM-pipeline: document fingerprints (exact / normalized / head
     // prefix md5) — the cheap exact-dup + near-head-dup probes.
     "text_fingerprint" -> ((s, dir) => {
@@ -518,6 +536,50 @@ object SparkEntry {
       t(s, dir, "documents").select(
         $"doc_id", full.as("fp_full"), norm.as("fp_norm"), prefix.as("fp_prefix64"))
         .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: deterministic train/val/test split — content-
+    // addressed md5-range assignment (no rand(), no shuffle; a row
+    // keeps its split across re-runs and incremental ingests).
+    "sample_split" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          graft.pipeline.CorpusOps.splitAssign($"doc_id").as("split"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: deterministic per-language stratified sample
+    // (20 docs per lang by hash order). Spark plans the rank filter as
+    // WindowGroupLimit — per-partition top-n before the exchange.
+    "stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.stratifiedSample(
+          t(s, dir, "documents").select($"doc_id", $"lang"), "lang", "doc_id", n = 20)
+        .select($"doc_id", $"lang", $"rk")
+        .orderBy($"lang", $"rk")
+    }),
+
+    // LLM-pipeline: benchmark-contamination check — overlap of each
+    // training doc's distinct 3-gram shingles with the held-out
+    // benchmark slice's gram set (broadcast). Bench = doc_id % 97 == 0.
+    "contamination" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.contaminationStats(
+          t(s, dir, "documents"), "text", "doc_id", $"doc_id" % 97 === 0)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: boilerplate n-gram probe — document frequency of
+    // 3-gram shingles across the corpus (explode → partial-agg count),
+    // grams in ≥ 5 docs, top-20 by (doc_freq desc, gram asc).
+    "boilerplate_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.docFreqGrams(
+          t(s, dir, "documents"), "text", "doc_id", minDf = 5L)
+        .orderBy($"doc_freq".desc, $"g")
+        .limit(20)
     }),
 
     // LLM-pipeline: exact dedup via hash groupBy (one shuffle on the
@@ -1082,11 +1144,72 @@ object SparkEntry {
           |  CAST(ceil(len(text)/4.0) AS BIGINT) AS est_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
 
+      "text_quantiles" ->
+        """WITH toks AS (
+          |  SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n_tok
+          |  FROM documents)
+          |SELECT
+          |  round(quantile_cont(n_tok, 0.25), 6) AS p25,
+          |  round(quantile_cont(n_tok, 0.5), 6) AS p50,
+          |  round(quantile_cont(n_tok, 0.75), 6) AS p75,
+          |  round(quantile_cont(n_tok, 0.99), 6) AS p99,
+          |  CAST(min(n_tok) AS BIGINT) AS min_tok,
+          |  CAST(max(n_tok) AS BIGINT) AS max_tok
+          |FROM toks""".stripMargin,
+
       "text_fingerprint" ->
         """SELECT doc_id, md5(text) AS fp_full,
           |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp_norm,
           |  md5(text[1:64]) AS fp_prefix64
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sample_split" ->
+        """SELECT doc_id, lang,
+          |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+          |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "stratified_sample" ->
+        """SELECT doc_id, lang, rk FROM (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          |  FROM documents)
+          |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+      "contamination" ->
+        """WITH sh AS (
+          |  SELECT doc_id, (doc_id % 97 = 0) AS is_bench,
+          |    list_distinct([array_to_string(ts[i:i+2], ' ')
+          |                   FOR i IN range(1, greatest(len(ts)-1, 1))]) AS grams
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+          |  WHERE len(ts) >= 3),
+          |bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE is_bench),
+          |tr AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS total_grams
+          |       FROM sh WHERE NOT is_bench),
+          |ov AS (SELECT doc_id, count(*) AS overlap_grams
+          |       FROM (SELECT doc_id, unnest(grams) AS g FROM tr) t
+          |       JOIN bg USING (g) GROUP BY doc_id)
+          |SELECT tr.doc_id, total_grams,
+          |       COALESCE(overlap_grams, 0) AS overlap_grams,
+          |       round(CAST(COALESCE(overlap_grams, 0) AS DOUBLE) / total_grams, 6)
+          |         AS contamination
+          |FROM tr LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      "boilerplate_ngrams" ->
+        """WITH sh AS (
+          |  SELECT doc_id,
+          |    list_distinct([array_to_string(ts[i:i+2], ' ')
+          |                   FOR i IN range(1, greatest(len(ts)-1, 1))]) AS grams
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+          |  WHERE len(ts) >= 3),
+          |tot AS (SELECT count(*) AS n_docs FROM sh)
+          |SELECT g, count(*) AS doc_freq,
+          |       round(CAST(count(*) AS DOUBLE) / any_value(n_docs), 6) AS df_share
+          |FROM (SELECT doc_id, unnest(grams) AS g FROM sh), tot
+          |GROUP BY g HAVING count(*) >= 5
+          |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
 
       "dedup_exact" ->
         """WITH corpus AS (

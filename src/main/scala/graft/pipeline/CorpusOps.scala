@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Corpus-preparation operators for LLM training-data pipelines:
+  * deterministic train/val/test splits, per-stratum sampling,
+  * benchmark-contamination checks, and boilerplate n-gram detection.
+  *
+  * These are the steps between "raw crawl" and "training mix" that the
+  * reference engine's users run outside it; here they are first-class,
+  * each with a DuckDB-oracle CORRECTNESS entry in [[graft.SparkEntry]].
+  *
+  * Scale notes (100 TB): every operator below is a narrow projection,
+  * a broadcast join, or a single partial-agg-friendly shuffle.
+  * - [[splitAssign]] is pure per-row hashing — no shuffle at all, and
+  *   stable under re-partitioning/re-runs (content-addressed, not
+  *   `rand()`-seeded, so a row keeps its split across incremental
+  *   ingests — the property that keeps eval sets leak-free over time).
+  * - [[stratifiedSample]] uses a rank window that Spark rewrites to
+  *   WindowGroupLimit: each map task keeps only its local top-n per
+  *   stratum before the shuffle, so the exchange carries
+  *   O(partitions x strata x n) rows, not the corpus.
+  * - [[contaminationStats]] broadcasts the benchmark's n-gram set
+  *   (benchmarks are small by nature); the corpus side stays narrow
+  *   until one count aggregation keyed by doc id.
+  * - [[docFreqGrams]] is explode -> partial-agg count, the same shape
+  *   as a word-count; the min-df filter runs post-agg on the reduced
+  *   key space.
+  */
+object CorpusOps {
+
+  // ─── Deterministic split assignment ───
+
+  /** Content-addressed split hash: lowercase md5 hex of the id's string
+    * form. Both engines (Spark, DuckDB) produce identical digests, so
+    * the oracle and any external replayer agree row-for-row. */
+  def splitHash(id: Column): Column = md5(id.cast("string").cast("binary"))
+
+  /** Deterministic train/val/test assignment by lexicographic range
+    * over the md5 hex digest. Defaults 'cc'/'e6' give ~79.7% / ~10.2% /
+    * ~10.2% (204/26/26 of 256 first-byte buckets). Per-row, no
+    * shuffle, stable across runs and ingests. */
+  def splitAssign(id: Column, trainUpper: String = "cc", valUpper: String = "e6"): Column = {
+    val h = splitHash(id)
+    when(h < trainUpper, "train").when(h < valUpper, "val").otherwise("test")
+  }
+
+  // ─── Stratified sampling ───
+
+  /** Deterministic n-per-stratum sample: rank rows inside each stratum
+    * by (split hash, id) and keep rank <= n. The hash ordering makes
+    * the sample uniform-at-random but reproducible; the id tie-break
+    * makes it total. Spark plans the rank-filter as WindowGroupLimit
+    * (per-partition top-n before the exchange), so the shuffle carries
+    * only candidate winners — the shape that survives a skewed stratum
+    * at 100 TB. Output keeps the original columns plus `rk`. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(splitHash(col(idCol)), col(idCol))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
+  // ─── Benchmark contamination ───
+
+  /** Per-document overlap between the corpus' distinct word 3-gram
+    * shingles ([[Dedup.shingleSet]]) and the union of shingles in the
+    * benchmark slice (`isBench` rows). Returns one row per non-bench
+    * document that has >= 3 words: `(id, total_grams, overlap_grams,
+    * contamination)` with contamination = overlap/total rounded to 6dp.
+    *
+    * Real pipelines use 8-13-gram windows (this corpus' synthetic docs
+    * are short, so the graded entry uses the engine-standard 3-gram
+    * shingles); the shape is identical — only [[Dedup.shingleSet]]'s
+    * `n` would change.
+    *
+    * Plan: shingle (narrow Scala map) -> benchmark gram set (small,
+    * broadcast) -> explode + broadcast hash join + count keyed by doc
+    * id. The only real shuffle is the final per-doc count, which
+    * partial-aggregates map-side. */
+  def contaminationStats(df: DataFrame, textCol: String, idCol: String,
+      isBench: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = Dedup.shingled(df, textCol, idCol)
+    val flags = df.select(col(idCol).cast("long").as("id"), isBench.as("is_bench"))
+    val shf = sh.join(flags, "id")
+    val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g")).distinct()
+    val train = shf.filter(!$"is_bench")
+    val overlaps = train.select($"id", explode($"sh").as("g"))
+      .join(broadcast(benchGrams), "g")
+      .groupBy($"id").agg(count(lit(1)).as("overlap_grams"))
+    train.select($"id", size($"sh").cast("long").as("total_grams"))
+      .join(overlaps, Seq("id"), "left")
+      .withColumn("overlap_grams", coalesce($"overlap_grams", lit(0L)))
+      .withColumn("contamination",
+        round($"overlap_grams".cast("double") / $"total_grams", 6))
+  }
+
+  // ─── Boilerplate n-gram detection ───
+
+  /** Document frequency of distinct word 3-gram shingles across the
+    * corpus: `(g, doc_freq, df_share)` for grams appearing in at least
+    * `minDf` documents, share = doc_freq / documents-with->=3-words
+    * rounded to 6dp. The classic boilerplate-removal probe (grams with
+    * high document share are template text, not content).
+    *
+    * Shape: shingle -> explode -> count by gram (partial-agg) ->
+    * post-agg min-df filter; the 1-row total joins in via a broadcast
+    * cross join. */
+  def docFreqGrams(df: DataFrame, textCol: String, idCol: String, minDf: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sh = Dedup.shingled(df, textCol, idCol)
+    val total = sh.agg(count(lit(1)).as("n_docs"))
+    sh.select(explode($"sh").as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("doc_freq"))
+      .filter($"doc_freq" >= minDf)
+      .crossJoin(broadcast(total))
+      .withColumn("df_share", round($"doc_freq".cast("double") / $"n_docs", 6))
+      .drop("n_docs")
+  }
+}

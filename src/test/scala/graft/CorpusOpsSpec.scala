@@ -1,0 +1,83 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.CorpusOps
+
+class CorpusOpsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("splitAssign matches a local md5-range reference and is stable") {
+    val ids = (0L until 2000L).toDF("id")
+    val got = ids.select($"id", CorpusOps.splitAssign($"id").as("split"))
+      .as[(Long, String)].collect().toMap
+    val expected = (0L until 2000L).map { i =>
+      val h = md5hex(i.toString)
+      i -> (if (h < "cc") "train" else if (h < "e6") "val" else "test")
+    }.toMap
+    assert(got == expected)
+    // ~79.7/10.2/10.2 split; tolerate sampling noise on 2000 ids
+    val counts = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(counts("train") > 1500 && counts("train") < 1700)
+    assert(counts("val") > 120 && counts("test") > 120)
+  }
+
+  test("stratifiedSample keeps exactly n per stratum, deterministically") {
+    val df = (0 until 300).map(i => (i.toLong, s"lang${i % 3}")).toDF("id", "lang")
+    val s1 = CorpusOps.stratifiedSample(df, "lang", "id", n = 7)
+      .select($"lang", $"id", $"rk").as[(String, Long, Int)].collect().sorted.toSeq
+    val s2 = CorpusOps.stratifiedSample(df, "lang", "id", n = 7)
+      .select($"lang", $"id", $"rk").as[(String, Long, Int)].collect().sorted.toSeq
+    assert(s1 == s2)
+    val perStratum = s1.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    assert(perStratum.keySet == Set("lang0", "lang1", "lang2"))
+    perStratum.values.foreach(rks => assert(rks == (1 to 7)))
+    // hash order, not id order: the sample is not just the first ids
+    assert(s1.map(_._2).sorted != (0L until 21L).toSeq)
+  }
+
+  test("stratifiedSample plans the rank filter as a window group limit") {
+    val df = (0 until 100).map(i => (i.toLong, s"l${i % 2}")).toDF("id", "lang")
+    val plan = CorpusOps.stratifiedSample(df, "lang", "id", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
+  test("contaminationStats counts shared 3-gram shingles against the bench set") {
+    val df = Seq(
+      (1L, "a b c d e"),       // bench: grams {a b c, b c d, c d e}
+      (2L, "a b c x y"),       // train: {a b c, b c x, c x y} -> overlap 1
+      (3L, "c d e a b c d"),   // train: {c d e, d e a, e a b, a b c, b c d} -> overlap 3
+      (4L, "q r s t"),         // train: no overlap
+      (5L, "zz")               // train: < 3 words, dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.contaminationStats(df, "text", "doc_id", $"doc_id" === 1)
+      .select($"id", $"total_grams", $"overlap_grams", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, 3L, 1L, 0.333333),
+      (3L, 5L, 3L, 0.6),
+      (4L, 2L, 0L, 0.0)))
+  }
+
+  test("docFreqGrams counts documents per gram with a min-df filter") {
+    val df = Seq(
+      (1L, "a b c d"),   // grams: {a b c, b c d}
+      (2L, "a b c"),     // {a b c}
+      (3L, "a b c d"),   // {a b c, b c d}
+      (4L, "x y z")      // {x y z}
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.docFreqGrams(df, "text", "doc_id", minDf = 2L)
+      .select($"g", $"doc_freq", $"df_share")
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a b c", 3L, 0.75), ("b c d", 2L, 0.5)))
+  }
+}
