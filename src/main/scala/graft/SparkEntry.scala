@@ -582,6 +582,24 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // LLM-pipeline: intra-document repetition (1 − distinct/total
+    // 3-grams) — the Gopher-style template/stuffing quality signal.
+    // Narrow Scala map, no shuffle.
+    "repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.repetitionStats(t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: training-mix report — docs, token sums, and token
+    // share per (lang, source) stratum. One partial-agg shuffle.
+    "corpus_mix" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.corpusMix(t(s, dir, "documents"), "text", Seq("lang", "source"))
+        .orderBy($"lang", $"source")
+    }),
+
     // LLM-pipeline: exact dedup via hash groupBy (one shuffle on the
     // digest, no pairwise work). Corpus = documents ∪ 50 re-labeled
     // copies (planted exact dups — the raw corpus has none).
@@ -1210,6 +1228,27 @@ object SparkEntry {
           |FROM (SELECT doc_id, unnest(grams) AS g FROM sh), tot
           |GROUP BY g HAVING count(*) >= 5
           |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
+
+      "repetition" ->
+        """WITH g AS (
+          |  SELECT doc_id, CAST(len(ts) - 2 AS BIGINT) AS total_grams,
+          |    CAST(len(list_distinct([array_to_string(ts[i:i+2], ' ')
+          |      FOR i IN range(1, greatest(len(ts)-1, 1))])) AS BIGINT) AS distinct_grams
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+          |  WHERE len(ts) >= 3)
+          |SELECT doc_id, total_grams, distinct_grams,
+          |  round(1.0 - CAST(distinct_grams AS DOUBLE) / total_grams, 6) AS repetition
+          |FROM g ORDER BY doc_id""".stripMargin,
+
+      "corpus_mix" ->
+        """WITH m AS (
+          |  SELECT lang, source, count(*) AS docs,
+          |    CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS tok_sum
+          |  FROM documents GROUP BY 1, 2)
+          |SELECT lang, source, docs, tok_sum,
+          |  round(CAST(tok_sum AS DOUBLE) / (SELECT CAST(sum(tok_sum) AS DOUBLE) FROM m), 6)
+          |    AS tok_share
+          |FROM m ORDER BY lang, source""".stripMargin,
 
       "dedup_exact" ->
         """WITH corpus AS (

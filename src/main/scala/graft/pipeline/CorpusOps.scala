@@ -99,6 +99,50 @@ object CorpusOps {
         round($"overlap_grams".cast("double") / $"total_grams", 6))
   }
 
+  // ─── Intra-document repetition ───
+
+  /** Gopher-style repetition signal: `1 - distinct_grams / total_grams`
+    * over word 3-grams, per document (>= 3 words). A doc that repeats
+    * itself (looping templates, keyword stuffing) scores high; clean
+    * prose scores near 0. Returns `(id, total_grams, distinct_grams,
+    * repetition)` with repetition rounded to 6dp.
+    *
+    * Narrow: the shingle map plus a per-row arithmetic projection —
+    * no shuffle, embarrassingly parallel at any scale. */
+  def repetitionStats(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val words = if (t == null) 0 else t.split(" ", -1).length
+        (id, math.max(words - 2, 0).toLong, Dedup.shingleSet(t).size.toLong)
+      }
+      .toDF("id", "total_grams", "distinct_grams")
+      .filter($"total_grams" > 0)
+      .withColumn("repetition",
+        round(lit(1.0) - $"distinct_grams".cast("double") / $"total_grams", 6))
+  }
+
+  // ─── Training-mix report ───
+
+  /** Corpus composition by stratum: document count, whitespace-token
+    * sum, and token share per (stratum) group — the report a training
+    * run's data mix is planned from. One partial-agg shuffle on the
+    * stratum keys; the 1-row total joins back via broadcast. */
+  def corpusMix(df: DataFrame, textCol: String, strataCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byStratum = df
+      .withColumn("n_tok", size(split(col(textCol), "\\s+")).cast("long"))
+      .groupBy(strataCols.map(col): _*)
+      .agg(count(lit(1)).as("docs"), sum($"n_tok").as("tok_sum"))
+    val total = byStratum.agg(sum($"tok_sum").as("tok_total"))
+    byStratum.crossJoin(broadcast(total))
+      .withColumn("tok_share", round($"tok_sum".cast("double") / $"tok_total", 6))
+      .drop("tok_total")
+  }
+
   // ─── Boilerplate n-gram detection ───
 
   /** Document frequency of distinct word 3-gram shingles across the

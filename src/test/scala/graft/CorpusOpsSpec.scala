@@ -68,6 +68,32 @@ class CorpusOpsSpec extends AnyFunSuite {
       (4L, 2L, 0L, 0.0)))
   }
 
+  test("repetitionStats: 1 - distinct/total 3-grams, short docs dropped") {
+    val df = Seq(
+      (1L, "a b a b a b"),  // 4 grams: {a b a, b a b} distinct=2 -> rep 0.5
+      (2L, "a b c d"),      // 2 grams, distinct 2 -> 0.0
+      (3L, "x y")           // < 3 words, dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(df, "text", "doc_id")
+      .select($"id", $"total_grams", $"distinct_grams", $"repetition")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 4L, 2L, 0.5), (2L, 2L, 2L, 0.0)))
+  }
+
+  test("corpusMix: per-stratum docs, token sums, shares summing to 1") {
+    val df = Seq(
+      ("en", "s0", "a b c"), ("en", "s0", "d e"), ("en", "s1", "f"),
+      ("de", "s0", "g h i j")
+    ).toDF("lang", "source", "text")
+    val got = CorpusOps.corpusMix(df, "text", Seq("lang", "source"))
+      .select($"lang", $"source", $"docs", $"tok_sum", $"tok_share")
+      .as[(String, String, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("de", "s0", 1L, 4L, 0.4),
+      ("en", "s0", 2L, 5L, 0.5),
+      ("en", "s1", 1L, 1L, 0.1)))
+  }
+
   test("docFreqGrams counts documents per gram with a min-df filter") {
     val df = Seq(
       (1L, "a b c d"),   // grams: {a b c, b c d}
