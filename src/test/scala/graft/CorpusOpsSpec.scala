@@ -94,6 +94,23 @@ class CorpusOpsSpec extends AnyFunSuite {
       ("en", "s1", 1L, 1L, 0.1)))
   }
 
+  test("curate: dedups to min-id, drops short and repetitive docs, assigns splits") {
+    val long = ("the quick brown fox jumps over the lazy dog and keeps going " * 2).trim
+    val repetitive = "spam ham " * 40 + "spam ham spam" // high repetition, > 50 chars
+    val df = Seq(
+      (10L, long),          // canonical survivor
+      (20L, long),          // exact dup of 10 -> dropped
+      (30L, repetitive),    // repetition ~1 -> dropped
+      (40L, "too short")    // < 50 chars -> dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.curate(df, "text", "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(10L))
+    val h = md5hex("10")
+    val expectSplit = if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    assert(got.head._2 == expectSplit)
+  }
+
   test("docFreqGrams counts documents per gram with a min-df filter") {
     val df = Seq(
       (1L, "a b c d"),   // grams: {a b c, b c d}
