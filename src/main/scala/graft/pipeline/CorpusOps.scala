@@ -76,27 +76,32 @@ object CorpusOps {
     * shingles); the shape is identical — only [[Dedup.shingleSet]]'s
     * `n` would change.
     *
-    * Plan: shingle (narrow Scala map) -> benchmark gram set (small,
-    * broadcast) -> explode + broadcast hash join + count keyed by doc
-    * id. The only real shuffle is the final per-doc count, which
+    * Plan: one shingle map carrying the bench flag (narrow — no
+    * corpus-side join to attach flags) -> benchmark gram set (small,
+    * broadcast) -> explode + broadcast LEFT join + conditional count
+    * keyed by doc id. Zero-overlap docs survive the left join, so the
+    * only shuffle in the whole plan is the final per-doc count, which
     * partial-aggregates map-side. */
   def contaminationStats(df: DataFrame, textCol: String, idCol: String,
       isBench: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sh = Dedup.shingled(df, textCol, idCol)
-    val flags = df.select(col(idCol).cast("long").as("id"), isBench.as("is_bench"))
-    val shf = sh.join(flags, "id")
-    val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g")).distinct()
-    val train = shf.filter(!$"is_bench")
-    val overlaps = train.select($"id", explode($"sh").as("g"))
-      .join(broadcast(benchGrams), "g")
-      .groupBy($"id").agg(count(lit(1)).as("overlap_grams"))
-    train.select($"id", size($"sh").cast("long").as("total_grams"))
-      .join(overlaps, Seq("id"), "left")
-      .withColumn("overlap_grams", coalesce($"overlap_grams", lit(0L)))
+    val shf = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+        isBench.as("is_bench"))
+      .as[(Long, String, Boolean)]
+      .map { case (id, t, b) => (id, Dedup.shingleSet(t), b) }
+      .toDF("id", "sh", "is_bench")
+      .filter(size($"sh") > 0)
+    val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g"))
+      .distinct().withColumn("hit", lit(1L))
+    shf.filter(!$"is_bench")
+      .select($"id", size($"sh").cast("long").as("total_grams"), explode($"sh").as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy($"id", $"total_grams")
+      .agg(sum(coalesce($"hit", lit(0L))).as("overlap_grams"))
       .withColumn("contamination",
         round($"overlap_grams".cast("double") / $"total_grams", 6))
+      .select($"id", $"total_grams", $"overlap_grams", $"contamination")
   }
 
   // ─── Intra-document repetition ───
