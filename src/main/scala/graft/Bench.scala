@@ -369,10 +369,11 @@ object Bench {
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
     // Compact keys are ABBREVIATED (full names in bench_latest.json):
     // recall = ivf score-recall@10, p50/ivf_p50 = serving p50 ms,
-    // pq_recall = refined score-recall@10. job p50 lives in the full
-    // JSON only.
+    // pq_recall = refined score-recall@10. job p50, the ann/pq clustered
+    // blocks, and the recall curves live in the full JSON only — the
+    // 46-query map outgrew the ~2 KB driver tail with them inline.
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -447,6 +448,41 @@ object Bench {
       s"""{"pq_qps":${fmt(q, 0)},"pq_recall":${fmt(r, 3)},"pq_p50_ms":${fmt(p, 2)}}"""
     }.getOrElse("null")
 
+    // CORPUS-OPS scale probe: tile documents to 500k rows (100× sf0.1)
+    // and run the curation-pipeline operators at that scale. Tiling
+    // makes every doc a 100-way exact-dup group, so `curate` does real
+    // dedup work (500k -> ~5k canonical rows); contamination's bench
+    // slice is ~50 docs whose gram set broadcasts. Throughputs here are
+    // the would-it-survive-100× evidence for the corpus-prep operators.
+    val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val corpus500k: Option[(Long, Double, Double, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        val n = d.count()
+        val copies = math.max(1, (500000L / math.max(1L, n)).toInt)
+        val tiled = d.crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .select((col("doc_id") + col("copy") * n).as("doc_id"), col("lang"), col("text"))
+          .repartition(cpus.toInt).cache()
+        corpusCleanups += (() => { tiled.unpersist(); () })
+        val total = tiled.count()
+        val curateSec = bestSec(2)(
+          graft.pipeline.CorpusOps.curate(tiled, "text", "doc_id").count(): Unit)
+        val contamSec = bestSec(2)(graft.pipeline.CorpusOps.contaminationStats(
+          tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit)
+        val qualitySec = bestSec(2)(
+          tiled.filter(graft.textanalysis.TextAnalysis.qualityFlag(col("text"))).count(): Unit)
+        Some((total, curateSec, contamSec, qualitySec))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
+      } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)}}"""
+    }.getOrElse("null")
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)}}"""
+    }.getOrElse("null")
+
     // END-TO-END product surface: REST /api/search p50 over a real
     // engine collection at the baseline's 100k scale — HTTP + query
     // embedding + the resident serving snapshot, the full path a user
@@ -503,7 +539,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"corpus_500k":$corpusJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -515,9 +551,9 @@ object Bench {
     // back `parsed:null` because the full line (ann_curves + run lists)
     // outgrew the window. Keep this line comfortably under the tail size;
     // everything dropped here is in bench_latest.json.
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"corpus_500k":$corpusCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)
