@@ -174,6 +174,29 @@ object Demo {
       f"score=${hit.head.getDouble(2)}%.4f (self), ${hit.length} refined hits")
     pqIdx.unpersist()
 
+    println("=== 6. Corpus curation (split / dedup / quality gates) ===")
+    val longDoc = "spark catalyst plans the query and tungsten executes it with codegen stages " +
+      "while the optimizer pushes filters into the parquet scan and prunes columns early " +
+      "so the shuffle carries only the keys and aggregates the job actually needs"
+    val spammy = "buy now " * 30 + "buy now limited"
+    val rawCorpus = Seq(
+      (100L, "en", longDoc), (101L, "en", longDoc),           // exact dups
+      (102L, "de", longDoc + " und mehr"),                    // near-dup, survives exact dedup
+      (103L, "en", spammy),                                   // high repetition -> dropped
+      (104L, "en", "too short")                               // length gate -> dropped
+    ).toDF("doc_id", "lang", "text")
+    val curated = graft.pipeline.CorpusOps.curate(rawCorpus, "text", "doc_id")
+      .select($"doc_id", $"split").as[(Long, String)].collect().sortBy(_._1)
+    println(s"  curate(5 raw) -> ${curated.map { case (i, s) => s"$i:$s" }.mkString(", ")} " +
+      "(dup 101, spam 103, short 104 dropped)")
+    val contam = graft.pipeline.CorpusOps.contaminationStats(
+        rawCorpus, "text", "doc_id", $"doc_id" === 100)
+      .filter($"overlap_grams" > 0).count()
+    println(s"  contamination vs bench doc 100: $contam train docs share 3-grams")
+    val mix = graft.pipeline.CorpusOps.corpusMix(rawCorpus, "text", Seq("lang"))
+      .select($"lang", $"tok_share").as[(String, Double)].collect().sortBy(_._1)
+    println(s"  training mix by lang: ${mix.map { case (l, s) => f"$l=$s%.2f" }.mkString(", ")}")
+
     spark.stop()
   }
 }
