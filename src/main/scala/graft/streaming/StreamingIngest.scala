@@ -69,6 +69,46 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming CURATION: [[startDeduped]] plus the row-level quality
+    * gates of [[graft.pipeline.CorpusOps.curate]] — length and
+    * 3-gram-repetition — applied BEFORE the stateful dedup, so spam and
+    * stubs never enter the dedup state store (at firehose scale the
+    * state bound matters more than the sink). Gates are a narrow typed
+    * filter (same Scala shingles as the batch path — one pass per row,
+    * no O(words²) SQL higher-order form); dedup state stays one digest
+    * per distinct SURVIVING document within the watermark horizon. */
+  def startCurated(stream: Dataset[(String, String, java.sql.Timestamp)],
+                   rag: RagPipeline, checkpointDir: String,
+                   watermark: String = "10 minutes",
+                   maxRepetition: Double = 0.5, minChars: Int = 50,
+                   tenantId: Option[String] = None,
+                   trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    rag.init()
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val gated = stream.filter { (r: (String, String, java.sql.Timestamp)) =>
+      val t = r._2
+      t != null && t.length >= minChars && {
+        val total = t.split(" ", -1).length - 2
+        total > 0 &&
+          1.0 - graft.dedup.Dedup.shingleSet(t).size.toDouble / total < maxRepetition
+      }
+    }
+    gated.toDF("doc_id", "text", "ts")
+      .withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val docs = batch.select("doc_id", "text").as[(String, String)]
+        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId): Unit
+      }
+      .start()
+  }
+
   /** Streaming auto-save twin of the reference's 30 s timer
     * (`FusionEngine.js:340-344`): periodic JSON snapshot export driven
     * by a processing-time trigger over any ticking stream. Parquet

@@ -133,4 +133,31 @@ class SubsystemsSpec extends AnyFunSuite {
     val byAgent = recall.groupBy("agent_id").count().as[(String, Long)].collect().toMap
     assert(byAgent.keySet == Set("a1", "a2"))
   }
+
+  test("streaming curation: quality gates drop spam/stubs before dedup state; clean docs flow") {
+    val engine = new FusionEngine(spark, Files.createTempDirectory("graft_scurate").toString)
+    val rag = new RagPipeline(engine, new MockEmbedderProvider(64), chunkSize = 80, chunkOverlap = 10)
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(String, String, java.sql.Timestamp)]
+    val checkpoint = Files.createTempDirectory("graft_scurate_ckpt").toString
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 00:$min%02d:00")
+    val clean = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val spammy = "win now " * 30 + "win now big"
+    // batch 1: clean doc + its exact dup + a spam doc + a stub
+    stream.addData(("a", clean, ts(0)), ("a2", clean, ts(0)),
+      ("spam", spammy, ts(0)), ("stub", "too short", ts(0)))
+    StreamingIngest.startCurated(stream.toDS(), rag, checkpoint).awaitTermination(60000)
+    val sources1 = engine.table(rag.collection)
+      .selectExpr("metadata['source']").distinct().as[String].collect().toSet
+    assert(sources1 == Set("a"), s"only the clean doc may land: $sources1")
+
+    // batch 2: the spam again (would have matched dedup state if it had
+    // entered) + a novel clean doc — only the clean doc lands
+    val clean2 = "completely different second document with its own words to chunk and embed"
+    stream.addData(("spam2", spammy, ts(1)), ("b", clean2, ts(1)))
+    StreamingIngest.startCurated(stream.toDS(), rag, checkpoint).awaitTermination(60000)
+    val sources2 = engine.table(rag.collection)
+      .selectExpr("metadata['source']").distinct().as[String].collect().toSet
+    assert(sources2 == Set("a", "b"), s"spam must stay out across batches: $sources2")
+  }
 }
