@@ -549,6 +549,16 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: rate-based deterministic sample (~20% via hash
+    // range 0x3333/0x10000) — pure per-row filter, no shuffle; the
+    // reproducible corpus-fraction shape for 100 TB.
+    "sample_hash" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.hashSample(
+          t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id", num = 13107)
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: deterministic per-language stratified sample
     // (20 docs per lang by hash order). Spark plans the rank filter as
     // WindowGroupLimit — per-partition top-n before the exchange.
@@ -1200,6 +1210,11 @@ object SparkEntry {
           |       WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
           |       ELSE 'test' END AS split
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "sample_hash" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '3333'
+          |ORDER BY doc_id""".stripMargin,
 
       "stratified_sample" ->
         """SELECT doc_id, lang, rk FROM (

@@ -111,6 +111,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got.head._2 == expectSplit)
   }
 
+  test("hashSample: deterministic rate filter, nested subsets, ~num/65536 fraction") {
+    val ids = (0L until 5000L).toDF("id")
+    val s20 = CorpusOps.hashSample(ids, "id", 13107).as[Long].collect().toSet
+    val s20b = CorpusOps.hashSample(ids, "id", 13107).as[Long].collect().toSet
+    val s50 = CorpusOps.hashSample(ids, "id", 32768).as[Long].collect().toSet
+    assert(s20 == s20b)
+    assert(s20.subsetOf(s50), "smaller rate must be a subset of the larger")
+    assert(s20.size > 5000 * 0.16 && s20.size < 5000 * 0.24, s"~20% expected, got ${s20.size}")
+    assert(s50.size > 5000 * 0.45 && s50.size < 5000 * 0.55, s"~50% expected, got ${s50.size}")
+    // parity with the local md5 reference
+    val expect20 = (0L until 5000L).filter(i => md5hex(i.toString).substring(0, 4) < "3333").toSet
+    assert(s20 == expect20)
+  }
+
+  test("tokenQuantiles: exact matches hand computation; approx tracks exact") {
+    val df = (1 to 101).map(n => (n.toLong, Seq.fill(n)("w").mkString(" "))).toDF("id", "text")
+    val ex = CorpusOps.tokenQuantiles(df, "text", Seq(0.25, 0.5, 0.75), exact = true).head
+    // 1..101 tokens: interpolated percentiles land on exact ranks
+    assert((ex.getDouble(0), ex.getDouble(1), ex.getDouble(2)) == (26.0, 51.0, 76.0))
+    val ap = CorpusOps.tokenQuantiles(df, "text", Seq(0.25, 0.5, 0.75)).head
+    Seq(0, 1, 2).foreach { i =>
+      assert(math.abs(ap.getDouble(i) - ex.getDouble(i)) <= 2.0,
+        s"approx p$i ${ap.getDouble(i)} vs exact ${ex.getDouble(i)}")
+    }
+  }
+
   test("docFreqGrams counts documents per gram with a min-df filter") {
     val df = Seq(
       (1L, "a b c d"),   // grams: {a b c, b c d}
