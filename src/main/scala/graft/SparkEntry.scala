@@ -652,6 +652,23 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: INCREMENTAL dedup — new batch (doc_id ≥ 400, plus
+    // 30 planted copies of old docs) vs the existing corpus
+    // (doc_id < 400). LSH bands new×old only — history is never
+    // re-paired — graded against the TRUE all-pairs cross-corpus
+    // Jaccard, so a pass certifies recall 1.0 on this corpus.
+    "dedup_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" < 400)
+      val newBatch = docs.filter($"doc_id" >= 400)
+        .unionByName(docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 20000).as("doc_id"), $"text"))
+      graft.dedup.Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+          tau = 0.9, numHashes = 64, bands = 16, maxBucket = 1000)
+        .orderBy($"id_new", $"id_old")
+    }),
+
     // LLM-pipeline: n-gram Jaccard similarity at a LOW threshold —
     // the direct (non-LSH) grading of Dedup.jaccardPairsExact, in the
     // regime LSH banding never visits (τ=0.05 catches topically-
@@ -1326,6 +1343,30 @@ object SparkEntry {
           |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
           |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.9
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_incremental" ->
+        """WITH oldsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |        WHERE doc_id < 400)
+          |  WHERE len(w) >= 3),
+          |newsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM (
+          |          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |          UNION ALL
+          |          SELECT doc_id + 20000 AS doc_id, text FROM documents
+          |          WHERE doc_id < 30))
+          |  WHERE len(w) >= 3),
+          |scored AS (
+          |  SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+          |    round(len(list_intersect(n.shingles, o.shingles)) * 1.0 /
+          |          len(list_distinct(n.shingles || o.shingles)), 6) AS jaccard
+          |  FROM newsh n, oldsh o)
+          |SELECT id_new, id_old, jaccard FROM scored WHERE jaccard >= 0.9
+          |ORDER BY id_new, id_old""".stripMargin,
 
       // same shingle machinery, low-τ direct regime, first 500 ids
       "dedup_jaccard" ->

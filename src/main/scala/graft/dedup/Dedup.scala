@@ -184,6 +184,71 @@ object Dedup {
     verifyJaccard(candidates, sh, tau)
   }
 
+  /** INCREMENTAL near-dup: pairs BETWEEN a new batch and an existing
+    * corpus — the shape a daily ingest runs. History is never re-paired
+    * against itself: both sides band with the SAME seeded hash family,
+    * candidates come from one (band, bucket) equi-join of new×old, and
+    * only candidates verify with exact Jaccard. Output
+    * `(id_new, id_old, jaccard)` with `round(jaccard, 6) ≥ tau`; ids
+    * may overlap between corpora (sides are kept distinct throughout).
+    *
+    * At warehouse scale, persist the OLD side's banded table
+    * `(id, band, bucket)` (plain parquet — ~`bands` longs per doc) once
+    * and reuse it every batch: the daily cost is then shingling the new
+    * batch plus one join against the stored index.
+    *
+    * Boilerplate guard: a bucket over `maxBucket` on EITHER side is
+    * dropped before the join via a count aggregate (partial-agg
+    * friendly, nothing materialized), bounding per-bucket join fan-out
+    * at maxBucket². */
+  def minhashLshPairsBetween(newDf: DataFrame, oldDf: DataFrame,
+      textCol: String, idCol: String, tau: Double,
+      numHashes: Int = 48, bands: Int = 8, seed: Int = 42,
+      maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val coeffs = coefficients(numHashes, seed)
+
+    // RDD-level persist for the same CacheManager-leak reason as
+    // minhashLshPairs: each side's shingles feed banding AND verify.
+    def shingleTable(df: DataFrame): DataFrame = {
+      val rdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.createDataset(rdd).toDF("id", "sh")
+    }
+    val shNew = shingleTable(newDf)
+    val shOld = shingleTable(oldDf)
+
+    def banded(sh: DataFrame): DataFrame = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
+      val sig = minhashSignature(s, coeffs)
+      (0 until bands).map(b => (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
+    }.toDF("id", "band", "bucket")
+
+    def guarded(b: DataFrame): DataFrame =
+      if (maxBucket <= 0) b
+      else b.join(
+        b.groupBy("band", "bucket").count()
+          .filter(col("count") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
+
+    val cand = guarded(banded(shNew))
+      .select(col("id").as("id_new"), col("band"), col("bucket"))
+      .join(guarded(banded(shOld))
+        .select(col("id").as("id_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
+
+    cand.join(shNew.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(shOld.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_new", "id_old", "jaccard")
+  }
+
   /** Stream (id, band, bucket) rows — sorted so buckets are contiguous —
     * into per-bucket candidate pairs, buffering at most `maxBucket` ids
     * at a time. A bucket exceeding `maxBucket` is dropped whole: the

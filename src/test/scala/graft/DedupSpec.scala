@@ -19,6 +19,42 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("incremental pairs-between: cross-corpus dups found, history never self-paired, ids may overlap") {
+    import org.apache.spark.sql.functions.col
+    val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    // new batch: the tail slice + exact copies of two OLD docs, one
+    // reusing an id that also exists in the old corpus (id collision)
+    val tail = docs.filter(col("doc_id") >= 400)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val newBatch = (tail ++ Seq(
+      (5000L, docs.filter(col("doc_id") === 7).select("text").head.getString(0)),
+      (3L, docs.filter(col("doc_id") === 11).select("text").head.getString(0)))
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id", tau = 0.9)
+      .select("id_new", "id_old", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val pairs = got.map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((5000L, 7L)), s"planted copy must pair: $pairs")
+    assert(pairs.contains((3L, 11L)), "id-colliding new doc must pair against OLD content")
+    got.foreach { case (_, _, j) => assert(j >= 0.9) }
+    // no old×old pair can appear: every id_new is from the new batch
+    val newIds = newBatch.select("doc_id").as[Long].collect().toSet
+    got.foreach { case (n, _, _) => assert(newIds.contains(n)) }
+    // parity with the exact cross-corpus answer (recall 1.0 on this corpus)
+    val exact = {
+      val a = newBatch.select(col("doc_id").as("id_new"), col("text").as("ta"))
+      val b = old.select(col("doc_id").as("id_old"), col("text").as("tb"))
+      a.crossJoin(b).collect().map { r =>
+        val sa = Dedup.shingleSet(r.getString(1)).toSet
+        val sb = Dedup.shingleSet(r.getString(3)).toSet
+        val j = if (sa.isEmpty || sb.isEmpty) 0.0
+          else sa.intersect(sb).size.toDouble / sa.union(sb).size
+        ((r.getLong(0), r.getLong(2)), math.rint(j * 1e6) / 1e6)
+      }.filter(_._2 >= 0.9).map(_._1).toSet
+    }
+    assert(pairs == exact)
+  }
+
   test("maxBucket guard drops a planted pathological bucket but keeps normal pairs") {
     // 60 identical boilerplate docs (one giant bucket in every band) +
     // 2 genuinely near-dup docs + unrelated filler
