@@ -669,6 +669,22 @@ object SparkEntry {
         .orderBy($"id_new", $"id_old")
     }),
 
+    // LLM-pipeline: incremental EXACT dedup — Bloom-pruned digest check
+    // of the new batch (doc_id ≥ 400 + 30 planted copies) against
+    // history (< 400). Bloom false positives are join-verified away, so
+    // the output is exact — the oracle is the plain digest join.
+    "dedup_incremental_exact" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" < 400)
+      val newBatch = docs.filter($"doc_id" >= 400)
+        .unionByName(docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 20000).as("doc_id"), $"text"))
+      graft.dedup.Dedup.incrementalExactDup(newBatch, old, "text", "doc_id",
+          expectedItems = 100000L)
+        .orderBy($"id_new")
+    }),
+
     // LLM-pipeline: n-gram Jaccard similarity at a LOW threshold —
     // the direct (non-LSH) grading of Dedup.jaccardPairsExact, in the
     // regime LSH banding never visits (τ=0.05 catches topically-
@@ -1367,6 +1383,18 @@ object SparkEntry {
           |  FROM newsh n, oldsh o)
           |SELECT id_new, id_old, jaccard FROM scored WHERE jaccard >= 0.9
           |ORDER BY id_new, id_old""".stripMargin,
+
+      "dedup_incremental_exact" ->
+        """WITH newb AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |  UNION ALL
+          |  SELECT doc_id + 20000 AS doc_id, text FROM documents WHERE doc_id < 30),
+          |hist AS (
+          |  SELECT md5(text) AS digest, min(doc_id) AS id_old
+          |  FROM documents WHERE doc_id < 400 GROUP BY 1)
+          |SELECT n.doc_id AS id_new, h.id_old, md5(n.text) AS digest
+          |FROM newb n JOIN hist h ON md5(n.text) = h.digest
+          |ORDER BY id_new""".stripMargin,
 
       // same shingle machinery, low-τ direct regime, first 500 ids
       "dedup_jaccard" ->

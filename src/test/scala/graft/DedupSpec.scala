@@ -55,6 +55,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == exact)
   }
 
+  test("incremental exact dedup: bloom-pruned hits verified, non-dups and fp survive nothing") {
+    import org.apache.spark.sql.functions.col
+    val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val t7 = docs.filter(col("doc_id") === 7).select("text").head.getString(0)
+    val t11 = docs.filter(col("doc_id") === 11).select("text").head.getString(0)
+    val newBatch = Seq((9001L, t7), (9002L, t11), (9003L, t7 + " novel tail"),
+      (9004L, "entirely new content never seen before")).toDF("doc_id", "text")
+    def run(expected: Long) = Dedup.incrementalExactDup(newBatch, old, "text", "doc_id",
+        expectedItems = expected)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    val withBloom = run(100000L)
+    assert(withBloom == Set((9001L, 7L), (9002L, 11L)))
+    // bloom disabled (plain join) must agree — the bloom is pruning only
+    assert(run(0L) == withBloom)
+  }
+
   test("maxBucket guard drops a planted pathological bucket but keeps normal pairs") {
     // 60 identical boilerplate docs (one giant bucket in every band) +
     // 2 genuinely near-dup docs + unrelated filler
