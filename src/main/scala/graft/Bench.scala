@@ -171,9 +171,10 @@ object Bench {
             val cells = graft.ann.Ann.assignCells(cc, "embedding", "vec_id", ivfM).cache()
             pqCleanups += (() => { cells.unpersist(); () })
             cells.count()
-            val pqM = graft.ann.Pq.train(cc, "embedding", "vec_id", m = 8)
+            val pqM = graft.ann.Pq.trainResidual(cells, ivfM, m = 8)
             val idx = graft.search.PackedIndex.buildIvfPq(
-              graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+              graft.ann.Pq.encodeCells(cells, pqM, residualIvf = Some(ivfM)),
+              ivfM, pqM, residual = true)
             pqCleanups += (() => idx.unpersist())
             val exactKth = graft.search.VectorSearch.knnBatchFast(
                 cc, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
@@ -321,9 +322,10 @@ object Bench {
             // the layout's intended contract.
             val (pqQps, pqRecall, pqServP50) =
               try {
-                val pqModel = graft.ann.Pq.train(tiled, "embedding", "vec_id", m = 8)
+                val pqModel = graft.ann.Pq.trainResidual(cells, model, m = 8)
                 val pqIdx = graft.search.PackedIndex.buildIvfPq(
-                  graft.ann.Pq.encodeCells(cells, pqModel), model, pqModel)
+                  graft.ann.Pq.encodeCells(cells, pqModel, residualIvf = Some(model)),
+                  model, pqModel, residual = true)
                 cleanups += (() => pqIdx.unpersist())
                 pqIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
                 val q = queries.size / timedRuns(3)(
@@ -386,34 +388,49 @@ object Bench {
 
     // 1000×-scale MEMORY proof: 10M × 64-D is 2.5 GB of float32 —
     // past the 100k-row reference's regime and heavy even packed — but
-    // 80 MB of PQ codes. PQ-only protocol: IVF trained on a bounded
-    // sample, full corpus assigned + encoded, ADC fleet QPS, refined
-    // score-recall against ONE exact fleet pass, and the
-    // driver-resident ADC p50 (the whole 10M-row index serves from
-    // ~160 MB resident).
+    // 80 MB of PQ codes. The corpus is GENERATED: 10M DISTINCT vectors
+    // from a seeded 200-center Gaussian mixture (tiled duplicates made
+    // refined recall measure only "did ADC argmax match exact argmax" —
+    // every true top-k row was one of 500 identical copies, r4's 0.527).
+    // RESIDUAL IVF-PQ protocol (the Jégou/FAISS layout): IVF trained on
+    // a bounded sample, full corpus assigned, PQ trained on residuals,
+    // ADC fleet QPS, refined score-recall against ONE exact fleet pass,
+    // and the driver-resident ADC p50 (the whole 10M-row index serves
+    // from ~160 MB resident).
     val pq10mCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val pq10m: Option[(Long, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
-        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
-        val n = e.count()
         val target = 10000000L
-        val copies = math.max(1, (target / math.max(1L, n)).toInt)
-        val tiled = e.crossJoin(spark.range(copies).select(col("id").as("copy")))
-          .select((col("vec_id") + col("copy") * n).as("vec_id"), col("embedding"))
-          .repartition(cpus.toInt).cache()
-        pq10mCleanups += (() => { tiled.unpersist(); () })
-        val total = tiled.count()
-        val queries = e.filter(col("vec_id") < 256)
+        val dim = 64
+        val nCenters = 200
+        val gen = {
+          import spark.implicits._
+          val d = dim
+          spark.range(target).as[Long].mapPartitions { it =>
+            it.map { i =>
+              val cl = (i % nCenters).toInt
+              val rc = new scala.util.Random(cl * 1009 + 7)
+              val center = Array.fill(d)(rc.nextGaussian())
+              val rn = new scala.util.Random(i)
+              val v = center.map(x => (x + 0.5 * rn.nextGaussian()).toFloat)
+              (i, graft.ann.Pq.l2normalize(v))
+            }
+          }.toDF("vec_id", "embedding")
+        }.repartition(cpus.toInt).cache()
+        pq10mCleanups += (() => { gen.unpersist(); () })
+        val total = gen.count()
+        val queries = gen.filter(col("vec_id") < 256)
           .select(col("vec_id").cast("long").as("qid"), col("embedding").as("qv"))
           .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
         val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
         val tBuild = System.nanoTime()
-        val ivfM = graft.ann.Ann.trainIvf(tiled.limit(100000), "embedding", nCells = 64, maxIter = 5)
-        val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", ivfM)
-        val pqM = graft.ann.Pq.train(tiled, "embedding", "vec_id", m = 8)
+        val ivfM = graft.ann.Ann.trainIvf(gen.limit(100000), "embedding", nCells = 64, maxIter = 5)
+        val cells = graft.ann.Ann.assignCells(gen, "embedding", "vec_id", ivfM)
+        val pqM = graft.ann.Pq.trainResidual(cells, ivfM, m = 8)
         val idx = graft.search.PackedIndex.buildIvfPq(
-          graft.ann.Pq.encodeCells(cells, pqM), ivfM, pqM)
+          graft.ann.Pq.encodeCells(cells, pqM, residualIvf = Some(ivfM)),
+          ivfM, pqM, residual = true)
         pq10mCleanups += (() => idx.unpersist())
         val buildSec = (System.nanoTime() - tBuild) / 1e9
         idx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm
@@ -422,10 +439,10 @@ object Bench {
         // exact fleet ONCE for the recall floor (the float path at this
         // scale is the point of comparison, not a headline)
         val exactKth10m = graft.search.VectorSearch.knnBatchFast(
-            tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
+            gen, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
           .groupBy("qid").agg(min("score").as("kth"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        val refined = idx.searchRefined(tiled, "embedding", "vec_id",
+        val refined = idx.searchRefined(gen, "embedding", "vec_id",
             qSeq, k = 10, nProbe = 8, refineFactor = 8)
           .collect().map(r => (r.getLong(0), r.getDouble(2)))
         val rec = refined.count { case (q, s) => s >= exactKth10m(q) - 1e-9 }.toDouble /

@@ -50,7 +50,11 @@ object IndexStore {
     IvfModel(parseMatrix(json, "centroids").map(_.toArray))
   }
 
-  def savePq(model: PqModel, path: String): Unit = {
+  /** `residual = true` records that the codebooks were trained on IVF
+    * residuals ([[Pq.trainResidual]]) — the loader side must then encode
+    * with `residualIvf` and build with `residual = true`, or scores are
+    * silently wrong. Read it back with [[loadPqResidualFlag]]. */
+  def savePq(model: PqModel, path: String, residual: Boolean = false): Unit = {
     // codebooks grouped per (sub, code) row for a readable, versioned file
     val rows = (0 until model.m).map { sub =>
       (0 until model.ksub).map { c =>
@@ -59,7 +63,15 @@ object IndexStore {
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
     writeAtomic(path,
-      s"""{"format":"graft-pq-1","m":${model.m},"dsub":${model.dsub},"ksub":${model.ksub},"codebooks":$rows}""")
+      s"""{"format":"graft-pq-1","m":${model.m},"dsub":${model.dsub},"ksub":${model.ksub},"residual":$residual,"codebooks":$rows}""")
+  }
+
+  /** Whether a saved PQ artifact holds residual-trained codebooks.
+    * Files written before the field existed read as `false` (they were
+    * all raw-trained). */
+  def loadPqResidualFlag(path: String): Boolean = {
+    val json = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
+    json.contains("\"residual\":true")
   }
 
   def loadPq(path: String): PqModel = {

@@ -220,6 +220,44 @@ object CorpusOps {
     * Shape: shingle -> explode -> count by gram (partial-agg) ->
     * post-agg min-df filter; the 1-row total joins in via a broadcast
     * cross join. */
+  /** C4-style boilerplate LINE removal: a line occurring in at least
+    * `minDf` distinct documents is template text (nav bars, cookie
+    * banners, license footers) and is dropped from EVERY document; the
+    * surviving lines are reassembled in order. Returns
+    * `(id, clean_text, n_kept, n_dropped)` — empty docs (all lines
+    * boilerplate) survive with `clean_text = ''`.
+    *
+    * Plan shape for 100 TB: lines explode narrow; the line-frequency
+    * aggregate is ONE partial-agg-friendly shuffle on the line text;
+    * the frequent-line table is small BY CONSTRUCTION (≤ total_lines /
+    * minDf rows — at minDf in the thousands it broadcasts), so the
+    * removal join is a broadcast LEFT ANTI, and the only other shuffle
+    * is the per-doc regroup. No driver collect at any size. */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                           minDf: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .groupBy($"line").agg(countDistinct($"id").as("df"))
+      .filter($"df" >= minDf)
+      .select($"line")
+    val total = lines.groupBy($"id").agg(count(lit(1)).as("n_total"))
+    lines.join(broadcast(frequent), Seq("line"), "left_anti")
+      .groupBy($"id")
+      .agg(
+        array_join(transform(array_sort(collect_list(struct($"pos", $"line"))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .join(total, Seq("id"), "right")
+      .select($"id",
+        coalesce($"clean_text", lit("")).as("clean_text"),
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        ($"n_total" - coalesce($"n_kept", lit(0L))).as("n_dropped"))
+  }
+
   def docFreqGrams(df: DataFrame, textCol: String, idCol: String, minDf: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

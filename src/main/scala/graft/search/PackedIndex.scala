@@ -59,6 +59,15 @@ object PackedIndex {
 
   /** Squared norm with the same accumulation order the kernel uses —
     * identical doubles whether computed at pack or search time. */
+  /** `dot(q, centroid)` — the residual-ADC per-probe constant. */
+  private[search] def qDotCentroid(q: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    val n = math.min(q.length, c.length)
+    while (j < n) { s += q(j) * c(j); j += 1 }
+    s
+  }
+
   private def rowNorm2(v: Array[Float]): Double = {
     var s = 0.0
     var d = 0
@@ -171,25 +180,36 @@ object PackedIndex {
   final class IvfPq private[PackedIndex] (
       @transient val spark: SparkSession,
       val ivf: IvfModel, val pq: PqModel,
-      val blocks: RDD[PqCellBlock], val n: Long) {
+      val blocks: RDD[PqCellBlock], val n: Long,
+      val residual: Boolean = false) {
 
     /** ADC top-k per query over the probed cells. Scores are the
-      * quantized cosine (inputs unit-normalized at encode). */
+      * quantized cosine (inputs unit-normalized at encode). With
+      * [[residual]] codes, each probe adds the per-cell constant
+      * `dot(q, centroid)` — dot is linear, so the SAME query LUT scores
+      * residual codes; the offsets are precomputed driver-side (Q ×
+      * nProbe scalars) and ride the existing broadcast. */
     def search(queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
       val qArr = queries.toArray
       val qids = qArr.map(_._1)
       val qVecs = qArr.map(q => graft.ann.Pq.l2normalize(q._2.toArray.map(_.toFloat)))
-      val c2q: Array[Array[Int]] = {
+      // per cell: the probing query indexes, and (residual only) the
+      // matching dot(q, centroid) offsets — zero when codes are raw
+      val (c2q, c2off): (Array[Array[Int]], Array[Array[Double]]) = {
         val m = Array.fill(ivf.nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        val o = Array.fill(ivf.nCells)(scala.collection.mutable.ArrayBuffer.empty[Double])
         qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
-          ivf.nearestCells(qv, nProbe).foreach(c => m(c) += qi)
+          ivf.nearestCells(qv, nProbe).foreach { c =>
+            m(c) += qi
+            o(c) += (if (residual) qDotCentroid(qVecs(qi), ivf.centroids(c)) else 0.0)
+          }
         }
-        m.map(_.toArray)
+        (m.map(_.toArray), o.map(_.toArray))
       }
       val model = pq
-      val bc = blocks.sparkContext.broadcast((qids, qVecs, c2q))
+      val bc = blocks.sparkContext.broadcast((qids, qVecs, c2q, c2off))
       val pairs = blocks.mapPartitions { bit =>
-        val (ids, vecs, cq) = bc.value
+        val (ids, vecs, cq, coff) = bc.value
         val nqAll = ids.length
         if (nqAll == 0 || bit.isEmpty) Iterator.empty
         else {
@@ -200,16 +220,18 @@ object PackedIndex {
           val m = model.m
           bit.foreach { cb =>
             val probing = cq(cb.cell)
+            val offsets = coff(cb.cell)
             var pi = 0
             while (pi < probing.length) {
               val qi = probing(pi)
               if (luts(qi) == null) luts(qi) = model.lookupTable(vecs(qi))
               val lut = luts(qi)
+              val off = offsets(pi)
               val heap = heaps(qi)
               val nRows = cb.ids.length
               var r = 0
               while (r < nRows) {
-                heap.offer(model.adcScore(lut, cb.codes, r * m), cb.ids(r))
+                heap.offer(off + model.adcScore(lut, cb.codes, r * m), cb.ids(r))
                 r += 1
               }
               pi += 1
@@ -299,7 +321,8 @@ object PackedIndex {
     * `n × (m + 8)` bytes — the index for a collection 30× too large to
     * pack as floats. */
   def buildIvfPq(codes: org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])],
-                 ivfModel: IvfModel, pqModel: PqModel): IvfPq = {
+                 ivfModel: IvfModel, pqModel: PqModel,
+                 residual: Boolean = false): IvfPq = {
     val spark = codes.sparkSession
     import spark.implicits._
     val m = pqModel.m
@@ -328,7 +351,7 @@ object PackedIndex {
       done.iterator
     }.cache()
     val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize
-    new IvfPq(spark, ivfModel, pqModel, blocks, n)
+    new IvfPq(spark, ivfModel, pqModel, blocks, n, residual)
   }
 
   private def metricCode(m: VectorSearch.Metric): Int = m match {

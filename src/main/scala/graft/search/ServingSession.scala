@@ -258,7 +258,8 @@ object ServingSession {
     * ([[graft.ann.Pq.refine]] / [[PackedIndex.IvfPq.searchRefined]]). */
   final class IvfPq private[ServingSession] (
       val ivf: graft.ann.Ann.IvfModel, val pq: graft.ann.Pq.PqModel,
-      val cellBlocks: Array[Array[PackedIndex.PqCellBlock]]) {
+      val cellBlocks: Array[Array[PackedIndex.PqCellBlock]],
+      val residual: Boolean = false) {
 
     def search(queries: Seq[(Long, Seq[Double])], k: Int,
                nProbe: Int): Seq[(Long, Long, Double, Int)] = {
@@ -270,34 +271,44 @@ object ServingSession {
       var qi = 0
       while (qi < qArr.length) {
         val qv = qArr(qi)._2.toArray
-        val lut = pq.lookupTable(graft.ann.Pq.l2normalize(qv.map(_.toFloat)))
+        val qf = graft.ann.Pq.l2normalize(qv.map(_.toFloat))
+        val lut = pq.lookupTable(qf)
         val h = heaps(qi)
-        // gather the probed blocks; fan out across threads when the
-        // probed row count is large (a 10M-row probe at 12.5% scans
-        // 1.25M codes — sequential it is ~30 ms, strided it is ~ms;
-        // the LUT is read-only and shared, heaps merge per worker)
+        // gather the probed blocks (with the residual dot(q, centroid)
+        // per-cell constant — see PackedIndex.IvfPq); fan out across
+        // threads when the probed row count is large (a 10M-row probe
+        // at 12.5% scans 1.25M codes — sequential it is ~30 ms, strided
+        // it is ~ms; the LUT is read-only and shared, heaps merge per
+        // worker)
         val probed = scala.collection.mutable.ArrayBuffer.empty[PackedIndex.PqCellBlock]
+        val probedOff = scala.collection.mutable.ArrayBuffer.empty[Double]
         var probedRows = 0L
         ivf.nearestCells(qv, nProbe).foreach { c =>
-          if (c >= 0 && c < cellBlocks.length)
-            cellBlocks(c).foreach { b => probed += b; probedRows += b.ids.length }
+          if (c >= 0 && c < cellBlocks.length) {
+            val off = if (residual) PackedIndex.qDotCentroid(qf, ivf.centroids(c)) else 0.0
+            cellBlocks(c).foreach { b =>
+              probed += b; probedOff += off; probedRows += b.ids.length
+            }
+          }
         }
-        @inline def scan(b: PackedIndex.PqCellBlock, into: Kernels.TopKHeap): Unit = {
+        @inline def scan(bi: Int, into: Kernels.TopKHeap): Unit = {
+          val b = probed(bi)
+          val off = probedOff(bi)
           val nRows = b.ids.length
           var r = 0
           while (r < nRows) {
-            into.offer(pq.adcScore(lut, b.codes, r * m), b.ids(r))
+            into.offer(off + pq.adcScore(lut, b.codes, r * m), b.ids(r))
             r += 1
           }
         }
         val nThreads = math.min(Runtime.getRuntime.availableProcessors(), probed.length)
-        if (probedRows < 64 * 1024 || nThreads <= 1) probed.foreach(scan(_, h))
+        if (probedRows < 64 * 1024 || nThreads <= 1) probed.indices.foreach(scan(_, h))
         else {
           val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
             .mapToObj { t =>
               val wh = new Kernels.TopKHeap(k)
               var b = t
-              while (b < probed.length) { scan(probed(b), wh); b += nThreads }
+              while (b < probed.length) { scan(b, wh); b += nThreads }
               wh
             }
             .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
@@ -390,7 +401,7 @@ object ServingSession {
       val nCells = idx.ivf.nCells
       val grouped = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[PackedIndex.PqCellBlock])
       all.foreach(b => if (b.cell >= 0 && b.cell < nCells) grouped(b.cell) += b)
-      Some(new IvfPq(idx.ivf, idx.pq, grouped.map(_.toArray)))
+      Some(new IvfPq(idx.ivf, idx.pq, grouped.map(_.toArray), idx.residual))
     }
   }
 

@@ -110,6 +110,38 @@ object TextAnalysis {
       md5(normalized(text).cast("binary")),
       md5(substring(text, 1, 64).cast("binary")))
 
+  // ─── PII redaction (corpus-prep scrub pass) ───
+
+  /** RE2/Java-compatible PII patterns (no lookaround, no backrefs —
+    * both engines' leftmost-first semantics agree). Order matters:
+    * redact emails first (their dotted domains would otherwise feed the
+    * IP pattern), then IPs, then phones (whose digit runs would
+    * otherwise match inside un-redacted IPs). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d()\\s.-]{6,}\\d"
+
+  /** Per-doc PII match counts `(n_email, n_ip, n_phone)` — phones
+    * counted after email/IP redaction, exactly as [[redactPii]] sees
+    * them. Pure codegen'd expressions, narrow. */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val noEmail = regexp_replace(text, EmailRe, "[EMAIL]")
+    val noIp = regexp_replace(noEmail, Ipv4Re, "[IP]")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))),
+      size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))))
+  }
+
+  /** Redact emails → IPs → phones to typed placeholders — the standard
+    * pre-training scrub pass. One narrow projection; at 100 TB this is
+    * a map-only stage with zero shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        Ipv4Re, "[IP]"),
+      PhoneRe, "[PHONE]")
+
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
     * keep the min hash of every sliding window of size w — the standard
     * local document fingerprint (Schleimer et al., public algorithm).

@@ -137,6 +137,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dropBoilerplateLines removes corpus-frequent lines, keeps order, handles all-boiler docs") {
+    val df = Seq(
+      (1L, "cookie banner\nunique content one\nmore content\nall rights reserved"),
+      (2L, "cookie banner\nunique content two\nall rights reserved"),
+      (3L, "cookie banner\nall rights reserved") // nothing survives
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 3L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "unique content one\nmore content", 2L, 2L),
+      (2L, "unique content two", 1L, 2L),
+      (3L, "", 0L, 2L)))
+    // below the threshold nothing is boilerplate
+    val none = CorpusOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 4L)
+      .as[(Long, String, Long, Long)].collect()
+    assert(none.forall(_._4 == 0L))
+  }
+
   test("docFreqGrams counts documents per gram with a min-df filter") {
     val df = Seq(
       (1L, "a b c d"),   // grams: {a b c, b c d}

@@ -147,6 +147,68 @@ class PqSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("residual IVF-PQ: ADC quality improves over raw-vector codes; serving parity holds") {
+    val ivf = Ann.trainIvf(clustered, "embedding", nCells = 8, maxIter = 5)
+    val cells = Ann.assignCells(clustered, "embedding", "vec_id", ivf).cache()
+    val queries = queriesOf(32)
+    val qSeq = queries.map { case (q, v) => (q, v.toSeq) }
+    val exactIds = graft.search.VectorSearch.knnBatchFast(
+        clustered, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val vecById = clustered.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qById = queries.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    /** mean |ADC score − exact cosine| over each query's ADC top-10 —
+      * quantization error seen by the ranker. */
+    def adcErr(idx: PackedIndex.IvfPq): Double = {
+      val rows = idx.search(qSeq, k = 10, nProbe = 8).collect()
+      rows.map(r => math.abs(
+        cos(qById(r.getLong(0)), vecById(r.getLong(1))) - r.getDouble(2))).sum / rows.length
+    }
+    def idRecall(idx: PackedIndex.IvfPq): Double = {
+      val got = idx.search(qSeq, k = 10, nProbe = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exactIds.contains).toDouble / exactIds.size
+    }
+
+    val rawPq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 1000, iters = 8)
+    val rawIdx = PackedIndex.buildIvfPq(Pq.encodeCells(cells, rawPq), ivf, rawPq)
+    val resPq = Pq.trainResidual(cells, ivf, m = 8, maxTrain = 1000, iters = 8)
+    val resIdx = PackedIndex.buildIvfPq(
+      Pq.encodeCells(cells, resPq, residualIvf = Some(ivf)), ivf, resPq, residual = true)
+    try {
+      // residual codes spend the same byte budget on the much smaller
+      // residual volume: the score a ranker sees must track the exact
+      // cosine strictly better than raw-vector codes (id-recall on this
+      // corpus is tie-noise-dominated — fidelity is the honest metric)
+      val rawE = adcErr(rawIdx)
+      val resE = adcErr(resIdx)
+      val rawR = idRecall(rawIdx)
+      val resR = idRecall(resIdx)
+      info(f"ADC |score−exact|: raw=$rawE%.4f residual=$resE%.4f; id-recall raw=$rawR%.3f res=$resR%.3f")
+      assert(resE < rawE, s"residual ADC error $resE should beat raw $rawE")
+      assert(resE < 0.1, s"residual ADC deviates $resE from exact cosine")
+      // and the candidate generator must stay in the same class
+      assert(resR >= rawR - 0.05, s"residual id-recall $resR vs raw $rawR")
+
+      // serving session carries the residual flag: bit-parity with the
+      // distributed path including offsets
+      val s = graft.search.ServingSession.fromIvfPq(resIdx)
+        .getOrElse(fail("2000 codes must fit the serving budget"))
+      val dist = resIdx.search(qSeq.take(16), k = 10, nProbe = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
+      val local = s.search(qSeq.take(16), k = 10, nProbe = 4).sorted
+      assert(local == dist)
+    } finally { rawIdx.unpersist(); resIdx.unpersist(); cells.unpersist() }
+  }
+
   test("encode skips dimension-mismatched rows; codes are m bytes") {
     import spark.implicits._
     val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 200, iters = 2)

@@ -54,6 +54,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byId(1)._2 != byId(3)._2)
   }
 
+  test("PII redaction: emails, IPs, phones to typed placeholders; counts match") {
+    val df = Seq(
+      (1, "mail alice.smith+x@corp.example.org then ip 192.168.0.12 call +1 (555) 010-9999 done"),
+      (2, "no pii here just words"),
+      (3, "two mails a@b.io c@d.co and 10.0.0.1")
+    ).toDF("id", "text")
+    val (ne, ni, np) = TextAnalysis.piiCounts($"text")
+    val rows = df.select($"id", TextAnalysis.redactPii($"text").as("red"),
+        ne.as("ne"), ni.as("ni"), np.as("np"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(rows(1).getAs[String]("red") ==
+      "mail [EMAIL] then ip [IP] call [PHONE] done")
+    assert((rows(1).getAs[Int]("ne"), rows(1).getAs[Int]("ni"), rows(1).getAs[Int]("np")) == ((1, 1, 1)))
+    assert(rows(2).getAs[String]("red") == "no pii here just words")
+    assert((rows(2).getAs[Int]("ne"), rows(2).getAs[Int]("ni"), rows(2).getAs[Int]("np")) == ((0, 0, 0)))
+    // email redaction must precede IP (dotted domain) and phone (digit
+    // runs) so neither pattern feeds on email/IP innards
+    assert(rows(3).getAs[String]("red") == "two mails [EMAIL] [EMAIL] and [IP]")
+    assert((rows(3).getAs[Int]("ne"), rows(3).getAs[Int]("ni"), rows(3).getAs[Int]("np")) == ((2, 1, 0)))
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
