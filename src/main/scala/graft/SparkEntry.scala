@@ -592,6 +592,51 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // LLM-pipeline: PII scrub — emails → IPs → phones redacted to
+    // typed placeholders with per-type counts. The word-soup corpus
+    // has no PII, so each doc is augmented with synthetic id-derived
+    // PII (same expression in the oracle) before the scrub. One narrow
+    // codegen'd projection, zero shuffle.
+    "pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat($"text",
+          lit(" contact u"), $"doc_id".cast("string"), lit("@mail.example.com"),
+          lit(" from 10.1."), ($"doc_id" % 200).cast("string"), lit(".42"),
+          lit(" call +1 (555) 010-"),
+          lpad(($"doc_id" % 10000).cast("string"), 4, "0")).as("text"))
+      val (ne, ni, np) = TextAnalysis.piiCounts($"text")
+      aug.select($"doc_id",
+          TextAnalysis.redactPii($"text").as("clean_text"),
+          ne.cast("long").as("n_email"), ni.cast("long").as("n_ip"),
+          np.cast("long").as("n_phone"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: C4-style boilerplate LINE removal — lines occurring
+    // in ≥ 30 distinct docs (injected nav header / license footer /
+    // partial cookie banner; content is chunked into 10-word lines) are
+    // dropped corpus-wide and docs reassembled in order. Line-freq agg
+    // is one partial-agg shuffle; the frequent-line table is small by
+    // construction and broadcasts into a LEFT ANTI join.
+    "line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val lines = scala.collection.mutable.ArrayBuffer("nav home about contact subscribe")
+          lines ++= text.split(" ").grouped(10).map(_.mkString(" "))
+          if (id % 3 == 0) lines += "accept our cookie policy"
+          lines += "copyright all rights reserved"
+          (id, lines.mkString("\n"))
+        }.toDF("doc_id", "text")
+      graft.pipeline.CorpusOps.dropBoilerplateLines(aug, "text", "doc_id", minDf = 30L)
+        .select($"id".as("doc_id"), $"clean_text", $"n_kept", $"n_dropped")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: intra-document repetition (1 − distinct/total
     // 3-grams) — the Gopher-style template/stuffing quality signal.
     // Narrow Scala map, no shuffle.
@@ -1289,6 +1334,62 @@ object SparkEntry {
           |FROM (SELECT doc_id, unnest(grams) AS g FROM sh), tot
           |GROUP BY g HAVING count(*) >= 5
           |ORDER BY doc_freq DESC, g LIMIT 20""".stripMargin,
+
+      // mirrors the entry's augmentation exactly; counts follow the
+      // redaction cascade (emails on raw, IPs on email-redacted, phones
+      // on email+IP-redacted), same as TextAnalysis.piiCounts
+      "pii_redact" ->
+        """WITH aug AS (
+          |  SELECT doc_id, text || ' contact u' || CAST(doc_id AS VARCHAR)
+          |    || '@mail.example.com' || ' from 10.1.'
+          |    || CAST(doc_id % 200 AS VARCHAR) || '.42'
+          |    || ' call +1 (555) 010-'
+          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+          |  FROM documents),
+          |r1 AS (SELECT doc_id, text,
+          |  regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+          |                 '[EMAIL]', 'g') AS t1 FROM aug),
+          |r2 AS (SELECT doc_id, text, t1,
+          |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+          |                 '[IP]', 'g') AS t2 FROM r1)
+          |SELECT doc_id,
+          |  regexp_replace(t2, '\+?\d[\d()\s.-]{6,}\d', '[PHONE]', 'g') AS clean_text,
+          |  CAST(len(regexp_extract_all(text,
+          |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+          |  CAST(len(regexp_extract_all(t1,
+          |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+          |  CAST(len(regexp_extract_all(t2,
+          |    '\+?\d[\d()\s.-]{6,}\d')) AS BIGINT) AS n_phone
+          |FROM r2 ORDER BY doc_id""".stripMargin,
+
+      // same augmentation as the entry (header + 10-word content lines
+      // + %3 cookie banner + footer), then drop lines in >= 30 docs and
+      // reassemble survivors in order
+      "line_dedup" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |aug AS (SELECT doc_id,
+          |  'nav home about contact subscribe' || chr(10) ||
+          |  array_to_string([array_to_string(ws[i*10+1:i*10+10], ' ')
+          |                   FOR i IN range(0, (len(ws)-1)//10 + 1)], chr(10)) ||
+          |  (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'accept our cookie policy'
+          |        ELSE '' END) ||
+          |  chr(10) || 'copyright all rights reserved' AS text
+          |  FROM w),
+          |lines AS (SELECT doc_id, unnest(ls) AS line,
+          |    unnest(range(1, len(ls)+1)) AS pos
+          |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM aug)),
+          |freq AS (SELECT line FROM lines GROUP BY line
+          |  HAVING count(DISTINCT doc_id) >= 30),
+          |kept AS (SELECT l.doc_id, l.pos, l.line
+          |  FROM lines l ANTI JOIN freq f ON l.line = f.line),
+          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total
+          |  FROM lines GROUP BY doc_id)
+          |SELECT t.doc_id,
+          |  COALESCE(string_agg(k.line, chr(10) ORDER BY k.pos), '') AS clean_text,
+          |  CAST(count(k.line) AS BIGINT) AS n_kept,
+          |  t.n_total - count(k.line) AS n_dropped
+          |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
+          |GROUP BY t.doc_id, t.n_total ORDER BY t.doc_id""".stripMargin,
 
       "repetition" ->
         """WITH g AS (
