@@ -134,7 +134,11 @@ object Bench {
       try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val (h1, c1) = annGrid(e)
-        // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5
+        // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5.
+        // UNIT-NORMALIZED at generation — the engine's normalize-at-
+        // write contract, and what residual PQ requires (IVF centroids
+        // and codes must share one space; r5 caught the raw-space
+        // mismatch as a recall regression in this very block)
         val clustered = {
           import spark.implicits._
           val dim = 64
@@ -145,7 +149,8 @@ object Bench {
               val rc = new scala.util.Random(cl * 1009 + 7)
               val center = Array.fill(dim)(rc.nextGaussian())
               val rn = new scala.util.Random(i)
-              (i, center.map(x => (x + rn.nextGaussian()).toFloat))
+              (i, graft.ann.Pq.l2normalize(
+                center.map(x => (x + rn.nextGaussian()).toFloat)))
             }
           }.toDF("vec_id", "embedding")
         }
@@ -398,12 +403,15 @@ object Bench {
     // and the driver-resident ADC p50 (the whole 10M-row index serves
     // from ~160 MB resident).
     val pq10mCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    val pq10m: Option[(Long, Double, Double, Double, Double)] =
+    val pq10m: Option[(Long, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val target = 10000000L
         val dim = 64
-        val nCenters = 200
+        val nCenters = 10000 // ~1k rows/cluster: realistic diversity —
+        // at 200 centers every query had 50k near-tied same-cluster
+        // neighbors (kth-score gaps ~1e-3 vs ~2e-2 ADC noise) and
+        // strict recall@10 measured only tie-ordering luck
         val gen = {
           import spark.implicits._
           val d = dim
@@ -442,11 +450,22 @@ object Bench {
             gen, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
           .groupBy("qid").agg(min("score").as("kth"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // refined protocol (rescore k × 32 ADC candidates exactly):
+        // STRICT score-recall@10 plus the serving metric — mean score
+        // REGRET of the served kth result vs the exact kth (how much
+        // worse the 10th answer actually is; strict recall alone reads
+        // as failure in near-tie regimes where served results score
+        // within 1e-3 of optimal)
         val refined = idx.searchRefined(gen, "embedding", "vec_id",
-            qSeq, k = 10, nProbe = 8, refineFactor = 8)
+            qSeq, k = 10, nProbe = 8, refineFactor = 32)
           .collect().map(r => (r.getLong(0), r.getDouble(2)))
         val rec = refined.count { case (q, s) => s >= exactKth10m(q) - 1e-9 }.toDouble /
           (queries.size * 10)
+        val refinedKth = refined.groupBy(_._1).map { case (q, ss) =>
+          q -> ss.map(_._2).min }
+        val regret = queries.map { case (q, _) =>
+          math.max(0.0, exactKth10m(q) - refinedKth.getOrElse(q, -1.0)) }
+          .sum / queries.size
         val p50 = graft.search.ServingSession.fromIvfPq(idx).map { s =>
           var i = 0
           p50Ms(101) {
@@ -454,15 +473,15 @@ object Bench {
             i += 1
           }
         }.getOrElse(-1.0)
-        Some((total, adcQps, rec, p50, buildSec))
+        Some((total, adcQps, rec, regret, p50, buildSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq 10m probe failed: ${e.getMessage}"); None
       } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def pq10mJson: String = pq10m.map { case (n, q, r, p, b) =>
-      s"""{"n_vectors":$n,"pq_adc_qps":${fmt(q, 0)},"pq_refined_score_recall_at_10":${fmt(r, 3)},"pq_serving_p50_ms":${fmt(p, 2)},"build_sec":${fmt(b, 1)},"pq_bytes_per_vector":8}"""
+    def pq10mJson: String = pq10m.map { case (n, q, r, rg, p, b) =>
+      s"""{"n_vectors":$n,"pq_adc_qps":${fmt(q, 0)},"pq_refined_score_recall_at_10":${fmt(r, 3)},"pq_kth_score_regret":${fmt(rg, 4)},"pq_serving_p50_ms":${fmt(p, 2)},"build_sec":${fmt(b, 1)},"pq_bytes_per_vector":8,"refine_factor":32}"""
     }.getOrElse("null")
-    def pq10mCompact: String = pq10m.map { case (n, q, r, p, _) =>
-      s"""{"pq_qps":${fmt(q, 0)},"pq_recall":${fmt(r, 3)},"pq_p50_ms":${fmt(p, 2)}}"""
+    def pq10mCompact: String = pq10m.map { case (n, q, r, rg, p, _) =>
+      s"""{"pq_qps":${fmt(q, 0)},"pq_recall":${fmt(r, 3)},"pq_regret":${fmt(rg, 4)},"pq_p50_ms":${fmt(p, 2)}}"""
     }.getOrElse("null")
 
     // CORPUS-OPS scale probe: tile documents to 500k rows (100× sf0.1)

@@ -157,6 +157,7 @@ object Pq {
   def trainResidual(cells: DataFrame, ivf: Ann.IvfModel, m: Int,
                     ksub: Int = 256, maxTrain: Int = 20000, iters: Int = 12,
                     seed: Long = 42L, normalize: Boolean = true): PqModel = {
+    requireUnitSpace(ivf, normalize)
     val spark = cells.sparkSession
     import spark.implicits._
     val raw: Array[Array[Float]] = cells
@@ -171,6 +172,21 @@ object Pq {
       }
     trainOnSample(raw, m, ksub, iters, seed)
   }
+
+  /** Catch the residual-space mismatch loudly: with `normalize = true`
+    * the IVF centroids must themselves live in unit space (a mean of
+    * unit vectors has norm ≤ 1). Raw-space centroids (norms ≫ 1) would
+    * produce residuals dominated by the centroid — quantization quality
+    * silently collapses (observed as a recall REGRESSION before this
+    * guard). */
+  private def requireUnitSpace(ivf: Ann.IvfModel, normalize: Boolean): Unit =
+    if (normalize) {
+      val maxNorm = ivf.centroids.map(c => math.sqrt(c.map(x => x * x).sum)).max
+      require(maxNorm <= 1.0 + 1e-3,
+        f"residual PQ with normalize=true needs an IVF trained on unit-norm vectors " +
+          f"(max centroid norm $maxNorm%.3f > 1) — normalize the corpus before trainIvf, " +
+          "or pass normalize=false to residualize in raw space")
+    }
 
   /** `normalize(v) − centroid(cell)`, guarding malformed cell ids (kept
     * raw — a bad assignment must not throw in a cleaning pass). */
@@ -328,6 +344,7 @@ object Pq {
   def encodeCells(cells: DataFrame, model: PqModel,
                   normalize: Boolean = true,
                   residualIvf: Option[Ann.IvfModel] = None): Dataset[(Long, Int, Array[Byte])] = {
+    residualIvf.foreach(requireUnitSpace(_, normalize))
     val spark = cells.sparkSession
     import spark.implicits._
     cells.select(col("id").cast("long"), col("v").cast("array<float>"), col("cell").cast("int"))

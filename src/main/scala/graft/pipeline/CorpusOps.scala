@@ -230,9 +230,12 @@ object CorpusOps {
     * Plan shape for 100 TB: lines explode narrow; the line-frequency
     * aggregate is ONE partial-agg-friendly shuffle on the line text;
     * the frequent-line table is small BY CONSTRUCTION (≤ total_lines /
-    * minDf rows — at minDf in the thousands it broadcasts), so the
-    * removal join is a broadcast LEFT ANTI, and the only other shuffle
-    * is the per-doc regroup. No driver collect at any size. */
+    * minDf rows — at minDf in the thousands it broadcasts) and tags
+    * boilerplate via a broadcast LEFT join, so kept/dropped both fall
+    * out of ONE conditional per-doc regroup (`collect_list` skips the
+    * nulled boiler rows) — two source scans total, no third pass for
+    * totals, and all-boiler docs never leave the plan. No driver
+    * collect at any size. */
   def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
                            minDf: Long): DataFrame = {
     val spark = df.sparkSession
@@ -243,19 +246,16 @@ object CorpusOps {
     val frequent = lines
       .groupBy($"line").agg(countDistinct($"id").as("df"))
       .filter($"df" >= minDf)
-      .select($"line")
-    val total = lines.groupBy($"id").agg(count(lit(1)).as("n_total"))
-    lines.join(broadcast(frequent), Seq("line"), "left_anti")
+      .select($"line", lit(true).as("boiler"))
+    lines.join(broadcast(frequent), Seq("line"), "left")
       .groupBy($"id")
       .agg(
-        array_join(transform(array_sort(collect_list(struct($"pos", $"line"))),
+        array_join(transform(
+          array_sort(collect_list(when($"boiler".isNull, struct($"pos", $"line")))),
           x => x.getField("line")), "\n").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-      .join(total, Seq("id"), "right")
-      .select($"id",
-        coalesce($"clean_text", lit("")).as("clean_text"),
-        coalesce($"n_kept", lit(0L)).as("n_kept"),
-        ($"n_total" - coalesce($"n_kept", lit(0L))).as("n_dropped"))
+        count(when($"boiler".isNull, lit(1))).as("n_kept"),
+        count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
+      .select($"id", $"clean_text", $"n_kept", $"n_dropped")
   }
 
   def docFreqGrams(df: DataFrame, textCol: String, idCol: String, minDf: Long): DataFrame = {

@@ -209,6 +209,18 @@ class PqSpec extends AnyFunSuite {
     } finally { rawIdx.unpersist(); resIdx.unpersist(); cells.unpersist() }
   }
 
+  test("residual guard rejects raw-space IVF centroids under normalize=true") {
+    val rawIvf = Ann.IvfModel(Array(Array.fill(dim)(3.0))) // norm 24 — raw space
+    val cells = Ann.assignCells(clustered, "embedding", "vec_id", rawIvf)
+    assertThrows[IllegalArgumentException](
+      Pq.trainResidual(cells, rawIvf, m = 8, maxTrain = 100, iters = 1))
+    val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 100, iters = 1)
+    assertThrows[IllegalArgumentException](
+      Pq.encodeCells(cells, pq, residualIvf = Some(rawIvf)))
+    // raw-space residualization is still available explicitly
+    Pq.trainResidual(cells, rawIvf, m = 8, maxTrain = 100, iters = 1, normalize = false)
+  }
+
   test("encode skips dimension-mismatched rows; codes are m bytes") {
     import spark.implicits._
     val pq = Pq.train(clustered, "embedding", "vec_id", m = 8, maxTrain = 200, iters = 2)
