@@ -47,12 +47,37 @@ object Registry {
     QueryScore(exprs(0), q, modeOf(exprs(2).eval().toString))
   }
 
+  /** Lift a Column-DSL function into a SQL function builder: arguments
+    * arrive as analyzed child expressions, get wrapped as Columns, and
+    * the composed expression tree is handed back to the parser — the
+    * SQL surface and the Scala API share one implementation. */
+  private def colFn(name: String, arity: Int)(
+      build: Seq[org.apache.spark.sql.Column] => org.apache.spark.sql.Column)
+    : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(Registry.getClass.getCanonicalName, name),
+      exprs => {
+        require(exprs.length == arity, s"$name takes exactly $arity argument(s)")
+        GraftSqlBridge.expression(build(exprs.map(GraftSqlBridge.column)))
+      })
+
   /** The function descriptions both registration routes share. */
-  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
-    Seq((
-      FunctionIdentifier("graft_query_score"),
-      new ExpressionInfo(classOf[QueryScore].getCanonicalName, "graft_query_score"),
-      queryScoreBuilder))
+  def descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    import graft.textanalysis.TextAnalysis
+    Seq(
+      (FunctionIdentifier("graft_query_score"),
+        new ExpressionInfo(classOf[QueryScore].getCanonicalName, "graft_query_score"),
+        queryScoreBuilder),
+      // the text-analysis surface, SQL-first: identical trees to the
+      // Scala Column API (all codegen'd builtins)
+      colFn("graft_redact_pii", 1)(cs => TextAnalysis.redactPii(cs.head)),
+      colFn("graft_lang_id", 1)(cs => TextAnalysis.langId(cs.head)),
+      colFn("graft_quality_flag", 1)(cs => TextAnalysis.qualityFlag(cs.head)),
+      colFn("graft_ws_tokens", 1)(cs => TextAnalysis.wsTokenCount(cs.head)),
+      colFn("graft_bpeish_tokens", 1)(cs => TextAnalysis.bpeishTokenCount(cs.head)),
+      colFn("graft_est_tokens", 1)(cs => TextAnalysis.estTokenCount(cs.head)),
+      colFn("graft_normalize_text", 1)(cs => TextAnalysis.normalized(cs.head)))
+  }
 
   /** Register on a live session (idempotent — re-registration replaces). */
   def register(spark: SparkSession): Unit =

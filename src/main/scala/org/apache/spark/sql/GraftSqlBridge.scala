@@ -8,7 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * pattern for libraries shipping custom Catalyst expressions. */
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
-  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Full ColumnNode → Expression conversion. `ExpressionUtils
+    * .expression` only wraps the node lazily (`ColumnNodeExpression`),
+    * which the analyzer never recurses into when the column tree came
+    * from the public DSL (`UnresolvedFunction`s inside would reach
+    * codegen unresolved); the classic converter resolves the whole
+    * tree eagerly. */
+  def expression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 
   /** Register a SQL function on a LIVE session (the
     * `SparkSessionExtensions` route only applies to sessions built with

@@ -94,12 +94,37 @@ class VectorFunctionsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(sql == dsl)
     // extensions route shares the identical descriptions
-    assert(Registry.descriptions.map(_._1.funcName) == Seq("graft_query_score"))
+    assert(Registry.descriptions.map(_._1.funcName).contains("graft_query_score"))
     // non-literal query / unknown mode fail analysis, not silently
     assertThrows[Exception](spark.sql(
       "SELECT graft_query_score(v, v, 'cosine') FROM qs_t").collect())
     assertThrows[Exception](spark.sql(
       s"SELECT graft_query_score(v, $qSql, 'nope') FROM qs_t").collect())
+  }
+
+  test("text-analysis SQL functions mirror the Column API exactly") {
+    import graft.functions.Registry
+    import graft.textanalysis.TextAnalysis
+    Registry.register(spark)
+    Seq((1L, "The quick brown fox email bob@corp.io and the others were there today"),
+        (2L, "el la los que de una las por con para"))
+      .toDF("id", "text").createOrReplaceTempView("ta_t")
+    val sql = spark.sql(
+      """SELECT id, graft_redact_pii(text) AS red, graft_lang_id(text) AS lang,
+        |  graft_quality_flag(text) AS ok, graft_ws_tokens(text) AS ws,
+        |  graft_bpeish_tokens(text) AS bpe, graft_est_tokens(text) AS est,
+        |  graft_normalize_text(text) AS norm
+        |FROM ta_t ORDER BY id""".stripMargin).collect().toSeq
+    val dsl = spark.table("ta_t").select($"id",
+        TextAnalysis.redactPii($"text").as("red"), TextAnalysis.langId($"text").as("lang"),
+        TextAnalysis.qualityFlag($"text").as("ok"), TextAnalysis.wsTokenCount($"text").as("ws"),
+        TextAnalysis.bpeishTokenCount($"text").as("bpe"), TextAnalysis.estTokenCount($"text").as("est"),
+        TextAnalysis.normalized($"text").as("norm"))
+      .orderBy($"id").collect().toSeq
+    assert(sql == dsl)
+    assert(sql.head.getAs[String]("red").contains("[EMAIL]"))
+    assert(sql(1).getAs[String]("lang") == "es")
+    assertThrows[Exception](spark.sql("SELECT graft_redact_pii(text, 1) FROM ta_t").collect())
   }
 
   test("knn over a tiny in-memory collection ranks nearest first") {
