@@ -179,7 +179,7 @@ object Bench {
             val pqM = graft.ann.Pq.trainResidual(cells, ivfM, m = 8)
             val idx = graft.search.PackedIndex.buildIvfPq(
               graft.ann.Pq.encodeCells(cells, pqM, residualIvf = Some(ivfM)),
-              ivfM, pqM, residual = true)
+              ivfM, pqM)
             pqCleanups += (() => idx.unpersist())
             val exactKth = graft.search.VectorSearch.knnBatchFast(
                 cc, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
@@ -330,7 +330,7 @@ object Bench {
                 val pqModel = graft.ann.Pq.trainResidual(cells, model, m = 8)
                 val pqIdx = graft.search.PackedIndex.buildIvfPq(
                   graft.ann.Pq.encodeCells(cells, pqModel, residualIvf = Some(model)),
-                  model, pqModel, residual = true)
+                  model, pqModel)
                 cleanups += (() => pqIdx.unpersist())
                 pqIdx.search(qSeq.take(4), k = 10, nProbe = ivfProbes).count() // warm
                 val q = queries.size / timedRuns(3)(
@@ -415,13 +415,23 @@ object Bench {
         val gen = {
           import spark.implicits._
           val d = dim
+          val nc = nCenters
           spark.range(target).as[Long].mapPartitions { it =>
-            it.map { i =>
-              val cl = (i % nCenters).toInt
+            // centers regenerated ONCE per partition (~5 MB), not per
+            // row — the per-row cost is just the noise draws
+            val centers = Array.tabulate(nc) { cl =>
               val rc = new scala.util.Random(cl * 1009 + 7)
-              val center = Array.fill(d)(rc.nextGaussian())
+              Array.fill(d)(rc.nextGaussian())
+            }
+            it.map { i =>
+              val center = centers((i % nc).toInt)
               val rn = new scala.util.Random(i)
-              val v = center.map(x => (x + 0.5 * rn.nextGaussian()).toFloat)
+              val v = new Array[Float](d)
+              var j = 0
+              while (j < d) {
+                v(j) = (center(j) + 0.5 * rn.nextGaussian()).toFloat
+                j += 1
+              }
               (i, graft.ann.Pq.l2normalize(v))
             }
           }.toDF("vec_id", "embedding")
@@ -438,7 +448,7 @@ object Bench {
         val pqM = graft.ann.Pq.trainResidual(cells, ivfM, m = 8)
         val idx = graft.search.PackedIndex.buildIvfPq(
           graft.ann.Pq.encodeCells(cells, pqM, residualIvf = Some(ivfM)),
-          ivfM, pqM, residual = true)
+          ivfM, pqM)
         pq10mCleanups += (() => idx.unpersist())
         val buildSec = (System.nanoTime() - tBuild) / 1e9
         idx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm

@@ -627,7 +627,7 @@ object SparkEntry {
         .as[(Long, String)]
         .map { case (id, text) =>
           val lines = scala.collection.mutable.ArrayBuffer("nav home about contact subscribe")
-          lines ++= text.split(" ").grouped(10).map(_.mkString(" "))
+          lines ++= text.split(" ", -1).grouped(10).map(_.mkString(" ")) // -1: keep trailing empties, matching string_split
           if (id % 3 == 0) lines += "accept our cookie policy"
           lines += "copyright all rights reserved"
           (id, lines.mkString("\n"))
@@ -1353,13 +1353,13 @@ object SparkEntry {
           |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
           |                 '[IP]', 'g') AS t2 FROM r1)
           |SELECT doc_id,
-          |  regexp_replace(t2, '\+?\d[\d()\s.-]{6,}\d', '[PHONE]', 'g') AS clean_text,
+          |  regexp_replace(t2, '\+?\d{1,2}[\s.-]\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}', '[PHONE]', 'g') AS clean_text,
           |  CAST(len(regexp_extract_all(text,
           |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
           |  CAST(len(regexp_extract_all(t1,
           |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
           |  CAST(len(regexp_extract_all(t2,
-          |    '\+?\d[\d()\s.-]{6,}\d')) AS BIGINT) AS n_phone
+          |    '\+?\d{1,2}[\s.-]\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}|\(?\d{3}\)?[\s.-]?\d{3}[\s.-]?\d{4}')) AS BIGINT) AS n_phone
           |FROM r2 ORDER BY doc_id""".stripMargin,
 
       // same augmentation as the entry (header + 10-word content lines

@@ -50,11 +50,11 @@ object IndexStore {
     IvfModel(parseMatrix(json, "centroids").map(_.toArray))
   }
 
-  /** `residual = true` records that the codebooks were trained on IVF
-    * residuals ([[Pq.trainResidual]]) — the loader side must then encode
-    * with `residualIvf` and build with `residual = true`, or scores are
-    * silently wrong. Read it back with [[loadPqResidualFlag]]. */
-  def savePq(model: PqModel, path: String, residual: Boolean = false): Unit = {
+  /** The model's `residual` flag is persisted with the codebooks and
+    * restored by [[loadPq]] — a residual-trained artifact cannot be
+    * silently re-paired with raw-space encode/scoring (the flag gates
+    * `encodeCells`/`buildIvfPq` via [[PqModel.residual]]). */
+  def savePq(model: PqModel, path: String): Unit = {
     // codebooks grouped per (sub, code) row for a readable, versioned file
     val rows = (0 until model.m).map { sub =>
       (0 until model.ksub).map { c =>
@@ -63,15 +63,7 @@ object IndexStore {
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
     writeAtomic(path,
-      s"""{"format":"graft-pq-1","m":${model.m},"dsub":${model.dsub},"ksub":${model.ksub},"residual":$residual,"codebooks":$rows}""")
-  }
-
-  /** Whether a saved PQ artifact holds residual-trained codebooks.
-    * Files written before the field existed read as `false` (they were
-    * all raw-trained). */
-  def loadPqResidualFlag(path: String): Boolean = {
-    val json = new String(Files.readAllBytes(Paths.get(path)), StandardCharsets.UTF_8)
-    json.contains("\"residual\":true")
+      s"""{"format":"graft-pq-1","m":${model.m},"dsub":${model.dsub},"ksub":${model.ksub},"residual":${model.residual},"codebooks":$rows}""")
   }
 
   def loadPq(path: String): PqModel = {
@@ -86,7 +78,9 @@ object IndexStore {
     val flat = new Array[Float](m * ksub * dsub)
     for (sub <- 0 until m; c <- 0 until ksub; j <- 0 until dsub)
       flat((sub * ksub + c) * dsub + j) = books(sub)(c)(j).toFloat
-    PqModel(m, dsub, ksub, flat)
+    // machine-written field (writeAtomic emits exactly `"residual":true`
+    // or `"residual":false`); absent in pre-flag artifacts = raw-trained
+    PqModel(m, dsub, ksub, flat, residual = json.contains("\"residual\":true"))
   }
 
   private def intField(json: String, name: String): Int =

@@ -33,8 +33,13 @@ import org.apache.spark.sql.functions._
 object Pq {
 
   /** Trained PQ codebooks. `codebooks` is laid out
-    * `[(sub * ksub + code) * dsub + j]`; `dim = m * dsub`. */
-  final case class PqModel(m: Int, dsub: Int, ksub: Int, codebooks: Array[Float]) {
+    * `[(sub * ksub + code) * dsub + j]`; `dim = m * dsub`.
+    * `residual = true` marks codebooks trained on IVF-cell residuals
+    * ([[Pq.trainResidual]]) — the flag travels WITH the model (and
+    * through [[IndexStore]] artifacts) so encode/build sites cannot
+    * silently pair residual codebooks with raw-space scoring. */
+  final case class PqModel(m: Int, dsub: Int, ksub: Int, codebooks: Array[Float],
+                           residual: Boolean = false) {
     def dim: Int = m * dsub
     /** Bytes per encoded vector (vs `4 * dim` for float32). */
     def bytesPerVector: Int = m
@@ -170,7 +175,7 @@ object Pq {
       .map { case (_, v, cell) =>
         residualize(if (normalize) l2normalize(v) else v, ivf, cell)
       }
-    trainOnSample(raw, m, ksub, iters, seed)
+    trainOnSample(raw, m, ksub, iters, seed).copy(residual = true)
   }
 
   /** Catch the residual-space mismatch loudly: with `normalize = true`
@@ -344,6 +349,9 @@ object Pq {
   def encodeCells(cells: DataFrame, model: PqModel,
                   normalize: Boolean = true,
                   residualIvf: Option[Ann.IvfModel] = None): Dataset[(Long, Int, Array[Byte])] = {
+    require(residualIvf.isDefined == model.residual,
+      if (model.residual) "residual-trained PqModel needs residualIvf (the IVF its residuals were taken against)"
+      else "raw-trained PqModel must not encode residuals — train with Pq.trainResidual instead")
     residualIvf.foreach(requireUnitSpace(_, normalize))
     val spark = cells.sparkSession
     import spark.implicits._

@@ -220,44 +220,6 @@ object CorpusOps {
     * Shape: shingle -> explode -> count by gram (partial-agg) ->
     * post-agg min-df filter; the 1-row total joins in via a broadcast
     * cross join. */
-  /** C4-style boilerplate LINE removal: a line occurring in at least
-    * `minDf` distinct documents is template text (nav bars, cookie
-    * banners, license footers) and is dropped from EVERY document; the
-    * surviving lines are reassembled in order. Returns
-    * `(id, clean_text, n_kept, n_dropped)` — empty docs (all lines
-    * boilerplate) survive with `clean_text = ''`.
-    *
-    * Plan shape for 100 TB: lines explode narrow; the line-frequency
-    * aggregate is ONE partial-agg-friendly shuffle on the line text;
-    * the frequent-line table is small BY CONSTRUCTION (≤ total_lines /
-    * minDf rows — at minDf in the thousands it broadcasts) and tags
-    * boilerplate via a broadcast LEFT join, so kept/dropped both fall
-    * out of ONE conditional per-doc regroup (`collect_list` skips the
-    * nulled boiler rows) — two source scans total, no third pass for
-    * totals, and all-boiler docs never leave the plan. No driver
-    * collect at any size. */
-  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
-                           minDf: Long): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val lines = df
-      .select(col(idCol).cast("long").as("id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val frequent = lines
-      .groupBy($"line").agg(countDistinct($"id").as("df"))
-      .filter($"df" >= minDf)
-      .select($"line", lit(true).as("boiler"))
-    lines.join(broadcast(frequent), Seq("line"), "left")
-      .groupBy($"id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when($"boiler".isNull, struct($"pos", $"line")))),
-          x => x.getField("line")), "\n").as("clean_text"),
-        count(when($"boiler".isNull, lit(1))).as("n_kept"),
-        count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
-      .select($"id", $"clean_text", $"n_kept", $"n_dropped")
-  }
-
   def docFreqGrams(df: DataFrame, textCol: String, idCol: String, minDf: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -269,5 +231,45 @@ object CorpusOps {
       .crossJoin(broadcast(total))
       .withColumn("df_share", round($"doc_freq".cast("double") / $"n_docs", 6))
       .drop("n_docs")
+  }
+
+  /** C4-style boilerplate LINE removal: a line occurring in at least
+    * `minDf` distinct documents is template text (nav bars, cookie
+    * banners, license footers) and is dropped from EVERY document; the
+    * surviving lines are reassembled in order. Returns
+    * `(id, clean_text, n_kept, n_dropped)` — degenerate docs survive:
+    * all-boilerplate reassembles to `clean_text = ''`, NULL text reads
+    * as one empty line (a curation pass must never lose rows).
+    *
+    * Plan shape for 100 TB: lines explode narrow; the line-frequency
+    * aggregate is ONE partial-agg-friendly shuffle on the line text.
+    * The frequent-line table is bounded by `total_lines / minDf`, so no
+    * broadcast is FORCED: at production thresholds (minDf in the
+    * thousands) AQE converts the tag join to broadcast at runtime from
+    * the observed size, while a small-minDf run on a huge corpus falls
+    * back to a shuffle join instead of OOMing the driver. Kept/dropped
+    * both fall out of ONE conditional per-doc regroup (`collect_list`
+    * skips the nulled boiler rows) — two source scans total, no third
+    * pass for totals. No driver collect at any size. */
+  def dropBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                           minDf: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+    val frequent = lines
+      .groupBy($"line").agg(countDistinct($"id").as("df"))
+      .filter($"df" >= minDf)
+      .select($"line", lit(true).as("boiler"))
+    lines.join(frequent, Seq("line"), "left")
+      .groupBy($"id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when($"boiler".isNull, struct($"pos", $"line")))),
+          x => x.getField("line")), "\n").as("clean_text"),
+        count(when($"boiler".isNull, lit(1))).as("n_kept"),
+        count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
+      .select($"id", $"clean_text", $"n_kept", $"n_dropped")
   }
 }

@@ -321,8 +321,7 @@ object PackedIndex {
     * `n × (m + 8)` bytes — the index for a collection 30× too large to
     * pack as floats. */
   def buildIvfPq(codes: org.apache.spark.sql.Dataset[(Long, Int, Array[Byte])],
-                 ivfModel: IvfModel, pqModel: PqModel,
-                 residual: Boolean = false): IvfPq = {
+                 ivfModel: IvfModel, pqModel: PqModel): IvfPq = {
     val spark = codes.sparkSession
     import spark.implicits._
     val m = pqModel.m
@@ -351,7 +350,9 @@ object PackedIndex {
       done.iterator
     }.cache()
     val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize
-    new IvfPq(spark, ivfModel, pqModel, blocks, n, residual)
+    // residual-ness rides the model itself — build sites cannot pair
+    // residual codebooks with raw scoring (review r5)
+    new IvfPq(spark, ivfModel, pqModel, blocks, n, pqModel.residual)
   }
 
   private def metricCode(m: VectorSearch.Metric): Int = m match {

@@ -116,10 +116,18 @@ object TextAnalysis {
     * both engines' leftmost-first semantics agree). Order matters:
     * redact emails first (their dotted domains would otherwise feed the
     * IP pattern), then IPs, then phones (whose digit runs would
-    * otherwise match inside un-redacted IPs). */
+    * otherwise match inside un-redacted IPs).
+    *
+    * Precision stance: PhoneRe requires the NANP shape (optional +CC,
+    * 3-digit group, 3+4) rather than "any long digit-punct run" — ISO
+    * dates (2026-08-12) and space-separated number tables do NOT match
+    * (review r5: the loose run pattern redacted them corpus-wide).
+    * Known residual over-match, documented: 4-part dotted version
+    * strings ("1.2.3.4") are indistinguishable from IPs by regex and
+    * DO redact; bare 10-digit runs read as phones by design. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+?\\d[\\d()\\s.-]{6,}\\d"
+  val PhoneRe = "\\+?\\d{1,2}[\\s.-]\\(?\\d{3}\\)?[\\s.-]?\\d{3}[\\s.-]?\\d{4}|\\(?\\d{3}\\)?[\\s.-]?\\d{3}[\\s.-]?\\d{4}"
 
   /** Per-doc PII match counts `(n_email, n_ip, n_phone)` — phones
     * counted after email/IP redaction, exactly as [[redactPii]] sees

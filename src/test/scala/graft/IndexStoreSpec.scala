@@ -37,10 +37,11 @@ class IndexStoreSpec extends AnyFunSuite {
     val pq2 = IndexStore.loadPq(s"$dir/pq.json")
     assert(pq2.m == pq.m && pq2.dsub == pq.dsub && pq2.ksub == pq.ksub)
     assert(pq2.codebooks.sameElements(pq.codebooks))
-    // residual flag round-trips; absent field (pre-flag artifacts) = raw
-    assert(!IndexStore.loadPqResidualFlag(s"$dir/pq.json"))
-    IndexStore.savePq(pq, s"$dir/pq_res.json", residual = true)
-    assert(IndexStore.loadPqResidualFlag(s"$dir/pq_res.json"))
+    // residual flag rides the model through the artifact; absent field
+    // (pre-flag files) = raw-trained
+    assert(!pq2.residual)
+    IndexStore.savePq(pq.copy(residual = true), s"$dir/pq_res.json")
+    assert(IndexStore.loadPq(s"$dir/pq_res.json").residual)
     // wrong-format guard
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.json"),
       """{"format":"other"}""".getBytes("UTF-8"))

@@ -182,7 +182,8 @@ class PqSpec extends AnyFunSuite {
     val rawIdx = PackedIndex.buildIvfPq(Pq.encodeCells(cells, rawPq), ivf, rawPq)
     val resPq = Pq.trainResidual(cells, ivf, m = 8, maxTrain = 1000, iters = 8)
     val resIdx = PackedIndex.buildIvfPq(
-      Pq.encodeCells(cells, resPq, residualIvf = Some(ivf)), ivf, resPq, residual = true)
+      Pq.encodeCells(cells, resPq, residualIvf = Some(ivf)), ivf, resPq)
+    assert(resIdx.residual && !rawIdx.residual) // flag rides the model
     try {
       // residual codes spend the same byte budget on the much smaller
       // residual volume: the score a ranker sees must track the exact

@@ -73,6 +73,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     // runs) so neither pattern feeds on email/IP innards
     assert(rows(3).getAs[String]("red") == "two mails [EMAIL] [EMAIL] and [IP]")
     assert((rows(3).getAs[Int]("ne"), rows(3).getAs[Int]("ni"), rows(3).getAs[Int]("np")) == ((2, 1, 0)))
+    // precision: ISO dates, number tables, and short digit runs are NOT
+    // phones (the loose any-digit-run pattern destroyed them — r5)
+    val safe = Seq((9, "released 2026-08-12 scores 10 20 30 40 50 build 555-0109 end"))
+      .toDF("id", "text")
+      .select(TextAnalysis.redactPii($"text")).head.getString(0)
+    assert(safe == "released 2026-08-12 scores 10 20 30 40 50 build 555-0109 end")
+    // NANP shapes still redact, with or without separators
+    val phones = Seq((10, "call 555 010 9999 or 5550109999 now"))
+      .toDF("id", "text")
+      .select(TextAnalysis.redactPii($"text")).head.getString(0)
+    assert(phones == "call [PHONE] or [PHONE] now")
   }
 
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
