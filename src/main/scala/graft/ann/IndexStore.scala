@@ -165,4 +165,27 @@ object IndexStore {
         org.apache.spark.sql.functions.col("code"))
       .as[(Long, Int, Array[Byte])]
   }
+
+  /** INCREMENTAL index maintenance — the daily-ingest shape: assign and
+    * encode ONLY the new batch against the stored (frozen) models and
+    * append its codes to the existing cell-partitioned parquet. No
+    * retraining, no re-encode of the resident corpus; the daily cost is
+    * one narrow pass over the batch. `dynamicPartitionOverwrite`-free
+    * append keeps historical cells untouched. Rebuild/serve with
+    * [[loadCodes]] + `PackedIndex.buildIvfPq` as usual.
+    *
+    * Quantizer drift is the operator's call: when the corpus
+    * distribution moves far from the frozen centroids (watch the mean
+    * assignment distance), retrain models and re-encode — the classic
+    * IVF maintenance tradeoff, same as FAISS. */
+  def appendBatch(batch: DataFrame, vecCol: String, idCol: String,
+                  ivfPath: String, pqPath: String, codesPath: String): Unit = {
+    val ivf = loadIvf(ivfPath)
+    val pq = loadPq(pqPath)
+    val cells = Ann.assignCells(batch, vecCol, idCol, ivf)
+    val codes = Pq.encodeCells(cells, pq,
+      residualIvf = if (pq.residual) Some(ivf) else None)
+    codes.toDF("id", "cell", "code")
+      .write.mode("append").partitionBy("cell").parquet(codesPath)
+  }
 }

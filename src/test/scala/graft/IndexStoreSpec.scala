@@ -73,5 +73,26 @@ class IndexStoreSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sorted.toSeq
       assert(got == want)
     } finally idx2.unpersist()
+
+    // incremental append: a second batch encodes against the FROZEN
+    // stored models and lands in the same cell-partitioned layout;
+    // the reloaded index serves old + new rows
+    val batch2 = corpus.select(
+      (org.apache.spark.sql.functions.col("vec_id") + 100000).as("vec_id"),
+      org.apache.spark.sql.functions.col("embedding"))
+    IndexStore.appendBatch(batch2, "embedding", "vec_id",
+      s"$dir/ivf.json", s"$dir/pq.json", s"$dir/codes")
+    val n0 = corpus.count()
+    assert(IndexStore.loadCodes(spark, s"$dir/codes").count() == 2 * n0)
+    val merged = PackedIndex.buildIvfPq(
+      IndexStore.loadCodes(spark, s"$dir/codes"),
+      IndexStore.loadIvf(s"$dir/ivf.json"), IndexStore.loadPq(s"$dir/pq.json"))
+    try {
+      // identical content under offset ids: the duplicate of each top
+      // hit is reachable, so the appended rows serve alongside the old
+      val ids = merged.search(queries.take(2), k = 20, nProbe = 4).collect()
+        .map(_.getLong(1)).toSet
+      assert(ids.exists(_ >= 100000) && ids.exists(_ < 100000))
+    } finally merged.unpersist()
   }
 }
