@@ -197,6 +197,24 @@ object Demo {
       .select($"lang", $"tok_share").as[(String, Double)].collect().sortBy(_._1)
     println(s"  training mix by lang: ${mix.map { case (l, s) => f"$l=$s%.2f" }.mkString(", ")}")
 
+    println("=== 7. Scrub passes + SQL surface ===")
+    val dirty = Seq(
+      (200L, "contact jane.doe@corp.example.com or +1 (555) 010-1234 from 10.0.0.7\nall rights reserved"),
+      (201L, "released 2026-08-12 build 555-0109 keeps dates and short runs\nall rights reserved"))
+      .toDF("doc_id", "text")
+    graft.functions.Registry.register(spark)
+    dirty.createOrReplaceTempView("dirty_docs")
+    val scrubbed = spark.sql(
+      """SELECT doc_id, graft_redact_pii(text) AS clean, graft_lang_id(text) AS lang,
+        |  graft_bpeish_tokens(text) AS toks FROM dirty_docs ORDER BY doc_id""".stripMargin)
+      .as[(Long, String, String, Int)].collect()
+    scrubbed.foreach { case (id, clean, lang, toks) =>
+      println(s"  doc $id [$lang, $toks toks]: ${clean.linesIterator.next()}")
+    }
+    val deboiler = graft.pipeline.CorpusOps.dropBoilerplateLines(dirty, "text", "doc_id", minDf = 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect()
+    println(s"  boilerplate lines dropped: ${deboiler.map(r => s"doc ${r._1} kept=${r._3} dropped=${r._4}").mkString(", ")}")
+
     spark.stop()
   }
 }
