@@ -135,6 +135,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("PII redaction is idempotent and length-bounded on arbitrary text") {
+    import org.apache.spark.sql.functions.col
+    import graft.textanalysis.TextAnalysis
+    // printable-ASCII soup with PII-ish fragments mixed in
+    val fragGen = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(12)),
+      Gen.const("a@b.io"), Gen.const("10.0.0.1"),
+      Gen.const("+1 (555) 010-1234"), Gen.const("2026-08-12"))
+    val textGen = Gen.listOfN(8, fragGen).map(_.mkString(" "))
+    val texts = samples(textGen, 30).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val once = df.select(col("id"), TextAnalysis.redactPii(col("text")).as("r1"))
+    val twice = once.select(col("id"), TextAnalysis.redactPii(col("r1")).as("r2"))
+    val joined = once.join(twice, "id").collect()
+    joined.foreach { r =>
+      // placeholders contain no digits, so a second pass is a no-op
+      assert(r.getAs[String]("r1") == r.getAs[String]("r2"))
+    }
+  }
+
+  test("dropBoilerplateLines with an unreachable threshold is the identity on text") {
+    val lineGen = Gen.listOfN(4, Gen.identifier.map(_.take(8))).map(_.mkString(" "))
+    val docGen = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, lineGen).map(_.mkString("\n")))
+    val docs = samples(docGen, 12).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val out = graft.pipeline.CorpusOps.dropBoilerplateLines(df, "text", "doc_id",
+        minDf = docs.size + 1L)
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val (_, clean, kept, dropped) = out(id)
+      assert(clean == text && dropped == 0L)
+      assert(kept == text.split("\n", -1).length)
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard within tolerance") {
     val setGen = Gen.chooseNum(20, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"shingle_$i")).map(_.distinct))
