@@ -497,6 +497,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: statistical quality — per-doc mean unigram
+    // surprisal avg(-ln p(w)) under the corpus's own unigram LM (the
+    // CCNet/Gopher-style filter signal). One vocab shuffle + one join
+    // + per-doc average; the LM trains and scores in the same plan.
+    "text_surprisal" -> ((s, dir) => {
+      import s.implicits._
+      graft.textanalysis.TextAnalysis.unigramSurprisal(
+          t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: token counting — whitespace, BPE-ish pre-tokenizer
     // regex, and the ceil(chars/4) estimate.
     "text_tokens" -> ((s, dir) => {
@@ -1236,6 +1248,17 @@ object SparkEntry {
            |  round(en, 6) AS en_score, round(es, 6) AS es_score
            |FROM s ORDER BY doc_id""".stripMargin
       },
+
+      "text_surprisal" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          |  FROM documents),
+          |ww AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+          |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ww GROUP BY w),
+          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+          |FROM ww JOIN vocab USING (w), tot
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "text_quality" -> {
         val stops = graft.functions.TextFunctions.StopWords

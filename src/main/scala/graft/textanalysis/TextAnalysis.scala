@@ -110,6 +110,38 @@ object TextAnalysis {
       md5(normalized(text).cast("binary")),
       md5(substring(text, 1, 64).cast("binary")))
 
+  // ─── Statistical quality: unigram LM surprisal ───
+
+  /** Per-document mean unigram surprisal `avg(−ln p(w))` under the
+    * corpus's own unigram LM (`p(w) = count(w) / total_words`) — the
+    * CCNet/Gopher-style statistical quality signal: boilerplate and
+    * template spam score LOW (common words), lorem-ipsum noise and
+    * mojibake score HIGH (rare words); both tails are filter fodder.
+    * Returns `(id, n_words, surprisal)` with surprisal rounded to 6dp.
+    *
+    * Plan shape for 100 TB: tokenize+explode narrow → ONE partial-agg
+    * shuffle for the vocab counts → the 1-row total rides a broadcast
+    * cross join → words⋈vocab (vocab is the small side; AQE picks
+    * broadcast when it fits) → per-doc average. No driver collect; the
+    * LM "trains" and scores in the same plan. To score against a FIXED
+    * reference LM (e.g. held-out Wikipedia), persist the vocab table
+    * and join against that instead. */
+  def unigramSurprisal(df: org.apache.spark.sql.DataFrame, textCol: String,
+                       idCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = df.select(col(idCol).cast("long").as("id"),
+        explode(words(col(textCol))).as("w"))
+      .filter(length($"w") > 0)
+    val vocab = w.groupBy($"w").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum($"cnt").as("total"))
+    w.join(vocab, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(-log($"cnt".cast("double") / $"total")), 6).as("surprisal"))
+  }
+
   // ─── PII redaction (corpus-prep scrub pass) ───
 
   /** RE2/Java-compatible PII patterns (no lookaround, no backrefs —

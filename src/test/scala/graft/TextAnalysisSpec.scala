@@ -86,6 +86,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(phones == "call [PHONE] or [PHONE] now")
   }
 
+  test("unigram surprisal: hand-computed LM; rare words score high, common low") {
+    val df = Seq(
+      (1L, "a a b"),                    // p(a)=p(b)=... see below
+      (2L, "b"),
+      (3L, "a a a a rareword")          // one singleton
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramSurprisal(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // counts: a=6, b=2, rareword=1, total=9
+    val (pa, pb, pr) = (6.0 / 9, 2.0 / 9, 1.0 / 9)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((3L, r6(-(2 * math.log(pa) + math.log(pb)) / 3))))
+    assert(got(2L) == ((1L, r6(-math.log(pb)))))
+    assert(got(3L) == ((5L, r6(-(4 * math.log(pa) + math.log(pr)) / 5))))
+    // the doc of rarer words (all b, p=2/9) is more surprising than the
+    // mostly-common doc (a a b)
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
