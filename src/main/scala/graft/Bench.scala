@@ -501,7 +501,11 @@ object Bench {
     // slice is ~50 docs whose gram set broadcasts. Throughputs here are
     // the would-it-survive-100× evidence for the corpus-prep operators.
     val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    val corpus500k: Option[(Long, Double, Double, Double)] =
+    // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
+    // surprisal) — the scrub/LM probes aggregate over their computed
+    // columns so column pruning cannot optimize the work away under a
+    // bare count()
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -518,15 +522,25 @@ object Bench {
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit)
         val qualitySec = bestSec(2)(
           tiled.filter(graft.textanalysis.TextAnalysis.qualityFlag(col("text"))).count(): Unit)
-        Some((total, curateSec, contamSec, qualitySec))
+        val piiSec = bestSec(2)(tiled.agg(sum(length(
+          graft.textanalysis.TextAnalysis.redactPii(col("text"))))).collect(): Unit)
+        // tiled copies make every line a 100-way dup; minDf above the
+        // copy count keeps them, so the full tag-join + regroup runs
+        val lineSec = bestSec(2)(graft.pipeline.CorpusOps.dropBoilerplateLines(
+            tiled, "text", "doc_id", minDf = 1000L)
+          .agg(sum(col("n_kept") + length(col("clean_text")))).collect(): Unit)
+        val surprisalSec = bestSec(2)(graft.textanalysis.TextAnalysis.unigramSurprisal(
+            tiled, "text", "doc_id")
+          .agg(sum(col("surprisal"))).collect(): Unit)
+        Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec, surprisalSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)}}"""
     }.getOrElse("null")
 
     // END-TO-END product surface: REST /api/search p50 over a real

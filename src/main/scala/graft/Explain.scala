@@ -10,7 +10,8 @@ object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.tail.toSeq
-      else Seq("point_lookup", "knn_cosine", "hybrid_rrf", "conversation_lastn", "q1_agg")
+      else Seq("point_lookup", "knn_cosine", "hybrid_rrf", "conversation_lastn",
+        "q1_agg", "line_dedup", "text_surprisal")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
