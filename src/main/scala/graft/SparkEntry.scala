@@ -794,6 +794,25 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: hyperplane-LSH embedding near-dup — the TRAINING-
+    // FREE scale path (Charikar SimHash for vectors): 25 planted
+    // near-identical embeddings (first coord +0.01) must surface as
+    // pairs; banding recall at τ=0.95 with 128 bits / 8 bands puts
+    // per-pair miss ≤ ~1e-6, and the oracle is the TRUE all-pairs
+    // cosine — a pass certifies recall 1.0 on the corpus.
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val base = t(s, dir, "embeddings")
+        .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      val planted = base.filter($"vec_id" < 25).select(
+        ($"vec_id" + 100000).as("vec_id"),
+        concat(array(element_at($"embedding", 1) + lit(0.01d)),
+          slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+      graft.dedup.Dedup.embeddingLshPairs(
+          base.unionByName(planted), "embedding", "vec_id", tau = 0.95)
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // LLM-pipeline: multimodal byte metadata — media as opaque BINARY
     // with typed metadata columns (size, sha256 digest, header hex,
     // frame-sampling arithmetic). Payloads = utf8 document bytes with a
@@ -1594,6 +1613,25 @@ object SparkEntry {
            |  WHERE a.vec_id < b.vec_id AND a.label = b.label)
            |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // TRUE all-pairs cosine on the same augmented corpus — the LSH
+      // path must reproduce it exactly (candidates verified with the
+      // identical left-to-right double dot + HALF_UP round)
+      "dedup_embedding_lsh" ->
+        """WITH base AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |planted AS (
+          |  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:len(v)] AS v
+          |  FROM base WHERE vec_id < 25),
+          |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+          |scored AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |    round(list_dot_product(a.v, b.v) /
+          |      (sqrt(list_dot_product(a.v, a.v)) *
+          |       sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+          |  FROM u a, u b WHERE a.vec_id < b.vec_id)
+          |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.95
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "multimodal_meta" ->
         """SELECT doc_id AS media_id,

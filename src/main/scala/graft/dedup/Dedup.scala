@@ -587,4 +587,90 @@ object Dedup {
       }
       .toDF("id_a", "id_b", "cos")
   }
+
+  /** Signed-random-projection (hyperplane) LSH near-dup pairs — the
+    * TRAINING-FREE scale path for embedding dedup (Charikar's SimHash
+    * for vectors): bit `j` of a signature is `sign(v · plane_j)` for a
+    * seeded Gaussian hyperplane; `P[bit match] = 1 − θ/π`. Bits band
+    * like [[minhashLshPairs]] (same streamed bucket-pair emission, same
+    * `maxBucket` boilerplate guard), candidates verify with the exact
+    * double cosine. Output `(id_a, id_b, cos)`, `round(cos,6) ≥ tau`.
+    *
+    * Complements [[embeddingNearDupPairs]]: no quantizer to train or
+    * drift, at the price of band fan-out tuned to the target τ. At
+    * τ = 0.95 the default 128 bits / 8 bands (r = 16) gives per-pair
+    * miss ≤ ~1e-6; for looser τ raise `bands` (recall) or `bits`
+    * (precision). Plan: ONE narrow signature pass → banding explode →
+    * the one band→pairs shuffle → candidate-only verify join. */
+  def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
+                        tau: Double, bits: Int = 128, bands: Int = 8,
+                        seed: Int = 42, maxBucket: Int = 1000): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    require(bits / bands <= 31, "r = bits/bands must fit an Int bucket")
+    val r = bits / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    // RDD-level persist, same CacheManager rationale as minhashLshPairs:
+    // vectors feed banding AND candidate verification
+    val srcRdd = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .as[(Long, Array[Double])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = spark.createDataset(srcRdd).toDF("id", "v")
+
+    val nBits = bits
+    val sd = seed
+    val banded = spark.createDataset(srcRdd).mapPartitions { it =>
+      var planes: Array[Array[Double]] = null
+      it.flatMap { case (id, v) =>
+        if (planes == null || planes(0).length != v.length) {
+          // seeded per bit index — identical planes on every partition,
+          // regenerated lazily from the first row's dimensionality
+          planes = Array.tabulate(nBits) { j =>
+            val rnd = new scala.util.Random(sd.toLong * 1000003L + j)
+            Array.fill(v.length)(rnd.nextGaussian())
+          }
+        }
+        (0 until bands).iterator.map { b =>
+          var bucket = 0
+          var k = 0
+          while (k < r) {
+            val p = planes(b * r + k)
+            var dot = 0.0; var d = 0
+            while (d < v.length) { dot += v(d) * p(d); d += 1 }
+            bucket = (bucket << 1) | (if (dot >= 0) 1 else 0)
+            k += 1
+          }
+          (id, b, bucket)
+        }
+      }
+    }.toDF("id", "band", "bucket")
+
+    val dropAcc = spark.sparkContext.longAccumulator("graft.vlsh.dropped_buckets")
+    val candidates = banded
+      .repartition(col("band"), col("bucket"))
+      .sortWithinPartitions("band", "bucket")
+      .as[(Long, Int, Int)]
+      .mapPartitions(bucketPairs(_, maxBucket, dropAcc))
+      .toDF("id_a", "id_b").distinct()
+
+    // exact-cosine verify of candidates only — numerics identical to
+    // embeddingNearDupPairs (left-to-right double dot, HALF_UP round)
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .flatMap { case (a, b, va, vb) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+        while (d < va.length) {
+          dot += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1
+        }
+        val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (cos >= tau) Iterator((a, b, cos)) else Iterator.empty
+      }
+      .toDF("id_a", "id_b", "cos")
+  }
 }

@@ -186,4 +186,37 @@ class DedupSpec extends AnyFunSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // 1-4 identical but cross-cluster; 1-3 orthogonal
   }
+
+  test("hyperplane LSH pairs == brute-force cosine pairs on a random corpus with planted dups") {
+    val dim = 32
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i => (i, Array.fill(dim)(rnd.nextGaussian())))
+    // planted near-dups: tiny perturbation of the first 8 vectors
+    val planted = base.take(8).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01 * rnd.nextGaussian()))
+    }
+    val all = base ++ planted
+    val df = all.map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      BigDecimal(dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val brute = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      c = cos(all(i)._2, all(j)._2)
+      if c >= 0.95
+    } yield {
+      val (x, y) = (all(i)._1, all(j)._1)
+      (math.min(x, y), math.max(x, y), c)
+    }).toSet
+    assert(brute.size == 8) // exactly the planted pairs
+    val got = Dedup.embeddingLshPairs(df, "embedding", "vec_id", tau = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute) // recall 1.0 at these band settings, verify exact
+    // determinism: same seed, same output
+    val again = Dedup.embeddingLshPairs(df, "embedding", "vec_id", tau = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again == got)
+  }
 }
