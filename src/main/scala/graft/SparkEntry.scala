@@ -879,6 +879,31 @@ object SparkEntry {
         .orderBy($"user_id", $"start_ms")
     }),
 
+    // LLM-pipeline: point-in-time (as-of) join — each purchase picks up
+    // the user's LATEST PRIOR view (the feature-store lookup shape).
+    // Spark has no native ASOF JOIN; the operator is the scale-safe
+    // union + keyed-window form (one shuffle, sort-merge linear per
+    // key, never a |L|×|R| range-join blowup). DuckDB grades it with
+    // its NATIVE ASOF LEFT JOIN. Views pre-deduped per (user, ms).
+    "events_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id".cast("long").as("event_id"), $"user_id",
+          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_ms")
+      val views = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts_ms".as("view_ms"))
+        .agg(max($"event_id").as("view_id"))
+        .select($"user_id", $"view_ms", $"view_id")
+      graft.streaming.EventStreams.asOfJoin(
+          purchases, views, "user_id", "ts_ms", "view_ms",
+          Seq("view_ms", "view_id"))
+        .select($"event_id", $"user_id", $"ts_ms", $"view_id", $"view_ms",
+          ($"ts_ms" - $"view_ms").as("gap_ms"))
+        .orderBy($"event_id")
+    }),
+
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
     // agents = sources with their language sets as capabilities; rank
     // by |required ∩ capabilities| — argmax as a sorted limit.
@@ -1670,6 +1695,18 @@ object SparkEntry {
 
       // same lag/cumsum session definition; epoch_ms floors micros
       // exactly like Spark's `ts DIV 1000000` floors nanos
+      // DuckDB's NATIVE ASOF LEFT JOIN grades the union+window operator
+      "events_asof" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+          |  FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, epoch_ms(ts) AS view_ms, max(event_id) AS view_id
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_ms(ts))
+          |SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.view_ms,
+          |  p.ts_ms - v.view_ms AS gap_ms
+          |FROM p ASOF LEFT JOIN v
+          |  ON p.user_id = v.user_id AND p.ts_ms >= v.view_ms
+          |ORDER BY p.event_id""".stripMargin,
+
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
           |d AS (SELECT user_id, ts_ms,

@@ -65,6 +65,53 @@ object EventStreams {
       .select("user_id", "start_ms", "end_ms", "n_events")
   }
 
+  /** Point-in-time (as-of) LEFT join: each `left` row picks up
+    * `carryCols` from the LATEST `right` row of the same key with
+    * `right.time <= left.time` (ties at equal time match — the right
+    * row sorts first), or NULLs when no prior right row exists. The
+    * classic feature-store / training-data lookup ("the price as of
+    * the trade", "the profile as of the event") that Spark has no
+    * native operator for.
+    *
+    * Plan shape: NOT a range join (whose candidate space explodes as
+    * |left|×|right| per key) — both sides union into one stream,
+    * ONE shuffle on `keyCol`, one within-partition sort, and a
+    * running `last(_, ignoreNulls)` window carries the right payload
+    * forward. Cost is sort-merge linear per key; a hot key is one
+    * partition's sort (AQE skew handling applies).
+    *
+    * Requirements: time columns must be integral (cast upstream —
+    * epoch ms/ns); `carryCols` must not collide with left's columns;
+    * `right` must be unique per `(key, time)` (pre-aggregate
+    * duplicates — with several right rows at the same instant the
+    * carried pick would be nondeterministic). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTimeCol: String, rightTimeCol: String,
+               carryCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(carryCols.nonEmpty, "asOfJoin needs at least one carry column")
+    require(carryCols.forall(c => !left.columns.contains(c)),
+      s"carryCols ${carryCols.filter(left.columns.contains)} collide with left columns")
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val lSide = left.select(
+      (Seq(col(keyCol).as("_k"), col(leftTimeCol).cast("long").as("_t"),
+        lit(1).as("_side"), leftStruct.as("_l")) ++
+        carryCols.map(c => lit(null).cast(rightTypes(c)).as("_c_" + c))): _*)
+    val lType = lSide.schema("_l").dataType
+    val rSide = right.select(
+      (Seq(col(keyCol).as("_k"), col(rightTimeCol).cast("long").as("_t"),
+        lit(0).as("_side"), lit(null).cast(lType).as("_l")) ++
+        carryCols.map(c => col(c).as("_c_" + c))): _*)
+    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lSide.unionByName(rSide)
+      .select((Seq(col("_side"), col("_l")) ++
+        carryCols.map(c => last(col("_c_" + c), ignoreNulls = true).over(w).as(c))): _*)
+      .filter(col("_side") === 1)
+      .select((Seq(col("_l.*")) ++ carryCols.map(col)): _*)
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

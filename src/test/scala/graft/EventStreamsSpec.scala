@@ -103,6 +103,33 @@ class EventStreamsSpec extends AnyFunSuite {
       (20 * 60000L + 1, 20 * 60000L + 1, 1L)))
   }
 
+  test("asOfJoin: latest prior right row per key; equal-time matches; no-prior gives NULLs") {
+    val trades = Seq(
+      (1L, 100L, 10L, "t-a"), // user 10 at t=100
+      (2L, 200L, 10L, "t-b"),
+      (3L, 50L, 20L, "t-c"),  // before any quote for user 20
+      (4L, 300L, 30L, "t-d")  // user 30 has no quotes at all
+    ).toDF("trade_id", "t", "user", "tag")
+    val quotes = Seq(
+      (100L, 10L, 1.5), // equal time as trade 1 -> matches
+      (150L, 10L, 2.5),
+      (199L, 10L, 3.5),
+      (60L, 20L, 9.0)
+    ).toDF("qt", "user", "price")
+    val got = graft.streaming.EventStreams.asOfJoin(
+        trades, quotes, "user", "t", "qt", Seq("qt", "price"))
+      .select($"trade_id", $"tag", $"qt", $"price")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == (("t-a", Some(100L), Some(1.5)))) // <= includes equal ts
+    assert(got(2L) == (("t-b", Some(199L), Some(3.5)))) // latest of three priors
+    assert(got(3L) == (("t-c", None, None)))            // quote exists only later
+    assert(got(4L) == (("t-d", None, None)))            // key never quoted
+    // carry-name collision is rejected loudly
+    assertThrows[IllegalArgumentException](graft.streaming.EventStreams.asOfJoin(
+      trades, quotes, "user", "t", "qt", Seq("tag")))
+  }
+
   test("sessionize closes a session after the inactivity gap, state dropped") {
     val stream = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "1 minute")
