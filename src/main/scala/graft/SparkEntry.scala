@@ -904,6 +904,32 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // LLM-pipeline: trailing-window RANGE join — views in the hour
+    // before each purchase, aggregated to (count, latest). The operator
+    // buckets both times and equi-joins on (key, bucket ∈ {b, b+1}) —
+    // bounded 2× fan-out where Spark's native inequality join plans a
+    // broadcast-nested-loop. Zero-view purchases survive via the
+    // aggregate + left-join composition.
+    "events_range" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id".cast("long").as("event_id"), $"user_id",
+          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", $"ts_ms")
+      val views = ev.filter($"event_type" === "view")
+        .select($"user_id", $"ts_ms".as("view_ms"), $"event_id".as("view_id"))
+      val matched = graft.streaming.EventStreams.rangeJoin(
+          purchases, views, "user_id", "ts_ms", "view_ms",
+          windowMs = 3600000L, Seq("view_id", "view_ms"))
+        .groupBy($"event_id")
+        .agg(count($"view_id").as("n_views_1h"), max($"view_ms").as("last_view_ms"))
+      purchases.join(matched, Seq("event_id"), "left")
+        .select($"event_id", $"user_id", $"ts_ms",
+          coalesce($"n_views_1h", lit(0L)).as("n_views_1h"), $"last_view_ms")
+        .orderBy($"event_id")
+    }),
+
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
     // agents = sources with their language sets as capabilities; rank
     // by |required ∩ capabilities| — argmax as a sorted limit.
@@ -1705,6 +1731,20 @@ object SparkEntry {
           |  p.ts_ms - v.view_ms AS gap_ms
           |FROM p ASOF LEFT JOIN v
           |  ON p.user_id = v.user_id AND p.ts_ms >= v.view_ms
+          |ORDER BY p.event_id""".stripMargin,
+
+      // plain inequality join in DuckDB grades the bucketed operator
+      "events_range" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+          |  FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, epoch_ms(ts) AS view_ms, event_id AS view_id
+          |  FROM events WHERE event_type = 'view')
+          |SELECT p.event_id, p.user_id, p.ts_ms,
+          |  CAST(count(v.view_id) AS BIGINT) AS n_views_1h,
+          |  max(v.view_ms) AS last_view_ms
+          |FROM p LEFT JOIN v ON p.user_id = v.user_id
+          |  AND v.view_ms > p.ts_ms - 3600000 AND v.view_ms <= p.ts_ms
+          |GROUP BY p.event_id, p.user_id, p.ts_ms
           |ORDER BY p.event_id""".stripMargin,
 
       "events_sessionize" ->

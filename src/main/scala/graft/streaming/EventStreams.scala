@@ -112,6 +112,45 @@ object EventStreams {
       .select((Seq(col("_l.*")) ++ carryCols.map(col)): _*)
   }
 
+  /** Bounded time-RANGE join: all `(left, right)` pairs of the same key
+    * with `left.time − windowMs < right.time <= left.time` — the
+    * "events in the trailing window" lookup (views before a purchase,
+    * sensor readings before an alarm). Output: left's columns plus
+    * `carryCols` from each matching right row (INNER — rows without a
+    * match don't appear; aggregate + left-join upstream for counts
+    * with zeros).
+    *
+    * Plan shape: NOT an inequality join (Spark plans those as
+    * broadcast-nested-loop — |L|×|R| per key): both times bucketize to
+    * `windowMs`-wide buckets, each right row is visible in its own and
+    * the NEXT bucket (2× fan-out, constant), and the join is a plain
+    * equi-join on `(key, bucket)` — shuffle-hash/sort-merge, AQE-
+    * friendly — with the exact range predicate as a post-filter.
+    * Matches per pair are emitted once: the two candidate buckets are
+    * disjoint. Time columns must be integral and NON-NEGATIVE (epoch
+    * values — `DIV` truncation and floor division agree there; a
+    * negative time would bucket off-by-one). */
+  def rangeJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                leftTimeCol: String, rightTimeCol: String, windowMs: Long,
+                carryCols: Seq[String]): DataFrame = {
+    require(windowMs > 0, "windowMs must be positive")
+    require(carryCols.nonEmpty, "rangeJoin needs at least one carry column")
+    require(carryCols.forall(c => !left.columns.contains(c)),
+      s"carryCols ${carryCols.filter(left.columns.contains)} collide with left columns")
+    val lbb = left.select(
+      (Seq(col(keyCol).as("_k"), col(leftTimeCol).cast("long").as("_lt"),
+        struct(left.columns.map(col).toIndexedSeq: _*).as("_l"))): _*)
+      .withColumn("_b", expr(s"_lt DIV $windowMs"))
+    val rbb = right.select(
+      (Seq(col(keyCol).as("_k"), col(rightTimeCol).cast("long").as("_rt")) ++
+        carryCols.map(col)): _*)
+      .withColumn("_rb", expr(s"_rt DIV $windowMs"))
+      .withColumn("_b", explode(array(col("_rb"), col("_rb") + 1)))
+    lbb.join(rbb, Seq("_k", "_b"))
+      .filter(col("_rt") > col("_lt") - windowMs && col("_rt") <= col("_lt"))
+      .select((Seq(col("_l.*")) ++ carryCols.map(col)): _*)
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

@@ -130,6 +130,32 @@ class EventStreamsSpec extends AnyFunSuite {
       trades, quotes, "user", "t", "qt", Seq("tag")))
   }
 
+  test("rangeJoin: trailing-window pairs match a brute-force inequality join") {
+    val rnd = new scala.util.Random(5)
+    val lefts = (1L to 40L).map(i => (i, rnd.nextInt(500).toLong, (i % 4) + 1))
+    val rights = (100L to 220L).map(i => (i, rnd.nextInt(500).toLong, (i % 4) + 1))
+    val lDf = lefts.toDF("lid", "lt", "k")
+    val rDf = rights.toDF("rid", "rt", "k")
+    val w = 100L
+    val got = graft.streaming.EventStreams.rangeJoin(
+        lDf, rDf, "k", "lt", "rt", w, Seq("rid", "rt"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (lid, lt, lk) <- lefts
+      (rid, rt, rk) <- rights
+      if lk == rk && rt > lt - w && rt <= lt
+    } yield (lid, rid)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the fixture actually exercises matches
+    // exact boundary: rt == lt matches, rt == lt - w does not
+    val edge = graft.streaming.EventStreams.rangeJoin(
+      Seq((1L, 200L, 1L)).toDF("lid", "lt", "k"),
+      Seq((10L, 200L, 1L), (11L, 100L, 1L), (12L, 101L, 1L)).toDF("rid", "rt", "k"),
+      "k", "lt", "rt", w, Seq("rid"))
+      .select($"rid").as[Long].collect().toSet
+    assert(edge == Set(10L, 12L))
+  }
+
   test("sessionize closes a session after the inactivity gap, state dropped") {
     val stream = MemoryStream[(Long, Timestamp)]
     val q = EventStreams.sessionize(stream.toDS(), gapMs = 10 * 60000L, "1 minute")
