@@ -151,6 +151,52 @@ object EventStreams {
       .select((Seq(col("_l.*")) ++ carryCols.map(col)): _*)
   }
 
+  /** Merged-stream row for [[asOfEnrichStream]]: `isLeft = false` rows
+    * update the per-key state, `isLeft = true` rows emit enriched. */
+  final case class AsOfEvent(key: Long, tsMs: Long, isLeft: Boolean, value: Long)
+
+  /** [[asOfEnrichStream]] output: a left row with the latest prior
+    * right `(asofTs, asofValue)` of its key, or nulls (None). */
+  final case class AsOfEnriched(key: Long, tsMs: Long, value: Long,
+                                asofTs: Option[Long], asofValue: Option[Long])
+
+  /** Per-key latest right payload (public for the state encoder). */
+  final case class AsOfState(tsMs: Long, value: Long)
+
+  /** STREAMING twin of [[asOfJoin]]: the merged left/right stream
+    * enriches each left row with the key's latest right payload from
+    * the state store (two longs per key — bounded by active keys, not
+    * history). Rows are processed in event-time order WITHIN each
+    * micro-batch; across batches the enrichment is as-of-arrival — the
+    * streaming approximation every online feature store makes (exact
+    * when each key's rows arrive in event-time order). Batch backfill
+    * should use [[asOfJoin]], the exact form — same pairing as
+    * `sessionize` / `sessionizeBatch`. */
+  def asOfEnrichStream(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
+    implicit val evEnc = Encoders.product[AsOfEvent]
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val stEnc = Encoders.product[AsOfState]
+    implicit val longEnc = Encoders.scalaLong
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
+          var st = state.getOption
+          val out = Vector.newBuilder[AsOfEnriched]
+          // event-time order within the batch; right sorts before left
+          // at equal ts so an equal-time quote is visible to the trade
+          rows.toVector.sortBy(e => (e.tsMs, e.isLeft)).foreach { e =>
+            if (e.isLeft)
+              out += AsOfEnriched(key, e.tsMs, e.value,
+                st.map(_.tsMs), st.map(_.value))
+            else if (st.forall(_.tsMs <= e.tsMs))
+              st = Some(AsOfState(e.tsMs, e.value))
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

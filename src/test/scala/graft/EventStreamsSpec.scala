@@ -130,6 +130,36 @@ class EventStreamsSpec extends AnyFunSuite {
       trades, quotes, "user", "t", "qt", Seq("tag")))
   }
 
+  test("asOfEnrichStream: state carries the latest right payload across micro-batches") {
+    import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
+    val stream = MemoryStream[AsOfEvent]
+    val q = graft.streaming.EventStreams.asOfEnrichStream(stream.toDS())
+      .writeStream.format("memory").queryName("asof_enrich")
+      .outputMode("append").start()
+    try {
+      // batch 1: quote then trade (same batch, event-time order applies;
+      // equal-ts quote visible), plus a trade with no prior quote
+      stream.addData(
+        AsOfEvent(1L, 10L, isLeft = false, value = 100L),
+        AsOfEvent(1L, 10L, isLeft = true, value = 7L),
+        AsOfEvent(2L, 5L, isLeft = true, value = 8L))
+      q.processAllAvailable()
+      // batch 2: trade enriched from STATE (quote arrived a batch ago);
+      // a stale right row (older ts than state) must not regress state
+      stream.addData(
+        AsOfEvent(1L, 20L, isLeft = true, value = 9L),
+        AsOfEvent(1L, 4L, isLeft = false, value = 50L),
+        AsOfEvent(1L, 30L, isLeft = true, value = 11L))
+      q.processAllAvailable()
+      val rows = spark.table("asof_enrich").as[AsOfEnriched]
+        .collect().map(e => (e.key, e.tsMs) -> (e.asofTs, e.asofValue)).toMap
+      assert(rows((1L, 10L)) == ((Some(10L), Some(100L)))) // equal-ts match
+      assert(rows((2L, 5L)) == ((None, None)))             // never quoted
+      assert(rows((1L, 20L)) == ((Some(10L), Some(100L)))) // state from batch 1
+      assert(rows((1L, 30L)) == ((Some(10L), Some(100L)))) // stale right ignored
+    } finally q.stop()
+  }
+
   test("rangeJoin: trailing-window pairs match a brute-force inequality join") {
     val rnd = new scala.util.Random(5)
     val lefts = (1L to 40L).map(i => (i, rnd.nextInt(500).toLong, (i % 4) + 1))
