@@ -804,10 +804,15 @@ object SparkEntry {
       import s.implicits._
       val base = t(s, dir, "embeddings")
         .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
-      val planted = base.filter($"vec_id" < 25).select(
-        ($"vec_id" + 100000).as("vec_id"),
-        concat(array(element_at($"embedding", 1) + lit(0.01d)),
-          slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
+      // planted ids offset by max+1 — collision-proof at ANY scale
+      // factor (a fixed offset would collide once the table outgrows
+      // it); the 1-row max rides a broadcast scalar join
+      val maxId = base.agg(max($"vec_id").as("max_id"))
+      val planted = base.filter($"vec_id" < 25)
+        .crossJoin(broadcast(maxId))
+        .select(($"vec_id" + $"max_id" + 1).as("vec_id"),
+          concat(array(element_at($"embedding", 1) + lit(0.01d)),
+            slice($"embedding", lit(2), size($"embedding") - 1)).as("embedding"))
       graft.dedup.Dedup.embeddingLshPairs(
           base.unionByName(planted), "embedding", "vec_id", tau = 0.95)
         .orderBy($"id_a", $"id_b")
@@ -1671,9 +1676,10 @@ object SparkEntry {
       "dedup_embedding_lsh" ->
         """WITH base AS (
           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |mx AS (SELECT max(vec_id) AS max_id FROM base),
           |planted AS (
-          |  SELECT vec_id + 100000 AS vec_id, [v[1] + 0.01] || v[2:len(v)] AS v
-          |  FROM base WHERE vec_id < 25),
+          |  SELECT vec_id + max_id + 1 AS vec_id, [v[1] + 0.01] || v[2:len(v)] AS v
+          |  FROM base, mx WHERE vec_id < 25),
           |u AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
           |scored AS (
           |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,

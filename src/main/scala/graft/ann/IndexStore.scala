@@ -170,19 +170,41 @@ object IndexStore {
     * encode ONLY the new batch against the stored (frozen) models and
     * append its codes to the existing cell-partitioned parquet. No
     * retraining, no re-encode of the resident corpus; the daily cost is
-    * one narrow pass over the batch. `dynamicPartitionOverwrite`-free
-    * append keeps historical cells untouched. Rebuild/serve with
+    * one narrow pass over the batch (plus, with `skipExistingIds`, one
+    * column-pruned id scan of the stored codes). Rebuild/serve with
     * [[loadCodes]] + `PackedIndex.buildIvfPq` as usual.
+    *
+    * Guards (review r5): the batch's dimensionality is checked against
+    * the frozen model up front — `encodeCells` silently drops
+    * mismatched rows, which here would mean a whole mis-pointed batch
+    * appending ZERO rows with no error. `skipExistingIds` (default on)
+    * makes retried/replayed batches idempotent via a LEFT ANTI join on
+    * the already-stored ids; disable it only when the orchestrator
+    * guarantees exactly-once.
     *
     * Quantizer drift is the operator's call: when the corpus
     * distribution moves far from the frozen centroids (watch the mean
     * assignment distance), retrain models and re-encode — the classic
     * IVF maintenance tradeoff, same as FAISS. */
   def appendBatch(batch: DataFrame, vecCol: String, idCol: String,
-                  ivfPath: String, pqPath: String, codesPath: String): Unit = {
+                  ivfPath: String, pqPath: String, codesPath: String,
+                  skipExistingIds: Boolean = true): Unit = {
+    import org.apache.spark.sql.functions.{col, size}
     val ivf = loadIvf(ivfPath)
     val pq = loadPq(pqPath)
-    val cells = Ann.assignCells(batch, vecCol, idCol, ivf)
+    batch.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
+      require(r.getInt(0) == pq.dim,
+        s"batch dimensionality ${r.getInt(0)} != stored PQ model dim ${pq.dim} — " +
+          "every row would be silently dropped; check the model paths")
+    }
+    val deduped =
+      if (skipExistingIds && Files.exists(Paths.get(codesPath))) {
+        val existing = batch.sparkSession.read.parquet(codesPath)
+          .select(col("id").cast("long").as("_existing_id"))
+        batch.join(existing,
+          col(idCol).cast("long") === col("_existing_id"), "left_anti")
+      } else batch
+    val cells = Ann.assignCells(deduped, vecCol, idCol, ivf)
     val codes = Pq.encodeCells(cells, pq,
       residualIvf = if (pq.residual) Some(ivf) else None)
     codes.toDF("id", "cell", "code")

@@ -549,6 +549,23 @@ object Dedup {
     *
     * Shuffles by cluster key; pair fan-out is Σ|cell|² — bounded when
     * cells are (by construction) bounded. */
+  /** Exact cosine, left-to-right double accumulation, HALF_UP round to
+    * 6dp — THE shared numeric kernel both embedding-dedup verifies and
+    * the DuckDB oracles must agree with bit-for-bit (keeping it in one
+    * place makes the parity structural, not conventional — review r5).
+    * `None` for zero/empty-norm inputs (a failed-embedder row must not
+    * NaN-crash a cleaning job — it simply pairs with nothing). */
+  private[graft] def cosRounded(va: Array[Double], vb: Array[Double]): Option[Double] = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+    val n = math.min(va.length, vb.length)
+    while (d < n) {
+      dot += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1
+    }
+    if (na == 0.0 || nb == 0.0) None
+    else Some(BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+      .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             clusterCol: String, tau: Double): DataFrame = {
     // Repartition by cluster, then compute each cell's pairs locally in
@@ -566,21 +583,10 @@ object Dedup {
         val byCell = it.toArray.groupBy(_._1)
         byCell.iterator.flatMap { case (_, rows) =>
           val sorted = rows.sortBy(_._2)
-          val norms = sorted.map { case (_, _, v) =>
-            var s = 0.0; var i = 0
-            while (i < v.length) { s += v(i) * v(i); i += 1 }
-            math.sqrt(s)
-          }
           for {
             i <- sorted.indices.iterator
             j <- (i + 1) until sorted.length
-            cos = {
-              val (_, _, va) = sorted(i); val (_, _, vb) = sorted(j)
-              var dot = 0.0; var d = 0
-              while (d < va.length) { dot += va(d) * vb(d); d += 1 }
-              BigDecimal(dot / (norms(i) * norms(j)))
-                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-            }
+            cos <- cosRounded(sorted(i)._3, sorted(j)._3)
             if cos >= tau
           } yield (sorted(i)._2, sorted(j)._2, cos)
         }
@@ -663,13 +669,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("va"), col("vb"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .flatMap { case (a, b, va, vb) =>
-        var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
-        while (d < va.length) {
-          dot += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1
-        }
-        val cos = BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
-          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-        if (cos >= tau) Iterator((a, b, cos)) else Iterator.empty
+        cosRounded(va, vb).filter(_ >= tau).map(c => (a, b, c)).iterator
       }
       .toDF("id_a", "id_b", "cos")
   }

@@ -92,24 +92,32 @@ object EventStreams {
     require(carryCols.nonEmpty, "asOfJoin needs at least one carry column")
     require(carryCols.forall(c => !left.columns.contains(c)),
       s"carryCols ${carryCols.filter(left.columns.contains)} collide with left columns")
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
-    val lSide = left.select(
-      (Seq(col(keyCol).as("_k"), col(leftTimeCol).cast("long").as("_t"),
-        lit(1).as("_side"), leftStruct.as("_l")) ++
-        carryCols.map(c => lit(null).cast(rightTypes(c)).as("_c_" + c))): _*)
+    // the right payload travels as ONE struct, carried atomically —
+    // per-column last(ignoreNulls) would backfill a NULL field of the
+    // latest right row from an OLDER row, emitting a mixed row that
+    // never existed (review r5)
+    val rightStruct = struct(carryCols.map(col).toIndexedSeq: _*)
+    val lSide = left.select(col(keyCol).as("_k"),
+      col(leftTimeCol).cast("long").as("_t"), lit(1).as("_side"),
+      leftStruct.as("_l"))
     val lType = lSide.schema("_l").dataType
-    val rSide = right.select(
-      (Seq(col(keyCol).as("_k"), col(rightTimeCol).cast("long").as("_t"),
-        lit(0).as("_side"), lit(null).cast(lType).as("_l")) ++
-        carryCols.map(c => col(c).as("_c_" + c))): _*)
+    val rSide0 = right.select(col(keyCol).as("_k"),
+      col(rightTimeCol).cast("long").as("_t"), lit(0).as("_side"),
+      rightStruct.as("_c"))
+    val rType = rSide0.schema("_c").dataType
+    val rSide = rSide0.withColumn("_l", lit(null).cast(lType))
+      .select("_k", "_t", "_side", "_l", "_c")
     val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lSide.unionByName(rSide)
-      .select((Seq(col("_side"), col("_l")) ++
-        carryCols.map(c => last(col("_c_" + c), ignoreNulls = true).over(w).as(c))): _*)
+    lSide.withColumn("_c", lit(null).cast(rType))
+      .select("_k", "_t", "_side", "_l", "_c")
+      .unionByName(rSide)
+      .select(col("_side"), col("_l"),
+        last(col("_c"), ignoreNulls = true).over(w).as("_cc"))
       .filter(col("_side") === 1)
-      .select((Seq(col("_l.*")) ++ carryCols.map(col)): _*)
+      .select((Seq(col("_l.*")) ++
+        carryCols.map(c => col("_cc").getField(c).as(c))): _*)
   }
 
   /** Bounded time-RANGE join: all `(left, right)` pairs of the same key
@@ -155,6 +163,11 @@ object EventStreams {
     * update the per-key state, `isLeft = true` rows emit enriched. */
   final case class AsOfEvent(key: Long, tsMs: Long, isLeft: Boolean, value: Long)
 
+  /** [[AsOfEvent]] + the event-time column the watermark rides (public
+    * for the codegen'd encoder). */
+  final case class AsOfEventT(key: Long, tsMs: Long, isLeft: Boolean,
+                              value: Long, eventTime: Timestamp)
+
   /** [[asOfEnrichStream]] output: a left row with the latest prior
     * right `(asofTs, asofValue)` of its key, or nulls (None). */
   final case class AsOfEnriched(key: Long, tsMs: Long, value: Long,
@@ -165,35 +178,59 @@ object EventStreams {
 
   /** STREAMING twin of [[asOfJoin]]: the merged left/right stream
     * enriches each left row with the key's latest right payload from
-    * the state store (two longs per key — bounded by active keys, not
-    * history). Rows are processed in event-time order WITHIN each
-    * micro-batch; across batches the enrichment is as-of-arrival — the
-    * streaming approximation every online feature store makes (exact
-    * when each key's rows arrive in event-time order). Batch backfill
-    * should use [[asOfJoin]], the exact form — same pairing as
-    * `sessionize` / `sessionizeBatch`. */
-  def asOfEnrichStream(events: Dataset[AsOfEvent]): Dataset[AsOfEnriched] = {
-    implicit val evEnc = Encoders.product[AsOfEvent]
+    * the state store (two longs per key). Rows are processed in
+    * event-time order WITHIN each micro-batch; across batches the
+    * enrichment is as-of-arrival — the streaming approximation every
+    * online feature store makes (exact when each key's rows arrive in
+    * event-time order). Batch backfill should use [[asOfJoin]], the
+    * exact form — same pairing as `sessionize` / `sessionizeBatch`.
+    *
+    * State EVICTION (review r5): a key whose last row is `ttlMs` of
+    * EVENT time behind the watermark is dropped (same mechanism as
+    * [[sessionize]]), so the store is bounded by recently-active keys,
+    * not every key ever seen — an evicted key's next left row reads as
+    * "no prior right" until a fresh right row arrives, the standard
+    * feature-cache-expiry tradeoff. */
+  def asOfEnrichStream(events: Dataset[AsOfEvent],
+                       ttlMs: Long = 24L * 3600 * 1000,
+                       watermarkDelay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    implicit val evEnc = Encoders.product[AsOfEventT]
     implicit val outEnc = Encoders.product[AsOfEnriched]
     implicit val stEnc = Encoders.product[AsOfState]
     implicit val longEnc = Encoders.scalaLong
-    events.groupByKey(_.key)
+    events.toDF()
+      .withColumn("eventTime", expr("timestamp_millis(tsMs)"))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[AsOfEventT]
+      .groupByKey(_.key)
       .flatMapGroupsWithState[AsOfState, AsOfEnriched](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: Long, rows: Iterator[AsOfEvent], state: GroupState[AsOfState]) =>
-          var st = state.getOption
-          val out = Vector.newBuilder[AsOfEnriched]
-          // event-time order within the batch; right sorts before left
-          // at equal ts so an equal-time quote is visible to the trade
-          rows.toVector.sortBy(e => (e.tsMs, e.isLeft)).foreach { e =>
-            if (e.isLeft)
-              out += AsOfEnriched(key, e.tsMs, e.value,
-                st.map(_.tsMs), st.map(_.value))
-            else if (st.forall(_.tsMs <= e.tsMs))
-              st = Some(AsOfState(e.tsMs, e.value))
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[AsOfEventT], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption
+            var maxMs = Long.MinValue
+            val out = Vector.newBuilder[AsOfEnriched]
+            // event-time order within the batch; right sorts before left
+            // at equal ts so an equal-time quote is visible to the trade
+            rows.toVector.sortBy(e => (e.tsMs, e.isLeft)).foreach { e =>
+              maxMs = math.max(maxMs, e.tsMs)
+              if (e.isLeft)
+                out += AsOfEnriched(key, e.tsMs, e.value,
+                  st.map(_.tsMs), st.map(_.value))
+              else if (st.forall(_.tsMs <= e.tsMs))
+                st = Some(AsOfState(e.tsMs, e.value))
+            }
+            st.foreach { s =>
+              state.update(s)
+              // must be beyond the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(
+                math.max(maxMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
           }
-          st.foreach(state.update)
-          out.result().iterator
       }
   }
 

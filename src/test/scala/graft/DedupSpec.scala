@@ -218,5 +218,12 @@ class DedupSpec extends AnyFunSuite {
     val again = Dedup.embeddingLshPairs(df, "embedding", "vec_id", tau = 0.95)
       .as[(Long, Long, Double)].collect().toSet
     assert(again == got)
+    // a zero vector (failed embedder output) pairs with nothing instead
+    // of NaN-crashing the verify stage
+    val withZero = (all :+ (9999L, Array.fill(dim)(0.0)))
+      .map { case (i, v) => (i, v.toSeq) }.toDF("vec_id", "embedding")
+    val gotZ = Dedup.embeddingLshPairs(withZero, "embedding", "vec_id", tau = 0.95)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotZ == brute)
   }
 }
