@@ -543,6 +543,50 @@ object Bench {
       s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)}}"""
     }.getOrElse("null")
 
+    // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
+    // user ids per copy so key cardinality scales too) and run the
+    // as-of and trailing-window range joins at that scale — the
+    // would-it-survive evidence for the point-in-time operators. Both
+    // aggregate over carried columns so pruning can't elide the work.
+    val eventsCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val events5m: Option[(Long, Double, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val e = spark.read.parquet(s"$sfDir/events.parquet")
+          .select(col("event_id").cast("long").as("event_id"), col("user_id"),
+            expr("ts DIV 1000000").as("ts_ms"), col("event_type"))
+        val n = e.count()
+        val copies = math.max(1, (5000000L / math.max(1L, n)).toInt)
+        val tiled = e.crossJoin(spark.range(copies).select(col("id").as("copy")))
+          .select((col("event_id") + col("copy") * n).as("event_id"),
+            (col("user_id") + col("copy") * 100000).as("user_id"),
+            col("ts_ms"), col("event_type"))
+          .repartition(cpus.toInt).cache()
+        eventsCleanups += (() => { tiled.unpersist(); () })
+        val total = tiled.count()
+        val purchases = tiled.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_ms"))
+        val views = tiled.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts_ms").as("view_ms"))
+          .agg(max(col("event_id")).as("view_id"))
+        val asofSec = bestSec(2)(graft.streaming.EventStreams.asOfJoin(
+            purchases, views, "user_id", "ts_ms", "view_ms", Seq("view_ms", "view_id"))
+          .agg(sum(col("view_id")), count(lit(1))).collect(): Unit)
+        val rangeSec = bestSec(2)(graft.streaming.EventStreams.rangeJoin(
+            purchases, views.select(col("user_id"), col("view_ms"), col("view_id")),
+            "user_id", "ts_ms", "view_ms", windowMs = 3600000L, Seq("view_id"))
+          .agg(sum(col("view_id")), count(lit(1))).collect(): Unit)
+        Some((total, asofSec, rangeSec))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] events 5m probe failed: ${e.getMessage}"); None
+      } finally eventsCleanups.foreach(c => try c() catch { case _: Throwable => () })
+    def eventsJson: String = events5m.map { case (n, ao, ra) =>
+      s"""{"n_events":$n,"asof_join_sec":${fmt(ao, 2)},"asof_events_per_sec":${fmt(n / ao, 0)},"range_join_sec":${fmt(ra, 2)},"range_events_per_sec":${fmt(n / ra, 0)}}"""
+    }.getOrElse("null")
+    def eventsCompact: String = events5m.map { case (n, ao, ra) =>
+      s"""{"n":$n,"asof_s":${fmt(ao, 1)},"range_s":${fmt(ra, 1)}}"""
+    }.getOrElse("null")
+
     // END-TO-END product surface: REST /api/search p50 over a real
     // engine collection at the baseline's 100k scale — HTTP + query
     // embedding + the resident serving snapshot, the full path a user
@@ -599,7 +643,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"corpus_500k":$corpusJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -613,7 +657,7 @@ object Bench {
     // everything dropped here is in bench_latest.json.
     val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"corpus_500k":$corpusCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)
