@@ -509,6 +509,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: TF-IDF keyword extraction — top-3 terms per doc by
+    // tf·ln(N/df), ties by term. The uniform word-soup vocab makes
+    // every common term's idf ~0, so docs are augmented with
+    // id-derived rare terms (df = N/7, N/13 — mirrored in the oracle)
+    // to exercise real ranking. Per-doc top-k is a partitioned window
+    // (WindowGroupLimit prunes before the exchange).
+    "text_tfidf" -> ((s, dir) => {
+      import s.implicits._
+      val aug = t(s, dir, "documents").select($"doc_id",
+        concat($"text", lit(" kw"), ($"doc_id" % 7).cast("string"),
+          lit(" zz"), ($"doc_id" % 13).cast("string")).as("text"))
+      graft.textanalysis.TextAnalysis.tfidfTopTerms(aug, "text", "doc_id", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // LLM-pipeline: token counting — whitespace, BPE-ish pre-tokenizer
     // regex, and the ceil(chars/4) estimate.
     "text_tokens" -> ((s, dir) => {
@@ -1334,6 +1350,25 @@ object SparkEntry {
           |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
           |FROM ww JOIN vocab USING (w), tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      "text_tfidf" ->
+        """WITH aug AS (SELECT doc_id,
+          |  text || ' kw' || CAST(doc_id % 7 AS VARCHAR)
+          |       || ' zz' || CAST(doc_id % 13 AS VARCHAR) AS text FROM documents),
+          |w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          |  FROM aug),
+          |ww AS (SELECT doc_id, term FROM w WHERE len(term) > 0),
+          |pairs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          |  FROM ww GROUP BY doc_id, term),
+          |dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+          |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+          |scored AS (SELECT doc_id, term, tf,
+          |  round(tf * ln(n_docs / df), 6) AS score
+          |  FROM pairs JOIN dfreq USING (term), n),
+          |rk AS (SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM scored)
+          |SELECT doc_id, term, tf, score, rk FROM rk WHERE rk <= 3
+          |ORDER BY doc_id, rk""".stripMargin,
 
       "text_quality" -> {
         val stops = graft.functions.TextFunctions.StopWords

@@ -149,6 +149,39 @@ object TextAnalysis {
         round(avg(-log($"cnt".cast("double") / $"total")), 6).as("surprisal"))
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword-extraction
+    * signal: `score(d, w) = tf(d, w) · ln(N / df(w))` (raw counts,
+    * natural log, no smoothing), ties broken by term ascending. Returns
+    * `(id, term, tf, score, rk)` with `rk ≤ k` and score rounded 6dp.
+    *
+    * Plan shape for 100 TB: explode → per-(doc, term) counts (partial
+    * agg collapses each doc's instances inside the partition that
+    * exploded it — unlike [[unigramSurprisal]] there is no way around
+    * the composite-key shuffle here: the pairs ARE the result) → df by
+    * term off the pair table (collapse-friendly) → the 1-row N rides a
+    * broadcast cross join → per-doc top-k window (partitioned — planned
+    * as WindowGroupLimit, pruning before the exchange). */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+                    idCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val pairs = df.select(col(idCol).cast("long").as("id"),
+        explode(words(col(textCol))).as("term"))
+      .filter(length($"term") > 0)
+      .groupBy($"id", $"term").agg(count(lit(1)).as("tf"))
+    val docFreq = pairs.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"id").orderBy(desc("score"), asc("term"))
+    pairs.join(docFreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round($"tf" * log($"n_docs".cast("double") / $"df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"id", $"term", $"tf", $"score", $"rk")
+  }
+
   // ─── PII redaction (corpus-prep scrub pass) ───
 
   /** RE2/Java-compatible PII patterns (no lookaround, no backrefs —

@@ -105,6 +105,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("tfidf top terms: rare terms outrank common, hand-computed scores, term tie-break") {
+    val df = Seq(
+      (1L, "apple apple banana common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common common common")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 2)
+      .as[(Long, String, Long, Double, Int)].collect()
+      .map(r => (r._1, r._5) -> (r._2, r._3, r._4)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val n = 3.0
+    // df: apple=1, banana=2, cherry=1, common=3
+    assert(got((1L, 1)) == (("apple", 2L, r6(2 * math.log(n / 1)))))  // tf 2, rare
+    assert(got((1L, 2)) == (("banana", 1L, r6(math.log(n / 2)))))
+    assert(got((2L, 1)) == (("cherry", 1L, r6(math.log(n / 1)))))
+    assert(got((2L, 2)) == (("banana", 1L, r6(math.log(n / 2)))))
+    // doc 3 has only the zero-idf term; rank 1 with score 0
+    assert(got((3L, 1)) == (("common", 3L, 0.0)))
+    assert(!got.contains((3L, 2)))
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
