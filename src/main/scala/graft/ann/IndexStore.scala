@@ -189,14 +189,22 @@ object IndexStore {
   def appendBatch(batch: DataFrame, vecCol: String, idCol: String,
                   ivfPath: String, pqPath: String, codesPath: String,
                   skipExistingIds: Boolean = true): Unit = {
-    import org.apache.spark.sql.functions.{col, size}
+    import org.apache.spark.sql.functions.{col, max, min, size}
     val ivf = loadIvf(ivfPath)
     val pq = loadPq(pqPath)
-    batch.select(size(col(vecCol)).as("d")).limit(1).collect().foreach { r =>
-      require(r.getInt(0) == pq.dim,
-        s"batch dimensionality ${r.getInt(0)} != stored PQ model dim ${pq.dim} — " +
-          "every row would be silently dropped; check the model paths")
-    }
+    // whole-batch guard (one narrow scan of array sizes): min/max skip
+    // NULL vectors — those are the tolerated failed-embedder rows that
+    // encodeCells drops row-wise — but ANY non-null row off the model's
+    // dimensionality fails loudly (a sampled-row check would miss
+    // mixed-dim batches and still silently drop the strays)
+    batch.agg(min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0))
+          require(r.getInt(0) == pq.dim && r.getInt(1) == pq.dim,
+            s"batch dimensionality range [${r.getInt(0)}, ${r.getInt(1)}] != stored " +
+              s"PQ model dim ${pq.dim} — mismatched rows would be silently dropped; " +
+              "check the model paths / upstream embedder")
+      }
     val deduped =
       if (skipExistingIds && Files.exists(Paths.get(codesPath))) {
         val existing = batch.sparkSession.read.parquet(codesPath)

@@ -542,23 +542,19 @@ object Dedup {
 
   // ─── Embedding near-dup (IVF-style) ───
 
-  /** Within-cluster cosine near-dup pairs — the IVF shape: a coarse
-    * cluster column (quantizer cell, here any precomputed assignment)
-    * bounds the pair space; exact cosine runs intra-cell only. Output
-    * `(id_a, id_b, cos)` with `round(cos,6) ≥ tau`.
-    *
-    * Shuffles by cluster key; pair fan-out is Σ|cell|² — bounded when
-    * cells are (by construction) bounded. */
   /** Exact cosine, left-to-right double accumulation, HALF_UP round to
     * 6dp — THE shared numeric kernel both embedding-dedup verifies and
     * the DuckDB oracles must agree with bit-for-bit (keeping it in one
     * place makes the parity structural, not conventional — review r5).
-    * `None` for zero/empty-norm inputs (a failed-embedder row must not
-    * NaN-crash a cleaning job — it simply pairs with nothing). */
+    * `None` for zero/empty-norm inputs AND for dimension-mismatched
+    * pairs — the cleaning-engine stance everywhere (encodeCells, the
+    * float kernels): a failed-embedder or foreign-dimension row pairs
+    * with nothing rather than NaN-crashing the job or scoring a
+    * truncated prefix. */
   private[graft] def cosRounded(va: Array[Double], vb: Array[Double]): Option[Double] = {
+    if (va.length != vb.length) return None
     var dot = 0.0; var na = 0.0; var nb = 0.0; var d = 0
-    val n = math.min(va.length, vb.length)
-    while (d < n) {
+    while (d < va.length) {
       dot += va(d) * vb(d); na += va(d) * va(d); nb += vb(d) * vb(d); d += 1
     }
     if (na == 0.0 || nb == 0.0) None
@@ -566,6 +562,13 @@ object Dedup {
       .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  /** Within-cluster cosine near-dup pairs — the IVF shape: a coarse
+    * cluster column (quantizer cell, here any precomputed assignment)
+    * bounds the pair space; exact cosine runs intra-cell only. Output
+    * `(id_a, id_b, cos)` with `round(cos,6) ≥ tau`.
+    *
+    * Shuffles by cluster key; pair fan-out is Σ|cell|² — bounded when
+    * cells are (by construction) bounded. */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, idCol: String,
                             clusterCol: String, tau: Double): DataFrame = {
     // Repartition by cluster, then compute each cell's pairs locally in

@@ -185,12 +185,20 @@ object EventStreams {
     * event-time order). Batch backfill should use [[asOfJoin]], the
     * exact form — same pairing as `sessionize` / `sessionizeBatch`.
     *
-    * State EVICTION (review r5): a key whose last row is `ttlMs` of
-    * EVENT time behind the watermark is dropped (same mechanism as
-    * [[sessionize]]), so the store is bounded by recently-active keys,
-    * not every key ever seen — an evicted key's next left row reads as
-    * "no prior right" until a fresh right row arrives, the standard
-    * feature-cache-expiry tradeoff. */
+    * State EVICTION (streaming only — review r5): a key whose last row
+    * is `ttlMs` of EVENT time behind the watermark is dropped (same
+    * mechanism as [[sessionize]]), so the store is bounded by
+    * recently-active keys, not every key ever seen — an evicted key's
+    * next left row reads as "no prior right" until a fresh right row
+    * arrives, the standard feature-cache-expiry tradeoff. The
+    * watermark this rides on carries the usual contract: input rows
+    * more than `watermarkDelay` behind the stream's max event time
+    * are DROPPED before the state function (exactly as
+    * [[windowedEventCounts]] / [[sessionize]] drop late rows) — size
+    * `watermarkDelay` to the source's real lateness. A BATCH Dataset
+    * takes the no-watermark path (every row processed, no timeouts —
+    * state dies with the job, so eviction is moot); exact batch
+    * backfill remains [[asOfJoin]]. */
   def asOfEnrichStream(events: Dataset[AsOfEvent],
                        ttlMs: Long = 24L * 3600 * 1000,
                        watermarkDelay: String = "10 minutes"): Dataset[AsOfEnriched] = {
@@ -198,13 +206,16 @@ object EventStreams {
     implicit val outEnc = Encoders.product[AsOfEnriched]
     implicit val stEnc = Encoders.product[AsOfState]
     implicit val longEnc = Encoders.scalaLong
-    events.toDF()
+    val streaming = events.isStreaming
+    val withTime = events.toDF()
       .withColumn("eventTime", expr("timestamp_millis(tsMs)"))
-      .withWatermark("eventTime", watermarkDelay)
-      .as[AsOfEventT]
+    val marked = if (streaming) withTime.withWatermark("eventTime", watermarkDelay)
+      else withTime
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    marked.as[AsOfEventT]
       .groupByKey(_.key)
-      .flatMapGroupsWithState[AsOfState, AsOfEnriched](
-        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      .flatMapGroupsWithState[AsOfState, AsOfEnriched](OutputMode.Append, timeout) {
         (key: Long, rows: Iterator[AsOfEventT], state: GroupState[AsOfState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -225,9 +236,11 @@ object EventStreams {
             }
             st.foreach { s =>
               state.update(s)
-              // must be beyond the current watermark or Spark rejects it
-              state.setTimeoutTimestamp(
-                math.max(maxMs + ttlMs, state.getCurrentWatermarkMs() + 1))
+              // streaming only: the batch GroupState has no watermark
+              // and needs no timeout (state dies with the job)
+              if (streaming)
+                state.setTimeoutTimestamp(
+                  math.max(maxMs + ttlMs, state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }

@@ -160,6 +160,20 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfEnrichStream on a static Dataset: no-watermark path, every row processed") {
+    import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
+    val ds = Seq(
+      AsOfEvent(1L, 10L, isLeft = false, value = 100L),
+      AsOfEvent(1L, 15L, isLeft = true, value = 7L),
+      AsOfEvent(1L, 2L, isLeft = true, value = 6L), // "late" — batch keeps it
+      AsOfEvent(2L, 5L, isLeft = true, value = 8L)).toDS()
+    val got = graft.streaming.EventStreams.asOfEnrichStream(ds)
+      .collect().map(e => (e.key, e.tsMs) -> (e.asofTs, e.asofValue)).toMap
+    assert(got((1L, 15L)) == ((Some(10L), Some(100L))))
+    assert(got((1L, 2L)) == ((None, None))) // before the quote in event time
+    assert(got((2L, 5L)) == ((None, None)))
+  }
+
   test("rangeJoin: trailing-window pairs match a brute-force inequality join") {
     val rnd = new scala.util.Random(5)
     val lefts = (1L to 40L).map(i => (i, rnd.nextInt(500).toLong, (i % 4) + 1))

@@ -84,6 +84,18 @@ class IndexStoreSpec extends AnyFunSuite {
       s"$dir/ivf.json", s"$dir/pq.json", s"$dir/codes")
     val n0 = corpus.count()
     assert(IndexStore.loadCodes(spark, s"$dir/codes").count() == 2 * n0)
+    // replayed batch is idempotent: the anti-join on stored ids skips it
+    IndexStore.appendBatch(batch2, "embedding", "vec_id",
+      s"$dir/ivf.json", s"$dir/pq.json", s"$dir/codes")
+    assert(IndexStore.loadCodes(spark, s"$dir/codes").count() == 2 * n0)
+    // a batch off the frozen model's dimensionality fails LOUDLY —
+    // anywhere in the batch, not just the first row
+    import org.apache.spark.sql.functions.{array, col, lit, when}
+    val badDim = batch2.select((col("vec_id") + 500000).as("vec_id"),
+      when(col("vec_id") % 2 === 0, array((0 until 5).map(_ => lit(0.1f)): _*))
+        .otherwise(col("embedding").cast("array<float>")).as("embedding"))
+    assertThrows[IllegalArgumentException](IndexStore.appendBatch(
+      badDim, "embedding", "vec_id", s"$dir/ivf.json", s"$dir/pq.json", s"$dir/codes"))
     val merged = PackedIndex.buildIvfPq(
       IndexStore.loadCodes(spark, s"$dir/codes"),
       IndexStore.loadIvf(s"$dir/ivf.json"), IndexStore.loadPq(s"$dir/pq.json"))
