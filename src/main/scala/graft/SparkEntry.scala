@@ -812,10 +812,12 @@ object SparkEntry {
 
     // LLM-pipeline: hyperplane-LSH embedding near-dup — the TRAINING-
     // FREE scale path (Charikar SimHash for vectors): 25 planted
-    // near-identical embeddings (first coord +0.01) must surface as
-    // pairs; banding recall at τ=0.95 with 128 bits / 8 bands puts
-    // per-pair miss ≤ ~1e-6, and the oracle is the TRUE all-pairs
-    // cosine — a pass certifies recall 1.0 on the corpus.
+    // near-identical embeddings (first coord +0.01, cos ≳ 0.9999)
+    // must surface as pairs. At THAT cosine the 128-bit/8-band miss
+    // is ≤ ~1e-6 (Dedup.hyperplaneLshMissProb — for pairs sitting AT
+    // τ=0.95 the defaults miss ~20%; this corpus has none in the
+    // [0.95, 0.999) band, so the oracle — TRUE all-pairs cosine —
+    // certifies recall 1.0 here without overclaiming the defaults).
     "dedup_embedding_lsh" -> ((s, dir) => {
       import s.implicits._
       val base = t(s, dir, "embeddings")

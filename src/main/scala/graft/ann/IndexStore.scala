@@ -205,8 +205,17 @@ object IndexStore {
               s"PQ model dim ${pq.dim} — mismatched rows would be silently dropped; " +
               "check the model paths / upstream embedder")
       }
+    // codesPath is written through the Hadoop FS layer (spark parquet),
+    // so existence must be resolved the same way — java.nio would
+    // silently answer false for hdfs:// / s3a:// URIs and a replayed
+    // batch would append duplicates despite the guard (ADVICE r5)
+    val codesExist = {
+      val hPath = new org.apache.hadoop.fs.Path(codesPath)
+      hPath.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+        .exists(hPath)
+    }
     val deduped =
-      if (skipExistingIds && Files.exists(Paths.get(codesPath))) {
+      if (skipExistingIds && codesExist) {
         val existing = batch.sparkSession.read.parquet(codesPath)
           .select(col("id").cast("long").as("_existing_id"))
         batch.join(existing,

@@ -163,25 +163,8 @@ object Dedup {
       }
     }.toDF("id", "band", "bucket")
 
-    // ONE shuffle from bands to candidate pairs, BOUNDED memory: hash-
-    // partition on (band, bucket), sort within partitions so each
-    // bucket's members arrive contiguously, then stream the groups with
-    // a buffer capped at maxBucket ids. An oversized bucket trips the
-    // cap at member maxBucket+1 and its remaining members are consumed
-    // without buffering — the guard's pathological case (millions of
-    // boilerplate docs in one key) never materializes in memory
-    // (ADVICE r3: the previous groupBy+collect_list shape built the
-    // whole bucket in the aggregation buffer before the guard could
-    // drop it). Fan-out stays bounded by maxBucket² per bucket.
     val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
-    val candidates = banded
-      .repartition(col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket")
-      .as[(Long, Int, Int)]
-      .mapPartitions(bucketPairs(_, maxBucket, dropAcc))
-      .toDF("id_a", "id_b").distinct()
-
-    verifyJaccard(candidates, sh, tau)
+    verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
   }
 
   /** INCREMENTAL near-dup: pairs BETWEEN a new batch and an existing
@@ -292,6 +275,77 @@ object Dedup {
       .join(broadcast(probable.select("digest").distinct()), Seq("digest"), "left_semi")
       .groupBy("digest").agg(min(col("id_old")).as("id_old"))
     probable.join(canonical, "digest").select("id_new", "id_old", "digest")
+  }
+
+  /** Banded rows `(id, band, bucket)` → distinct candidate pairs
+    * `(id_a, id_b)`, id_a < id_b — the band→pairs stage shared by
+    * [[minhashLshPairs]] and [[embeddingLshPairs]].
+    *
+    * Guarded path (`maxBucket > 0`, the default): a count aggregate
+    * over (band, bucket) — partial-agg friendly, shuffles one row per
+    * DISTINCT bucket, nothing materialized — drops oversized buckets
+    * via a semi-join BEFORE any pairing, so the pathological bucket
+    * (millions of boilerplate docs in one key) never reaches an
+    * aggregation buffer. Surviving buckets are ≤ maxBucket members by
+    * construction, which makes the fast `groupBy`+`collect_list`
+    * pair-emission shape safe again: its buffers are bounded at
+    * maxBucket ids (≤ 8 KB at the 1000 default). This recovers the
+    * partial-agg plan the r4 bench liked (2.5 s) without the r3
+    * unbounded-buffer OOM the streamed emitter was built to fix
+    * (VERDICT r5 #1): the semi-join output arrives hash-partitioned by
+    * (band, bucket), so the groupBy adds no second full shuffle of the
+    * banded rows.
+    *
+    * Unguarded path (`maxBucket ≤ 0`, validation only): buckets are
+    * unbounded, so collect_list is NOT safe — fall back to the
+    * streamed sorted-bucket emitter ([[bucketPairs]]) whose buffer the
+    * caller accepted as unbounded.
+    *
+    * Dropped-bucket observability: each dropped bucket warns
+    * executor-side and bumps `dropAcc` (Spark-UI visible; AT-LEAST-ONCE
+    * under retries — never read as exact). */
+  private def pairCandidates(banded: DataFrame, maxBucket: Int,
+      dropAcc: org.apache.spark.util.LongAccumulator): DataFrame = {
+    val spark = banded.sparkSession
+    import spark.implicits._
+    val raw =
+      if (maxBucket <= 0)
+        banded
+          .repartition(col("band"), col("bucket"))
+          .sortWithinPartitions("band", "bucket")
+          .as[(Long, Int, Int)]
+          .mapPartitions(bucketPairs(_, maxBucket, dropAcc))
+      else {
+        // typed filter (not a Column predicate) so the drop can warn +
+        // count; runs over one row per distinct bucket — trivially small
+        val ok = banded.groupBy("band", "bucket").count()
+          .as[(Int, Int, Long)]
+          .filter { case (band, bucket, n) =>
+            val keep = n <= maxBucket
+            if (!keep) {
+              dropAcc.add(1L)
+              org.slf4j.LoggerFactory.getLogger("graft.dedup.Dedup").warn(
+                s"LSH boilerplate guard: dropping bucket ($band,$bucket) of $n rows (> maxBucket=$maxBucket)")
+            }
+            keep
+          }
+          .toDF("band", "bucket", "n")
+          .select("band", "bucket")
+        banded.join(ok, Seq("band", "bucket"), "left_semi")
+          .groupBy("band", "bucket")
+          .agg(collect_list(col("id")).as("ids"))
+          .select(col("ids")).as[Seq[Long]]
+          .filter(_.lengthCompare(2) >= 0)
+          .flatMap { ids =>
+            val sorted = ids.toArray
+            java.util.Arrays.sort(sorted)
+            for {
+              i <- sorted.indices.iterator
+              j <- ((i + 1) until sorted.length).iterator
+            } yield (sorted(i), sorted(j))
+          }
+      }
+    raw.toDF("id_a", "id_b").distinct()
   }
 
   /** Stream (id, band, bucket) rows — sorted so buckets are contiguous —
@@ -606,11 +660,36 @@ object Dedup {
     * double cosine. Output `(id_a, id_b, cos)`, `round(cos,6) ≥ tau`.
     *
     * Complements [[embeddingNearDupPairs]]: no quantizer to train or
-    * drift, at the price of band fan-out tuned to the target τ. At
-    * τ = 0.95 the default 128 bits / 8 bands (r = 16) gives per-pair
-    * miss ≤ ~1e-6; for looser τ raise `bands` (recall) or `bits`
-    * (precision). Plan: ONE narrow signature pass → banding explode →
-    * the one band→pairs shuffle → candidate-only verify join. */
+    * drift, at the price of band fan-out tuned to the target τ.
+    *
+    * RECALL IS A FUNCTION OF THE PAIR'S COSINE, not of τ: a pair at
+    * cosine `c` survives banding with probability `1−(1−p^r)^b` where
+    * `p = 1 − arccos(c)/π` and `r = bits/bands`
+    * ([[hyperplaneLshMissProb]] computes the miss side). The default
+    * 128 bits / 8 bands (r = 16) is a NEAR-IDENTICAL-duplicate
+    * setting: per-pair miss ≈ 3e-6 at c = 0.999 but ≈ 0.5% at
+    * c = 0.99 and ≈ 20% for a pair sitting AT c = 0.95 — running
+    * τ = 0.95 with the defaults silently loses borderline pairs. To
+    * bound the miss at τ itself, size with [[hyperplaneLshMissProb]]:
+    * e.g. 128 bits / 16 bands (r = 8) puts the miss at c = 0.95 near
+    * 1.4e-4 — but halving r also raises the random-pair collision
+    * rate per band from 2^-16 to 2^-8, i.e. ~256× more spurious
+    * candidates to verify (and bigger buckets for the `maxBucket`
+    * guard to police). Extra candidates cost time, never correctness
+    * — the exact-cosine verify keeps precision at any setting. Plan:
+    * ONE narrow signature pass → banding explode → the one
+    * band→pairs shuffle → candidate-only verify join. */
+  /** Probability that a pair at cosine `cos` is MISSED by hyperplane-
+    * LSH banding: `(1 − p^r)^b` with `p = 1 − arccos(cos)/π`,
+    * `r = bits/bands`. Use to size `bits`/`bands` for a target τ
+    * before trusting [[embeddingLshPairs]] recall (ADVICE r5: the
+    * defaults bound the miss only for near-identical pairs). */
+  def hyperplaneLshMissProb(cos: Double, bits: Int = 128, bands: Int = 8): Double = {
+    require(bits % bands == 0, "bits must divide into bands")
+    val p = 1.0 - math.acos(math.max(-1.0, math.min(1.0, cos))) / math.Pi
+    math.pow(1.0 - math.pow(p, bits / bands), bands)
+  }
+
   def embeddingLshPairs(df: DataFrame, vecCol: String, idCol: String,
                         tau: Double, bits: Int = 128, bands: Int = 8,
                         seed: Int = 42, maxBucket: Int = 1000): DataFrame = {
@@ -657,12 +736,7 @@ object Dedup {
     }.toDF("id", "band", "bucket")
 
     val dropAcc = spark.sparkContext.longAccumulator("graft.vlsh.dropped_buckets")
-    val candidates = banded
-      .repartition(col("band"), col("bucket"))
-      .sortWithinPartitions("band", "bucket")
-      .as[(Long, Int, Int)]
-      .mapPartitions(bucketPairs(_, maxBucket, dropAcc))
-      .toDF("id_a", "id_b").distinct()
+    val candidates = pairCandidates(banded, maxBucket, dropAcc)
 
     // exact-cosine verify of candidates only — numerics identical to
     // embeddingNearDupPairs (left-to-right double dot, HALF_UP round)

@@ -57,8 +57,6 @@ object PackedIndex {
         VecBlock(ids, xs, norm2)
       }
 
-  /** Squared norm with the same accumulation order the kernel uses —
-    * identical doubles whether computed at pack or search time. */
   /** `dot(q, centroid)` — the residual-ADC per-probe constant. */
   private[search] def qDotCentroid(q: Array[Float], c: Array[Double]): Double = {
     var s = 0.0
@@ -68,6 +66,8 @@ object PackedIndex {
     s
   }
 
+  /** Squared norm with the same accumulation order the kernel uses —
+    * identical doubles whether computed at pack or search time. */
   private def rowNorm2(v: Array[Float]): Double = {
     var s = 0.0
     var d = 0

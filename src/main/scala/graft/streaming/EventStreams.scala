@@ -82,9 +82,12 @@ object EventStreams {
     *
     * Requirements: time columns must be integral (cast upstream —
     * epoch ms/ns); `carryCols` must not collide with left's columns;
-    * `right` must be unique per `(key, time)` (pre-aggregate
-    * duplicates — with several right rows at the same instant the
-    * carried pick would be nondeterministic). */
+    * `right` SHOULD be unique per `(key, time)` (pre-aggregate
+    * duplicates upstream). If it isn't, the pick is still
+    * DETERMINISTIC — the carry struct itself is the window sort's
+    * final tiebreaker, so the greatest carry tuple (field-order
+    * struct comparison) wins at equal instants on every run/partition
+    * layout (ADVICE r5: an arbitrary-pick would vary across runs). */
   def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
                leftTimeCol: String, rightTimeCol: String,
                carryCols: Seq[String]): DataFrame = {
@@ -108,7 +111,23 @@ object EventStreams {
     val rType = rSide0.schema("_c").dataType
     val rSide = rSide0.withColumn("_l", lit(null).cast(lType))
       .select("_k", "_t", "_side", "_l", "_c")
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_side"))
+    // _c as final sort key: among duplicate right rows at one (key,
+    // time) the greatest carry struct sorts last and is the row
+    // last() carries — a total order, so the pick is deterministic.
+    // Left rows all have _c NULL there, so their relative order stays
+    // irrelevant (each sees the same preceding right rows). Map-typed
+    // carries are not orderable in Spark — those keep the old
+    // (documented) arbitrary pick rather than failing the whole join.
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _ => true
+    }
+    val sortKeys =
+      if (orderable(rType)) Seq(col("_t"), col("_side"), col("_c"))
+      else Seq(col("_t"), col("_side"))
+    val w = Window.partitionBy("_k").orderBy(sortKeys: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lSide.withColumn("_c", lit(null).cast(rType))
       .select("_k", "_t", "_side", "_l", "_c")

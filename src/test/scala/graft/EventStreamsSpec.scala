@@ -130,6 +130,24 @@ class EventStreamsSpec extends AnyFunSuite {
       trades, quotes, "user", "t", "qt", Seq("tag")))
   }
 
+  test("asOfJoin: duplicate right rows at one (key, time) pick deterministically (greatest carry)") {
+    val trades = Seq((1L, 100L, 10L)).toDF("trade_id", "t", "user")
+    // three quotes at the SAME instant — contract says pre-aggregate,
+    // but a violation must not be silently nondeterministic: the
+    // greatest carry struct wins on every run (ADVICE r5)
+    val quotes = Seq(
+      (100L, 10L, 2.5, "b"),
+      (100L, 10L, 9.0, "c"),
+      (100L, 10L, 1.5, "a")
+    ).toDF("qt", "user", "price", "src")
+    (1 to 5).foreach { _ =>
+      val got = graft.streaming.EventStreams.asOfJoin(
+          trades, quotes.repartition(7), "user", "t", "qt", Seq("price", "src"))
+        .select($"price", $"src").collect()
+      assert(got.map(r => (r.getDouble(0), r.getString(1))).toSeq == Seq((9.0, "c")))
+    }
+  }
+
   test("asOfEnrichStream: state carries the latest right payload across micro-batches") {
     import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
     val stream = MemoryStream[AsOfEvent]
