@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 20g: the bench suite runs 56 queries + 10M-vector probes in one
+  // JVM; at 8g the 1M IVF probe timed cache recomputes/GC stalls, not
+  // the plan (r5's ivf_scan_qps 53 vs 490 standalone). The machine
+  // has 128 GiB; tests stay modest.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

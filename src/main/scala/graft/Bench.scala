@@ -45,6 +45,13 @@ object Bench {
       if (!ok) failed += name
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // The query suite leaks RDD caches by design: dedup/LSH persist
+    // intermediates that auto-unpersist only when the ContextCleaner
+    // sees their plans garbage-collected. Force that collection NOW so
+    // the scale probes below start from a clean storage pool instead
+    // of timing evictions (r5: 9× on the 1M scan probe).
+    System.gc()
+    Thread.sleep(2000) // let the ContextCleaner drain its ref queue
 
     // Steady-state timing: `runs` timed passes — QPS probes report the
     // BEST (the plan's cost, not a transient scheduler hiccup; observed
@@ -188,7 +195,10 @@ object Bench {
             val refined = idx.searchRefined(cc, "embedding", "vec_id",
                 qSeq, k = 10, nProbe = 8, refineFactor = 16)
               .collect().map(r => (r.getLong(0), r.getDouble(2)))
-            val rec = refined.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
+            // refined rescoring is double-precision; exactKth came from the
+            // float kernel — compare with the cross-pipeline tolerance
+            val rec = refined.count { case (q, s) =>
+              s >= exactKth(q) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
               (queries.size * 10)
             s"""{"refined_score_recall_at_10":$rec,"cells":16,"probes":8,"refine_factor":16}"""
           } catch { case e: Throwable =>
@@ -219,6 +229,7 @@ object Bench {
         total: Long, nq: Int, exactRuns: Array[Double], servingFleetQps: Double,
         ivfRuns: Array[Double], ivfCells: Int, ivfProbes: Int, ivfRecall: Double,
         ivfServingP50: Double, scanRuns: Array[Double], ivfScanQps: Double,
+        ivfScanRuns: Array[Double] = Array.empty,
         servingP50: Double, jobP50: Double,
         pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0,
         pqServingP50: Double = -1.0) {
@@ -231,6 +242,7 @@ object Bench {
       // inline unpersists below still free memory early on success
       val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       try {
+        System.gc() // drop the previous probe's dead caches first
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val n = e.count()
@@ -290,7 +302,7 @@ object Bench {
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
         // IVF at the same scale
-        val (ivfRuns, ivfScanQps, ivfRecall, ivfServingP50, pqQps, pqRecall, pqServP50) =
+        val (ivfRuns, ivfScanQps, ivfScanRuns, ivfRecall, ivfServingP50, pqQps, pqRecall, pqServP50) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
@@ -311,14 +323,24 @@ object Bench {
               }
             }.getOrElse(-1.0)
             // score-recall@10: an IVF hit scoring >= the exact kth score
-            // (minus float slack) is a true top-k member
+            // is a true top-k member. Both sides come from the SAME
+            // float kernel, so the strict 1e-9 slack is correct here
+            // (unlike the refined-PQ comparisons below)
             val hits = ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes)
               .collect().map(r => (r.getLong(0), r.getDouble(2)))
             val recall = hits.count { case (q, s) => s >= exactKth(q) - 1e-9 }.toDouble /
               (queries.size * 10)
             ivfIdx.unpersist()
-            val scanQps = queries.size / bestSec(2)(
+            // re-materialize cells (suite memory pressure can evict the
+            // cache — a timed run must measure the plan, not a
+            // recompute; r5 reported 53 QPS for a 490-QPS path) and give
+            // the scan path the same warmup + best-of-3 as ivf_qps
+            cells.count()
+            graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq.take(4), k = 10,
+              nProbe = ivfProbes).count() // warm
+            val scanRunsIvf = timedRuns(3)(
               graft.ann.Ann.ivfSearchBatchFast(cells, model, qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
+            val scanQps = queries.size / scanRunsIvf.min
 
             // IVF-PQ at the same scale: 8-byte ADC codes (32× smaller
             // than float32 at 64-D) — the memory-scale serving path.
@@ -336,9 +358,11 @@ object Bench {
                 val q = queries.size / timedRuns(3)(
                   pqIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit).min
                 val refined = pqIdx.searchRefined(tiled, "embedding", "vec_id",
-                  qSeq, k = 10, nProbe = ivfProbes, refineFactor = 8)
+                  qSeq, k = 10, nProbe = ivfProbes)
                   .collect().map(r => (r.getLong(0), r.getDouble(2)))
-                val rec = refined.count { case (qd, s) => s >= exactKth(qd) - 1e-9 }.toDouble /
+                // double rescore vs float-kernel kth (see FloatScoreTolerance)
+                val rec = refined.count { case (qd, s) =>
+                  s >= exactKth(qd) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
                   (queries.size * 10)
                 // driver-resident ADC p50 — the PQ serving headline:
                 // the same budget holds 32× more rows than float blocks
@@ -355,12 +379,13 @@ object Bench {
                 System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); (-1.0, -1.0, -1.0)
               }
             cells.unpersist()
-            (runs, scanQps, recall, servP50, pqQps, pqRecall, pqServP50)
-          } catch { case _: Throwable => (Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
+            (runs, scanQps, scanRunsIvf, recall, servP50, pqQps, pqRecall, pqServP50)
+          } catch { case _: Throwable =>
+            (Array.empty[Double], -1.0, Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0) }
         tiled.unpersist()
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
-          servingP50, jobP50, pqQps, pqRecall, pqServP50))
+          ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -369,7 +394,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -385,7 +410,9 @@ object Bench {
 
     // BASELINE-scale probes — one per row of the reference's README
     // table (10k: 0.3 ms p50 / ~3,300 QPS; 100k: 0.5 ms / ~2,000 QPS).
-    val qps10k = scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 4)
+    // 8 probes of 16 cells: 4/16 capped IVF recall at 0.83 (r5) — the
+    // recall >= 0.9 bar binds before the scan-fraction economy at 10k
+    val qps10k = scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 8)
     val qps100k = scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8)
     // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
     // 64 cells / 8 probes ≈ 12.5% scanned.
@@ -469,7 +496,9 @@ object Bench {
         val refined = idx.searchRefined(gen, "embedding", "vec_id",
             qSeq, k = 10, nProbe = 8, refineFactor = 32)
           .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        val rec = refined.count { case (q, s) => s >= exactKth10m(q) - 1e-9 }.toDouble /
+        // double rescore vs float-kernel kth (see FloatScoreTolerance)
+        val rec = refined.count { case (q, s) =>
+          s >= exactKth10m(q) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
           (queries.size * 10)
         val refinedKth = refined.groupBy(_._1).map { case (q, ss) =>
           q -> ss.map(_._2).min }

@@ -19,6 +19,17 @@ package graft.search
   */
 object Kernels {
 
+  /** Score tolerance when comparing a FLOAT-kernel score (scoreTile /
+    * the packed indexes — single-precision accumulation) against a
+    * double-precision rescore of the same row (Pq.refine, the SQL
+    * cosine): the two legitimately differ by ~1e-7..1e-6 on unit
+    * vectors. Any recall gate spanning the two pipelines must allow
+    * this slack — a 1e-9 slack silently misreported refined PQ recall
+    * as 0.53 when the candidate sets were actually ≥ 0.93 (r6 root
+    * cause). 1e-5 stays three orders below real top-k score gaps
+    * (~1e-2 on the bench corpora), so it cannot mask a genuine miss. */
+  val FloatScoreTolerance: Double = 1e-5
+
   final val MetricCosine = 0
   final val MetricCosineUnit = 1
   final val MetricDot = 2

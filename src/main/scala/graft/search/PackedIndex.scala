@@ -248,10 +248,17 @@ object PackedIndex {
       * over-fetch `k × refineFactor` by ADC, then exact-rescore only
       * those rows ([[graft.ann.Pq.refine]] — a broadcast join touching
       * ≤ Q × k × refineFactor rows). The scale story: codes in RAM,
-      * floats on disk. */
+      * floats on disk.
+      *
+      * Default `refineFactor = 16`: measured on the bench corpora
+      * (isotropic 64-d, the unfavorable case), 8-byte ADC needs a
+      * ~160-candidate pool for refined score-recall@10 ≥ 0.93 with
+      * full probing; 4 left recall on the table (r6 grid —
+      * tools/PqProbe). The refine cost is one broadcast join over
+      * Q × k × refineFactor rows — cheap next to the ADC pass. */
     def searchRefined(df: DataFrame, vecCol: String, idCol: String,
                       queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int,
-                      refineFactor: Int = 4): DataFrame = {
+                      refineFactor: Int = 16): DataFrame = {
       val cand = search(queries, k * refineFactor, nProbe)
       graft.ann.Pq.refine(df, vecCol, idCol, cand,
         queries.map { case (q, v) => (q, v.toArray) }, k)

@@ -266,6 +266,107 @@ object EventStreams {
       }
   }
 
+  /** One buffered `(tsMs, value)` row of [[AsOfExactState]] (public
+    * for the state encoder). */
+  final case class AsOfPend(tsMs: Long, value: Long)
+
+  /** [[asOfEnrichStreamExact]] per-key state: left rows awaiting the
+    * watermark, right rows still mutable-relevant, and the compacted
+    * latest right at-or-below the watermark. Bounded by one watermark
+    * delay of rows per key, NOT history — rights at or below the
+    * watermark collapse to the single latest `(latestTs, latestVal)`
+    * and emitted lefts leave the buffer. */
+  final case class AsOfExactState(lefts: List[AsOfPend], rights: List[AsOfPend],
+                                  latestTs: Long, latestVal: Long, hasLatest: Boolean)
+
+  /** EXACT streaming as-of: [[asOfEnrichStream]]'s opt-in twin that
+    * buffers left rows until the WATERMARK passes their event time and
+    * only then emits them, enriched with the true latest prior right —
+    * so cross-batch out-of-order arrivals (a right row for time 90
+    * arriving a batch after a left row at 100) enrich exactly as the
+    * batch [[asOfJoin]] would (VERDICT r5 #4). The price of exactness
+    * is latency (a left row waits out `watermarkDelay`) and a state
+    * buffer of one watermark-delay of rows per key; the default
+    * as-of-arrival mode keeps zero-latency emission with 2 longs of
+    * state. Rows later than the watermark are dropped by the standard
+    * contract — size `watermarkDelay` to the source's real lateness,
+    * it is also the exactness horizon.
+    *
+    * Mechanics per key: new rows land in the left/right buffers; every
+    * invocation drains lefts with `ts ≤ watermark` in event-time order
+    * (right rows at the same instant visible, matching [[asOfJoin]]),
+    * compacts rights at-or-below the watermark to the single latest,
+    * and arms an event-time timeout at the earliest still-buffered
+    * left so the group wakes to emit even if the key goes silent. On a
+    * BATCH Dataset the watermark is +∞ (one group pass drains
+    * everything — equals [[asOfJoin]] by construction, no timeouts). */
+  def asOfEnrichStreamExact(events: Dataset[AsOfEvent],
+                            watermarkDelay: String = "10 minutes"): Dataset[AsOfEnriched] = {
+    implicit val evEnc = Encoders.product[AsOfEventT]
+    implicit val outEnc = Encoders.product[AsOfEnriched]
+    implicit val stEnc = Encoders.product[AsOfExactState]
+    implicit val longEnc = Encoders.scalaLong
+    val streaming = events.isStreaming
+    val withTime = events.toDF()
+      .withColumn("eventTime", expr("timestamp_millis(tsMs)"))
+    val marked = if (streaming) withTime.withWatermark("eventTime", watermarkDelay)
+      else withTime
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    marked.as[AsOfEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfExactState, AsOfEnriched](OutputMode.Append, timeout) {
+        (key: Long, rows: Iterator[AsOfEventT], state: GroupState[AsOfExactState]) =>
+          val st0 = state.getOption.getOrElse(
+            AsOfExactState(Nil, Nil, Long.MinValue, 0L, hasLatest = false))
+          // ingest this batch's rows (empty on a pure timeout wake-up)
+          var lefts = st0.lefts
+          var rights = st0.rights
+          rows.foreach { e =>
+            if (e.isLeft) lefts ::= AsOfPend(e.tsMs, e.value)
+            else rights ::= AsOfPend(e.tsMs, e.value)
+          }
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val leftsSorted = lefts.sortBy(_.tsMs)
+          // rights sorted by (ts, value): equal-instant duplicates pick
+          // the greatest value — the same deterministic tiebreak as
+          // asOfJoin's carry-struct sort
+          val rightsSorted = rights.sortBy(p => (p.tsMs, p.value))
+          val (emitNow, keepLefts) = leftsSorted.partition(_.tsMs <= wm)
+          val out = emitNow.map { l =>
+            val prior = rightsSorted.takeWhile(_.tsMs <= l.tsMs).lastOption
+            val (ts, v, has) = prior match {
+              case Some(p) => (p.tsMs, p.value, true)
+              case None => (st0.latestTs, st0.latestVal, st0.hasLatest)
+            }
+            AsOfEnriched(key, l.tsMs, l.value,
+              if (has) Some(ts) else None, if (has) Some(v) else None)
+          }
+          // compact: rights at-or-below the watermark collapse to the
+          // single latest (still the prior for every future left)
+          val (settled, keepRights) = rightsSorted.partition(_.tsMs <= wm)
+          val (nLatestTs, nLatestVal, nHas) = settled.lastOption match {
+            case Some(p) => (p.tsMs, p.value, true)
+            case None => (st0.latestTs, st0.latestVal, st0.hasLatest)
+          }
+          if (keepLefts.isEmpty && keepRights.isEmpty && !streaming) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(AsOfExactState(keepLefts, keepRights, nLatestTs, nLatestVal, nHas))
+            if (streaming) {
+              // wake when the watermark passes the earliest pending
+              // left; with none pending, park one delay out so a
+              // right-only key eventually re-compacts and (when it
+              // stays silent) ages out of the store
+              val next = keepLefts.headOption.map(_.tsMs)
+                .getOrElse(wm + 24L * 3600 * 1000)
+              state.setTimeoutTimestamp(math.max(next, wm + 1))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

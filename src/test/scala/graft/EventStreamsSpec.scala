@@ -178,6 +178,72 @@ class EventStreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asOfEnrichStreamExact: cross-batch out-of-order input equals batch asOfJoin") {
+    import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
+    val stream = MemoryStream[AsOfEvent]
+    val q = graft.streaming.EventStreams.asOfEnrichStreamExact(
+        stream.toDS(), watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("asof_exact")
+      .outputMode("append").start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[AsOfEvent]
+    def feed(evs: AsOfEvent*): Unit = {
+      fed ++= evs
+      stream.addData(evs: _*)
+      q.processAllAvailable()
+    }
+    try {
+      // batch 1: a left at 100_000 arrives BEFORE the right that should
+      // enrich it — the as-of-arrival mode would emit it with the stale
+      // 80_000 payload; exact mode must hold it for the watermark
+      feed(AsOfEvent(1L, 80000L, isLeft = false, value = 400L),
+        AsOfEvent(1L, 100000L, isLeft = true, value = 7L))
+      // batch 2 (wm = 95_000): the LATE right at 96_000 lands a batch
+      // after the left it affects; a same-instant duplicate must lose
+      // to the greater value (deterministic tiebreak, same as asOfJoin)
+      feed(AsOfEvent(1L, 96000L, isLeft = false, value = 500L),
+        AsOfEvent(1L, 96000L, isLeft = false, value = 100L),
+        AsOfEvent(2L, 106000L, isLeft = true, value = 8L))
+      // batches 3-5: unrelated keys push the watermark so pending lefts
+      // finalize via event-time timeouts
+      feed(AsOfEvent(3L, 107000L, isLeft = true, value = 9L))
+      feed(AsOfEvent(3L, 115000L, isLeft = false, value = 1L))
+      feed(AsOfEvent(4L, 125000L, isLeft = false, value = 2L))
+      feed(AsOfEvent(4L, 135000L, isLeft = false, value = 3L))
+      val got = spark.table("asof_exact").as[AsOfEnriched]
+        .collect().map(e => (e.key, e.tsMs) -> (e.asofTs, e.asofValue)).toMap
+      // the late-right case: exact mode saw 96_000 arrive after the left
+      assert(got((1L, 100000L)) == ((Some(96000L), Some(500L))))
+      // ground truth: batch asOfJoin over everything fed, restricted to
+      // the lefts the stream finalized
+      val lefts = fed.filter(_.isLeft).map(e => (e.key, e.tsMs, e.value))
+        .toSeq.toDF("key", "t", "value")
+      val rights = fed.filterNot(_.isLeft).map(e => (e.key, e.tsMs, e.value))
+        .toSeq.toDF("key", "rt", "asof_value")
+      val oracle = graft.streaming.EventStreams.asOfJoin(
+          lefts, rights.withColumn("asof_ts", $"rt"), "key", "t", "rt",
+          Seq("asof_ts", "asof_value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+            Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+      got.keys.foreach { k => assert(got(k) == oracle(k), s"mismatch at $k") }
+      assert(got.size >= 3) // 1@100k, 2@106k, 3@107k all finalized
+    } finally q.stop()
+  }
+
+  test("asOfEnrichStreamExact on a static Dataset equals asOfJoin (single drain)") {
+    import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
+    val ds = Seq(
+      AsOfEvent(1L, 10L, isLeft = false, value = 100L),
+      AsOfEvent(1L, 15L, isLeft = true, value = 7L),
+      AsOfEvent(1L, 2L, isLeft = true, value = 6L),
+      AsOfEvent(2L, 5L, isLeft = true, value = 8L)).toDS()
+    val got = graft.streaming.EventStreams.asOfEnrichStreamExact(ds)
+      .collect().map(e => (e.key, e.tsMs) -> (e.asofTs, e.asofValue)).toMap
+    assert(got((1L, 15L)) == ((Some(10L), Some(100L))))
+    assert(got((1L, 2L)) == ((None, None)))
+    assert(got((2L, 5L)) == ((None, None)))
+  }
+
   test("asOfEnrichStream on a static Dataset: no-watermark path, every row processed") {
     import graft.streaming.EventStreams.{AsOfEvent, AsOfEnriched}
     val ds = Seq(
