@@ -872,6 +872,50 @@ object SparkEntry {
         .orderBy($"media_id", $"frame_index")
     }),
 
+    // 100 TB co-location: hash-bucketed catalog tables joined WITHOUT
+    // any exchange (BucketedStore — the write pays the one shuffle;
+    // BucketedStoreSpec pins countShuffles == 0 on this exact shape).
+    // Values graded here; the derived side is a per-doc stats table.
+    "bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.BucketedStore
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      val stats = t(s, dir, "documents")
+        .select($"doc_id", ($"n_chars" % 97).as("score"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
+      BucketedStore.saveBucketed(docs, "graft_bjoin_docs", "doc_id",
+        nBuckets = 8, path = Some(s"$tmp/docs"))
+      BucketedStore.saveBucketed(stats, "graft_bjoin_stats", "doc_id",
+        nBuckets = 8, path = Some(s"$tmp/stats"))
+      BucketedStore.coLocatedJoin(s, "graft_bjoin_docs", "graft_bjoin_stats", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: REAL media decode (not the stub) — documents' utf8
+    // bytes packaged as genuine mono 8-bit PCM WAVs (MediaCodecs
+    // synthesis half), then decodeMedia's magic dispatch parses the
+    // RIFF chunks and computes sample-level audio stats in the same
+    // batched mapPartitions a codec decoder would run in. The oracle
+    // recomputes sample_rate/frames/duration/rms/peak from first
+    // principles on the character codes ((ord-128)/128 is exactly the
+    // 8-bit PCM normalization).
+    "multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{MediaCodecs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, MediaCodecs.encodeWavPcm8(txt.getBytes("UTF-8"), 8000)) }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"sample_rate", $"channels",
+          $"bits_per_sample", $"n_frames",
+          round($"duration_ms", 6).as("duration_ms"),
+          round($"rms", 6).as("rms"), round($"peak", 6).as("peak"))
+        .orderBy($"media_id")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -1754,6 +1798,31 @@ object SparkEntry {
           |SELECT media_id, frame_index, frame_offset,
           |  feature[1] AS f0, feature[2] AS f1, feature[3] AS f2, feature[4] AS f3
           |FROM hist ORDER BY media_id, frame_index""".stripMargin,
+
+      // the co-located join's VALUES are those of a plain equi-join
+      // (the zero-exchange plan shape is asserted in BucketedStoreSpec)
+      "bucketed_join" ->
+        """WITH s AS (SELECT doc_id, n_chars % 97 AS score FROM documents)
+          |SELECT d.doc_id, d.lang, d.n_chars, s.score
+          |FROM documents d JOIN s USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+      // first-principles audio stats from the character codes: text's
+      // utf8 bytes ARE the 8-bit PCM samples (all-ASCII corpus), so
+      // (ord(c)-128)/128 is exactly decodeWav's normalization; mono
+      // 8000 Hz makes duration n/8 ms (binary-exact: 1000/8000 = 2^-3)
+      "multimodal_decode" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> (ord(text[i]) - 128.0) / 128.0) AS v
+          |  FROM documents)
+          |SELECT media_id, 'wav' AS format,
+          |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+          |  CAST(8 AS INT) AS bits_per_sample, CAST(n AS BIGINT) AS n_frames,
+          |  round(n * 1000.0 / 8000, 6) AS duration_ms,
+          |  round(sqrt(list_sum(list_transform(v, x -> x * x)) / n), 6) AS rms,
+          |  round(list_max(list_transform(v, x -> abs(x))), 6) AS peak
+          |FROM s ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

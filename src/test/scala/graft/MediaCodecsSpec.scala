@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.{MediaCodecs, Multimodal}
+
+/** Real (dependency-free) media decode: RIFF/WAVE PCM and binary netpbm
+  * parsed from synthesized byte-exact payloads, plus the DataFrame
+  * decode/resize operators' magic dispatch and stub fallback. */
+class MediaCodecsSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  /** Minimal canonical WAV: RIFF header + fmt (PCM16) + data. */
+  private def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short],
+                       trailingChunk: Boolean = false): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val extra = if (trailingChunk) 8 + 4 else 0
+    val buf = ByteBuffer.allocate(44 + dataLen + extra).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes); buf.putInt(36 + dataLen + extra); buf.put("WAVE".getBytes)
+    buf.put("fmt ".getBytes); buf.putInt(16)
+    buf.putShort(1.toShort) // PCM
+    buf.putShort(channels.toShort); buf.putInt(sampleRate)
+    buf.putInt(sampleRate * channels * 2) // byte rate
+    buf.putShort((channels * 2).toShort); buf.putShort(16.toShort)
+    buf.put("data".getBytes); buf.putInt(dataLen)
+    samples.foreach(buf.putShort)
+    if (trailingChunk) { buf.put("LIST".getBytes); buf.putInt(4); buf.put("INFO".getBytes) }
+    buf.array()
+  }
+
+  private def ppm(w: Int, h: Int, px: (Int, Int) => (Int, Int, Int),
+                  comment: Boolean = false): Array[Byte] = {
+    val header = (if (comment) s"P6\n# a comment\n$w $h\n255\n" else s"P6\n$w $h\n255\n")
+      .getBytes("US-ASCII")
+    val raster = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      val o = (y * w + x) * 3
+      raster(o) = r.toByte; raster(o + 1) = g.toByte; raster(o + 2) = b.toByte
+    }
+    header ++ raster
+  }
+
+  test("decodeWav: PCM16 metadata, RMS/peak, chunk walk past trailing chunks") {
+    // full-scale square wave: RMS = peak = 1.0 (up to 16-bit quantization)
+    val square = Array.tabulate[Short](800)(i => if (i % 2 == 0) 32767 else -32768)
+    val w = MediaCodecs.decodeWav(wavPcm16(8000, 2, square, trailingChunk = true)).get
+    assert(w.sampleRate == 8000 && w.channels == 2 && w.bitsPerSample == 16)
+    assert(w.nFrames == 400 && math.abs(w.durationMs - 50.0) < 1e-9)
+    assert(w.peak == 1.0 && math.abs(w.rms - 1.0) < 1e-4)
+    // silence has zero energy
+    val s = MediaCodecs.decodeWav(wavPcm16(44100, 1, new Array[Short](441))).get
+    assert(s.rms == 0.0 && s.peak == 0.0 && math.abs(s.durationMs - 10.0) < 1e-9)
+    // malformed: truncated body, non-PCM codec id, garbage — all None, no throw
+    val good = wavPcm16(8000, 1, square)
+    assert(MediaCodecs.decodeWav(good.take(30)).isEmpty)
+    val nonPcm = good.clone(); nonPcm(20) = 85 // fmt code 0x55 (mp3)
+    assert(MediaCodecs.decodeWav(nonPcm).isEmpty)
+    assert(MediaCodecs.decodeWav("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
+  }
+
+  test("decodeNetpbm: P6 dims + BT.601 luma, comments, 16-bit/truncated rejected") {
+    val grad = ppm(4, 2, (x, _) => (x * 60, x * 60, x * 60), comment = true)
+    val (info, raster) = MediaCodecs.decodeNetpbm(grad).get
+    assert(info.width == 4 && info.height == 2 && info.channels == 3)
+    // gray pixels: luma == value; mean of 0,60,120,180 per row
+    assert(math.abs(info.meanLuma - 90.0) < 1e-9)
+    assert(raster.length == 24)
+    // red-only: luma = 0.299 * r
+    val red = ppm(2, 2, (_, _) => (200, 0, 0))
+    assert(math.abs(MediaCodecs.decodeNetpbm(red).get._1.meanLuma - 0.299 * 200) < 1e-9)
+    assert(MediaCodecs.decodeNetpbm(grad.take(12)).isEmpty) // truncated raster
+    assert(MediaCodecs.decodeNetpbm("P6\n2 2\n65535\n".getBytes ++ new Array[Byte](24)).isEmpty)
+    assert(MediaCodecs.decodeNetpbm("JFIF".getBytes).isEmpty)
+  }
+
+  test("resizeNetpbm: nearest-neighbor downscale round-trips through the decoder") {
+    // 4x4 quadrant image -> 2x2 must pick one source pixel per quadrant
+    val quad = ppm(4, 4, (x, y) => if (x < 2 && y < 2) (255, 0, 0)
+      else if (x >= 2 && y < 2) (0, 255, 0)
+      else if (x < 2) (0, 0, 255) else (255, 255, 255))
+    val small = MediaCodecs.resizeNetpbm(quad, 2, 2).get
+    val (info, raster) = MediaCodecs.decodeNetpbm(small).get
+    assert(info.width == 2 && info.height == 2)
+    def px(i: Int) = ((raster(i * 3) & 0xff), (raster(i * 3 + 1) & 0xff), (raster(i * 3 + 2) & 0xff))
+    assert(px(0) == ((255, 0, 0)) && px(1) == ((0, 255, 0)))
+    assert(px(2) == ((0, 0, 255)) && px(3) == ((255, 255, 255)))
+    // upscale replicates
+    val up = MediaCodecs.decodeNetpbm(MediaCodecs.resizeNetpbm(small, 4, 4).get).get._1
+    assert(up.width == 4 && up.height == 4)
+  }
+
+  test("decodeMedia: magic dispatch wav/ppm/stub, null payloads kept, resizeMedia real+stub") {
+    val wav = wavPcm16(16000, 1, Array.tabulate[Short](160)(i =>
+      (math.sin(i * 0.1) * 16384).toShort))
+    val img = ppm(8, 4, (x, y) => (x * 30, y * 60, 128))
+    val media = Seq(
+      (1L, wav), (2L, img), (3L, "not-a-real-format-payload".getBytes), (4L, null))
+      .toDF("media_id", "data")
+    val rows = Multimodal.decodeMedia(media).collect()
+      .map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows.size == 4) // counts reconcile: null payload did not vanish
+    assert(rows(1L).getAs[String]("format") == "wav")
+    assert(rows(1L).getAs[Int]("sample_rate") == 16000 &&
+      rows(1L).getAs[Long]("n_frames") == 160)
+    // 0.5-amplitude sine: RMS ~ 0.5/sqrt(2), peak ~ 0.5
+    assert(math.abs(rows(1L).getAs[Double]("rms") - 0.5 / math.sqrt(2)) < 0.02)
+    assert(rows(1L).getAs[Double]("peak") <= 0.51 && rows(1L).getAs[Double]("peak") > 0.45)
+    assert(rows(2L).getAs[String]("format") == "ppm" &&
+      rows(2L).getAs[Int]("width") == 8 && rows(2L).getAs[Int]("height") == 4)
+    assert(rows(3L).getAs[String]("format") == "unknown" &&
+      rows(3L).getAs[scala.collection.Seq[Float]]("stub_feature") != null)
+    assert(rows(4L).getAs[String]("format") == "null-payload" &&
+      rows(4L).getAs[scala.collection.Seq[Float]]("stub_feature") == null)
+
+    val resized = Multimodal.resizeMedia(media, 2, 2, stubTargetBytes = 10)
+      .select("media_id", "data").as[(Long, Array[Byte])].collect().toMap
+    // image really resized (and still a decodable netpbm); others stub-truncated
+    val (ri, _) = MediaCodecs.decodeNetpbm(resized(2L)).get
+    assert(ri.width == 2 && ri.height == 2)
+    assert(resized(3L).length == 10)
+    assert(resized(1L).length == 10) // wav is not netpbm -> stub path
+    assert(resized(4L) == null)
+  }
+}
