@@ -872,6 +872,53 @@ object SparkEntry {
         .orderBy($"media_id", $"frame_index")
     }),
 
+    // LLM-pipeline: BPE tokenizer trained ON the corpus (one word-count
+    // shuffle + bounded driver merge loop — never nMerges corpus
+    // passes), then no-shuffle broadcast encode. Greedy BPE isn't
+    // SQL-expressible, so NO oracle entry: the driver records the
+    // rows-only check; the merge-sequence golden and encode/driver
+    // parity live in BpeSpec.
+    "bpe_tokens" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.Bpe
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val model = Bpe.train(docs, "text", nMerges = 50, maxVocab = 5000)
+      Bpe.encodeCol(docs, "text", model)
+        .select($"doc_id", $"n_tokens",
+          element_at($"tokens", 1).as("first_token"))
+        .orderBy($"doc_id")
+    }),
+
+    // 100 TB skew: salted two-stage collect_list — the non-combinable
+    // aggregate AQE can't fix (every hot-key row otherwise lands in ONE
+    // task's sort buffer). Value-preserving: graded against the plain
+    // string_agg oracle. Lists stabilized by sort + join to strings
+    // (driver comparator can't hash arrays).
+    "skew_salted_agg" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"user_id", $"event_id".cast("long").as("event_id"))
+      graft.pipeline.Skew.saltedCollectList(ev, "user_id", "event_id", nSalts = 8)
+        .select($"user_id", size($"values").cast("long").as("n"),
+          concat_ws(",", sort_array($"values")).as("ids"))
+        .orderBy($"user_id")
+    }),
+
+    // 100 TB skew: salted equi-join — the big (skewed) side scatters a
+    // hot key across nSalts replicas of the small side. Exactly the
+    // plain join's rows (oracle is the unsalted join).
+    "skew_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id".cast("long").as("event_id"), $"user_id", $"event_type")
+      val dim = ev.groupBy($"user_id")
+        .agg(count(lit(1)).as("user_events"))
+      graft.pipeline.Skew.saltedJoin(
+          ev.filter($"event_type" === "purchase"), dim, "user_id", nSalts = 8)
+        .select($"event_id", $"user_id", $"user_events")
+        .orderBy($"event_id")
+    }),
+
     // 100 TB co-location: hash-bucketed catalog tables joined WITHOUT
     // any exchange (BucketedStore — the write pays the one shuffle;
     // BucketedStoreSpec pins countShuffles == 0 on this exact shape).
@@ -968,6 +1015,34 @@ object SparkEntry {
           Seq("view_ms", "view_id"))
         .select($"event_id", $"user_id", $"ts_ms", $"view_id", $"view_ms",
           ($"ts_ms" - $"view_ms").as("gap_ms"))
+        .orderBy($"event_id")
+    }),
+
+    // LLM-pipeline: the EXACT streaming as-of operator driven in batch
+    // mode — asOfEnrichStreamExact's flatMapGroupsWithState path (the
+    // same code that runs watermark-buffered under a streaming query;
+    // on a batch Dataset the single group pass drains everything) must
+    // equal DuckDB's native ASOF LEFT JOIN. Purchases ride as lefts
+    // (value = event_id), per-(user, ms) max-deduped views as rights.
+    "events_asof_exact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.EventStreams
+      val ev = t(s, dir, "events")
+        .select($"event_id".cast("long").as("event_id"), $"user_id",
+          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+      val lefts = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("key"), $"ts_ms".as("tsMs"),
+          lit(true).as("isLeft"), $"event_id".as("value"))
+      val rights = ev.filter($"event_type" === "view")
+        .groupBy($"user_id", $"ts_ms")
+        .agg(max($"event_id").as("view_id"))
+        .select($"user_id".as("key"), $"ts_ms".as("tsMs"),
+          lit(false).as("isLeft"), $"view_id".as("value"))
+      EventStreams.asOfEnrichStreamExact(
+          lefts.unionByName(rights).as[EventStreams.AsOfEvent])
+        .select($"key".as("user_id"), $"tsMs".as("ts_ms"),
+          $"value".as("event_id"), $"asofTs".as("view_ms"),
+          $"asofValue".as("view_id"))
         .orderBy($"event_id")
     }),
 
@@ -1132,6 +1207,13 @@ object SparkEntry {
   }
 
   // ──────────────────────────────────────────────────────── oracles ──
+
+  /** Queries DELIBERATELY without a DuckDB oracle (the driver records
+    * the weaker rows-only check). Only algorithms SQL cannot express
+    * belong here, each with its real verification named:
+    *  - bpe_tokens: greedy rank-ordered BPE merging — BpeSpec carries
+    *    the hand-derived merge golden + driver/column encode parity. */
+  val rowsOnly: Set[String] = Set("bpe_tokens")
 
   def oracleSql: Map[String, String] = {
     val terms = kwTerms
@@ -1799,6 +1881,20 @@ object SparkEntry {
           |  feature[1] AS f0, feature[2] AS f1, feature[3] AS f2, feature[4] AS f3
           |FROM hist ORDER BY media_id, frame_index""".stripMargin,
 
+      // salting is a value-preserving rewrite: the oracles are the
+      // UNSALTED aggregation / join
+      "skew_salted_agg" ->
+        """SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+          |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id) AS ids
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "skew_salted_join" ->
+        """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS user_events
+          |  FROM events GROUP BY user_id)
+          |SELECT e.event_id, e.user_id, dim.user_events
+          |FROM events e JOIN dim USING (user_id)
+          |WHERE e.event_type = 'purchase' ORDER BY e.event_id""".stripMargin,
+
       // the co-located join's VALUES are those of a plain equi-join
       // (the zero-exchange plan shape is asserted in BucketedStoreSpec)
       "bucketed_join" ->
@@ -1841,6 +1937,18 @@ object SparkEntry {
           |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_ms(ts))
           |SELECT p.event_id, p.user_id, p.ts_ms, v.view_id, v.view_ms,
           |  p.ts_ms - v.view_ms AS gap_ms
+          |FROM p ASOF LEFT JOIN v
+          |  ON p.user_id = v.user_id AND p.ts_ms >= v.view_ms
+          |ORDER BY p.event_id""".stripMargin,
+
+      // the stateful exact-stream operator in batch mode vs the same
+      // native ASOF oracle as events_asof (different output framing)
+      "events_asof_exact" ->
+        """WITH p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms
+          |  FROM events WHERE event_type = 'purchase'),
+          |v AS (SELECT user_id, epoch_ms(ts) AS view_ms, max(event_id) AS view_id
+          |  FROM events WHERE event_type = 'view' GROUP BY user_id, epoch_ms(ts))
+          |SELECT p.user_id, p.ts_ms, p.event_id, v.view_ms, v.view_id
           |FROM p ASOF LEFT JOIN v
           |  ON p.user_id = v.user_id AND p.ts_ms >= v.view_ms
           |ORDER BY p.event_id""".stripMargin,

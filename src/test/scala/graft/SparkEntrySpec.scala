@@ -18,8 +18,13 @@ class SparkEntrySpec extends AnyFunSuite {
   }
 
   test("every query has an oracle or is explicitly rows-only") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet --
+      SparkEntry.rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    // rowsOnly is an allowlist of real queries, not a dumping ground
+    assert((SparkEntry.rowsOnly -- SparkEntry.queries.keySet).isEmpty)
+    assert((SparkEntry.rowsOnly & SparkEntry.oracleSql.keySet).isEmpty,
+      "a query can't be both oracled and rows-only")
   }
 
   test("knn_cosine: self-match first with similarity 1") {
