@@ -742,6 +742,29 @@ object SparkEntry {
         .orderBy($"id_new", $"id_old")
     }),
 
+    // LLM-pipeline: incremental dedup against a PERSISTED banded
+    // history index (IndexStore.saveBanded → loadBanded → the
+    // BandedIndex overload). Same corpus split and oracle as
+    // dedup_incremental — a pass certifies the stored-index path is
+    // bit-identical to the recompute path AND to the true all-pairs
+    // cross-corpus Jaccard. History text is only touched for candidate
+    // ids (semi-join pushdown), the 100 TB daily-ingest shape.
+    "dedup_incremental_stored" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" < 400)
+      val newBatch = docs.filter($"doc_id" >= 400)
+        .unionByName(docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 20000).as("doc_id"), $"text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_banded").toString
+      graft.ann.IndexStore.saveBanded(old, "text", "doc_id", idxDir,
+        numHashes = 64, bands = 16)
+      val index = graft.ann.IndexStore.loadBanded(s, idxDir)
+      graft.dedup.Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+          tau = 0.9, index, maxBucket = 1000)
+        .orderBy($"id_new", $"id_old")
+    }),
+
     // LLM-pipeline: incremental EXACT dedup — Bloom-pruned digest check
     // of the new batch (doc_id ≥ 400 + 30 planted copies) against
     // history (< 400). Bloom false positives are join-verified away, so
@@ -1723,6 +1746,32 @@ object SparkEntry {
           |ORDER BY id_a, id_b""".stripMargin,
 
       "dedup_incremental" ->
+        """WITH oldsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |        WHERE doc_id < 400)
+          |  WHERE len(w) >= 3),
+          |newsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM (
+          |          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |          UNION ALL
+          |          SELECT doc_id + 20000 AS doc_id, text FROM documents
+          |          WHERE doc_id < 30))
+          |  WHERE len(w) >= 3),
+          |scored AS (
+          |  SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+          |    round(len(list_intersect(n.shingles, o.shingles)) * 1.0 /
+          |          len(list_distinct(n.shingles || o.shingles)), 6) AS jaccard
+          |  FROM newsh n, oldsh o)
+          |SELECT id_new, id_old, jaccard FROM scored WHERE jaccard >= 0.9
+          |ORDER BY id_new, id_old""".stripMargin,
+
+      // identical semantics to dedup_incremental — the entry differs
+      // only in running against the persisted banded index
+      "dedup_incremental_stored" ->
         """WITH oldsh AS (
           |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
           |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles

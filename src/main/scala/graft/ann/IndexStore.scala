@@ -166,6 +166,40 @@ object IndexStore {
       .as[(Long, Int, Array[Byte])]
   }
 
+  // ─── banded LSH history index (incremental dedup) ───
+
+  /** Persist the history side of incremental MinHash-LSH dedup: the
+    * banded `(id, band, bucket)` table as parquet plus a meta file
+    * recording the hash family (`numHashes`/`bands`/`seed`) — stored
+    * TOGETHER so the family can never drift from the table that was
+    * built with it. ~`bands` ints per document: a petabyte corpus
+    * indexes in gigabytes. Reload with [[loadBanded]] and pass to
+    * `Dedup.minhashLshPairsBetween(new, old, …, index, maxBucket)`;
+    * the per-batch cost is then shingling the NEW batch only.
+    *
+    * Both artifacts go through the Hadoop FS layer (not java.nio), so
+    * hdfs:// / s3a:// paths work like local ones. */
+  def saveBanded(df: DataFrame, textCol: String, idCol: String, path: String,
+      numHashes: Int = 48, bands: Int = 8, seed: Int = 42): Unit = {
+    graft.dedup.Dedup.bandedTable(df, textCol, idCol, numHashes, bands, seed)
+      .write.mode("overwrite").parquet(s"$path/banded")
+    val meta = s"""{"format":"graft-lsh-banded-1","num_hashes":$numHashes,"bands":$bands,"seed":$seed}"""
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = hPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(hPath, true)
+    try out.write(meta.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  def loadBanded(spark: SparkSession, path: String): graft.dedup.Dedup.BandedIndex = {
+    val hPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(hPath)
+    val json = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    require(json.contains("\"graft-lsh-banded-1\""), s"$path is not a graft-lsh-banded-1 artifact")
+    graft.dedup.Dedup.BandedIndex(spark.read.parquet(s"$path/banded"),
+      intField(json, "num_hashes"), intField(json, "bands"), intField(json, "seed"))
+  }
+
   /** INCREMENTAL index maintenance — the daily-ingest shape: assign and
     * encode ONLY the new batch against the stored (frozen) models and
     * append its codes to the existing cell-partitioned parquet. No

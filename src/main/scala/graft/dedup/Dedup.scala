@@ -178,7 +178,9 @@ object Dedup {
     * At warehouse scale, persist the OLD side's banded table
     * `(id, band, bucket)` (plain parquet — ~`bands` longs per doc) once
     * and reuse it every batch: the daily cost is then shingling the new
-    * batch plus one join against the stored index.
+    * batch plus one join against the stored index. That path is
+    * first-class — `IndexStore.saveBanded`/`loadBanded` plus the
+    * [[BandedIndex]] overload below.
     *
     * Boilerplate guard: a bucket over `maxBucket` on EITHER side is
     * dropped before the join via a count aggregate (partial-agg
@@ -225,6 +227,102 @@ object Dedup {
 
     cand.join(shNew.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
       .join(shOld.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 6))
+      .filter(col("jaccard") >= tau)
+      .select("id_new", "id_old", "jaccard")
+  }
+
+  /** A persisted-history LSH index: the banded `(id, band, bucket)`
+    * table plus the hash family that produced it — a later batch MUST
+    * band with the same `(numHashes, bands, seed)` or bucket keys are
+    * meaningless. Build with [[bandedTable]], persist/reload with
+    * `IndexStore.saveBanded`/`loadBanded` (which records the family in
+    * the artifact so it cannot drift from the table). */
+  final case class BandedIndex(banded: DataFrame, numHashes: Int, bands: Int, seed: Int) {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+  }
+
+  /** Banded LSH table `(id LONG, band INT, bucket INT)` for a corpus —
+    * the PERSISTABLE history-side artifact of incremental dedup. It
+    * stores `bands` ints per document (a few bytes) instead of the
+    * shingle sets (the document itself), so a petabyte corpus indexes
+    * in gigabytes; the per-batch cost with a stored index is shingling
+    * the NEW batch only (see the [[BandedIndex]] overload of
+    * [[minhashLshPairsBetween]]). */
+  def bandedTable(df: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 48, bands: Int = 8, seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = coefficients(numHashes, seed)
+    shingled(df, textCol, idCol).as[(Long, Seq[String])].flatMap { case (id, s) =>
+      val sig = minhashSignature(s, coeffs)
+      (0 until bands).map(b => (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
+    }.toDF("id", "band", "bucket")
+  }
+
+  /** Incremental near-dup against a PRE-BANDED history index — the
+    * shape the recompute overload's scaladoc tells users to run daily,
+    * now first-class. Two scale wins over recomputing:
+    *
+    *   1. history is never re-shingled or re-signed — the stored
+    *      `(id, band, bucket)` table IS the old band side;
+    *   2. verification shingles ONLY the old rows that survive into a
+    *      candidate pair: a semi-join on the candidate ids prunes
+    *      `oldDf` BEFORE its text is touched, so the verify cost is
+    *      `O(new + candidates)`, not `O(new + history)`.
+    *
+    * `oldDf` supplies candidate texts (point lookups by id — keep it
+    * the corpus the index was built on; ids present in the index but
+    * missing from `oldDf` cannot verify and silently drop, the same
+    * contract as a stale secondary index anywhere). Output matches the
+    * recompute overload bit-for-bit: `(id_new, id_old, jaccard)` with
+    * `round(jaccard, 6) ≥ tau`. */
+  def minhashLshPairsBetween(newDf: DataFrame, oldDf: DataFrame,
+      textCol: String, idCol: String, tau: Double, index: BandedIndex,
+      maxBucket: Int): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val r = index.numHashes / index.bands
+    val coeffs = coefficients(index.numHashes, index.seed)
+
+    // new-side shingles feed banding AND verify — RDD persist, same
+    // CacheManager-leak rationale as minhashLshPairs
+    val shNewRdd = shingled(newDf, textCol, idCol).as[(Long, Seq[String])]
+      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shNew = spark.createDataset(shNewRdd).toDF("id", "sh")
+
+    val bandedNew = shNew.as[(Long, Seq[String])].flatMap { case (id, s) =>
+      val sig = minhashSignature(s, coeffs)
+      (0 until index.bands).map(b =>
+        (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
+    }.toDF("id", "band", "bucket")
+
+    def guarded(b: DataFrame): DataFrame =
+      if (maxBucket <= 0) b
+      else b.join(
+        b.groupBy("band", "bucket").count()
+          .filter(col("count") <= maxBucket).select("band", "bucket"),
+        Seq("band", "bucket"), "left_semi")
+
+    val cand = guarded(bandedNew)
+      .select(col("id").as("id_new"), col("band"), col("bucket"))
+      .join(guarded(index.banded)
+        .select(col("id").cast("long").as("id_old"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select("id_new", "id_old").distinct()
+
+    // candidate-only verification: prune history to matched ids, THEN
+    // shingle — the text of a never-candidate history row is never read
+    val oldCand = oldDf.join(cand.select(col("id_old")).distinct(),
+      oldDf(idCol).cast("long") === col("id_old"), "left_semi")
+    val shOldCand = shingled(oldCand, textCol, idCol)
+
+    cand.join(shNew.select(col("id").as("id_new"), col("sh").as("sh_a")), "id_new")
+      .join(shOldCand.select(col("id").as("id_old"), col("sh").as("sh_b")), "id_old")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 6))

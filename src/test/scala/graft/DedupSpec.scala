@@ -55,6 +55,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == exact)
   }
 
+  test("stored banded index: save/load round-trips the hash family; stored path == recompute path") {
+    import org.apache.spark.sql.functions.col
+    val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val newBatch = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_spec").toString
+    graft.ann.IndexStore.saveBanded(old, "text", "doc_id", dir, numHashes = 64, bands = 16)
+    val idx = graft.ann.IndexStore.loadBanded(spark, dir)
+    assert(idx.numHashes == 64 && idx.bands == 16 && idx.seed == 42,
+      "meta must round-trip the hash family")
+    val stored = Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+        tau = 0.9, idx, maxBucket = 1000)
+      .select("id_new", "id_old", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val recompute = Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+        tau = 0.9, numHashes = 64, bands = 16, maxBucket = 1000)
+      .select("id_new", "id_old", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(stored.nonEmpty, "planted copies must pair")
+    assert(stored == recompute, "stored-index path must be bit-identical to recompute")
+    // a mismatched family must be refused at construction, not band garbage
+    assertThrows[IllegalArgumentException](
+      Dedup.BandedIndex(idx.banded, numHashes = 64, bands = 15, seed = 42))
+  }
+
   test("incremental exact dedup: bloom-pruned hits verified, non-dups and fp survive nothing") {
     import org.apache.spark.sql.functions.col
     val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
