@@ -649,18 +649,15 @@ object Bench {
         // stop in finally: the dispatcher thread is non-daemon — a probe
         // failure would otherwise keep the bench JVM alive forever
         try {
-          val client = java.net.http.HttpClient.newHttpClient()
-          def post(body: String): String = {
-            val req = java.net.http.HttpRequest.newBuilder()
-              .uri(java.net.URI.create(s"http://127.0.0.1:$port/api/search"))
-              .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
-              .build()
-            client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
-          }
-          val q = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
-          require(post(q).contains("\"id\""), "rest search must return hits")
-          val p = p50Ms(201)(post(q): Unit)
-          Some((p, insertSec, snapSec))
+          // keep-alive socket client: measures server + RTT, not the
+          // JDK HttpClient's per-send async overhead (~0.7 ms here)
+          val http = new graft.tools.KeepAliveHttp("127.0.0.1", port)
+          try {
+            val q = """{"collection":"bench","query":"finding relevant documents","topK":10}"""
+            require(http.post("/api/search", q).contains("\"id\""), "rest search must return hits")
+            val p = p50Ms(201)(http.post("/api/search", q): Unit)
+            Some((p, insertSec, snapSec))
+          } finally http.close()
         } finally rest.stop()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); None

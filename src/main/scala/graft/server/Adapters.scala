@@ -27,25 +27,37 @@ object Adapters {
 
   private[server] def jstr(s: String): String = FusionEngine.jstr(s)
 
+  // Field regexes are keyed by a small fixed set of JSON keys but hit
+  // on EVERY request — compile once per (pattern) and reuse;
+  // Pattern.compile × ~10 per call was a measurable slice of the REST
+  // p50 before the serving kernel even ran.
+  private val patternCache =
+    new java.util.concurrent.ConcurrentHashMap[String, scala.util.matching.Regex]()
+  private def cachedRegex(p: String): scala.util.matching.Regex =
+    patternCache.computeIfAbsent(p, _.r)
+
   /** Extract a string field from a FLAT JSON object body. */
   private[server] def jfield(json: String, key: String): Option[String] =
-    (s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""".r.findFirstMatchIn(json)
+    (cachedRegex(s""""$key"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").findFirstMatchIn(json)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")))
-      .orElse(s""""$key"\\s*:\\s*(-?[0-9.]+)""".r.findFirstMatchIn(json).map(_.group(1)))
+      .orElse(cachedRegex(s""""$key"\\s*:\\s*(-?[0-9.]+)""").findFirstMatchIn(json).map(_.group(1)))
 
   private[server] def jint(json: String, key: String, default: Int): Int =
     jfield(json, key).flatMap(v => scala.util.Try(v.toInt).toOption).getOrElse(default)
 
   private[server] def jbool(json: String, key: String, default: Boolean = false): Boolean =
-    s""""$key"\\s*:\\s*(true|false)""".r.findFirstMatchIn(json)
+    cachedRegex(s""""$key"\\s*:\\s*(true|false)""").findFirstMatchIn(json)
       .map(_.group(1) == "true").getOrElse(default)
 
   /** Extract a FLAT string→string object field (`"key":{"a":"b",…}`).
     * The object body is found with a quote-aware scan (not a `[^}]*`
     * regex) so a '}' INSIDE a value cannot truncate the filter — a
     * truncated filter would silently return unfiltered results. */
+  private val kvPairRegex =
+    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+
   private[server] def jobj(json: String, key: String): Map[String, String] = {
-    val open = s""""$key"\\s*:\\s*\\{""".r.findFirstMatchIn(json) match {
+    val open = cachedRegex(s""""$key"\\s*:\\s*\\{""").findFirstMatchIn(json) match {
       case Some(m) => m.end - 1 // index of '{'
       case None => return Map.empty
     }
@@ -72,7 +84,7 @@ object Adapters {
     }
     if (close < 0) return Map.empty // unterminated — treat as absent
     val body = json.substring(open + 1, close)
-    """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(body).map { m =>
+    kvPairRegex.findAllMatchIn(body).map { m =>
       def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
       un(m.group(1)) -> un(m.group(2))
     }.toMap

@@ -52,7 +52,10 @@ object RestProbe {
           .build()
         client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString()).body()
       }
-      p50("http round-trip", 200)(post(): Unit)
+      p50("http rt (java.net.http)", 200)(post(): Unit)
+      val ka = new KeepAliveHttp("127.0.0.1", port)
+      try p50("http rt (keep-alive sock)", 200)(ka.post("/api/search", body): Unit)
+      finally ka.close()
     } finally rest.stop()
     spark.stop()
   }

@@ -88,6 +88,16 @@ class AdaptersSpec extends AnyFunSuite {
       assert(post("/api/search", """{"query": "missing collection field"}""").statusCode() == 400)
       assert(post("/api/nope", "{}").statusCode() == 404)
       assert(post("/api/collections", """{"name": "demo"}""").statusCode() == 400) // duplicate -> client error
+
+      // the bench's keep-alive socket client: two sequential posts on
+      // ONE connection must parse both responses (a framing bug here
+      // would corrupt the headline rest_search_p50_ms metric)
+      val ka = new graft.tools.KeepAliveHttp("127.0.0.1", port)
+      try {
+        val q = """{"collection": "demo", "query": "chemical safety", "topK": 3}"""
+        assert(ka.post("/api/search", q).contains("\"id\":\"d1\""))
+        assert(ka.post("/api/search", q).contains("\"id\":\"d1\""), "second request on same socket")
+      } finally ka.close()
     } finally srv.stop()
   }
 
