@@ -986,6 +986,41 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // LLM-pipeline: REAL compressed-image decode via the JDK's
+    // headless ImageIO readers (zero dependencies — the r6 "container
+    // has no image codecs" claim was wrong): documents' utf8 bytes
+    // packaged as genuine PNGs (grayscale for even ids, RGB for odd;
+    // 16 px wide, space-padded final row). PNG is lossless, so the
+    // decoded dims/channels/BT.601-luma are first-principles
+    // computable from the character codes — the oracle recomputes
+    // them in SQL. Same batched mapPartitions dispatch as the WAV
+    // entry (decodeMedia); JPEG/GIF/BMP/TIFF ride the same reader
+    // path (MediaCodecsSpec covers them — JPEG is lossy, so PNG is
+    // the oracle-gradable format).
+    "multimodal_decode_image" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{MediaCodecs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val ch = if (id % 2 == 0) 1 else 3
+          val w = 16
+          val rowBytes = w * ch
+          val h = math.max(1, (bytes.length + rowBytes - 1) / rowBytes)
+          val px = new Array[Byte](w * h * ch)
+          java.util.Arrays.fill(px, ' '.toByte)
+          System.arraycopy(bytes, 0, px, 0, bytes.length)
+          (id, MediaCodecs.encodePng(px, w, h, ch))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"width", $"height", $"channels",
+          round($"mean_luma", 6).as("mean_luma"))
+        .orderBy($"media_id")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -1968,6 +2003,35 @@ object SparkEntry {
           |  round(sqrt(list_sum(list_transform(v, x -> x * x)) / n), 6) AS rms,
           |  round(list_max(list_transform(v, x -> abs(x))), 6) AS peak
           |FROM s ORDER BY media_id""".stripMargin,
+
+      // first-principles image stats from the character codes: the PNGs
+      // are synthesized from text's utf8 bytes (all-ASCII corpus) as
+      // 16-px-wide rasters, space-padded (code 32) to fill the last
+      // row; gray (even ids) mean luma is the padded byte mean, RGB
+      // (odd ids) is BT.601 over consecutive byte triples
+      "multimodal_decode_image" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ord(text[i]) AS DOUBLE)) AS v
+          |  FROM documents),
+          |d AS (
+          |  SELECT media_id, n, ch, v,
+          |    GREATEST(1, CAST(ceil(n / (16.0 * ch)) AS BIGINT)) AS h
+          |  FROM s)
+          |SELECT media_id, 'png' AS format,
+          |  CAST(16 AS INT) AS width, CAST(h AS INT) AS height,
+          |  CAST(ch AS INT) AS channels,
+          |  round(CASE WHEN ch = 1
+          |      THEN (COALESCE(list_sum(v), 0) + (16 * h - n) * 32.0) / (16.0 * h)
+          |      ELSE list_sum(list_transform(range(0, CAST(16 * h AS BIGINT)),
+          |          j -> 0.299 * (CASE WHEN 3 * j + 1 <= n THEN v[CAST(3 * j + 1 AS INT)] ELSE 32.0 END)
+          |             + 0.587 * (CASE WHEN 3 * j + 2 <= n THEN v[CAST(3 * j + 2 AS INT)] ELSE 32.0 END)
+          |             + 0.114 * (CASE WHEN 3 * j + 3 <= n THEN v[CAST(3 * j + 3 AS INT)] ELSE 32.0 END))
+          |        ) / (16.0 * h)
+          |    END, 6) AS mean_luma
+          |FROM d ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

@@ -84,7 +84,10 @@ object IndexStore {
   }
 
   private def intField(json: String, name: String): Int =
-    ("\"" + name + "\":\\s*(\\d+)").r.findFirstMatchIn(json)
+    // optional '-': saveBanded accepts any Int seed, so the artifact
+    // must round-trip negatives too (ADVICE r6 — "seed":-7 used to
+    // fail to load with a misleading 'missing field seed')
+    ("\"" + name + "\":\\s*(-?\\d+)").r.findFirstMatchIn(json)
       .map(_.group(1).toInt)
       .getOrElse(throw new IllegalArgumentException(s"missing field $name"))
 

@@ -8,11 +8,15 @@ import org.apache.spark.sql.types._
   * `BINARY` columns with typed metadata, processed by batched
   * per-partition operators.
   *
-  * The container has no image/audio codecs, so the DECODE step is a
-  * clearly-marked deterministic stub ([[StubDecoder]]) — the Spark-side
-  * plumbing (schema, batching, partitioning, operator signatures,
-  * frame-sampling arithmetic) is real and oracle-tested; swapping the
-  * stub for a JNI/codec implementation changes no plan shape.
+  * DECODE is real for every format a stock JVM can parse: WAV PCM and
+  * netpbm by pure byte math, PNG/JPEG/GIF/BMP/TIFF via the JDK's
+  * built-in headless ImageIO readers ([[MediaCodecs]]). Only
+  * compressed AUDIO/VIDEO (MP3, H.264, …) — which the JDK cannot
+  * decode — fall to the clearly-marked deterministic stub
+  * ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
+  * partitioning, operator signatures, frame-sampling arithmetic) is
+  * identical either way, so swapping the stub for a JNI/codec
+  * implementation changes no plan shape.
   */
 object Multimodal {
 
@@ -93,9 +97,11 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, ppm, pgm, unknown, null-payload};
-    * audio fields populated for wav, image fields for ppm/pgm, and the
-    * stub byte-histogram feature for everything else. */
+    * media row, `format` ∈ {wav, ppm, pgm, png, jpeg, gif, bmp, tiff,
+    * unknown, null-payload}; audio fields populated for wav, image
+    * fields for the image formats (`channels` is shared: audio
+    * channels for wav, color bands for images), and the stub
+    * byte-histogram feature for everything else. */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("format", StringType),
@@ -108,9 +114,10 @@ object Multimodal {
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
-    * [[MediaCodecs]] (RIFF/WAVE PCM audio, binary netpbm images — pure
-    * JVM byte parsing, no codec libs), stub fallback for compressed
-    * formats the container cannot decode. Narrow `mapPartitions`
+    * [[MediaCodecs]] (RIFF/WAVE PCM audio and binary netpbm by pure
+    * byte parsing; PNG/JPEG/GIF/BMP/TIFF via the JDK's headless
+    * ImageIO readers), stub fallback for compressed audio/video the
+    * JDK cannot decode. Narrow `mapPartitions`
     * (batched, no shuffle) — swapping the per-format branch for a JNI
     * codec changes no plan shape. Null payloads yield a
     * `null-payload` row rather than vanishing, so counts reconcile
@@ -137,11 +144,19 @@ object Multimodal {
         } else if (MediaCodecs.isNetpbm(bytes)) {
           MediaCodecs.decodeNetpbm(bytes) match {
             case Some((im, _)) => Row(id, if (im.channels == 3) "ppm" else "pgm",
-              null, null, null, null, null, null, null,
+              null, im.channels, null, null, null, null, null,
               im.width, im.height, im.meanLuma, null)
             case None => stubRow("unknown")
           }
-        } else stubRow("unknown")
+        } else MediaCodecs.imageIoFormat(bytes) match {
+          case Some(fmt) => MediaCodecs.decodeImageIO(bytes) match {
+            case Some(im) => Row(id, fmt,
+              null, im.channels, null, null, null, null, null,
+              im.width, im.height, im.meanLuma, null)
+            case None => stubRow("unknown") // image magic, undecodable body
+          }
+          case None => stubRow("unknown")
+        }
       }
     }(Encoders.row(DecodedSchema))
   }

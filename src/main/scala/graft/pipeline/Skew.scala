@@ -40,11 +40,24 @@ object Skew {
     * the hot key's rows spread over `nSalts` groups — stage 2 merges
     * the partial arrays per key. Output `(keyCol, values)`; array
     * order is nondeterministic either way (sort downstream if order
-    * matters, e.g. `sort_array`). */
+    * matters, e.g. `sort_array`).
+    *
+    * The salt hashes ALL of `df`'s columns, not just the value: a hot
+    * key whose values are all identical (the "same payload spammed"
+    * skew — exactly the case this operator exists for) would otherwise
+    * collapse back into ONE stage-1 group (VERDICT r6). Any extra
+    * column that varies per row (an event id, a timestamp) therefore
+    * spreads the work; if the rows are FULLY identical across every
+    * column, no content-addressed salt can split them — pass
+    * `disambiguatorCol` (e.g. a pre-assigned unique id) to restore the
+    * spread. rand() is not an option: retried tasks must salt
+    * identically or shuffle files disagree. */
   def saltedCollectList(df: DataFrame, keyCol: String, valueCol: String,
-                        nSalts: Int = 16): DataFrame = {
+                        nSalts: Int = 16,
+                        disambiguatorCol: Option[Column] = None): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    df.withColumn("_salt", saltOf(nSalts, Seq(col(valueCol))))
+    val saltCols = df.columns.map(col).toSeq ++ disambiguatorCol.toSeq
+    df.withColumn("_salt", saltOf(nSalts, saltCols))
       .groupBy(col(keyCol), col("_salt"))
       .agg(collect_list(col(valueCol)).as("_part"))
       .groupBy(col(keyCol))

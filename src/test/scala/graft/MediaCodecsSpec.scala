@@ -94,16 +94,53 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(up.width == 4 && up.height == 4)
   }
 
+  test("decodeImageIO: PNG gray/RGB exact stats, JPEG dims, malformed rejected") {
+    // grayscale: pixels 0..7 -> mean luma = 3.5 exactly (PNG lossless,
+    // raw raster samples — no getRGB colorspace surprise)
+    val gray = MediaCodecs.encodePng(Array.tabulate[Byte](8)(_.toByte), 4, 2, 1)
+    assert(MediaCodecs.imageIoFormat(gray).contains("png"))
+    val gi = MediaCodecs.decodeImageIO(gray).get
+    assert(gi.width == 4 && gi.height == 2 && gi.channels == 1)
+    assert(math.abs(gi.meanLuma - 3.5) < 1e-12)
+    // RGB: red-only 200 -> BT.601 luma = 0.299 * 200
+    val rgb = MediaCodecs.encodePng(
+      Array.tabulate[Byte](2 * 2 * 3)(i => if (i % 3 == 0) 200.toByte else 0), 2, 2, 3)
+    val ri = MediaCodecs.decodeImageIO(rgb).get
+    assert(ri.width == 2 && ri.height == 2 && ri.channels == 3)
+    assert(math.abs(ri.meanLuma - 0.299 * 200) < 1e-9)
+    // JPEG (lossy): dims/channels exact, uniform-gray luma near-exact
+    val jimg = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g2 = jimg.createGraphics()
+    g2.setColor(new java.awt.Color(128, 128, 128)); g2.fillRect(0, 0, 16, 8); g2.dispose()
+    val jout = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(jimg, "jpg", jout)
+    val jpeg = jout.toByteArray
+    assert(MediaCodecs.imageIoFormat(jpeg).contains("jpeg"))
+    val ji = MediaCodecs.decodeImageIO(jpeg).get
+    assert(ji.width == 16 && ji.height == 8 && ji.channels == 3)
+    assert(math.abs(ji.meanLuma - 128.0) < 3.0) // lossy, uniform field
+    // malformed payloads reject to None (route to stub, never crash)
+    assert(MediaCodecs.decodeImageIO(gray.take(20)).isEmpty) // truncated PNG
+    val garbage = Array[Byte](0x89.toByte, 'P', 'N', 'G') ++ Array.fill[Byte](32)(7)
+    assert(MediaCodecs.decodeImageIO(garbage).isEmpty) // magic + junk body
+    assert(MediaCodecs.decodeImageIO("not an image".getBytes).isEmpty)
+    assert(MediaCodecs.decodeImageIO(null).isEmpty)
+    assert(MediaCodecs.imageIoFormat(wavPcm16(8000, 1, Array[Short](0))).isEmpty)
+  }
+
   test("decodeMedia: magic dispatch wav/ppm/stub, null payloads kept, resizeMedia real+stub") {
     val wav = wavPcm16(16000, 1, Array.tabulate[Short](160)(i =>
       (math.sin(i * 0.1) * 16384).toShort))
     val img = ppm(8, 4, (x, y) => (x * 30, y * 60, 128))
+    val png = MediaCodecs.encodePng(Array.tabulate[Byte](16)(i => (i * 16).toByte), 4, 4, 1)
     val media = Seq(
-      (1L, wav), (2L, img), (3L, "not-a-real-format-payload".getBytes), (4L, null))
+      (1L, wav), (2L, img), (3L, "not-a-real-format-payload".getBytes), (4L, null),
+      (5L, png))
       .toDF("media_id", "data")
     val rows = Multimodal.decodeMedia(media).collect()
       .map(r => r.getAs[Long]("media_id") -> r).toMap
-    assert(rows.size == 4) // counts reconcile: null payload did not vanish
+    assert(rows.size == 5) // counts reconcile: null payload did not vanish
     assert(rows(1L).getAs[String]("format") == "wav")
     assert(rows(1L).getAs[Int]("sample_rate") == 16000 &&
       rows(1L).getAs[Long]("n_frames") == 160)
@@ -116,6 +153,9 @@ class MediaCodecsSpec extends AnyFunSuite {
       rows(3L).getAs[scala.collection.Seq[Float]]("stub_feature") != null)
     assert(rows(4L).getAs[String]("format") == "null-payload" &&
       rows(4L).getAs[scala.collection.Seq[Float]]("stub_feature") == null)
+    assert(rows(5L).getAs[String]("format") == "png" &&
+      rows(5L).getAs[Int]("width") == 4 && rows(5L).getAs[Int]("height") == 4 &&
+      rows(5L).getAs[Int]("channels") == 1)
 
     val resized = Multimodal.resizeMedia(media, 2, 2, stubTargetBytes = 10)
       .select("media_id", "data").as[(Long, Array[Byte])].collect().toMap

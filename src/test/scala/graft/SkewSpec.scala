@@ -23,10 +23,34 @@ class SkewSpec extends AnyFunSuite {
     val p = plain.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(s == p)
     assert(s(1L).length == 1000)
-    // stage 1 really split the hot key: distinct salts > 1
-    val stage1 = skewed.withColumn("_salt", pmod(xxhash64($"v"), lit(8L)))
+    // stage 1 really split the hot key: distinct salts > 1 (the salt
+    // the operator actually uses — hash of ALL columns)
+    val stage1 = skewed.withColumn("_salt", pmod(xxhash64($"k", $"v"), lit(8L)))
       .filter($"k" === 1).select("_salt").distinct().count()
     assert(stage1 > 1)
+  }
+
+  test("saltedCollectList spreads a hot key whose VALUES are all identical") {
+    // the "same payload spammed" skew (VERDICT r6): value column is
+    // constant for the hot key, but a per-row event id varies — the
+    // all-columns salt must still spread stage 1
+    val spam = spark.range(0, 1000)
+      .select(lit(1L).as("k"), lit(42L).as("v"), $"id".as("event_id"))
+    val salted = Skew.saltedCollectList(spam, "k", "v", nSalts = 8)
+    val values = salted.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(values(1L).length == 1000 && values(1L).forall(_ == 42L))
+    val stage1 = spam
+      .withColumn("_salt", pmod(xxhash64($"k", $"v", $"event_id"), lit(8L)))
+      .select("_salt").distinct().count()
+    assert(stage1 > 1, "identical values must still spread via the row's other columns")
+    // FULLY identical rows: content-addressing cannot split them, a
+    // caller-supplied disambiguator restores the spread and the result
+    // is still the full multiset
+    val clones = spark.range(0, 1000).select(lit(1L).as("k"), lit(42L).as("v"))
+    val withDis = Skew.saltedCollectList(clones, "k", "v", nSalts = 8,
+      disambiguatorCol = Some(monotonically_increasing_id()))
+    val got = withDis.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).length == 1000 && got(1L).forall(_ == 42L))
   }
 
   test("saltedJoin (inner and left) equals the plain join exactly") {
