@@ -28,6 +28,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // In-band machine canary (VERDICT r6 #1): single-thread kernel p50
+    // over a deterministic block, measured at bench START and END. The
+    // kernel is functionally frozen, so this number moves only with
+    // the machine — environmental drift (the r5→r6 ~3× sandbox swing
+    // on unchanged code) is distinguishable from regression inside the
+    // artifact, and a mid-run load spike shows as start/end skew.
+    val canaryStart = graft.tools.MachineCanary.measure()._1
+    // 8-thread variant: core/bandwidth contention the single-thread
+    // number can't see (≈ equal when the box is idle)
+    val canaryParStart = graft.tools.MachineCanary.measureParallel()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.ListBuffer.empty[String]
 
@@ -39,11 +50,17 @@ object Bench {
       }
 
     names.foreach(runOnce) // warmup
+    // best-of-2 per query: a single timed pass let one scheduler
+    // hiccup misprice a query by 2× (r7 observed dedup_pairs 5.0 s in
+    // the suite vs 1.97 s best-of-3 probed minutes apart)
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      val ok = runOnce(name)
-      if (!ok) failed += name
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (0 until 2).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = runOnce(name)
+        if (!ok) failed += name
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> secs.min
     }
     // The query suite leaks RDD caches by design: dedup/LSH persist
     // intermediates that auto-unpersist only when the ContextCleaner
@@ -405,7 +422,7 @@ object Bench {
     // blocks, and the recall curves live in the full JSON only — the
     // 46-query map outgrew the ~2 KB driver tail with them inline.
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -430,7 +447,15 @@ object Bench {
     // and the driver-resident ADC p50 (the whole 10M-row index serves
     // from ~160 MB resident).
     val pq10mCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-    val pq10m: Option[(Long, Double, Double, Double, Double, Double)] =
+    // base = the historical (nProbe=8, rf=32) point, kept for
+    // round-over-round comparison; chosen = the cheapest ladder point
+    // meeting the recall ≥ 0.9 bar (VERDICT r6 #6), whose QPS/p50 are
+    // the headline serving numbers.
+    case class Pq10m(total: Long, buildSec: Double,
+        baseQps: Double, baseRec: Double, baseRegret: Double,
+        probes: Int, rf: Int, qps: Double, rec: Double, regret: Double,
+        p50: Double)
+    val pq10m: Option[Pq10m] =
       try {
         import org.apache.spark.sql.functions._
         val target = 10000000L
@@ -487,40 +512,60 @@ object Bench {
             gen, queries, k = 10, vectorCol = "embedding", idCol = "vec_id")
           .groupBy("qid").agg(min("score").as("kth"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-        // refined protocol (rescore k × 32 ADC candidates exactly):
+        // refined protocol (rescore k × rf ADC candidates exactly):
         // STRICT score-recall@10 plus the serving metric — mean score
         // REGRET of the served kth result vs the exact kth (how much
         // worse the 10th answer actually is; strict recall alone reads
         // as failure in near-tie regimes where served results score
         // within 1e-3 of optimal)
-        val refined = idx.searchRefined(gen, "embedding", "vec_id",
-            qSeq, k = 10, nProbe = 8, refineFactor = 32)
-          .collect().map(r => (r.getLong(0), r.getDouble(2)))
-        // double rescore vs float-kernel kth (see FloatScoreTolerance)
-        val rec = refined.count { case (q, s) =>
-          s >= exactKth10m(q) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
-          (queries.size * 10)
-        val refinedKth = refined.groupBy(_._1).map { case (q, ss) =>
-          q -> ss.map(_._2).min }
-        val regret = queries.map { case (q, _) =>
-          math.max(0.0, exactKth10m(q) - refinedKth.getOrElse(q, -1.0)) }
-          .sum / queries.size
+        def refinedAt(nProbe: Int, rf: Int): (Double, Double) = {
+          val refined = idx.searchRefined(gen, "embedding", "vec_id",
+              qSeq, k = 10, nProbe = nProbe, refineFactor = rf)
+            .collect().map(r => (r.getLong(0), r.getDouble(2)))
+          // double rescore vs float-kernel kth (see FloatScoreTolerance)
+          val rec = refined.count { case (q, s) =>
+            s >= exactKth10m(q) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
+            (queries.size * 10)
+          val refinedKth = refined.groupBy(_._1).map { case (q, ss) =>
+            q -> ss.map(_._2).min }
+          val regret = queries.map { case (q, _) =>
+            math.max(0.0, exactKth10m(q) - refinedKth.getOrElse(q, -1.0)) }
+            .sum / queries.size
+          (rec, regret)
+        }
+        val (baseRec, baseRegret) = refinedAt(8, 32)
+        // recall ladder (VERDICT r6 #6): escalate probes/refine until
+        // the largest probed scale meets the same ≥0.9 bar the smaller
+        // scales do, and publish what the escalation costs in QPS
+        var probes = 8; var rf = 32
+        var rec = baseRec; var regret = baseRegret
+        var qpsAt = adcQps
+        val ladder = Iterator((16, 32), (16, 64), (32, 64))
+        while (rec < 0.9 && ladder.hasNext) {
+          val (np, nrf) = ladder.next()
+          probes = np; rf = nrf
+          val rr = refinedAt(np, nrf)
+          rec = rr._1; regret = rr._2
+          qpsAt = queries.size / timedRuns(2)(
+            idx.search(qSeq, k = 10, nProbe = np).count(): Unit).min
+        }
         val p50 = graft.search.ServingSession.fromIvfPq(idx).map { s =>
           var i = 0
           p50Ms(101) {
-            s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = 8)
+            s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = probes)
             i += 1
           }
         }.getOrElse(-1.0)
-        Some((total, adcQps, rec, regret, p50, buildSec))
+        Some(Pq10m(total, buildSec, adcQps, baseRec, baseRegret,
+          probes, rf, qpsAt, rec, regret, p50))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq 10m probe failed: ${e.getMessage}"); None
       } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def pq10mJson: String = pq10m.map { case (n, q, r, rg, p, b) =>
-      s"""{"n_vectors":$n,"pq_adc_qps":${fmt(q, 0)},"pq_refined_score_recall_at_10":${fmt(r, 3)},"pq_kth_score_regret":${fmt(rg, 4)},"pq_serving_p50_ms":${fmt(p, 2)},"build_sec":${fmt(b, 1)},"pq_bytes_per_vector":8,"refine_factor":32}"""
+    def pq10mJson: String = pq10m.map { p =>
+      s"""{"n_vectors":${p.total},"pq_adc_qps":${fmt(p.qps, 0)},"pq_refined_score_recall_at_10":${fmt(p.rec, 3)},"pq_kth_score_regret":${fmt(p.regret, 4)},"pq_serving_p50_ms":${fmt(p.p50, 2)},"build_sec":${fmt(p.buildSec, 1)},"pq_bytes_per_vector":8,"refine_factor":${p.rf},"n_probe":${p.probes},"base":{"n_probe":8,"refine_factor":32,"pq_adc_qps":${fmt(p.baseQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.baseRec, 3)},"pq_kth_score_regret":${fmt(p.baseRegret, 4)}}}"""
     }.getOrElse("null")
-    def pq10mCompact: String = pq10m.map { case (n, q, r, rg, p, _) =>
-      s"""{"pq_qps":${fmt(q, 0)},"pq_recall":${fmt(r, 3)},"pq_regret":${fmt(rg, 4)},"pq_p50_ms":${fmt(p, 2)}}"""
+    def pq10mCompact: String = pq10m.map { p =>
+      s"""{"pq_qps":${fmt(p.qps, 0)},"pq_recall":${fmt(p.rec, 3)},"pq_regret":${fmt(p.regret, 4)},"pq_p50_ms":${fmt(p.p50, 2)},"probes":${p.probes},"rf":${p.rf}}"""
     }.getOrElse("null")
 
     // CORPUS-OPS scale probe: tile documents to 500k rows (100× sf0.1)
@@ -616,6 +661,46 @@ object Bench {
       s"""{"n":$n,"asof_s":${fmt(ao, 1)},"range_s":${fmt(ra, 1)}}"""
     }.getOrElse("null")
 
+    // Stored banded-index economics, split (VERDICT r6 #7): the
+    // dedup_incremental_stored QUERY entry now measures steady state
+    // (the index is built once per JVM); this block times the two
+    // halves separately — build/save (the one-time daily-index cost)
+    // vs load + incremental pair query (the per-batch operational
+    // cost).
+    val dedupStored: Option[(Double, Double)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        val old = docs.filter(col("doc_id") < 400)
+        val newBatch = docs.filter(col("doc_id") >= 400)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val dir = java.nio.file.Files.createTempDirectory("graft_banded_bench").toString
+        try {
+          graft.ann.IndexStore.saveBanded(old, "text", "doc_id", dir,
+            numHashes = 64, bands = 16) // warm (plan/codegen)
+          val buildSec = bestSec(2)(graft.ann.IndexStore.saveBanded(
+            old, "text", "doc_id", dir, numHashes = 64, bands = 16))
+          val querySec = bestSec(3) {
+            val index = graft.ann.IndexStore.loadBanded(spark, dir)
+            graft.dedup.Dedup.minhashLshPairsBetween(newBatch, old, "text",
+              "doc_id", tau = 0.9, index, maxBucket = 1000).count(): Unit
+          }
+          Some((buildSec, querySec))
+        } finally {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(new java.io.File(dir))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] dedup_stored split failed: ${e.getMessage}"); None
+      }
+    def dedupStoredJson: String = dedupStored.map { case (b, q) =>
+      s"""{"build_sec":${fmt(b, 2)},"query_sec":${fmt(q, 2)}}"""
+    }.getOrElse("null")
+
     // END-TO-END product surface: REST /api/search p50 over a real
     // engine collection at the baseline's 100k scale — HTTP + query
     // embedding + the resident serving snapshot, the full path a user
@@ -666,10 +751,31 @@ object Bench {
       s"""{"rest_search_p50_ms":${fmt(p, dec)},"insert_100k_sec":${fmt(ins, dec)},"serving_build_100k_sec":${fmt(snap, dec)}}"""
     }.getOrElse("null")
 
+    // end-of-run canary: a mid-run load spike shows as start/end skew
+    val canaryEnd = graft.tools.MachineCanary.measure()._1
+    val canaryParEnd = graft.tools.MachineCanary.measureParallel()
+
+    // Like-for-like framing vs BASELINE.md: the reference's p50/QPS
+    // rows are measured over a PREBUILT in-RAM HNSW — an APPROXIMATE
+    // method. The exact-scan p50 does strictly more work (100% of
+    // rows; DRAM-bandwidth-bound at 100k where the working set leaves
+    // cache), so the approximate serving rows (IVF / refined PQ, with
+    // recall published alongside) are the honest latency comparison;
+    // exact rows stay published as the brute-force upper bound, and
+    // the canary normalizes machine drift across rounds.
+    def baselineJson: String = {
+      def row(p: Option[Probe], refP50: Double, refQps: Double) = p.map { pr =>
+        s"""{"reference_hnsw_p50_ms":$refP50,"reference_hnsw_qps":${fmt(refQps, 0)},"exact_p50_ms":${fmt(pr.servingP50, 2)},"ann_ivf_p50_ms":${fmt(pr.ivfServingP50, 2)},"ann_ivf_recall":${fmt(pr.ivfRecall, 3)},"pq_p50_ms":${fmt(pr.pqServingP50, 2)},"serving_fleet_qps":${fmt(pr.servingFleetQps, 0)}}"""
+      }.getOrElse("null")
+      s"""{"note":"reference p50/QPS rows are HNSW (approximate, prebuilt in-RAM); the ann rows are the like-for-like comparison, exact rows the brute-force upper bound","at_10k":${row(qps10k, 0.3, 3300)},"at_100k":${row(qps100k, 0.5, 2000)}}"""
+    }
+    def canaryJson: String =
+      s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6/r7 sandbox, ~0.1 ms implied for the r5-class machine; parallel8 ≈ single-thread when the box is idle, rises under core/bandwidth contention"}"""
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -677,14 +783,17 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     // Stdout gets ONLY a compact line: the driver records a ~2 KB tail of
-    // console output and parses the JSON from it — BENCH_r03/r04 both came
-    // back `parsed:null` because the full line (ann_curves + run lists)
-    // outgrew the window. Keep this line comfortably under the tail size;
-    // everything dropped here is in bench_latest.json.
-    val qsCompact = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
+    // console output and parses the JSON from it — BENCH_r03/r04 AND r06
+    // all came back `parsed:null` because the line outgrew the window
+    // (r6: the 64-entry per-query map alone is ~1.6 KB). The compact
+    // line therefore carries only the headline blocks plus the 8
+    // slowest queries; the full per-query map and curves are in
+    // bench_latest.json (committed every round).
+    val slowest = results.sortBy(-_._2).take(6)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qsCompact,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
-    if (compact.length > 1900)
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)
     System.out.flush()

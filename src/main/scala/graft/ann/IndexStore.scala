@@ -193,6 +193,36 @@ object IndexStore {
     try out.write(meta.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Append a NEW batch's bands to a stored banded index — the
+    * maintenance half of the daily-ingest loop: after
+    * `minhashLshPairsBetween(newBatch, …, index)` reports the batch's
+    * dups against history, the batch itself becomes history. The
+    * batch is shingled with the STORED hash family (read from the
+    * artifact — a caller-supplied family could silently diverge from
+    * the table), so tomorrow's queries see today's rows with bucket
+    * semantics identical to a full rebuild. Cost: one narrow pass
+    * over the batch + a parquet append — history is never re-read.
+    *
+    * `skipExistingIds` (default on, same stance as [[appendBatch]])
+    * makes retried/replayed batches idempotent via a LEFT ANTI join on
+    * the stored band rows' ids (column-pruned id scan). */
+  def appendBanded(batch: DataFrame, textCol: String, idCol: String, path: String,
+      skipExistingIds: Boolean = true): Unit = {
+    val spark = batch.sparkSession
+    val idx = loadBanded(spark, path) // also validates the meta artifact
+    val deduped =
+      if (skipExistingIds) {
+        val existing = idx.banded
+          .select(org.apache.spark.sql.functions.col("id").as("_existing_id")).distinct()
+        batch.join(existing,
+          org.apache.spark.sql.functions.col(idCol).cast("long") ===
+            org.apache.spark.sql.functions.col("_existing_id"), "left_anti")
+      } else batch
+    graft.dedup.Dedup.bandedTable(deduped, textCol, idCol,
+        idx.numHashes, idx.bands, idx.seed)
+      .write.mode("append").parquet(s"$path/banded")
+  }
+
   def loadBanded(spark: SparkSession, path: String): graft.dedup.Dedup.BandedIndex = {
     val hPath = new org.apache.hadoop.fs.Path(s"$path/meta.json")
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -79,6 +79,43 @@ class DedupSpec extends AnyFunSuite {
       Dedup.BandedIndex(idx.banded, numHashes = 64, bands = 15, seed = 42))
   }
 
+  test("appendBanded: two installments == single-shot index; replay is a no-op; negative seed round-trips") {
+    import org.apache.spark.sql.functions.col
+    val old1 = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val old2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select("doc_id", "text")
+    val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
+    val newBatch = docs.filter(col("doc_id") >= 400).select("doc_id", "text")
+      .unionByName(docs.filter(col("doc_id") < 30)
+        .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_app_spec").toString
+    // negative seed: the meta artifact must round-trip it (ADVICE r6)
+    graft.ann.IndexStore.saveBanded(old1, "text", "doc_id", dir,
+      numHashes = 64, bands = 16, seed = -7)
+    graft.ann.IndexStore.appendBanded(old2, "text", "doc_id", dir)
+    val afterAppend = graft.ann.IndexStore.loadBanded(spark, dir)
+    assert(afterAppend.seed == -7, "negative seed must survive save/load")
+    val rowsOnce = afterAppend.banded.count()
+    // replayed append must add nothing (left-anti idempotency guard)
+    graft.ann.IndexStore.appendBanded(old2, "text", "doc_id", dir)
+    val replayed = graft.ann.IndexStore.loadBanded(spark, dir)
+    assert(replayed.banded.count() == rowsOnce, "replayed append must be a no-op")
+    // appended index answers exactly like a single-shot index on < 400
+    val single = {
+      val d2 = java.nio.file.Files.createTempDirectory("graft_banded_single").toString
+      graft.ann.IndexStore.saveBanded(old, "text", "doc_id", d2,
+        numHashes = 64, bands = 16, seed = -7)
+      graft.ann.IndexStore.loadBanded(spark, d2)
+    }
+    def pairs(idx2: Dedup.BandedIndex) =
+      Dedup.minhashLshPairsBetween(newBatch, old, "text", "doc_id",
+          tau = 0.9, idx2, maxBucket = 1000)
+        .select("id_new", "id_old", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val got = pairs(replayed)
+    assert(got.nonEmpty, "planted copies must pair")
+    assert(got == pairs(single), "appended installments must equal the single-shot index")
+  }
+
   test("incremental exact dedup: bloom-pruned hits verified, non-dups and fp survive nothing") {
     import org.apache.spark.sql.functions.col
     val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
