@@ -544,6 +544,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: sequence PACKING — documents concatenated in id
+    // order and split into fixed 128-token training sequences (spans
+    // may cross document boundaries; zero tokens wasted — the GPT
+    // pretraining batch layout). The operator's bucketed two-level
+    // prefix-sum (per-bucket windows + driver bucket-offset cumsum —
+    // never a single-task global window) must equal the oracle's
+    // straight global cumsum; bucketSize=100 forces many buckets at
+    // every SF so the offset join really exercises.
+    "pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", wsTokenCount($"text").as("n_tokens"))
+      graft.pipeline.CorpusOps.packSequences(docs, "doc_id", "n_tokens",
+          seqLen = 128, bucketSize = 100)
+        .orderBy($"id", $"seq_id")
+    }),
+
     // LLM-pipeline: corpus length quantiles — the distribution stats a
     // quality-filtering pass thresholds on. Exact interpolated
     // percentiles (one partial-agg pass at scale); both engines use
@@ -1686,6 +1704,28 @@ object SparkEntry {
           |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_tokens,
           |  CAST(ceil(len(text)/4.0) AS BIGINT) AS est_tokens
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // straight global cumsum + lateral range-unnest grades the
+      // bucketed distributed prefix-sum bit-for-bit
+      "pack_sequences" ->
+        """WITH d AS (
+          |  SELECT id, n FROM (
+          |    SELECT doc_id AS id,
+          |      CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n
+          |    FROM documents)
+          |  WHERE n > 0),
+          |c AS (
+          |  SELECT id, n,
+          |    CAST(sum(n) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+          |                      AND CURRENT ROW) - n AS BIGINT) AS start
+          |  FROM d)
+          |SELECT id, t.seq_id,
+          |  GREATEST(start, t.seq_id * 128) - start AS doc_offset,
+          |  GREATEST(start, t.seq_id * 128) - t.seq_id * 128 AS seq_offset,
+          |  LEAST(start + n, (t.seq_id + 1) * 128)
+          |    - GREATEST(start, t.seq_id * 128) AS span_len
+          |FROM c, UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS t(seq_id)
+          |ORDER BY id, t.seq_id""".stripMargin,
 
       "text_quantiles" ->
         """WITH toks AS (

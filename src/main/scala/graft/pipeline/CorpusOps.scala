@@ -272,4 +272,68 @@ object CorpusOps {
         count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
       .select($"id", $"clean_text", $"n_kept", $"n_dropped")
   }
+
+  // ─── Sequence packing (pretraining batches) ───
+
+  /** GPT-style sequence packing: documents are concatenated in `idCol`
+    * order and split into fixed `seqLen`-token training sequences —
+    * documents may span sequence boundaries, so zero tokens are wasted
+    * (the standard pretraining batch layout). Output: one row per
+    * (document, sequence) SPAN —
+    * `(id, seq_id, doc_offset, seq_offset, span_len)` — from which a
+    * writer materializes each sequence by concatenating its spans in
+    * `seq_offset` order. Zero-token docs contribute nothing and emit
+    * no row.
+    *
+    * THE SCALE SHAPE: the global token prefix-sum is NOT one
+    * `Window.orderBy` over the corpus — an unpartitioned window is a
+    * single-task sort (the classic 100 TB killer this module avoids
+    * everywhere). Instead: docs bucket by `id DIV bucketSize` (bucket
+    * is monotone in id, so bucket order IS global order); each
+    * bucket's internal prefix-sum runs as a PARTITIONED window (fully
+    * parallel); the per-bucket totals — one tiny row per bucket —
+    * cumsum on the driver and broadcast-join back as bucket offsets.
+    * Two narrow shuffles over slim columns, no single-task stage, and
+    * the span explode is a per-row `sequence()` — a doc of `n` tokens
+    * emits `≤ n/seqLen + 1` rows, so output size is corpus-bounded.
+    *
+    * Deterministic: same corpus, same ids, same packing, any
+    * partitioning. */
+  def packSequences(df: DataFrame, idCol: String, tokensCol: String,
+                    seqLen: Int, bucketSize: Long = 1L << 20): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(bucketSize > 0, "bucketSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val docs = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"))
+      .filter($"n_tokens" > 0)
+      .withColumn("bucket", expr(s"id DIV $bucketSize"))
+    // per-bucket totals → driver cumsum (one row per bucket: bounded
+    // by corpus-size / bucketSize, i.e. ~100k rows for 10^11 docs)
+    val bucketTotals = docs.groupBy($"bucket")
+      .agg(sum($"n_tokens").as("bucket_tokens"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = bucketTotals.map { case (b, n) =>
+      val o = (b, acc); acc += n; o
+    }
+    val offsetDf = broadcast(offsets.toSeq.toDF("bucket", "bucket_offset"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"bucket").orderBy($"id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("local_end", sum($"n_tokens").over(w))
+      .join(offsetDf, Seq("bucket"))
+      .withColumn("start", $"bucket_offset" + $"local_end" - $"n_tokens")
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start DIV $seqLen"), expr(s"(start + n_tokens - 1) DIV $seqLen"))))
+      .withColumn("span_start", greatest($"start", $"seq_id" * seqLen))
+      .withColumn("span_end", least($"start" + $"n_tokens", ($"seq_id" + 1) * seqLen))
+      .select($"id", $"seq_id",
+        ($"span_start" - $"start").as("doc_offset"),
+        ($"span_start" - $"seq_id" * seqLen).as("seq_offset"),
+        ($"span_end" - $"span_start").as("span_len"))
+  }
 }

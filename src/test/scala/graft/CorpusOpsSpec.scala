@@ -167,4 +167,37 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == Seq(("a b c", 3L, 0.75), ("b c d", 2L, 0.5)))
   }
+
+  test("packSequences: bucketed prefix-sum == brute-force global packing; sequences fill exactly") {
+    // unsorted input, a zero-token doc (must vanish), bucketSize 3 so
+    // several buckets exercise the driver offset cumsum
+    val docs = Seq((10L, 7L), (3L, 15L), (25L, 1L), (11L, 0L), (7L, 23L),
+      (40L, 9L), (41L, 30L)).toDF("doc_id", "n_tokens")
+    val got = CorpusOps.packSequences(docs, "doc_id", "n_tokens",
+        seqLen = 10, bucketSize = 3)
+      .orderBy("id", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // brute force: concatenate in id order, split every 10 tokens
+    val sorted = Seq((3L, 15L), (7L, 23L), (10L, 7L), (25L, 1L), (40L, 9L), (41L, 30L))
+    var start = 0L
+    val exp = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    sorted.foreach { case (id, n) =>
+      var s = start
+      while (s < start + n) {
+        val seq = s / 10
+        val end = math.min(start + n, (seq + 1) * 10)
+        exp += ((id, seq, s - start, s - seq * 10, end - s))
+        s = end
+      }
+      start += n
+    }
+    assert(got == exp.toSeq)
+    // invariants: every sequence except the last holds exactly seqLen
+    // tokens; nothing is lost or duplicated
+    val perSeq = got.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+    val last = perSeq.keys.max
+    assert(perSeq.filter(_._1 != last).values.forall(_ == 10L))
+    assert(perSeq.values.sum == sorted.map(_._2).sum)
+  }
 }
