@@ -576,10 +576,10 @@ object Bench {
     // the would-it-survive-100× evidence for the corpus-prep operators.
     val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
-    // surprisal) — the scrub/LM probes aggregate over their computed
-    // columns so column pruning cannot optimize the work away under a
-    // bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double)] =
+    // surprisal, sequence-packing) — the scrub/LM probes aggregate over
+    // their computed columns so column pruning cannot optimize the work
+    // away under a bare count()
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -606,15 +606,25 @@ object Bench {
         val surprisalSec = bestSec(2)(graft.textanalysis.TextAnalysis.unigramSurprisal(
             tiled, "text", "doc_id")
           .agg(sum(col("surprisal"))).collect(): Unit)
-        Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec, surprisalSec))
+        // sequence packing at 500k docs: the bucketed prefix-sum +
+        // span explode must hold at 100× (agg over spans defeats
+        // pruning; default 1M bucketSize → ~1 bucket per 2 input
+        // partitions at this scale)
+        val packSec = bestSec(2)(graft.pipeline.CorpusOps.packSequences(
+            tiled.select(col("doc_id"),
+              size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+            "doc_id", "n_tokens", seqLen = 2048, bucketSize = 100000)
+          .agg(sum(col("span_len")), max(col("seq_id"))).collect(): Unit)
+        Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
+          surprisalSec, packSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new

@@ -199,5 +199,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     val last = perSeq.keys.max
     assert(perSeq.filter(_._1 != last).values.forall(_ == 10L))
     assert(perSeq.values.sum == sorted.map(_._2).sum)
+    // scale shape pinned: the prefix-sum window is PARTITIONED (by
+    // bucket) — the whole plan carries at most 2 exchanges and no
+    // single-task global-sort window
+    val big = spark.range(0, 5000)
+      .select($"id".as("doc_id"), ($"id" % 37 + 1).as("n_tokens"))
+    val planned = CorpusOps.packSequences(big, "doc_id", "n_tokens",
+      seqLen = 64, bucketSize = 100)
+    planned.count()
+    assert(graft.pipeline.BucketedStore.countShuffles(planned) <= 2,
+      "packSequences must not add exchanges beyond the bucketed window")
   }
 }
