@@ -101,6 +101,34 @@ class AdaptersSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("KeepAliveHttp: chunked/empty-body responses parse instead of throwing (ADVICE r6)") {
+    // JDK HttpServer switches to chunked transfer encoding when a
+    // handler answers sendResponseHeaders(status, 0) — the client must
+    // surface the (empty) body and keep the connection usable
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/empty", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, 0) // chunked, zero-length body
+      ex.getResponseBody.close()
+    })
+    srv.createContext("/chunky", (ex: com.sun.net.httpserver.HttpExchange) => {
+      ex.getRequestBody.readAllBytes()
+      ex.sendResponseHeaders(200, 0) // chunked, with payload
+      val out = ex.getResponseBody
+      out.write("hello ".getBytes("UTF-8")); out.flush()
+      out.write("chunks".getBytes("UTF-8"))
+      out.close()
+    })
+    srv.start()
+    val ka = new graft.tools.KeepAliveHttp("127.0.0.1", srv.getAddress.getPort)
+    try {
+      assert(ka.post("/empty", "{}") == "")
+      assert(ka.post("/chunky", "{}") == "hello chunks")
+      assert(ka.post("/empty", "{}") == "", "connection must survive chunked exchanges")
+    } finally { ka.close(); srv.stop(0) }
+  }
+
   test("AiTools: 6 well-formed JSON-Schema definitions + end-to-end executes (test.js:613-648)") {
     import graft.integrations.AiTools
     val f = facade()
