@@ -34,10 +34,34 @@ object Bench {
     // the machine — environmental drift (the r5→r6 ~3× sandbox swing
     // on unchanged code) is distinguishable from regression inside the
     // artifact, and a mid-run load spike shows as start/end skew.
-    val canaryStart = graft.tools.MachineCanary.measure()._1
-    // 8-thread variant: core/bandwidth contention the single-thread
-    // number can't see (≈ equal when the box is idle)
-    val canaryParStart = graft.tools.MachineCanary.measureParallel()
+    // Contention GATE (VERDICT r7 #1): par8/single > ~1.5 means another
+    // tenant holds cores/bandwidth and every number below would be
+    // non-evidentiary (BENCH_r07's corpus probes came back 5-7× off the
+    // committed same-code run under par8 ≈ 3× single). Don't just print
+    // the canary — wait for the box to go idle (bounded retries), and if
+    // it never does, stamp `"contended":true` into BOTH artifact forms
+    // so no reader can mistake a contaminated run for a regression.
+    val ContendedRatio = 1.5
+    def gatedCanary(retries: Int, waitMs: Long): (Double, Double, Boolean) = {
+      var s = graft.tools.MachineCanary.measure()._1
+      // 8-thread variant: core/bandwidth contention the single-thread
+      // number can't see (≈ equal when the box is idle)
+      var p = graft.tools.MachineCanary.measureParallel()
+      var tries = 0
+      while (p / s > ContendedRatio && tries < retries) {
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] canary contended (par8 %.3f ms vs single %.3f ms) — waiting %ds (retry %d/%d)",
+          Double.box(p), Double.box(s), Long.box(waitMs / 1000),
+          Int.box(tries + 1), Int.box(retries)))
+        Thread.sleep(waitMs)
+        s = graft.tools.MachineCanary.measure()._1
+        p = graft.tools.MachineCanary.measureParallel()
+        tries += 1
+      }
+      (s, p, p / s > ContendedRatio)
+    }
+    val (canaryStart, canaryParStart, contendedStart) =
+      gatedCanary(retries = 4, waitMs = 30000)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -249,7 +273,7 @@ object Bench {
         ivfScanRuns: Array[Double] = Array.empty,
         servingP50: Double, jobP50: Double,
         pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0,
-        pqServingP50: Double = -1.0) {
+        pqServingP50: Double = -1.0, servingFleetPath: String = "resident") {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -296,10 +320,18 @@ object Bench {
             i += 1
           }
         }.getOrElse(-1.0)
-        val servingFleetQps = serving.map { s =>
-          s.search(queries.take(4), k = 10) // warm the fleet path
-          queries.size / timedRuns(3)(s.search(queries, k = 10): Unit).min
+        // ROUTED fleet (VERDICT r7 #4): the handle itself dispatches —
+        // resident below ServingSession.FleetCrossoverRows, distributed
+        // past it — so serving_fleet_qps can no longer report a row
+        // where holding the resident snapshot loses to the cluster path
+        // the caller also had. serving_fleet_path records the dispatch.
+        val routedSession = graft.search.ServingSession.routedWith(idx, serving)
+        val servingFleetQps = serving.map { _ =>
+          routedSession.search(queries.take(4), k = 10) // warm the fleet path
+          queries.size / timedRuns(3)(routedSession.search(queries, k = 10): Unit).min
         }.getOrElse(-1.0)
+        val servingFleetPath =
+          if (serving.isEmpty) "none" else routedSession.lastPath
         // single-query p50, JOB path (what falling back to the cluster
         // costs — per-job scheduling floor, documented)
         var ji = 0
@@ -402,7 +434,8 @@ object Bench {
         tiled.unpersist()
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
-          ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50))
+          ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50,
+          servingFleetPath))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -411,7 +444,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -451,10 +484,12 @@ object Bench {
     // round-over-round comparison; chosen = the cheapest ladder point
     // meeting the recall ≥ 0.9 bar (VERDICT r6 #6), whose QPS/p50 are
     // the headline serving numbers.
+    case class PqFrontierPt(probes: Int, rf: Int, adcQps: Double,
+        refQps: Double, rec: Double, regret: Double)
     case class Pq10m(total: Long, buildSec: Double,
         baseQps: Double, baseRec: Double, baseRegret: Double,
-        probes: Int, rf: Int, qps: Double, rec: Double, regret: Double,
-        p50: Double)
+        probes: Int, rf: Int, qps: Double, refQps: Double, rec: Double,
+        regret: Double, p50: Double, frontier: Seq[PqFrontierPt])
     val pq10m: Option[Pq10m] =
       try {
         import org.apache.spark.sql.functions._
@@ -533,39 +568,50 @@ object Bench {
             .sum / queries.size
           (rec, regret)
         }
-        val (baseRec, baseRegret) = refinedAt(8, 32)
-        // recall ladder (VERDICT r6 #6): escalate probes/refine until
-        // the largest probed scale meets the same ≥0.9 bar the smaller
-        // scales do, and publish what the escalation costs in QPS
-        var probes = 8; var rf = 32
-        var rec = baseRec; var regret = baseRegret
-        var qpsAt = adcQps
-        val ladder = Iterator((16, 32), (16, 64), (32, 64))
-        while (rec < 0.9 && ladder.hasNext) {
-          val (np, nrf) = ladder.next()
-          probes = np; rf = nrf
-          val rr = refinedAt(np, nrf)
-          rec = rr._1; regret = rr._2
-          qpsAt = queries.size / timedRuns(2)(
-            idx.search(qSeq, k = 10, nProbe = np).count(): Unit).min
-        }
+        // recall-vs-QPS FRONTIER (VERDICT r7 #6, supersedes the r6
+        // escalate-until-0.9 ladder): a probes × refine grid, each
+        // point carrying refined recall/regret AND both QPS forms —
+        // raw ADC fleet, and REFINED (= ADC + exact rescore of k·rf
+        // candidates: the cost a caller actually pays for the recall).
+        // The default operating point follows the stated rule: max
+        // refined QPS subject to refined score-recall@10 ≥ 0.95; max
+        // recall as the fallback when no point meets the bar.
+        val adcAt = scala.collection.mutable.Map(8 -> adcQps)
+        def adcQpsAt(np: Int): Double = adcAt.getOrElseUpdate(np,
+          queries.size / timedRuns(2)(
+            idx.search(qSeq, k = 10, nProbe = np).count(): Unit).min)
+        val frontier = Seq((8, 32), (8, 64), (16, 32), (16, 64), (32, 64))
+          .map { case (np, nrf) =>
+            val (rec, regret) = refinedAt(np, nrf)
+            val refQps = queries.size / timedRuns(2)(
+              idx.searchRefined(gen, "embedding", "vec_id", qSeq, k = 10,
+                nProbe = np, refineFactor = nrf).count(): Unit).min
+            PqFrontierPt(np, nrf, adcQpsAt(np), refQps, rec, regret)
+          }
+        val (baseRec, baseRegret) = (frontier.head.rec, frontier.head.regret)
+        val meeting = frontier.filter(_.rec >= 0.95)
+        val chosen = if (meeting.nonEmpty) meeting.maxBy(_.refQps)
+                     else frontier.maxBy(_.rec)
         val p50 = graft.search.ServingSession.fromIvfPq(idx).map { s =>
           var i = 0
           p50Ms(101) {
-            s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = probes)
+            s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = chosen.probes)
             i += 1
           }
         }.getOrElse(-1.0)
         Some(Pq10m(total, buildSec, adcQps, baseRec, baseRegret,
-          probes, rf, qpsAt, rec, regret, p50))
+          chosen.probes, chosen.rf, chosen.adcQps, chosen.refQps,
+          chosen.rec, chosen.regret, p50, frontier))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq 10m probe failed: ${e.getMessage}"); None
       } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () })
     def pq10mJson: String = pq10m.map { p =>
-      s"""{"n_vectors":${p.total},"pq_adc_qps":${fmt(p.qps, 0)},"pq_refined_score_recall_at_10":${fmt(p.rec, 3)},"pq_kth_score_regret":${fmt(p.regret, 4)},"pq_serving_p50_ms":${fmt(p.p50, 2)},"build_sec":${fmt(p.buildSec, 1)},"pq_bytes_per_vector":8,"refine_factor":${p.rf},"n_probe":${p.probes},"base":{"n_probe":8,"refine_factor":32,"pq_adc_qps":${fmt(p.baseQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.baseRec, 3)},"pq_kth_score_regret":${fmt(p.baseRegret, 4)}}}"""
+      val fr = p.frontier.map(f =>
+        s"""{"n_probe":${f.probes},"refine_factor":${f.rf},"adc_qps":${fmt(f.adcQps, 0)},"refined_qps":${fmt(f.refQps, 0)},"recall":${fmt(f.rec, 3)},"regret":${fmt(f.regret, 4)}}""").mkString("[", ",", "]")
+      s"""{"n_vectors":${p.total},"pq_adc_qps":${fmt(p.qps, 0)},"pq_refined_qps":${fmt(p.refQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.rec, 3)},"pq_kth_score_regret":${fmt(p.regret, 4)},"pq_serving_p50_ms":${fmt(p.p50, 2)},"build_sec":${fmt(p.buildSec, 1)},"pq_bytes_per_vector":8,"refine_factor":${p.rf},"n_probe":${p.probes},"pq_frontier":$fr,"default_rule":"max refined QPS subject to refined score-recall@10 >= 0.95 (fallback: max recall)","base":{"n_probe":8,"refine_factor":32,"pq_adc_qps":${fmt(p.baseQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.baseRec, 3)},"pq_kth_score_regret":${fmt(p.baseRegret, 4)}}}"""
     }.getOrElse("null")
     def pq10mCompact: String = pq10m.map { p =>
-      s"""{"pq_qps":${fmt(p.qps, 0)},"pq_recall":${fmt(p.rec, 3)},"pq_regret":${fmt(p.regret, 4)},"pq_p50_ms":${fmt(p.p50, 2)},"probes":${p.probes},"rf":${p.rf}}"""
+      s"""{"pq_qps":${fmt(p.qps, 0)},"pq_ref_qps":${fmt(p.refQps, 0)},"pq_recall":${fmt(p.rec, 3)},"pq_regret":${fmt(p.regret, 4)},"pq_p50_ms":${fmt(p.p50, 2)},"probes":${p.probes},"rf":${p.rf}}"""
     }.getOrElse("null")
 
     // CORPUS-OPS scale probe: tile documents to 500k rows (100× sf0.1)
@@ -576,10 +622,10 @@ object Bench {
     // the would-it-survive-100× evidence for the corpus-prep operators.
     val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
-    // surprisal, sequence-packing) — the scrub/LM probes aggregate over
-    // their computed columns so column pruning cannot optimize the work
-    // away under a bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double)] =
+    // surprisal, surprisal-split, sequence-packing) — the scrub/LM
+    // probes aggregate over their computed columns so column pruning
+    // cannot optimize the work away under a bare count()
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -606,6 +652,15 @@ object Bench {
         val surprisalSec = bestSec(2)(graft.textanalysis.TextAnalysis.unigramSurprisal(
             tiled, "text", "doc_id")
           .agg(sum(col("surprisal"))).collect(): Unit)
+        // VERDICT r7 #7 probe: does a broadcast top-V dict beat the
+        // AQE-planned vocab join? Both variants are bit-exact; this
+        // records which topology wins at 500k so the answer is
+        // measured, not argued (r5's rejected pre-aggregation was a
+        // different rewrite).
+        val surprisalSplitSec = bestSec(2)(
+          graft.textanalysis.TextAnalysis.unigramSurprisalSplit(
+            tiled, "text", "doc_id")
+          .agg(sum(col("surprisal"))).collect(): Unit)
         // sequence packing at 500k docs: the bucketed prefix-sum +
         // span explode must hold at 100× (agg over spans defeats
         // pruning; default 1M bucketSize → ~1 bucket per 2 input
@@ -616,15 +671,15 @@ object Bench {
             "doc_id", "n_tokens", seqLen = 2048, bucketSize = 100000)
           .agg(sum(col("span_len")), max(col("seq_id"))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
-          surprisalSec, packSec))
+          surprisalSec, surprisalSplitSec, packSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"surprisal_split_sec":${fmt(sp, 2)},"surprisal_split_docs_per_sec":${fmt(n / sp, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"surp_split_s":${fmt(sp, 1)},"pack_s":${fmt(pk, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
@@ -761,9 +816,13 @@ object Bench {
       s"""{"rest_search_p50_ms":${fmt(p, dec)},"insert_100k_sec":${fmt(ins, dec)},"serving_build_100k_sec":${fmt(snap, dec)}}"""
     }.getOrElse("null")
 
-    // end-of-run canary: a mid-run load spike shows as start/end skew
-    val canaryEnd = graft.tools.MachineCanary.measure()._1
-    val canaryParEnd = graft.tools.MachineCanary.measureParallel()
+    // end-of-run canary: a mid-run load spike shows as start/end skew.
+    // One short retry only — waiting can't un-contaminate numbers that
+    // already ran, it just distinguishes a measurement-instant spike
+    // from sustained load.
+    val (canaryEnd, canaryParEnd, contendedEnd) =
+      gatedCanary(retries = 1, waitMs = 10000)
+    val contended = contendedStart || contendedEnd
 
     // Like-for-like framing vs BASELINE.md: the reference's p50/QPS
     // rows are measured over a PREBUILT in-RAM HNSW — an APPROXIMATE
@@ -780,12 +839,16 @@ object Bench {
       s"""{"note":"reference p50/QPS rows are HNSW (approximate, prebuilt in-RAM); the ann rows are the like-for-like comparison, exact rows the brute-force upper bound","at_10k":${row(qps10k, 0.3, 3300)},"at_100k":${row(qps100k, 0.5, 2000)}}"""
     }
     def canaryJson: String =
-      s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6/r7 sandbox, ~0.1 ms implied for the r5-class machine; parallel8 ≈ single-thread when the box is idle, rises under core/bandwidth contention"}"""
+      s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"contended":$contended,"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6/r7 sandbox, ~0.1 ms implied for the r5-class machine; parallel8 ≈ single-thread when the box is idle, rises under core/bandwidth contention. contended=true (par8/single > 1.5 at start after bounded retries, or at end) marks the whole run NON-EVIDENTIARY — discard its timings"}"""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    // bench_protocol 2 (since r7): per-query timings are best-of-2 min;
+    // dedup_incremental_stored / bucketed_join time steady state only
+    // (build moved to cached warmup). Totals are NOT comparable with
+    // protocol-1 rounds (r6 and earlier) — readers must gate on this.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -796,13 +859,13 @@ object Bench {
     // console output and parses the JSON from it — BENCH_r03/r04 AND r06
     // all came back `parsed:null` because the line outgrew the window
     // (r6: the 64-entry per-query map alone is ~1.6 KB). The compact
-    // line therefore carries only the headline blocks plus the 8
+    // line therefore carries only the headline blocks plus the 6
     // slowest queries; the full per-query map and curves are in
     // bench_latest.json (committed every round).
     val slowest = results.sortBy(-_._2).take(6)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

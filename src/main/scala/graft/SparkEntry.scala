@@ -562,6 +562,26 @@ object SparkEntry {
         .orderBy($"id", $"seq_id")
     }),
 
+    // LLM-pipeline: sequence MATERIALIZATION — the writer half of
+    // packing (VERDICT r7 #2): spans become the actual fixed-128-token
+    // training sequences (spans concatenated in seq_offset order; every
+    // sequence exactly 128 tokens except the tail). Graded on the
+    // md5 of each sequence's space-joined tokens so the oracle verifies
+    // CONTENT and order, not just span arithmetic.
+    "materialize_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+        .filter(size($"toks") > 0)
+      val spans = graft.pipeline.CorpusOps.packSequences(
+        docs.select($"doc_id", size($"toks").cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", seqLen = 128, bucketSize = 100)
+      graft.pipeline.CorpusOps.materializeSequences(spans, docs, "doc_id", "toks")
+        .select($"seq_id", $"n_tokens",
+          md5(concat_ws(" ", $"tokens").cast("binary")).as("tok_md5"))
+        .orderBy($"seq_id")
+    }),
+
     // LLM-pipeline: corpus length quantiles — the distribution stats a
     // quality-filtering pass thresholds on. Exact interpolated
     // percentiles (one partial-agg pass at scale); both engines use
@@ -1030,6 +1050,13 @@ object SparkEntry {
       // Table names carry an sfDir tag so two SFs in one JVM cannot
       // cross-read each other's catalog entries.
       val tag = java.lang.Integer.toHexString(dir.hashCode)
+      // the memo is JVM-global but saveAsTable registration is
+      // catalog-scoped (ADVICE r7): a harness that recreates the
+      // session would hit the memo with no tables behind it — drop the
+      // memo and re-save whenever THIS session can't see the tables
+      if (!s.catalog.tableExists(s"graft_bjoin_docs_$tag") ||
+          !s.catalog.tableExists(s"graft_bjoin_stats_$tag"))
+        bandedIndexCache.remove(dir + "#bjoin")
       val _ = bandedIndexCache.computeIfAbsent(dir + "#bjoin", _ => {
         val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
         val stats = t(s, dir, "documents")
@@ -1141,6 +1168,36 @@ object SparkEntry {
           Multimodal.resizeMedia(media, newW = 8, newH = 4, stubTargetBytes = 64))
         .select($"media_id", $"format", $"width", $"height",
           round($"mean_luma", 6).as("mean_luma"))
+        .orderBy($"media_id")
+    }),
+
+    // LLM-pipeline: compressed-audio METADATA via MPEG frame-header
+    // byte math (VERDICT r7 What's-missing #3) — documents drive
+    // deterministic MPEG1 Layer III streams (sample rate / bitrate /
+    // channel mode / frame count / ID3v2 presence all functions of
+    // doc_id, zero-filled frame bodies); decodeMedia routes them
+    // through MediaCodecs.decodeMp3, and the oracle recomputes every
+    // field from the same id arithmetic — the frame-size/duration
+    // math is fully specified (ISO 11172-3), so the grade is
+    // first-principles, no decoder in the loop on the oracle side.
+    "multimodal_mp3_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{MediaCodecs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"))
+        .as[Long]
+        .map { id =>
+          (id, MediaCodecs.encodeMp3Frames(
+            sampleRateIdx = (id % 3).toInt,
+            bitrateIdx = 1 + (id % 14).toInt,
+            mono = id % 2 == 0,
+            nFrames = 1 + (id % 5).toInt,
+            id3Bytes = if (id % 4 == 0) 64 else -1))
+        }.toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"sample_rate", $"channels",
+          $"bitrate_kbps", $"n_frames",
+          round($"duration_ms", 6).as("duration_ms"))
         .orderBy($"media_id")
     }),
 
@@ -1727,6 +1784,27 @@ object SparkEntry {
           |FROM c, UNNEST(range(start // 128, (start + n - 1) // 128 + 1)) AS t(seq_id)
           |ORDER BY id, t.seq_id""".stripMargin,
 
+      // global cumsum + per-token position unnest reassembles each
+      // 128-token sequence independently of the Spark span/slice path —
+      // md5 over the ordered token join grades content and order
+      "materialize_sequences" ->
+        """WITH d AS (
+          |  SELECT doc_id AS id, string_split_regex(lower(text), '\s+') AS toks
+          |  FROM documents
+          |  WHERE len(string_split_regex(lower(text), '\s+')) > 0),
+          |c AS (
+          |  SELECT id, toks,
+          |    CAST(sum(len(toks)) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING
+          |                              AND CURRENT ROW) - len(toks) AS BIGINT) AS start
+          |  FROM d),
+          |tok AS (
+          |  SELECT c.start + t.i AS pos, c.toks[t.i + 1] AS tok
+          |  FROM c, UNNEST(range(len(c.toks))) AS t(i))
+          |SELECT CAST(pos // 128 AS BIGINT) AS seq_id,
+          |  CAST(count(*) AS BIGINT) AS n_tokens,
+          |  md5(string_agg(tok, ' ' ORDER BY pos)) AS tok_md5
+          |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
+
       "text_quantiles" ->
         """WITH toks AS (
           |  SELECT CAST(len(string_split_regex(lower(text), '\s+')) AS DOUBLE) AS n_tok
@@ -2223,6 +2301,26 @@ object SparkEntry {
           |        THEN v[CAST((((j // 8) * h) // 4) * 16 + ((j % 8) * 16) // 8 + 1 AS INT)]
           |        ELSE 32.0 END)) / 32.0, 6) AS mean_luma
           |FROM s ORDER BY media_id""".stripMargin,
+
+      // every field recomputed from the id arithmetic that drove the
+      // synthesis: MPEG1 L3 samples/frame is 1152, so duration is
+      // nFrames*1152/rate — no decoder on the oracle side
+      "multimodal_mp3_meta" ->
+        """WITH p AS (
+          |  SELECT doc_id AS media_id,
+          |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          |      ELSE 32000 END AS sr,
+          |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)
+          |      [CAST(doc_id % 14 AS INT) + 1] AS br,
+          |    1 + doc_id % 5 AS nf
+          |  FROM documents)
+          |SELECT media_id, 'mp3' AS format,
+          |  CAST(sr AS INT) AS sample_rate,
+          |  CAST(CASE WHEN media_id % 2 = 0 THEN 1 ELSE 2 END AS INT) AS channels,
+          |  CAST(br AS INT) AS bitrate_kbps,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  round(nf * 1152 * 1000.0 / sr, 6) AS duration_ms
+          |FROM p ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

@@ -205,10 +205,26 @@ object IndexStore {
     *
     * `skipExistingIds` (default on, same stance as [[appendBatch]])
     * makes retried/replayed batches idempotent via a LEFT ANTI join on
-    * the stored band rows' ids (column-pruned id scan). */
+    * the stored band rows' ids (column-pruned id scan). NOTE the
+    * anti-join alone assumes the prior append's job COMMIT completed: a
+    * doc whose band rows were only partially committed (job killed
+    * mid-commit) would be skipped on replay with bands missing. Pass
+    * `batchId` to close that window with a per-batch MARKER, written
+    * only after the parquet append commits: a replay whose marker
+    * exists is a guaranteed no-op (the batch is fully in), and a replay
+    * whose marker is absent re-runs the append (the anti-join then
+    * skips whatever did commit). The one non-self-healing case — job
+    * commit itself interrupted halfway — is detectable (marker absent
+    * on a batch that wrote some rows) and repaired by a [[saveBanded]]
+    * rebuild (ADVICE r7). */
   def appendBanded(batch: DataFrame, textCol: String, idCol: String, path: String,
-      skipExistingIds: Boolean = true): Unit = {
+      skipExistingIds: Boolean = true, batchId: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val marker = batchId.map(id =>
+      new org.apache.hadoop.fs.Path(s"$path/_batches/$id"))
+    if (marker.exists(m => m.getFileSystem(hConf).exists(m)))
+      return // batch fully committed previously: replay is a no-op
     val idx = loadBanded(spark, path) // also validates the meta artifact
     val deduped =
       if (skipExistingIds) {
@@ -221,6 +237,9 @@ object IndexStore {
     graft.dedup.Dedup.bandedTable(deduped, textCol, idCol,
         idx.numHashes, idx.bands, idx.seed)
       .write.mode("append").parquet(s"$path/banded")
+    // marker AFTER the append's job commit — its existence certifies
+    // the batch is fully in the table
+    marker.foreach(m => m.getFileSystem(hConf).create(m, true).close())
   }
 
   def loadBanded(spark: SparkSession, path: String): graft.dedup.Dedup.BandedIndex = {

@@ -97,11 +97,13 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, ppm, pgm, png, jpeg, gif, bmp, tiff,
-    * unknown, null-payload}; audio fields populated for wav, image
-    * fields for the image formats (`channels` is shared: audio
-    * channels for wav, color bands for images), and the stub
-    * byte-histogram feature for everything else. */
+    * media row, `format` ∈ {wav, mp3, ppm, pgm, png, jpeg, gif, bmp,
+    * tiff, unknown, null-payload}; audio fields populated for wav/mp3
+    * (mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
+    * needs no PCM decode), image fields for the image formats
+    * (`channels` is shared: audio channels for wav/mp3, color bands
+    * for images), and the stub byte-histogram feature for everything
+    * else. */
   val DecodedSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("format", StringType),
@@ -111,6 +113,7 @@ object Multimodal {
     StructField("peak", DoubleType),
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("mean_luma", DoubleType),
+    StructField("bitrate_kbps", IntegerType),
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
@@ -132,27 +135,36 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
         def stubRow(fmt: String) = Row(id, fmt,
-          null, null, null, null, null, null, null, null, null, null,
+          null, null, null, null, null, null, null, null, null, null, null,
           if (bytes == null) null else StubDecoder.decodeFrame(bytes).toSeq)
         if (bytes == null) stubRow("null-payload")
         else if (MediaCodecs.isWav(bytes)) {
           MediaCodecs.decodeWav(bytes) match {
             case Some(w) => Row(id, "wav", w.sampleRate, w.channels, w.bitsPerSample,
-              w.nFrames, w.durationMs, w.rms, w.peak, null, null, null, null)
+              w.nFrames, w.durationMs, w.rms, w.peak, null, null, null, null, null)
             case None => stubRow("unknown") // WAV magic but undecodable body
           }
         } else if (MediaCodecs.isNetpbm(bytes)) {
           MediaCodecs.decodeNetpbm(bytes) match {
             case Some((im, _)) => Row(id, if (im.channels == 3) "ppm" else "pgm",
               null, im.channels, null, null, null, null, null,
-              im.width, im.height, im.meanLuma, null)
+              im.width, im.height, im.meanLuma, null, null)
             case None => stubRow("unknown")
+          }
+        } else if (MediaCodecs.isMp3(bytes)) {
+          // frame-header metadata only — PCM decode stays on the stub's
+          // remit (MediaCodecs.decodeMp3 scaladoc)
+          MediaCodecs.decodeMp3(bytes) match {
+            case Some(m) => Row(id, "mp3", m.sampleRate, m.channels, null,
+              m.nFrames, m.durationMs, null, null, null, null, null,
+              m.bitrateKbps, null)
+            case None => stubRow("unknown") // MP3 sync but undecodable stream
           }
         } else MediaCodecs.imageIoFormat(bytes) match {
           case Some(fmt) => MediaCodecs.decodeImageIO(bytes) match {
             case Some(im) => Row(id, fmt,
               null, im.channels, null, null, null, null, null,
-              im.width, im.height, im.meanLuma, null)
+              im.width, im.height, im.meanLuma, null, null)
             case None => stubRow("unknown") // image magic, undecodable body
           }
           case None => stubRow("unknown")

@@ -336,4 +336,42 @@ object CorpusOps {
         ($"span_start" - $"seq_id" * seqLen).as("seq_offset"),
         ($"span_end" - $"span_start").as("span_len"))
   }
+
+  /** Sequence MATERIALIZATION — the writer half of [[packSequences]]:
+    * turns the span table into the actual fixed-length token sequences
+    * a trainer consumes. `tokensDf` carries one row per document —
+    * `(idCol, tokensCol: ARRAY)` — and each span slices
+    * `tokensCol[doc_offset, doc_offset + span_len)` out of its document;
+    * a sequence is its spans concatenated in `seq_offset` order. Output:
+    * `(seq_id, tokens, n_tokens)` with `n_tokens = seqLen` for every
+    * sequence except the final tail.
+    *
+    * Scale shape: one join keyed by document id (the span table is
+    * corpus-bounded — a doc of n tokens emits ≤ n/seqLen + 1 spans) and
+    * one aggregation keyed by `seq_id` whose groups are bounded by
+    * `seqLen` tokens regardless of corpus size — no group ever exceeds
+    * one training sequence, so executor memory is flat at 100 TB. The
+    * per-span slice happens BEFORE the seq_id shuffle, so the exchange
+    * carries each token exactly once (the full corpus moves once, the
+    * minimum possible for a repacking operator). No driver collect, no
+    * global sort: `array_sort` orders the ≤ seqLen/1-sized span list
+    * within each group. */
+  def materializeSequences(spans: DataFrame, tokensDf: DataFrame,
+      idCol: String, tokensCol: String): DataFrame = {
+    val spark = spans.sparkSession
+    import spark.implicits._
+    val docs = tokensDf.select(col(idCol).cast("long").as("id"),
+      col(tokensCol).as("_toks"))
+    spans
+      .join(docs, Seq("id"))
+      // slice is 1-based; span offsets are 0-based
+      .select($"seq_id", $"seq_offset",
+        slice($"_toks", ($"doc_offset" + 1).cast("int"),
+          $"span_len".cast("int")).as("piece"))
+      .groupBy($"seq_id")
+      .agg(flatten(transform(
+        array_sort(collect_list(struct($"seq_offset", $"piece"))),
+        x => x.getField("piece"))).as("tokens"))
+      .select($"seq_id", $"tokens", size($"tokens").cast("long").as("n_tokens"))
+  }
 }

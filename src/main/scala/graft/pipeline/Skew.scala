@@ -36,13 +36,37 @@ object Skew {
   private def saltOf(nSalts: Int, cols: Seq[Column]): Column =
     pmod(xxhash64(cols: _*), lit(nSalts.toLong)).cast("int")
 
+  /** `xxhash64` rejects MapType (incl. maps nested in arrays/structs) —
+    * a salt input containing one would fail at analysis. Hash-eligible
+    * columns only (ADVICE r7). */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    import org.apache.spark.sql.types._
+    def hasMap(dt: DataType): Boolean = dt match {
+      case _: MapType => true
+      case ArrayType(et, _) => hasMap(et)
+      case StructType(fields) => fields.exists(f => hasMap(f.dataType))
+      case _ => false
+    }
+    df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toSeq
+  }
+
+  /** A working-column name guaranteed absent from every given schema —
+    * a user column literally named `_salt` must survive (ADVICE r7). */
+  private def freshName(base: String, dfs: DataFrame*): String = {
+    val taken = dfs.flatMap(_.columns).toSet
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"$base$i")
+      .find(n => !taken.contains(n)).get
+  }
+
   /** Two-stage `collect_list`: stage 1 collects per `(key, salt)` —
     * the hot key's rows spread over `nSalts` groups — stage 2 merges
     * the partial arrays per key. Output `(keyCol, values)`; array
     * order is nondeterministic either way (sort downstream if order
     * matters, e.g. `sort_array`).
     *
-    * The salt hashes ALL of `df`'s columns, not just the value: a hot
+    * The salt hashes all of `df`'s HASHABLE columns (MapType columns —
+    * which xxhash64 rejects — are skipped), not just the value: a hot
     * key whose values are all identical (the "same payload spammed"
     * skew — exactly the case this operator exists for) would otherwise
     * collapse back into ONE stage-1 group (VERDICT r6). Any extra
@@ -56,12 +80,18 @@ object Skew {
                         nSalts: Int = 16,
                         disambiguatorCol: Option[Column] = None): DataFrame = {
     require(nSalts > 0, "nSalts must be positive")
-    val saltCols = df.columns.map(col).toSeq ++ disambiguatorCol.toSeq
-    df.withColumn("_salt", saltOf(nSalts, saltCols))
-      .groupBy(col(keyCol), col("_salt"))
-      .agg(collect_list(col(valueCol)).as("_part"))
+    // hashable columns only (a MapType column would fail analysis), and
+    // internal names that can't collide with user columns (ADVICE r7)
+    val saltCols = hashableCols(df) ++ disambiguatorCol.toSeq
+    require(saltCols.nonEmpty,
+      "no hashable columns to salt on — pass disambiguatorCol")
+    val salt = freshName("_salt", df)
+    val part = freshName("_part", df)
+    df.withColumn(salt, saltOf(nSalts, saltCols))
+      .groupBy(col(keyCol), col(salt))
+      .agg(collect_list(col(valueCol)).as(part))
       .groupBy(col(keyCol))
-      .agg(flatten(collect_list(col("_part"))).as("values"))
+      .agg(flatten(collect_list(col(part))).as("values"))
   }
 
   /** Salted equi-join: `big` gets a deterministic row salt, `small` is
@@ -80,12 +110,14 @@ object Skew {
     require(Seq("inner", "left", "left_outer").contains(joinType),
       s"unsupported joinType $joinType (inner/left only: the salted RIGHT side " +
         "replicates rows, so right/full outer would fabricate unmatched replicas)")
-    val bigSalted = big.withColumn("_salt",
-      saltOf(nSalts, big.columns.map(col).toSeq))
+    val saltCols = hashableCols(big)
+    require(saltCols.nonEmpty, "no hashable columns on the big side to salt on")
+    val salt = freshName("_salt", big, small)
+    val bigSalted = big.withColumn(salt, saltOf(nSalts, saltCols))
     val saltValues = array((0 until nSalts).map(lit): _*)
     val smallExploded = small
-      .withColumn("_salt", explode(saltValues))
-    bigSalted.join(smallExploded, Seq(key, "_salt"), joinType)
-      .drop("_salt")
+      .withColumn(salt, explode(saltValues))
+    bigSalted.join(smallExploded, Seq(key, salt), joinType)
+      .drop(salt)
   }
 }

@@ -323,6 +323,68 @@ object ServingSession {
       search(Seq((0L, q)), k, nProbe).map { case (_, id, s, r) => (id, s, r) }
   }
 
+  /** FLEET-throughput crossover (VERDICT r7 #4). The driver-resident
+    * session is unbeatable for SINGLE queries at any resident size —
+    * no per-job scheduling floor — but a fleet amortizes that floor
+    * across its queries, and past roughly this many resident rows the
+    * distributed scan's parallelism wins: r7 bench (64-D, local[32])
+    * measured serving 2,866 vs distributed 984 QPS at 100k rows but
+    * 215 vs 251 at 1M. Midpoint of the measured bracket; overridable
+    * per [[routed]] call for machines where the bracket moves. */
+  val FleetCrossoverRows: Long = 512 * 1024
+
+  /** True when a fleet of `nq` queries over `n` rows is expected to run
+    * faster on the distributed path than the driver-resident one. */
+  def preferDistributedFleet(n: Long, nq: Int,
+                             crossoverRows: Long = FleetCrossoverRows): Boolean =
+    nq > 1 && n >= crossoverRows
+
+  /** Both exact paths under ONE handle, dispatched per call
+    * (VERDICT r7 #4: the 1M crossover was documented in the bench but
+    * the caller had to read it — now the handle routes): single queries
+    * and small-corpus fleets go driver-resident, fleets at or past
+    * [[FleetCrossoverRows]] (or any call when the resident snapshot
+    * was refused by the byte cap) go distributed. Both paths return
+    * the same rows — same blocks, same kernel, same `(score DESC,
+    * id ASC)` rank (see [[Exact]]'s parity note). */
+  final class Routed private[ServingSession] (
+      val idx: PackedIndex.Exact,
+      val resident: Option[Exact],
+      val crossoverRows: Long) {
+    @volatile private var _lastPath: String = ""
+    /** "resident" | "distributed" — which path answered the latest
+      * search (bench/test observability). */
+    def lastPath: String = _lastPath
+
+    def search(queries: Seq[(Long, Array[Double])], k: Int,
+               m: VectorSearch.Metric = VectorSearch.Cosine): Seq[(Long, Long, Double, Int)] =
+      resident match {
+        case Some(s) if !preferDistributedFleet(idx.n, queries.length, crossoverRows) =>
+          _lastPath = "resident"
+          s.search(queries, k, m)
+        case _ =>
+          _lastPath = "distributed"
+          // bounded collect: ≤ nq × k result rows
+          idx.search(queries, k, m).collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .toSeq
+      }
+  }
+
+  /** Routed serving over a packed exact index: pulls the resident
+    * snapshot when it fits `maxBytes`, and dispatches each search per
+    * [[preferDistributedFleet]]. This is the handle fleet callers
+    * should hold instead of choosing a path themselves. */
+  def routed(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes,
+             crossoverRows: Long = FleetCrossoverRows): Routed =
+    new Routed(idx, fromExact(idx, maxBytes), crossoverRows)
+
+  /** [[routed]] over an ALREADY-collected resident snapshot — callers
+    * that hold one (engine cache, bench) skip the second collect. */
+  def routedWith(idx: PackedIndex.Exact, resident: Option[Exact],
+                 crossoverRows: Long = FleetCrossoverRows): Routed =
+    new Routed(idx, resident, crossoverRows)
+
   /** Estimated driver bytes for a packed collection: floats + ids +
     * norms per row. */
   private def exactBytes(n: Long, dim: Int): Long = n * (dim.toLong * 4 + 8 + 8)

@@ -210,4 +210,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.pipeline.BucketedStore.countShuffles(planned) <= 2,
       "packSequences must not add exchanges beyond the bucketed window")
   }
+
+  test("materializeSequences: fixed seqLen except tail; reassembly byte-exact") {
+    // unsorted ids across several buckets; a one-token doc; docs that
+    // span sequence boundaries
+    val raw = Seq(
+      (7L, "pack my box with five dozen liquor jugs and then some more"),
+      (3L, "the quick brown fox jumps over the lazy dog"),
+      (25L, "x"),
+      (10L, "a b c d e f g"))
+    val docs = raw.toDF("doc_id", "text")
+      .select($"doc_id", split(lower($"text"), "\\s+").as("toks"))
+    val spans = CorpusOps.packSequences(
+      docs.select($"doc_id", size($"toks").cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", seqLen = 5, bucketSize = 4)
+    val got = CorpusOps.materializeSequences(spans, docs, "doc_id", "toks")
+      .orderBy("seq_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList, r.getLong(2)))
+      .toSeq
+    val expectedToks = raw.sortBy(_._1).flatMap(_._2.toLowerCase.split("\\s+")).toList
+    // seq_ids are contiguous from 0; every sequence holds exactly
+    // seqLen tokens except the final tail
+    val last = got.map(_._1).max
+    assert(got.map(_._1) == (0L to last))
+    assert(got.filter(_._1 != last).forall(_._3 == 5L))
+    assert(got.forall(s => s._2.size.toLong == s._3))
+    // byte-exact reassembly: concatenating the sequences reproduces the
+    // corpus concatenated in id order, token for token
+    assert(got.flatMap(_._2) == expectedToks)
+    // scale shape pinned: pack's bucketed window (≤2 exchanges) + the
+    // id join (2) + the seq_id regroup (1) — and nothing else; no
+    // global sort, groups bounded by seqLen
+    val big = spark.range(0, 2000)
+      .select($"id".as("doc_id"),
+        transform(sequence(lit(0), ($"id" % 23).cast("int")),
+          x => concat(lit("t"), x)).as("toks"))
+    val bigSpans = CorpusOps.packSequences(
+      big.select($"doc_id", size($"toks").cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", seqLen = 64, bucketSize = 100)
+    val planned = CorpusOps.materializeSequences(bigSpans, big, "doc_id", "toks")
+    val n = planned.count()
+    assert(n > 0)
+    assert(graft.pipeline.BucketedStore.countShuffles(planned) <= 5,
+      "materializeSequences must add only the id join and seq_id regroup")
+  }
 }

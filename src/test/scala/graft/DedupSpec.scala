@@ -116,6 +116,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got == pairs(single), "appended installments must equal the single-shot index")
   }
 
+  test("appendBanded batch marker: replay short-circuits even without the anti-join") {
+    import org.apache.spark.sql.functions.col
+    val old1 = docs.filter(col("doc_id") < 300).select("doc_id", "text")
+    val old2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_banded_marker").toString
+    graft.ann.IndexStore.saveBanded(old1, "text", "doc_id", dir,
+      numHashes = 64, bands = 16)
+    graft.ann.IndexStore.appendBanded(old2, "text", "doc_id", dir,
+      batchId = Some("batch-002"))
+    assert(new java.io.File(s"$dir/_batches/batch-002").exists(),
+      "marker must be written after the append commits")
+    val rowsOnce = graft.ann.IndexStore.loadBanded(spark, dir).banded.count()
+    // marker short-circuit is the guard here: anti-join disabled, so any
+    // re-execution would DOUBLE the batch's band rows if the marker were
+    // ignored (the ADVICE r7 partial-commit window, closed)
+    graft.ann.IndexStore.appendBanded(old2, "text", "doc_id", dir,
+      skipExistingIds = false, batchId = Some("batch-002"))
+    assert(graft.ann.IndexStore.loadBanded(spark, dir).banded.count() == rowsOnce,
+      "replay with an existing marker must be a no-op before any job runs")
+    // a NEW batch id is not short-circuited: without the anti-join the
+    // same rows land again, proving the marker (not the data) gated above
+    graft.ann.IndexStore.appendBanded(old2, "text", "doc_id", dir,
+      skipExistingIds = false, batchId = Some("batch-003"))
+    assert(graft.ann.IndexStore.loadBanded(spark, dir).banded.count() > rowsOnce,
+      "fresh batch id must run the append")
+  }
+
   test("incremental exact dedup: bloom-pruned hits verified, non-dups and fp survive nothing") {
     import org.apache.spark.sql.functions.col
     val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")

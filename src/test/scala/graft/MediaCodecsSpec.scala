@@ -129,6 +129,52 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.imageIoFormat(wavPcm16(8000, 1, Array[Short](0))).isEmpty)
   }
 
+  test("decodeMp3: frame-header metadata, ID3 tags skipped, malformed rejected") {
+    // 3 frames, 44.1k, 128 kbps (idx 9 of the MPEG1-L3 table), stereo
+    val plain = MediaCodecs.encodeMp3Frames(0, 9, mono = false, nFrames = 3)
+    val m = MediaCodecs.decodeMp3(plain).get
+    assert(m.version == "1" && m.layer == 3)
+    assert(m.sampleRate == 44100 && m.channels == 2 && m.bitrateKbps == 128)
+    assert(m.nFrames == 3)
+    // exact frame math: len = 144*128000/44100 = 417 B; 3*1152 samples
+    assert(plain.length == 3 * 417)
+    assert(math.abs(m.durationMs - 3 * 1152 * 1000.0 / 44100) < 1e-9)
+    // ID3v2 front tag skipped; ID3v1 128-B trailer skipped
+    val tagged = MediaCodecs.encodeMp3Frames(1, 1, mono = true, nFrames = 2,
+      id3Bytes = 200)
+    assert(MediaCodecs.isMp3(tagged))
+    val mt = MediaCodecs.decodeMp3(tagged).get
+    assert(mt.sampleRate == 48000 && mt.channels == 1 &&
+      mt.bitrateKbps == 32 && mt.nFrames == 2)
+    val v1 = new Array[Byte](128)
+    v1(0) = 'T'; v1(1) = 'A'; v1(2) = 'G'
+    assert(MediaCodecs.decodeMp3(plain ++ v1).get.nFrames == 3)
+    // malformed payloads reject (None), never mis-parse:
+    // truncated final frame
+    assert(MediaCodecs.decodeMp3(plain.dropRight(1)).isEmpty)
+    // garbage between/after frames (sync lost)
+    assert(MediaCodecs.decodeMp3(plain ++ Array[Byte](1, 2, 3)).isEmpty)
+    // reserved layer (layer bits 00)
+    val badLayer = plain.clone(); badLayer(1) = 0xf9.toByte
+    assert(MediaCodecs.decodeMp3(badLayer).isEmpty)
+    // free-format bitrate (index 0) and invalid sample-rate index (3)
+    val freeBr = plain.clone(); freeBr(2) = (freeBr(2) & 0x0f).toByte
+    assert(MediaCodecs.decodeMp3(freeBr).isEmpty)
+    val badSr = plain.clone(); badSr(2) = (badSr(2) | 0x0c).toByte
+    assert(MediaCodecs.decodeMp3(badSr).isEmpty)
+    // ID3 tag with no audio behind it
+    assert(MediaCodecs.decodeMp3(tagged.take(210)).isEmpty)
+    assert(!MediaCodecs.isMp3("not audio".getBytes("UTF-8")))
+    // MPEG2 Layer II path (576-sample L3 twin lives in the same table
+    // family): header crafted by hand — 22.05k, idx 4 → 32 kbps, mono
+    val h2 = Array[Byte](0xff.toByte, 0xf4.toByte, 0x40.toByte, 0xc0.toByte)
+    val fl2 = 1152 / 8 * 32000 / 22050 // layer II, MPEG2
+    val s2 = h2 ++ new Array[Byte](fl2 - 4)
+    val m2 = MediaCodecs.decodeMp3(s2).get
+    assert(m2.version == "2" && m2.layer == 2 &&
+      m2.sampleRate == 22050 && m2.bitrateKbps == 32 && m2.nFrames == 1)
+  }
+
   test("decodeMedia: magic dispatch wav/ppm/stub, null payloads kept, resizeMedia real+stub") {
     val wav = wavPcm16(16000, 1, Array.tabulate[Short](160)(i =>
       (math.sin(i * 0.1) * 16384).toShort))

@@ -84,6 +84,39 @@ class PackedIndexSpec extends AnyFunSuite {
     finally idx.unpersist()
   }
 
+  test("routed serving: fleets past the crossover go distributed, singles stay resident") {
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val idx = PackedIndex.buildExact(e, "embedding", "vec_id")
+    try {
+      // crossover forced BELOW this corpus: fleet must dispatch
+      // distributed, single query must stay resident (VERDICT r7 #4)
+      val low = ServingSession.routed(idx, crossoverRows = 1L)
+      assert(low.resident.isDefined)
+      val fleetLow = low.search(queries, k = 10).toSet
+      assert(low.lastPath == "distributed")
+      low.search(Seq(queries.head), k = 10)
+      assert(low.lastPath == "resident",
+        "single queries never pay the per-job floor, at any corpus size")
+      // crossover above the corpus: fleet stays resident, same rows
+      val high = ServingSession.routed(idx) // default ≫ sf0.001
+      val fleetHigh = high.search(queries, k = 10).toSet
+      assert(high.lastPath == "resident")
+      assert(fleetLow == fleetHigh,
+        "both dispatch targets must return identical rows")
+      // byte-cap refusal: no resident snapshot, everything distributed
+      val capped = ServingSession.routed(idx, maxBytes = 16L)
+      assert(capped.resident.isEmpty)
+      capped.search(Seq(queries.head), k = 10)
+      assert(capped.lastPath == "distributed")
+      // the dispatch predicate itself
+      assert(!ServingSession.preferDistributedFleet(1000000L, nq = 1))
+      assert(ServingSession.preferDistributedFleet(1000000L, nq = 2))
+      assert(!ServingSession.preferDistributedFleet(100000L, nq = 256))
+    } finally idx.unpersist()
+  }
+
   test("IVF serving session == distributed IVF packed search") {
     val model = Ann.trainIvf(e, "embedding", nCells = 4)
     val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()

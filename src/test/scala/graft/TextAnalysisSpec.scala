@@ -105,6 +105,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("unigramSurprisalSplit == unigramSurprisal, topV straddling the vocab both ways") {
+    // a vocab of 3 words probed with topV below, at, and above |vocab|
+    // forces rows down BOTH the broadcast-hit and the shuffle-miss
+    // branch (topV=1: only 'a' is top — 'b'/'rareword' instances take
+    // the residual join)
+    val df = Seq(
+      (1L, "a a b"), (2L, "b"), (3L, "a a a a rareword")
+    ).toDF("doc_id", "text")
+    val base = TextAnalysis.unigramSurprisal(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().toSet
+    for (topV <- Seq(1, 3, 1 << 16)) {
+      val split = TextAnalysis.unigramSurprisalSplit(df, "text", "doc_id", topV)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(split == base, s"topV=$topV must be bit-exact with the single-join plan")
+    }
+  }
+
   test("tfidf top terms: rare terms outrank common, hand-computed scores, term tie-break") {
     val df = Seq(
       (1L, "apple apple banana common common"),
