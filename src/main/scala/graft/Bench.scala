@@ -23,6 +23,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -42,18 +43,23 @@ object Bench {
     // it never does, stamp `"contended":true` into BOTH artifact forms
     // so no reader can mistake a contaminated run for a regression.
     val ContendedRatio = 1.5
-    def gatedCanary(retries: Int, waitMs: Long): (Double, Double, Boolean) = {
+    // Exponential backoff (VERDICT r8 #2): the r8 contention outlasted
+    // the old 4×30 s schedule by hours — doubling waits capped at 4 min
+    // spread the retries over ~11.5 min without stalling an idle box.
+    def gatedCanary(retries: Int, waitMs0: Long, waitCapMs: Long): (Double, Double, Boolean) = {
       var s = graft.tools.MachineCanary.measure()._1
       // 8-thread variant: core/bandwidth contention the single-thread
       // number can't see (≈ equal when the box is idle)
       var p = graft.tools.MachineCanary.measureParallel()
       var tries = 0
+      var waitMs = waitMs0
       while (p / s > ContendedRatio && tries < retries) {
         System.err.println(String.format(java.util.Locale.ROOT,
           "[bench] canary contended (par8 %.3f ms vs single %.3f ms) — waiting %ds (retry %d/%d)",
           Double.box(p), Double.box(s), Long.box(waitMs / 1000),
           Int.box(tries + 1), Int.box(retries)))
         Thread.sleep(waitMs)
+        waitMs = math.min(waitMs * 2, waitCapMs)
         s = graft.tools.MachineCanary.measure()._1
         p = graft.tools.MachineCanary.measureParallel()
         tries += 1
@@ -61,7 +67,7 @@ object Bench {
       (s, p, p / s > ContendedRatio)
     }
     val (canaryStart, canaryParStart, contendedStart) =
-      gatedCanary(retries = 4, waitMs = 30000)
+      gatedCanary(retries = 5, waitMs0 = 30000, waitCapMs = 240000)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.ListBuffer.empty[String]
@@ -691,9 +697,10 @@ object Bench {
     val events5m: Option[(Long, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
-        val e = spark.read.parquet(s"$sfDir/events.parquet")
+        val e0 = spark.read.parquet(s"$sfDir/events.parquet")
+        val e = e0
           .select(col("event_id").cast("long").as("event_id"), col("user_id"),
-            expr("ts DIV 1000000").as("ts_ms"), col("event_type"))
+            graft.functions.EventTime.epochMs(e0).as("ts_ms"), col("event_type"))
         val n = e.count()
         val copies = math.max(1, (5000000L / math.max(1L, n)).toInt)
         val tiled = e.crossJoin(spark.range(copies).select(col("id").as("copy")))
@@ -821,7 +828,7 @@ object Bench {
     // already ran, it just distinguishes a measurement-instant spike
     // from sustained load.
     val (canaryEnd, canaryParEnd, contendedEnd) =
-      gatedCanary(retries = 1, waitMs = 10000)
+      gatedCanary(retries = 1, waitMs0 = 10000, waitCapMs = 10000)
     val contended = contendedStart || contendedEnd
 
     // Like-for-like framing vs BASELINE.md: the reference's p50/QPS

@@ -283,19 +283,23 @@ object SparkEntry {
     // §2.2 TTL lazy-expiry filter (HNSWIndex.js:295-300) through the
     // PRODUCT predicate (VectorSearch.ttlAlive): events get cycling
     // ttls (none / 1h / ~1000y), 'now' = max(ts) (data-derived). All
-    // timestamp math in integer ns→ms divides (ns exceed 2^53 — double
-    // round-trips would corrupt them).
+    // timestamp math in integer divides (epoch-ns exceed 2^53 — double
+    // round-trips would corrupt them); EventTime adapts to whatever
+    // physical type `ts` landed as (LONG ns vs TIMESTAMP[_NTZ]).
     "ttl_filter" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .withColumn("ts2", timestamp_micros(expr("ts div 1000"))) // ns -> µs
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("ts2", graft.functions.EventTime.asTimestamp(ev0))
+        .withColumn("ts_ms", graft.functions.EventTime.epochMs(ev0))
         .withColumn("ttl_ms",
           when($"event_id" % 3 === 0, lit(null).cast("long"))
             .when($"event_id" % 3 === 1, lit(3600000L)) // 1 hour
             .otherwise(lit(31536000000000L)))           // ~1000 years
-      val mx = ev.agg(max($"ts").as("mx"))
+      // max over floored ms == floor of max (floor is monotone), so this
+      // matches the oracle's max(epoch_ns) // 1e6
+      val mx = ev.agg(max($"ts_ms").as("now_ms"))
       ev.crossJoin(broadcast(mx))
-        .withColumn("now_ms", expr("mx div 1000000"))
         .filter(VectorSearch.ttlAlive($"ts2", $"ttl_ms", $"now_ms"))
         .select($"event_id", $"ttl_ms")
         .orderBy($"event_id")
@@ -414,12 +418,14 @@ object SparkEntry {
     // → deterministic).
     "consolidation_decay" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("ts_ns", graft.functions.EventTime.epochNs(ev0))
         .withColumn("imp", round($"value" - floor($"value"), 6))
         .withColumn("access", ($"event_id" % 5).cast("int"))
-      val mx = ev.agg(max($"ts").as("now_ts"))
+      val mx = ev.agg(max($"ts_ns").as("now_ns"))
       ev.crossJoin(broadcast(mx))
-        .withColumn("rec_h", ($"now_ts" - $"ts") / 3.6e12) // ts read as ns
+        .withColumn("rec_h", ($"now_ns" - $"ts_ns") / 3.6e12) // ns diff ≪ 2^53, exact in double
         .withColumn("boost", least($"access" * 0.02, lit(0.3)))
         .withColumn("net", greatest(lit(0.0), lit(0.05) * ($"rec_h" / 24.0) - $"boost"))
         .withColumn("imp2", when($"net" > 0, greatest(lit(0.0), $"imp" - $"net")).otherwise($"imp"))
@@ -992,9 +998,12 @@ object SparkEntry {
     // LLM-pipeline: BPE tokenizer trained ON the corpus (one word-count
     // shuffle + bounded driver merge loop — never nMerges corpus
     // passes), then no-shuffle broadcast encode. Greedy BPE isn't
-    // SQL-expressible, so NO oracle entry: the driver records the
-    // rows-only check; the merge-sequence golden and encode/driver
-    // parity live in BpeSpec.
+    // SQL-expressible, so the oracle joins the committed goldens from
+    // the INDEPENDENT algorithm transcription
+    // (tools/gen_bpe_corpus_goldens.py, keyed by corpus md5 — a
+    // regenerated corpus matches nothing and fails loudly instead of
+    // grading stale values). tokens_md5 grades the FULL ordered token
+    // stream, not just counts.
     "bpe_tokens" -> ((s, dir) => {
       import s.implicits._
       import graft.textanalysis.Bpe
@@ -1002,7 +1011,8 @@ object SparkEntry {
       val model = Bpe.train(docs, "text", nMerges = 50, maxVocab = 5000)
       Bpe.encodeCol(docs, "text", model)
         .select($"doc_id", $"n_tokens",
-          element_at($"tokens", 1).as("first_token"))
+          element_at($"tokens", 1).as("first_token"),
+          md5(concat_ws("", $"tokens")).as("tokens_md5"))
         .orderBy($"doc_id")
     }),
 
@@ -1204,14 +1214,13 @@ object SparkEntry {
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
-    // batch mode grades it against a date_trunc oracle. events.ts is
-    // LONG nanoseconds (TESTDATA.md) → timestamp via micros.
+    // batch mode grades it against a date_trunc oracle. EventTime
+    // adapts `ts` (LONG ns vs TIMESTAMP[_NTZ]) with integer-only math.
     "events_windowed" -> ((s, dir) => {
       import s.implicits._
-      // integer DIV, not `/`: long/1000 via double rounds by up to
-      // 128 ns at 1.7e18 and can shift boundary events across windows
-      val ev = t(s, dir, "events")
-        .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("ts_t", graft.functions.EventTime.asTimestamp(ev0))
       graft.streaming.EventStreams.windowedEventCounts(ev, "ts_t", "1 hour")
         .orderBy($"window_start", $"event_type")
     }),
@@ -1220,12 +1229,12 @@ object SparkEntry {
     // streaming sessionize (StreamingSpec): a session closes after 8 h
     // of per-user inactivity (median inter-event gap in the driver's
     // events is ~7.4 h, so every SF exercises both merges and splits).
-    // ts is LONG nanos → epoch ms by integer DIV (floor matches
-    // DuckDB's epoch_ms).
+    // EventTime floors `ts` to epoch-ms exactly like DuckDB's epoch_ms.
     "events_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
-        .select($"user_id", expr("ts DIV 1000000").as("ts_ms"))
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .select($"user_id", graft.functions.EventTime.epochMs(ev0).as("ts_ms"))
       graft.streaming.EventStreams.sessionizeBatch(
           ev, "user_id", "ts_ms", gapMs = 8L * 3600 * 1000)
         .orderBy($"user_id", $"start_ms")
@@ -1239,9 +1248,10 @@ object SparkEntry {
     // its NATIVE ASOF LEFT JOIN. Views pre-deduped per (user, ms).
     "events_asof" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
         .select($"event_id".cast("long").as("event_id"), $"user_id",
-          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+          graft.functions.EventTime.epochMs(ev0).as("ts_ms"), $"event_type")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts_ms")
       val views = ev.filter($"event_type" === "view")
@@ -1265,9 +1275,10 @@ object SparkEntry {
     "events_asof_exact" -> ((s, dir) => {
       import s.implicits._
       import graft.streaming.EventStreams
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
         .select($"event_id".cast("long").as("event_id"), $"user_id",
-          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+          graft.functions.EventTime.epochMs(ev0).as("ts_ms"), $"event_type")
       val lefts = ev.filter($"event_type" === "purchase")
         .select($"user_id".as("key"), $"ts_ms".as("tsMs"),
           lit(true).as("isLeft"), $"event_id".as("value"))
@@ -1292,9 +1303,10 @@ object SparkEntry {
     // aggregate + left-join composition.
     "events_range" -> ((s, dir) => {
       import s.implicits._
-      val ev = t(s, dir, "events")
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
         .select($"event_id".cast("long").as("event_id"), $"user_id",
-          expr("ts DIV 1000000").as("ts_ms"), $"event_type")
+          graft.functions.EventTime.epochMs(ev0).as("ts_ms"), $"event_type")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"event_id", $"user_id", $"ts_ms")
       val views = ev.filter($"event_type" === "view")
@@ -1448,15 +1460,28 @@ object SparkEntry {
 
   /** Queries DELIBERATELY without a DuckDB oracle (the driver records
     * the weaker rows-only check). Only algorithms SQL cannot express
-    * belong here, each with its real verification named:
-    *  - bpe_tokens: greedy rank-ordered BPE merging — BpeSpec carries
-    *    the hand-derived merge golden + driver/column encode parity. */
-  val rowsOnly: Set[String] = Set("bpe_tokens")
+    * belong here, each with its real verification named. Empty since
+    * round 9: bpe_tokens (the last member) is now value-graded against
+    * committed goldens from the independent algorithm transcription
+    * (tools/gen_bpe_corpus_goldens.py). */
+  val rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = {
     val terms = kwTerms
     val bm25Expr = bm25ishSql("lower(text)", terms)
     Map(
+      // Greedy BPE is not SQL-expressible: the oracle is the committed
+      // output of the INDEPENDENT reference-algorithm transcription
+      // (tools/gen_bpe_corpus_goldens.py over every testdata corpus),
+      // selected by corpus fingerprint so a regenerated corpus fails
+      // loudly (0 oracle rows) instead of silently grading stale values.
+      "bpe_tokens" ->
+        """WITH fp AS (SELECT md5(string_agg(text, chr(31) ORDER BY doc_id)) AS m
+          |            FROM documents)
+          |SELECT g.doc_id, g.n_tokens, g.first_token, g.tokens_md5
+          |FROM read_parquet('/root/repo/tools/bpe_corpus_goldens.parquet') g, fp
+          |WHERE g.corpus_md5 = fp.m
+          |ORDER BY g.doc_id""".stripMargin,
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
