@@ -43,30 +43,63 @@ object Bench {
     // it never does, stamp `"contended":true` into BOTH artifact forms
     // so no reader can mistake a contaminated run for a regression.
     val ContendedRatio = 1.5
+    val StealPctMax = 2.0
+    val ExternalBusyPctMax = 5.0
+    /** One attributed canary measurement: (single ms, par8 ms,
+      * contended, attribution, steal %, external busy %).
+      *
+      * Round-9 calibration: a high par8/single ratio ALONE is not
+      * contention — this round's box measures ratio ≈ 2.3-2.9 on a
+      * proven-idle guest (steal 0.0%, external busy ≈ 0%, single-thread
+      * at the historical 0.31 ms), i.e. the ratio is the platform's own
+      * parallel-wake/SMT characteristic and a ratio-only gate would
+      * stamp every run on this box non-evidentiary forever. So the gate
+      * now ATTRIBUTES: the par8 kernel runs sustained while
+      * `/proc/stat` steal and other-process busy are sampled
+      * ([[graft.tools.MachineCanary.measureParallelAttributed]]).
+      * contended := ratio high AND (steal > 2% OR external busy > 5%
+      * OR /proc unavailable — conservative). A high ratio on a proven
+      * idle guest is stamped `idle-degraded-parallel` in the artifact
+      * instead: numbers evidentiary, platform characteristic recorded. */
+    def attributedCanary(): (Double, Double, Boolean, String, Double, Double) = {
+      val s = graft.tools.MachineCanary.measure()._1
+      val (p, steal, ext) = graft.tools.MachineCanary.measureParallelAttributed()
+      val ratioHigh = p / s > ContendedRatio
+      val osAvailable = steal >= 0
+      val external = steal > StealPctMax || ext > ExternalBusyPctMax
+      val contended = ratioHigh && (external || !osAvailable)
+      val attribution =
+        if (!ratioHigh) "idle"
+        else if (!osAvailable) "os-unavailable"
+        else if (external) "external-load"
+        else "idle-degraded-parallel"
+      (s, p, contended, attribution, steal, ext)
+    }
     // Exponential backoff (VERDICT r8 #2): the r8 contention outlasted
     // the old 4×30 s schedule by hours — doubling waits capped at 4 min
     // spread the retries over ~11.5 min without stalling an idle box.
-    def gatedCanary(retries: Int, waitMs0: Long, waitCapMs: Long): (Double, Double, Boolean) = {
-      var s = graft.tools.MachineCanary.measure()._1
-      // 8-thread variant: core/bandwidth contention the single-thread
-      // number can't see (≈ equal when the box is idle)
-      var p = graft.tools.MachineCanary.measureParallel()
+    // Only ATTRIBUTED contention retries; an idle-degraded box won't
+    // improve by waiting.
+    def gatedCanary(retries: Int, waitMs0: Long, waitCapMs: Long)
+        : (Double, Double, Boolean, String, Double, Double) = {
+      var m = attributedCanary()
       var tries = 0
       var waitMs = waitMs0
-      while (p / s > ContendedRatio && tries < retries) {
+      while (m._3 && tries < retries) {
         System.err.println(String.format(java.util.Locale.ROOT,
-          "[bench] canary contended (par8 %.3f ms vs single %.3f ms) — waiting %ds (retry %d/%d)",
-          Double.box(p), Double.box(s), Long.box(waitMs / 1000),
+          "[bench] canary contended (par8 %.3f ms vs single %.3f ms, %s, steal %.1f%%, external %.1f%%) — waiting %ds (retry %d/%d)",
+          Double.box(m._2), Double.box(m._1), m._4, Double.box(m._5),
+          Double.box(m._6), Long.box(waitMs / 1000),
           Int.box(tries + 1), Int.box(retries)))
         Thread.sleep(waitMs)
         waitMs = math.min(waitMs * 2, waitCapMs)
-        s = graft.tools.MachineCanary.measure()._1
-        p = graft.tools.MachineCanary.measureParallel()
+        m = attributedCanary()
         tries += 1
       }
-      (s, p, p / s > ContendedRatio)
+      m
     }
-    val (canaryStart, canaryParStart, contendedStart) =
+    val (canaryStart, canaryParStart, contendedStart, attributionStart,
+         stealStart, extBusyStart) =
       gatedCanary(retries = 5, waitMs0 = 30000, waitCapMs = 240000)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
@@ -279,7 +312,8 @@ object Bench {
         ivfScanRuns: Array[Double] = Array.empty,
         servingP50: Double, jobP50: Double,
         pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0,
-        pqServingP50: Double = -1.0, servingFleetPath: String = "resident") {
+        pqServingP50: Double = -1.0, servingFleetPath: String = "resident",
+        ivfFleetQps: Double = -1.0) {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -357,7 +391,7 @@ object Bench {
           tiled, queries, k = 10, vectorCol = "embedding", idCol = "vec_id").count(): Unit)
 
         // IVF at the same scale
-        val (ivfRuns, ivfScanQps, ivfScanRuns, ivfRecall, ivfServingP50, pqQps, pqRecall, pqServP50) =
+        val (ivfRuns, ivfScanQps, ivfScanRuns, ivfRecall, ivfServingP50, ivfFleetQps, pqQps, pqRecall, pqServP50) =
           try {
             val model = graft.ann.Ann.trainIvf(tiled, "embedding", nCells = ivfCells, maxIter = 5)
             val cells = graft.ann.Ann.assignCells(tiled, "embedding", "vec_id", model).cache()
@@ -370,12 +404,25 @@ object Bench {
             val runs = timedRuns(3)(ivfIdx.search(qSeq, k = 10, nProbe = ivfProbes).count(): Unit)
             // IVF serving p50: approximate-vs-approximate latency row
             // (the reference's HNSW p50 is also an approximate method)
-            val servP50 = graft.search.ServingSession.fromIvf(ivfIdx).map { s =>
+            val ivfSession = graft.search.ServingSession.fromIvf(ivfIdx)
+            val servP50 = ivfSession.map { s =>
               var i = 0
               p50Ms(201) {
                 s.searchOne(qSeq(i % qSeq.size)._2, k = 10, nProbe = ivfProbes)
                 i += 1
               }
+            }.getOrElse(-1.0)
+            // resident-IVF FLEET throughput — what the explicit
+            // approximate opt-in buys over the exact routed handle
+            // (ServingSession.routed's contract note): at 1M the r8
+            // numbers were IVF snapshot 674 QPS vs routed
+            // distributed-exact 310 QPS, recall 1.0. Tracked per round
+            // so the exact-only routing contract stays an informed
+            // choice, not an unexamined default.
+            val fleetQps = ivfSession.map { s =>
+              s.search(qSeq.take(4), k = 10, nProbe = ivfProbes) // warm
+              queries.size / timedRuns(3)(
+                s.search(qSeq, k = 10, nProbe = ivfProbes): Unit).min
             }.getOrElse(-1.0)
             // score-recall@10: an IVF hit scoring >= the exact kth score
             // is a true top-k member. Both sides come from the SAME
@@ -434,14 +481,14 @@ object Bench {
                 System.err.println(s"[bench] pq probe failed: ${e.getMessage}"); (-1.0, -1.0, -1.0)
               }
             cells.unpersist()
-            (runs, scanQps, scanRunsIvf, recall, servP50, pqQps, pqRecall, pqServP50)
+            (runs, scanQps, scanRunsIvf, recall, servP50, fleetQps, pqQps, pqRecall, pqServP50)
           } catch { case _: Throwable =>
-            (Array.empty[Double], -1.0, Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0) }
+            (Array.empty[Double], -1.0, Array.empty[Double], -1.0, -1.0, -1.0, -1.0, -1.0, -1.0) }
         tiled.unpersist()
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
           ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50,
-          servingFleetPath))
+          servingFleetPath, ivfFleetQps))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -450,7 +497,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_fleet_qps":${p.ivfFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -461,7 +508,7 @@ object Bench {
     // blocks, and the recall curves live in the full JSON only — the
     // 46-query map outgrew the ~2 KB driver tail with them inline.
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_fleet_qps":${fmt(p.ivfFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -827,7 +874,8 @@ object Bench {
     // One short retry only — waiting can't un-contaminate numbers that
     // already ran, it just distinguishes a measurement-instant spike
     // from sustained load.
-    val (canaryEnd, canaryParEnd, contendedEnd) =
+    val (canaryEnd, canaryParEnd, contendedEnd, attributionEnd,
+         stealEnd, extBusyEnd) =
       gatedCanary(retries = 1, waitMs0 = 10000, waitCapMs = 10000)
     val contended = contendedStart || contendedEnd
 
@@ -846,7 +894,7 @@ object Bench {
       s"""{"note":"reference p50/QPS rows are HNSW (approximate, prebuilt in-RAM); the ann rows are the like-for-like comparison, exact rows the brute-force upper bound","at_10k":${row(qps10k, 0.3, 3300)},"at_100k":${row(qps100k, 0.5, 2000)}}"""
     }
     def canaryJson: String =
-      s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"contended":$contended,"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6/r7 sandbox, ~0.1 ms implied for the r5-class machine; parallel8 ≈ single-thread when the box is idle, rises under core/bandwidth contention. contended=true (par8/single > 1.5 at start after bounded retries, or at end) marks the whole run NON-EVIDENTIARY — discard its timings"}"""
+      s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"contended":$contended,"attribution_start":"$attributionStart","attribution_end":"$attributionEnd","steal_pct":[${fmt(stealStart, 1)},${fmt(stealEnd, 1)}],"external_busy_pct":[${fmt(extBusyStart, 1)},${fmt(extBusyEnd, 1)}],"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6-r9 sandbox, ~0.1 ms implied for the r5-class machine. Since r9 the gate ATTRIBUTES a high par8/single ratio by sampling /proc/stat steal + other-process busy DURING a sustained par8 window: contended=true (non-evidentiary, discard timings) only when the ratio is high AND the guest shows external load (steal > 2% or external busy > 5%) or /proc is unavailable; attribution=idle-degraded-parallel means the ratio is the idle box's own scheduling/SMT characteristic (r9 measured ratio 2.3-2.9 at steal 0.0%, external 0.0%) and the run IS evidentiary"}"""
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -872,7 +920,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(6)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"canary_attr":["$attributionStart","$attributionEnd"],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

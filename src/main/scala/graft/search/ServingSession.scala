@@ -374,7 +374,19 @@ object ServingSession {
   /** Routed serving over a packed exact index: pulls the resident
     * snapshot when it fits `maxBytes`, and dispatches each search per
     * [[preferDistributedFleet]]. This is the handle fleet callers
-    * should hold instead of choosing a path themselves. */
+    * should hold instead of choosing a path themselves.
+    *
+    * CONTRACT: routing picks among EXACT paths only — every dispatch
+    * returns the same rank-identical `(score DESC, id ASC)` rows, so a
+    * caller can never observe different RESULTS from different corpus
+    * sizes, only different latency. That is deliberate: an IVF-backed
+    * arm would be faster past the crossover (r8 bench @1M: IVF
+    * snapshot 674 QPS recall-1.0 vs distributed-exact 310 QPS) but
+    * silently switching a caller from exact to approximate results
+    * based on data volume is an API trap. Callers who accept the
+    * approximate contract opt in EXPLICITLY by holding an IVF session
+    * ([[fromIvf]] / [[fromIvfPq]]) next to this handle — the bench's
+    * `ivf_fleet_qps` column tracks what that opt-in buys each round. */
   def routed(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes,
              crossoverRows: Long = FleetCrossoverRows): Routed =
     new Routed(idx, fromExact(idx, maxBytes), crossoverRows)

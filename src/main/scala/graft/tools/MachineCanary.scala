@@ -77,4 +77,87 @@ object MachineCanary {
     (0 until 20).foreach(_ => batch()) // JIT + pool warm
     Timing.p50BestMs(reps)(batch())._1
   }
+
+  /** Sustained par8 run WITH OS attribution (round 9): the par8/single
+    * ratio alone cannot distinguish an external tenant holding cores
+    * from this box's own idle-state parallel-wake cost — measured here
+    * at ratio ≈ 2.3-2.9 on a PROVEN-idle guest (steal 0.0%, external
+    * busy ≈ 0%, single-thread at the historical 0.31 ms), where a
+    * ratio-only gate would wait forever and then stamp a clean run
+    * non-evidentiary. So: run the par8 kernel continuously for
+    * `windowMs` and sample `/proc/stat` + `/proc/self/stat` across the
+    * window. Steal (hypervisor denying vCPU time) or external busy
+    * (another PROCESS on the guest burning cpu) during the window is
+    * real contention; their absence while the ratio is high means the
+    * slowdown is the platform's own scheduling/SMT characteristic and
+    * the numbers are evidentiary.
+    *
+    * @return (par8 p50 ms over the window, steal %, external busy %);
+    *         percentages are -1 when /proc is unavailable (non-Linux). */
+  def measureParallelAttributed(windowMs: Long = 1500,
+                                nThreads: Int = 8): (Double, Double, Double) = {
+    def cpuTotals(): Option[Array[Long]] = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      Some(line.trim.split("\\s+").drop(1).take(10).map(_.toLong))
+    } catch { case _: Throwable => None }
+    def selfTicks(): Option[Long] = try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+      // utime/stime are overall fields 14/15; after "(comm) " the state
+      // field is index 0, so they land at indices 11/12
+      val after = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      Some(after(11).toLong + after(12).toLong)
+    } catch { case _: Throwable => None }
+
+    val dim = 64
+    val n = 10000
+    val rnd = new scala.util.Random(3)
+    val xs = Array.fill(n * dim)(rnd.nextFloat() * 2 - 1)
+    val ids = Array.tabulate(n)(_.toLong)
+    val norm2 = Array.tabulate(n) { r =>
+      var s = 0.0
+      var d = 0
+      while (d < dim) { val x = xs(r * dim + d).toDouble; s += x * x; d += 1 }
+      s
+    }
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    var qn2 = 0.0
+    (0 until dim).foreach(d => qn2 += q(d).toDouble * q(d))
+    val qInv = 1.0 / math.sqrt(qn2)
+    def batch(): Unit = {
+      java.util.stream.IntStream.range(0, nThreads).parallel().forEach { _ =>
+        val h = new Kernels.TopKHeap(10)
+        Kernels.scoreSingle(Kernels.MetricCosineUnit, q, qInv, qn2, xs, ids, n, norm2, h)
+      }
+    }
+    (0 until 20).foreach(_ => batch()) // JIT + pool warm
+
+    val cpu0 = cpuTotals()
+    val self0 = selfTicks()
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < windowMs * 1000000L) {
+      val b0 = System.nanoTime()
+      batch()
+      times += (System.nanoTime() - b0) / 1e6
+    }
+    val cpu1 = cpuTotals()
+    val self1 = selfTicks()
+
+    val sorted = times.sorted
+    val p50 = sorted(sorted.length / 2)
+    (cpu0, cpu1, self0, self1) match {
+      case (Some(a), Some(b), Some(sa), Some(sb)) =>
+        val d = a.indices.map(i => b(i) - a(i))
+        val total = math.max(1L, d.sum)
+        // user+nice+system+irq+softirq minus our own process's ticks =
+        // cycles OTHER processes on the guest burned during the window
+        val busy = d(0) + d(1) + d(2) + d(5) + d(6)
+        val external = math.max(0L, busy - (sb - sa))
+        val steal = d(7)
+        (p50, 100.0 * steal / total, 100.0 * external / total)
+      case _ => (p50, -1.0, -1.0)
+    }
+  }
 }
