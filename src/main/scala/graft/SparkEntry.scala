@@ -1016,6 +1016,28 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: SimHash near-dup (Charikar) over document text —
+    // the training-free single-fingerprint dedup family member (exact,
+    // MinHash-LSH, Jaccard, embedding variants are the others). 64-bit
+    // FNV-1a token hashes, sign-accumulated per bit; candidate pairs
+    // from 4×16-bit band buckets (pigeonhole-complete for hamming ≤ 3,
+    // count-guarded); exact hamming verify. The DuckDB oracle
+    // recomputes the WHOLE pipeline in SQL — FNV-1a via HUGEINT
+    // mod-2^64 fold, per-bit majority, ALL-PAIRS hamming — so a green
+    // row also certifies banding recall 1.0 on the graded corpus.
+    // Text is pre-trimmed on both sides: Scala split("\\s+") keeps a
+    // leading-empty token where DuckDB string_split_regex keeps
+    // leading AND trailing — trim makes the tokenizations agree on
+    // every input.
+    "dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id", trim($"text").as("text"))
+      graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
     // 100 TB skew: salted two-stage collect_list — the non-combinable
     // aggregate AQE can't fix (every hot-key row otherwise lands in ONE
     // task's sort buffer). Value-preserving: graded against the plain
@@ -1482,6 +1504,39 @@ object SparkEntry {
           |FROM read_parquet('/root/repo/tools/bpe_corpus_goldens.parquet') g, fp
           |WHERE g.corpus_md5 = fp.m
           |ORDER BY g.doc_id""".stripMargin,
+      // Full SQL recomputation of the SimHash pipeline: FNV-1a 64-bit
+      // per token (HUGEINT fold, xor + ×0x100000001b3 mod 2^64 — the
+      // exact Java Long wraparound semantics), per-bit ±1 majority →
+      // fingerprint, then ALL-PAIRS hamming ≤ 3 (no banding: the
+      // oracle is exhaustive, so it also grades the Spark side's
+      // banding recall). Fingerprints drop to signed BIGINT for
+      // xor/bit_count — same 64-bit patterns.
+      "dedup_simhash" ->
+        """WITH toks AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          |  FROM documents),
+          |h AS (
+          |  SELECT doc_id, list_reduce(
+          |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          |      list_transform(range(1, length(tok)+1), i -> CAST(unicode(tok[i:i]) AS HUGEINT))),
+          |    (h, c) -> xor(h, c) * 1099511628211 % CAST(18446744073709551616 AS HUGEINT)) AS hv
+          |  FROM toks),
+          |bits AS (
+          |  SELECT doc_id, b, sum(CASE WHEN (hv >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |  FROM h, unnest(range(64)) AS t(b) GROUP BY doc_id, b),
+          |fp AS (
+          |  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::HUGEINT << CAST(b AS INT) ELSE 0::HUGEINT END) AS f
+          |  FROM bits GROUP BY doc_id),
+          |fps AS (
+          |  SELECT doc_id, CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
+          |       THEN f - CAST(18446744073709551616 AS HUGEINT) ELSE f END AS BIGINT) AS fs
+          |  FROM fp)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.fs, b.fs)) AS INT) AS hamming
+          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.fs, b.fs)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -668,9 +668,19 @@ object Dedup {
     * `maxHamming` of each other, found via 4×16-bit band buckets
     * (any pair with hamming ≤ 3 shares ≥ 1 intact band — pigeonhole),
     * verified exactly on the candidate set. Output
-    * `(id_a, id_b, hamming)`. */
+    * `(id_a, id_b, hamming)`.
+    *
+    * `maxBucket` is the same hot-bucket guard the LSH paths carry
+    * (100 TB: a degenerate band value shared by k rows fans out k²
+    * candidate pairs in ONE task; buckets past the cap are dropped,
+    * trading bounded recall loss for a bounded join). ≤ 0 disables.
+    *
+    * Correctness entry `dedup_simhash` grades this against a DuckDB
+    * oracle that recomputes FNV-1a + SimHash in pure SQL (HUGEINT
+    * mod-2^64 arithmetic) and compares ALL-PAIRS hamming — so a green
+    * row also certifies the banding's recall on the graded corpus. */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
@@ -679,9 +689,15 @@ object Dedup {
       .map { case (id, t) =>
         (id, simhash64(Option(t).getOrElse("").toLowerCase.split("\\s+").toSeq))
       }.toDF("id", "fp")
-    val banded = fps.as[(Long, Long)].flatMap { case (id, fp) =>
+    val banded0 = fps.as[(Long, Long)].flatMap { case (id, fp) =>
       (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
     }.toDF("id", "fp", "band", "key")
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.join(
+        banded0.groupBy("band", "key").count()
+          .filter(col("count") <= maxBucket).select("band", "key"),
+        Seq("band", "key"), "left_semi")
     val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
     val rt = banded.select(col("band"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
     l.join(rt, Seq("band", "key"))
