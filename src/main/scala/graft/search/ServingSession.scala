@@ -51,6 +51,27 @@ object ServingSession {
     * scan of 4× the rows. */
   private val ParallelWorkThreshold = 8 * 1024
 
+  /** Minimum row-equivalents of scan work per parallel worker. Fan-out
+    * is work-proportional, not core-count-proportional. Measured with
+    * `graft.tools.ServingProbe` (r9 box, dim 64): at 10k rows the scan
+    * is cache-resident and task-fork cost dominates — 2 workers beat
+    * 10 by ~25% (0.27 vs 0.37 ms p50); at 100k+ the scan is
+    * DRAM-bound and memory-level parallelism wins — 24-32 workers sit
+    * at the p50 minimum and fewer workers lose linearly. 4096 hits the
+    * measured optimum at every probed scale (10k→2, 100k→24, 1M→32
+    * workers). Overridable via `-Dgraft.serving.minRowsPerWorker` for
+    * hosts where the fork-cost/bandwidth balance moves. */
+  private def minRowsPerWorker: Long =
+    try sys.props.getOrElse("graft.serving.minRowsPerWorker", "4096").toLong
+    catch { case _: Throwable => 4096L }
+
+  /** Worker count for `workRows` row-equivalents over `nBlocks` blocks:
+    * capped by cores, blocks, and one worker per [[minRowsPerWorker]]. */
+  private def workersFor(workRows: Long, nBlocks: Int): Int =
+    math.min(
+      math.min(Runtime.getRuntime.availableProcessors(), math.max(1, nBlocks)),
+      math.max(1, (workRows / math.max(1L, minRowsPerWorker)).toInt))
+
   private def rank(heaps: Array[Kernels.TopKHeap], qids: Array[Long],
                    k: Int): Seq[(Long, Long, Double, Int)] = {
     val out = Vector.newBuilder[(Long, Long, Double, Int)]
@@ -102,8 +123,8 @@ object ServingSession {
         case VectorSearch.Euclidean => Kernels.MetricEuclidean
       }
       if (qids.length == 1) return searchSingle(qids(0), qVecs(0), k, code)
-      val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
-        math.max(1, blocks.length))
+      // row-equivalents: each block row is scored against every query
+      val nThreads = workersFor(n * qids.length, blocks.length)
       val heaps =
         if (n * qids.length < ParallelWorkThreshold || nThreads <= 1) {
           val qp = Kernels.packQueries(qVecs)
@@ -154,8 +175,7 @@ object ServingSession {
       var d = 0
       while (d < qv.length) { n2 += qv(d).toDouble * qv(d); d += 1 }
       val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
-      val nThreads = math.min(Runtime.getRuntime.availableProcessors(),
-        math.max(1, blocks.length))
+      val nThreads = workersFor(n, blocks.length)
       val heaps =
         if (n < ParallelWorkThreshold || nThreads <= 1) {
           val h = new Kernels.TopKHeap(k)
@@ -221,7 +241,7 @@ object ServingSession {
           if (c >= 0 && c < cellBlocks.length)
             cellBlocks(c).foreach { b => probed += b; probedRows += b.ids.length }
         }
-        val nThreads = math.min(Runtime.getRuntime.availableProcessors(), probed.length)
+        val nThreads = workersFor(probedRows, probed.length)
         if (probedRows < ParallelWorkThreshold || nThreads <= 1) {
           probed.foreach(blk => Kernels.scoreSingle(Kernels.MetricCosine, qf,
             invNorm, n2, blk.xs, blk.ids, blk.ids.length, blk.norm2, h))
@@ -301,7 +321,7 @@ object ServingSession {
             r += 1
           }
         }
-        val nThreads = math.min(Runtime.getRuntime.availableProcessors(), probed.length)
+        val nThreads = workersFor(probedRows, probed.length)
         if (probedRows < 64 * 1024 || nThreads <= 1) probed.indices.foreach(scan(_, h))
         else {
           val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
