@@ -1016,6 +1016,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: deterministic EPOCH SHUFFLE — the training reader's
+    // half of the sequence pipeline (packSequences/materializeSequences
+    // are the writer half). Content-addressed order md5(seed:epoch:id):
+    // same corpus/seed/epoch = same total order on any cluster; each
+    // epoch an independent permutation with zero permutation state.
+    // Both epochs' keys are graded (key equality IS the order check —
+    // keys are a total order), and the global sort is Spark's
+    // range-partition sort, not a single-partition window.
+    "epoch_shuffle" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.CorpusOps
+      val docs = t(s, dir, "documents").select($"doc_id")
+      CorpusOps.epochShuffle(docs, "doc_id", seed = 42L, epoch = 1)
+        .withColumn("key_e2", CorpusOps.epochShuffleKey($"doc_id", 42L, 2))
+        .select($"doc_id", $"shuffle_key", $"key_e2")
+    }),
+
     // LLM-pipeline: SimHash near-dup (Charikar) over document text —
     // the training-free single-fingerprint dedup family member (exact,
     // MinHash-LSH, Jaccard, embedding variants are the others). 64-bit
@@ -1504,6 +1521,12 @@ object SparkEntry {
           |FROM read_parquet('/root/repo/tools/bpe_corpus_goldens.parquet') g, fp
           |WHERE g.corpus_md5 = fp.m
           |ORDER BY g.doc_id""".stripMargin,
+      "epoch_shuffle" ->
+        """SELECT doc_id,
+          |  md5('42:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+          |  md5('42:2:' || CAST(doc_id AS VARCHAR)) AS key_e2
+          |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin,
+
       // Full SQL recomputation of the SimHash pipeline: FNV-1a 64-bit
       // per token (HUGEINT fold, xor + ×0x100000001b3 mod 2^64 — the
       // exact Java Long wraparound semantics), per-bit ±1 majority →

@@ -62,6 +62,30 @@ object CorpusOps {
     df.filter(substring(splitHash(col(idCol)), 1, 4) < f"$num%04x")
   }
 
+  // ─── Deterministic epoch shuffle (training-reader order) ───
+
+  /** Content-addressed shuffle key for epoch `epoch` under `seed`:
+    * `md5("<seed>:<epoch>:<id>")`. Same corpus/seed/epoch → the same
+    * total order on any cluster, any partitioning, any rerun (no
+    * `rand()`, no zipWithIndex); a different epoch re-keys every row →
+    * an independent permutation per epoch, without materializing any
+    * permutation state. */
+  def epochShuffleKey(id: Column, seed: Long, epoch: Int): Column =
+    md5(concat_ws(":", lit(seed), lit(epoch), id.cast("string")).cast("binary"))
+
+  /** The training reader's deterministic epoch shuffle: rows ordered by
+    * [[epochShuffleKey]]. THE SCALE SHAPE: a global `orderBy` on the
+    * key is a Spark range-partition sort (sample → range exchange →
+    * per-partition sort) — no single-partition window, no driver
+    * collect, and downstream writers get range-disjoint files whose
+    * lexicographic file order IS the global order. Readers that only
+    * need per-partition randomness can skip the sort and filter on the
+    * key instead (it is uniform in [0,16^32)). */
+  def epochShuffle(df: DataFrame, idCol: String, seed: Long, epoch: Int,
+                   keyCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(keyCol, epochShuffleKey(col(idCol), seed, epoch))
+      .orderBy(col(keyCol), col(idCol))
+
   // ─── Token-length quantiles ───
 
   /** Token-length distribution quantiles — what a quality-filtering

@@ -254,4 +254,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(graft.pipeline.BucketedStore.countShuffles(planned) <= 5,
       "materializeSequences must add only the id join and seq_id regroup")
   }
+
+  test("epochShuffle: deterministic per epoch, independent across epochs, row-preserving") {
+    val docs = spark.range(0, 500).select($"id".as("doc_id"))
+    def order(epoch: Int, partitions: Int): Seq[Long] =
+      CorpusOps.epochShuffle(docs.repartition(partitions), "doc_id", seed = 7L, epoch = epoch)
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = order(1, 4)
+    // same permutation whatever the input partitioning (content-addressed)
+    assert(order(1, 13) === e1)
+    // all rows kept, exactly once
+    assert(e1.sorted === (0L until 500L))
+    // a different epoch is a different permutation (w.h.p.), same rows
+    val e2 = order(2, 4)
+    assert(e2 !== e1)
+    assert(e2.sorted === (0L until 500L))
+    // a different seed differs from both
+    val other = CorpusOps.epochShuffle(docs, "doc_id", seed = 8L, epoch = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(other !== e1)
+    // key matches the documented closed form (external replayability)
+    val key = CorpusOps.epochShuffle(docs.limit(1), "doc_id", seed = 7L, epoch = 1)
+      .collect().head.getString(1)
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("7:1:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(key === want)
+  }
 }
