@@ -684,12 +684,17 @@ object Dedup {
     require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
     val spark = df.sparkSession
     import spark.implicits._
-    val fps = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+    // Persist the 16 B/doc fingerprints (same stance as the LSH paths'
+    // shingle tables): the plan references the banded table FOUR times
+    // (bucket-count guard + both join sides) and without this the full
+    // text scan + hashing would re-run per reference — at 100 TB that
+    // is 4× the corpus I/O for a derived table 1/1000th its size.
+    val fpRdd = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, simhash64(Option(t).getOrElse("").toLowerCase.split("\\s+").toSeq))
-      }.toDF("id", "fp")
-    val banded0 = fps.as[(Long, Long)].flatMap { case (id, fp) =>
+      }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
       (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
     }.toDF("id", "fp", "band", "key")
     val banded =
