@@ -404,8 +404,8 @@ object ServingSession {
     * snapshot 674 QPS recall-1.0 vs distributed-exact 310 QPS) but
     * silently switching a caller from exact to approximate results
     * based on data volume is an API trap. Callers who accept the
-    * approximate contract opt in EXPLICITLY by holding an IVF session
-    * ([[fromIvf]] / [[fromIvfPq]]) next to this handle — the bench's
+    * approximate contract opt in EXPLICITLY with [[routedIvf]] (or a
+    * raw [[fromIvf]] / [[fromIvfPq]] session) — the bench's
     * `ivf_fleet_qps` column tracks what that opt-in buys each round. */
   def routed(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes,
              crossoverRows: Long = FleetCrossoverRows): Routed =
@@ -416,6 +416,45 @@ object ServingSession {
   def routedWith(idx: PackedIndex.Exact, resident: Option[Exact],
                  crossoverRows: Long = FleetCrossoverRows): Routed =
     new Routed(idx, resident, crossoverRows)
+
+  /** The EXPLICIT approximate opt-in [[Routed]]'s scaladoc points at:
+    * one handle over both IVF paths. Dispatch is byte-cap only — no
+    * fleet crossover, because the resident IVF scan touches probed
+    * cells only and stays ahead of the cluster path at every measured
+    * size (r9 bench @1M: resident IVF fleet 720 QPS vs 309 for the
+    * routed exact handle's distributed dispatch); the only reason to
+    * leave the driver is the snapshot not fitting `maxBytes`. Both
+    * paths run the same probes and kernel: identical ids/ranks, scores
+    * within the documented float tolerance (PackedIndexSpec). Results
+    * are APPROXIMATE at the configured `nProbe` — callers hold this
+    * handle only when they accept that contract. */
+  final class RoutedIvf private[ServingSession] (
+      val idx: PackedIndex.Ivf,
+      val resident: Option[Ivf]) {
+    @volatile private var _lastPath: String = ""
+    /** "resident" | "distributed" — which path answered the latest
+      * search (bench/test observability). */
+    def lastPath: String = _lastPath
+
+    def search(queries: Seq[(Long, Seq[Double])], k: Int,
+               nProbe: Int): Seq[(Long, Long, Double, Int)] =
+      resident match {
+        case Some(s) =>
+          _lastPath = "resident"
+          s.search(queries, k, nProbe)
+        case None =>
+          _lastPath = "distributed"
+          // bounded collect: ≤ nq × k result rows
+          idx.search(queries, k, nProbe).collect().iterator
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+            .toSeq
+      }
+  }
+
+  /** Routed approximate serving over a packed IVF index — see
+    * [[RoutedIvf]] for the contract. */
+  def routedIvf(idx: PackedIndex.Ivf, maxBytes: Long = DefaultMaxBytes): RoutedIvf =
+    new RoutedIvf(idx, fromIvf(idx, maxBytes))
 
   /** Estimated driver bytes for a packed collection: floats + ids +
     * norms per row. */

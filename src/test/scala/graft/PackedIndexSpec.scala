@@ -139,6 +139,28 @@ class PackedIndexSpec extends AnyFunSuite {
     } finally { idx.unpersist(); cells.unpersist() }
   }
 
+  test("routedIvf: resident when it fits, distributed past the byte cap, same ids/ranks") {
+    val model = Ann.trainIvf(e, "embedding", nCells = 4)
+    val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val idx = PackedIndex.buildIvf(cells, model)
+    try {
+      val fits = ServingSession.routedIvf(idx)
+      assert(fits.resident.isDefined)
+      val res = fits.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      assert(fits.lastPath == "resident")
+      val capped = ServingSession.routedIvf(idx, maxBytes = 16L)
+      assert(capped.resident.isEmpty)
+      val dist = capped.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      assert(capped.lastPath == "distributed")
+      // both dispatch targets: identical ids/ranks, float-tolerance scores
+      assert(res.map(t => (t._1, t._2, t._4)) == dist.map(t => (t._1, t._2, t._4)))
+      res.zip(dist).foreach { case (l, d) => assert(math.abs(l._3 - d._3) < 1e-5) }
+    } finally { idx.unpersist(); cells.unpersist() }
+  }
+
   test("serving session: concurrent searches return identical results (thread-safety)") {
     val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
       .select("vec_id", "embedding").collect()
