@@ -1016,6 +1016,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: repeated-substring (n-gram span) masking — the
+    // span-granular dedup (Lee et al. 2022 approximated at
+    // whitespace-token 8-grams): positions covered by any 8-gram
+    // occurring ≥3 times corpus-wide are masked; the uncovered
+    // remainder survives. kept_md5 grades the full ordered kept-token
+    // stream. One gram-count shuffle + one semi-join; text pre-trimmed
+    // for Scala/DuckDB tokenizer agreement (as dedup_simhash).
+    "repeated_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.maskRepeatedNgrams(
+          t(s, dir, "documents"), "text", "doc_id", n = 8, minCount = 3)
+        .select($"id".as("doc_id"), $"n_tokens", $"n_covered",
+          md5(concat_ws("", $"kept")).as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: deterministic EPOCH SHUFFLE — the training reader's
     // half of the sequence pipeline (packSequences/materializeSequences
     // are the writer half). Content-addressed order md5(seed:epoch:id):
@@ -1521,6 +1537,35 @@ object SparkEntry {
           |FROM read_parquet('/root/repo/tools/bpe_corpus_goldens.parquet') g, fp
           |WHERE g.corpus_md5 = fp.m
           |ORDER BY g.doc_id""".stripMargin,
+      // Exhaustive SQL recomputation of the repeated-span mask: grams
+      // from list slices, hot set by global count, coverage by start
+      // expansion, kept tokens by indexed lambda filter. coalesce('')
+      // because DuckDB's array_to_string of an empty list is NULL while
+      // Spark's concat_ws of an empty array is '' (fully-covered docs).
+      "repeated_ngrams" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i, array_to_string(ts[i:i+7], chr(31)) AS gram
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
+          |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 3),
+          |starts AS (
+          |  SELECT g.doc_id, g.i FROM grams g JOIN hot h ON g.gram = h.gram),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, i + o AS p
+          |  FROM starts, unnest(range(8)) AS t(o)),
+          |agg AS (SELECT doc_id, list(p) AS ps FROM covered GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_tokens,
+          |  CAST(coalesce(len(a.ps), 0) AS INT) AS n_covered,
+          |  md5(coalesce(array_to_string(
+          |    [x for x in list_transform(t.ts, (x, i) ->
+          |       CASE WHEN a.ps IS NULL OR NOT list_contains(a.ps, i)
+          |            THEN x ELSE NULL END)
+          |     if x IS NOT NULL], chr(31)), '')) AS kept_md5
+          |FROM toks t LEFT JOIN agg a USING (doc_id)
+          |ORDER BY t.doc_id""".stripMargin,
+
       "epoch_shuffle" ->
         """SELECT doc_id,
           |  md5('42:1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -62,6 +62,59 @@ object CorpusOps {
     df.filter(substring(splitHash(col(idCol)), 1, 4) < f"$num%04x")
   }
 
+  // ─── Repeated-substring (n-gram span) masking ───
+
+  /** Mask token spans that repeat across the corpus — the
+    * span-granular dedup complementing the document-level (exact /
+    * MinHash / SimHash) and line-level families: boilerplate sentences
+    * and templated paragraphs repeat verbatim inside otherwise-unique
+    * documents, and removing the SPAN (not the document) keeps the
+    * unique remainder (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", approximated at whitespace-token
+    * n-gram granularity).
+    *
+    * A position is covered iff any n-gram starting in `[p-n+1, p]`
+    * occurs ≥ `minCount` times corpus-wide. Output keeps every input
+    * row: `(id, n_tokens, n_covered, kept)` where `kept` is the
+    * uncovered tokens in order.
+    *
+    * THE SCALE SHAPE: one `groupBy(gram)` count (map-side combined; the
+    * only corpus-wide shuffle) + one left-semi join of gram starts
+    * against the hot set (AQE broadcasts it when small) + per-doc
+    * column work bounded by doc length. At 100 TB, substitute
+    * `xxhash64(gram)` for the gram string as the count/join key to cut
+    * shuffle bytes ~6× (collisions only ever mask extra spans, never
+    * crash); the string form here keeps the DuckDB oracle exact. */
+  def maskRepeatedNgrams(df: DataFrame, textCol: String, idCol: String,
+                         n: Int, minCount: Long): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("ts"))
+    // Scala-side sliding grams: a SQL higher-order `transform` over a
+    // derived index array re-inlines the derivation per element
+    // (O(len²)/row — the profiled trap the shingle paths also avoid)
+    val grams = toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
+      if (ts.length < n) Iterator.empty
+      else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("")) }
+    }.toDF("id", "i", "gram")
+    val hot = grams.groupBy("gram").count()
+      .filter(col("count") >= minCount).select("gram")
+    val starts = grams.join(hot, Seq("gram"), "left_semi")
+      .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
+    toks.join(starts, Seq("id"), "left")
+      .withColumn("covered",
+        when(col("ss").isNull, array().cast("array<int>"))
+          .otherwise(array_distinct(flatten(
+            transform(col("ss"), s => sequence(s, s + n - 1))))))
+      .withColumn("kept",
+        filter(col("ts"), (t, i) => !array_contains(col("covered"), i)))
+      .select(col("id"), size(col("ts")).as("n_tokens"),
+        size(col("covered")).as("n_covered"), col("kept"))
+  }
+
   // ─── Deterministic epoch shuffle (training-reader order) ───
 
   /** Content-addressed shuffle key for epoch `epoch` under `seed`:

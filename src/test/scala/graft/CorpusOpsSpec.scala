@@ -255,6 +255,24 @@ class CorpusOpsSpec extends AnyFunSuite {
       "materializeSequences must add only the id join and seq_id regroup")
   }
 
+  test("maskRepeatedNgrams: hand-built corpus, span coverage + kept remainder") {
+    val docs = Seq(
+      (0L, "a b c d"),   // abc repeated (here + doc 1) → covers 0..2, keeps d
+      (1L, "x a b c"),   // abc at start 1 → covers 1..3, keeps x
+      (2L, "q w e r"),   // no repeated gram → untouched
+      (3L, "a b"),       // shorter than n → untouched
+      (4L, "a b c a b c a b c")) // abc at 0,3,6 (+overlaps) → fully covered
+      .toDF("doc_id", "text")
+    val got = CorpusOps.maskRepeatedNgrams(docs, "text", "doc_id", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3).toList)).sortBy(_._1).toList
+    assert(got(0) === ((0L, 4, 3, List("d"))))
+    assert(got(1) === ((1L, 4, 3, List("x"))))
+    assert(got(2) === ((2L, 4, 0, List("q", "w", "e", "r"))))
+    assert(got(3) === ((3L, 2, 0, List("a", "b"))))
+    assert(got(4) === ((4L, 9, 9, Nil)))
+  }
+
   test("epochShuffle: deterministic per epoch, independent across epochs, row-preserving") {
     val docs = spark.range(0, 500).select($"id".as("doc_id"))
     def order(epoch: Int, partitions: Int): Seq[Long] =
