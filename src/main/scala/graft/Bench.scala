@@ -678,7 +678,7 @@ object Bench {
     // surprisal, surprisal-split, sequence-packing) — the scrub/LM
     // probes aggregate over their computed columns so column pruning
     // cannot optimize the work away under a bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double)] =
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -723,16 +723,27 @@ object Bench {
               size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
             "doc_id", "n_tokens", seqLen = 2048, bucketSize = 100000)
           .agg(sum(col("span_len")), max(col("seq_id"))).collect(): Unit)
+        // repeated-span masking at 500k docs: tiled copies make every
+        // gram hot (count ≥ 100 ≫ minCount), so the semi-join keeps ALL
+        // gram starts — the worst-case linear path (75M gram rows
+        // through one count shuffle + semi-join + per-doc coverage).
+        // Pair-emitting dedup (simhash/minhash) is NOT probed on this
+        // tile: 100 verbatim copies make pair output quadratic by data
+        // construction, not by algorithm — dedup_stored covers
+        // dedup-at-scale at realistic dup rates.
+        val spanSec = bestSec(2)(graft.pipeline.CorpusOps.maskRepeatedNgrams(
+            tiled, "text", "doc_id", n = 8, minCount = 3)
+          .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
-          surprisalSec, surprisalSplitSec, packSec))
+          surprisalSec, surprisalSplitSec, packSec, spanSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"surprisal_split_sec":${fmt(sp, 2)},"surprisal_split_docs_per_sec":${fmt(n / sp, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk, sm) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"surprisal_split_sec":${fmt(sp, 2)},"surprisal_split_docs_per_sec":${fmt(n / sp, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"surp_split_s":${fmt(sp, 1)},"pack_s":${fmt(pk, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk, sm) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"surp_split_s":${fmt(sp, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
