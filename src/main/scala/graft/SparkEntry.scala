@@ -1016,6 +1016,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: temperature-balanced stratum sampling (mC4/XLM-R
+    // q ∝ n^α mixing, α=0.5 → IEEE-exact sqrt): per-language keep
+    // rates from the corpus shares, materialized by the deterministic
+    // md5 hash filter — same rows every rerun, oracle recomputes the
+    // rates and replays the identical filter.
+    "temperature_sample" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.temperatureSample(
+          t(s, dir, "documents").select($"doc_id", $"lang"),
+          "lang", "doc_id", alpha = 0.5, targetFraction = 0.5)
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: repeated-substring (n-gram span) masking — the
     // span-granular dedup (Lee et al. 2022 approximated at
     // whitespace-token 8-grams): positions covered by any 8-gram
@@ -1537,6 +1550,30 @@ object SparkEntry {
           |FROM read_parquet('/root/repo/tools/bpe_corpus_goldens.parquet') g, fp
           |WHERE g.corpus_md5 = fp.m
           |ORDER BY g.doc_id""".stripMargin,
+      // Rates recomputed in SQL with the SAME pinned numerics as the
+      // Spark side: sqrt for n^0.5, normalizer summed in sorted-lang
+      // order (list_sum over an ORDER BY list — double addition is not
+      // associative), round(·,6) then ×65536 floor, then the identical
+      // md5 range filter.
+      "temperature_sample" ->
+        """WITH c AS (
+          |  SELECT lang, CAST(count(*) AS DOUBLE) AS n
+          |  FROM documents GROUP BY lang),
+          |z AS (
+          |  SELECT list_sum(list(sqrt(n) ORDER BY lang)) AS z,
+          |         sum(n) AS total FROM c),
+          |thr AS (
+          |  SELECT lang,
+          |    CASE WHEN num >= 65536 THEN 'g000'
+          |         ELSE printf('%04x', num) END AS t
+          |  FROM (SELECT lang, CAST(floor(
+          |    round(least(1.0, 0.5 * z.total * (sqrt(c.n) / z.z) / c.n), 6)
+          |    * 65536) AS INT) AS num FROM c, z))
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.t
+          |ORDER BY d.doc_id""".stripMargin,
+
       // Exhaustive SQL recomputation of the repeated-span mask: grams
       // from list slices, hot set by global count, coverage by start
       // expansion, kept tokens by indexed lambda filter. coalesce('')

@@ -59,7 +59,59 @@ object CorpusOps {
     * strata first; use [[stratifiedSample]] when you need EXACTLY n. */
   def hashSample(df: DataFrame, idCol: String, num: Int): DataFrame = {
     require(num >= 0 && num <= 65536, s"num must be in [0, 65536], got $num")
-    df.filter(substring(splitHash(col(idCol)), 1, 4) < f"$num%04x")
+    // num = 65536 must keep ALL rows — f"%04x" would render "10000",
+    // and a 4-char hex prefix compares lexicographically BELOW it only
+    // when it starts with '0' (~6% kept instead of 100%)
+    if (num >= 65536) df
+    else df.filter(substring(splitHash(col(idCol)), 1, 4) < f"$num%04x")
+  }
+
+  // ─── Temperature-balanced stratum sampling ───
+
+  /** The multilingual training-mix rebalance (mC4 / XLM-R style): keep
+    * each stratum (language, source, …) with probability chosen so the
+    * SAMPLED mix follows `q_l ∝ n_l^alpha` — `alpha < 1` upweights
+    * small strata relative to their raw share — at an overall target
+    * size of `targetFraction × N` rows. Per-stratum keep-rate
+    * `r_l = min(1, targetFraction · N · q_l / n_l)`, materialized with
+    * the content-addressed [[hashSample]] filter (same rows on every
+    * rerun/cluster; nested subsets across targetFractions).
+    *
+    * Numerics are pinned for cross-engine replay (the DuckDB oracle
+    * recomputes the rates): default `alpha = 0.5` makes `n^alpha` an
+    * IEEE-exact `sqrt`; the normalizer sums stratum terms in SORTED
+    * stratum order (both engines left-to-right over the same order —
+    * double addition is not associative); rates round HALF_UP to 6dp
+    * before the ×65536 floor. Stratum count is assumed bounded
+    * (languages/sources — the driver-side rate table is tiny and the
+    * join broadcasts); the corpus itself is never collected. */
+  def temperatureSample(df: DataFrame, strataCol: String, idCol: String,
+                        alpha: Double = 0.5,
+                        targetFraction: Double = 0.5): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0 && targetFraction <= 1,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(col(strataCol).as("stratum")).count()
+      .as[(String, Long)].collect().sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val pows = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    val z = pows.foldLeft(0.0)(_ + _) // left-to-right over SORTED strata
+    val thr = counts.zip(pows).map { case ((s, n), p) =>
+      val rate = math.min(1.0, targetFraction * total * (p / z) / n.toDouble)
+      val r6 = BigDecimal(rate)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+      val num = math.floor(r6 * 65536).toInt
+      // rate 1 overflows 4 hex digits; "g000" sorts above every hex
+      // prefix ('g' > 'f'), so the single `<` keeps ALL rows — the
+      // oracle builds the identical sentinel
+      (s, if (num >= 65536) "g000" else f"$num%04x")
+    }
+    df.join(broadcast(thr.toSeq.toDF("stratum", "thr")),
+        col(strataCol) === col("stratum"))
+      .filter(substring(splitHash(col(idCol)), 1, 4) < col("thr"))
+      .drop("stratum", "thr")
   }
 
   // ─── Repeated-substring (n-gram span) masking ───

@@ -255,6 +255,35 @@ class CorpusOpsSpec extends AnyFunSuite {
       "materializeSequences must add only the id join and seq_id regroup")
   }
 
+  test("temperatureSample: alpha rebalances toward small strata, deterministic, nested") {
+    // 900 'big' vs 100 'small' docs: raw shares 0.9/0.1; alpha=0.5
+    // shares sqrt(900)/ (30+10)=0.75 / 0.25 — small stratum's keep
+    // RATE must exceed the big one's
+    val docs = spark.range(0, 1000)
+      .select($"id".as("doc_id"),
+        when($"id" < 900, "big").otherwise("small").as("lang"))
+    val out = CorpusOps.temperatureSample(docs, "lang", "doc_id",
+      alpha = 0.5, targetFraction = 0.5)
+    val kept = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rateBig = kept.getOrElse("big", 0L).toDouble / 900
+    val rateSmall = kept.getOrElse("small", 0L).toDouble / 100
+    assert(rateSmall > rateBig,
+      s"alpha<1 must upweight the small stratum (big=$rateBig small=$rateSmall)")
+    // rates land near the closed form: r_big = .5*1000*.75/900 = .4167,
+    // r_small = min(1, .5*1000*.25/100) = 1.0 (hash noise ~ ±5%)
+    assert(math.abs(rateBig - 0.4167) < 0.06)
+    assert(rateSmall === 1.0)
+    // deterministic: same rows every run
+    val a = out.collect().map(_.getLong(0)).sorted.toSeq
+    val b = CorpusOps.temperatureSample(docs.repartition(7), "lang", "doc_id",
+      alpha = 0.5, targetFraction = 0.5).collect().map(_.getLong(0)).sorted.toSeq
+    assert(a === b)
+    // alpha=1 with full target keeps everything (rates all 1)
+    assert(CorpusOps.temperatureSample(docs, "lang", "doc_id",
+      alpha = 1.0, targetFraction = 1.0).count() === 1000L)
+  }
+
   test("maskRepeatedNgrams: hand-built corpus, span coverage + kept remainder") {
     val docs = Seq(
       (0L, "a b c d"),   // abc repeated (here + doc 1) → covers 0..2, keeps d
