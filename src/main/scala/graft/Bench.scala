@@ -85,7 +85,10 @@ object Bench {
       var m = attributedCanary()
       var tries = 0
       var waitMs = waitMs0
-      while (m._3 && tries < retries) {
+      // retry only ATTRIBUTED external load — waiting cannot make
+      // /proc appear (os-unavailable) or change the box's idle
+      // parallel characteristic
+      while (m._4 == "external-load" && tries < retries) {
         System.err.println(String.format(java.util.Locale.ROOT,
           "[bench] canary contended (par8 %.3f ms vs single %.3f ms, %s, steal %.1f%%, external %.1f%%) — waiting %ds (retry %d/%d)",
           Double.box(m._2), Double.box(m._1), m._4, Double.box(m._5),

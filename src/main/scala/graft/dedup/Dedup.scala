@@ -692,7 +692,11 @@ object Dedup {
     val fpRdd = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
       .as[(Long, String)]
       .map { case (id, t) =>
-        (id, simhash64(Option(t).getOrElse("").toLowerCase.split("\\s+").toSeq))
+        // Locale.ROOT: default-locale toLowerCase turns ASCII 'I' into
+        // dotless 'ı' on tr/az JVMs — a different FNV hash than the
+        // oracle's locale-independent lower()
+        (id, simhash64(Option(t).getOrElse("")
+          .toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq))
       }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
       (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))

@@ -93,10 +93,18 @@ object CorpusOps {
       s"targetFraction must be in (0, 1], got $targetFraction")
     val spark = df.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(strataCol).as("stratum")).count()
+    // NULL strata are dropped (the rate join can never match them —
+    // same as the oracle's equi-join on the stratum)
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).as("stratum")).count()
       .as[(String, Long)].collect().sortBy(_._1)
     val total = counts.map(_._2).sum.toDouble
-    val pows = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }
+    // alpha = 0.5 uses sqrt, not pow: sqrt is IEEE correctly-rounded
+    // everywhere while pow(x, 0.5) is only 1-ulp-accurate — the oracle
+    // computes sqrt, so pow could shift a threshold by one hash bucket
+    val pows = counts.map { case (_, n) =>
+      if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+    }
     val z = pows.foldLeft(0.0)(_ + _) // left-to-right over SORTED strata
     val thr = counts.zip(pows).map { case ((s, n), p) =>
       val rate = math.min(1.0, targetFraction * total * (p / z) / n.toDouble)
@@ -156,15 +164,30 @@ object CorpusOps {
       .filter(col("count") >= minCount).select("gram")
     val starts = grams.join(hot, Seq("gram"), "left_semi")
       .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
+    // Scala-side masking: a boolean mask built once per doc is
+    // O(len + starts·n) — a per-token array_contains over the covered
+    // list would be O(len × covered), quadratic on fully-covered docs
+    // (exactly the bench probe's worst case)
     toks.join(starts, Seq("id"), "left")
-      .withColumn("covered",
-        when(col("ss").isNull, array().cast("array<int>"))
-          .otherwise(array_distinct(flatten(
-            transform(col("ss"), s => sequence(s, s + n - 1))))))
-      .withColumn("kept",
-        filter(col("ts"), (t, i) => !array_contains(col("covered"), i)))
-      .select(col("id"), size(col("ts")).as("n_tokens"),
-        size(col("covered")).as("n_covered"), col("kept"))
+      .select(col("id"), col("ts"), coalesce(col("ss"),
+        array().cast("array<int>")).as("ss"))
+      .as[(Long, Seq[String], Seq[Int])]
+      .map { case (id, ts, ss) =>
+        val mask = new Array[Boolean](ts.length)
+        ss.foreach { s =>
+          var p = s
+          val end = math.min(s + n, ts.length)
+          while (p < end) { mask(p) = true; p += 1 }
+        }
+        val kept = Vector.newBuilder[String]
+        var covered = 0
+        var i = 0
+        while (i < ts.length) {
+          if (mask(i)) covered += 1 else kept += ts(i)
+          i += 1
+        }
+        (id, ts.length, covered, kept.result())
+      }.toDF("id", "n_tokens", "n_covered", "kept")
   }
 
   // ─── Deterministic epoch shuffle (training-reader order) ───

@@ -384,11 +384,22 @@ object ServingSession {
           s.search(queries, k, m)
         case _ =>
           _lastPath = "distributed"
-          // bounded collect: ≤ nq × k result rows
-          idx.search(queries, k, m).collect().iterator
-            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-            .toSeq
+          collectRanked(idx.search(queries, k, m), queries.map(_._1))
       }
+  }
+
+  /** Collect a distributed `(qid, id, score, rank)` result and order
+    * it exactly like the resident sessions emit: input-query order,
+    * rank ascending — so routed callers see identical row ORDER from
+    * both dispatch paths, not just identical rows. Bounded: ≤ nq × k
+    * rows. */
+  private def collectRanked(df: org.apache.spark.sql.DataFrame,
+                            qidOrder: Seq[Long]): Seq[(Long, Long, Double, Int)] = {
+    val pos = qidOrder.zipWithIndex.toMap
+    df.collect().iterator
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq
+      .sortBy { case (qid, _, _, rank) => (pos.getOrElse(qid, Int.MaxValue), rank) }
   }
 
   /** Routed serving over a packed exact index: pulls the resident
@@ -444,10 +455,7 @@ object ServingSession {
           s.search(queries, k, nProbe)
         case None =>
           _lastPath = "distributed"
-          // bounded collect: ≤ nq × k result rows
-          idx.search(queries, k, nProbe).collect().iterator
-            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
-            .toSeq
+          collectRanked(idx.search(queries, k, nProbe), queries.map(_._1))
       }
   }
 

@@ -58,7 +58,12 @@ def corpus_rows(sf_dir):
 
 def golden_for(rows):
     texts = [t if t is not None else "" for _, t in rows]
-    corpus_md5 = hashlib.md5(SEP.join(texts).encode("utf-8")).hexdigest()
+    # fingerprint matches DuckDB's string_agg(text, chr(31)) EXACTLY:
+    # string_agg skips NULL elements AND their separators, so join only
+    # the non-null texts (a NULL-text corpus would otherwise never
+    # match its golden)
+    corpus_md5 = hashlib.md5(
+        SEP.join(t for _, t in rows if t is not None).encode("utf-8")).hexdigest()
     freqs = Counter(w for t in texts for w in t.lower().split())
     # Bpe.train's vocab cap: top maxVocab by (count desc, word asc)
     capped = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))[:MAX_VOCAB]
