@@ -910,6 +910,15 @@ object Bench {
     def canaryJson: String =
       s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"contended":$contended,"attribution_start":"$attributionStart","attribution_end":"$attributionEnd","steal_pct":[${fmt(stealStart, 1)},${fmt(stealEnd, 1)}],"external_busy_pct":[${fmt(extBusyStart, 1)},${fmt(extBusyEnd, 1)}],"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6-r9 sandbox, ~0.1 ms implied for the r5-class machine. Since r9 the gate ATTRIBUTES a high par8/single ratio by sampling /proc/stat steal + other-process busy DURING a sustained par8 window: contended=true (non-evidentiary, discard timings) only when the ratio is high AND the guest shows external load (steal > 2% or external busy > 5%) or /proc is unavailable; attribution=idle-degraded-parallel means the ratio is the idle box's own scheduling/SMT characteristic (r9 measured ratio 2.3-2.9 at steal 0.0%, external 0.0%) and the run IS evidentiary"}"""
 
+    // compact-line attribution codes (full strings live in the
+    // bench_latest.json canary block): ok=idle, idp=idle-degraded-
+    // parallel, ext=external-load, os=os-unavailable
+    def attrShort(a: String): String = a match {
+      case "idle" => "ok"
+      case "idle-degraded-parallel" => "idp"
+      case "external-load" => "ext"
+      case _ => "os"
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fl = failed.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -934,7 +943,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(6)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"canary_attr":["$attributionStart","$attributionEnd"],"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)
