@@ -708,15 +708,6 @@ object Bench {
         val surprisalSec = bestSec(2)(graft.textanalysis.TextAnalysis.unigramSurprisal(
             tiled, "text", "doc_id")
           .agg(sum(col("surprisal"))).collect(): Unit)
-        // VERDICT r7 #7 probe: does a broadcast top-V dict beat the
-        // AQE-planned vocab join? Both variants are bit-exact; this
-        // records which topology wins at 500k so the answer is
-        // measured, not argued (r5's rejected pre-aggregation was a
-        // different rewrite).
-        val surprisalSplitSec = bestSec(2)(
-          graft.textanalysis.TextAnalysis.unigramSurprisalSplit(
-            tiled, "text", "doc_id")
-          .agg(sum(col("surprisal"))).collect(): Unit)
         // sequence packing at 500k docs: the bucketed prefix-sum +
         // span explode must hold at 100× (agg over spans defeats
         // pruning; default 1M bucketSize → ~1 bucket per 2 input
@@ -737,16 +728,26 @@ object Bench {
         val spanSec = bestSec(2)(graft.pipeline.CorpusOps.maskRepeatedNgrams(
             tiled, "text", "doc_id", n = 8, minCount = 3)
           .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit)
+        // VERDICT r9 #2: the xxhash64-keyed gram variant (the 100-TB
+        // path — 8-byte keys through the count shuffle + semi-join
+        // instead of the 8-token string); same mask, delta tracked
+        // against span_mask_sec every round.
+        // (surp_split retired per VERDICT r9 #5: the r7 question is
+        // answered — split LOSES at 500k, 5.6 vs 3.9 r8, 19.1 vs 3.2
+        // r9; the standing conclusion lives in COVERAGE.md.)
+        val spanHashedSec = bestSec(2)(graft.pipeline.CorpusOps.maskRepeatedNgrams(
+            tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
+          .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
-          surprisalSec, surprisalSplitSec, packSec, spanSec))
+          surprisalSec, packSec, spanSec, spanHashedSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk, sm) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"surprisal_split_sec":${fmt(sp, 2)},"surprisal_split_docs_per_sec":${fmt(n / sp, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, sp, pk, sm) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"surp_split_s":${fmt(sp, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new

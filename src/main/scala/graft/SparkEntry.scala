@@ -659,6 +659,18 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: contamination at the REAL decontamination window —
+    // 8-gram shingles (GPT-3/PaLM-style pipelines window at 8-13
+    // grams; the n=3 entry above grades the engine-standard shingle).
+    // Same plan shape, only the shingle width changes.
+    "contamination_n8" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.contaminationStats(
+          t(s, dir, "documents"), "text", "doc_id", $"doc_id" % 97 === 0, n = 8)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: boilerplate n-gram probe — document frequency of
     // 3-gram shingles across the corpus (explode → partial-agg count),
     // grams in ≥ 5 docs, top-20 by (doc_freq desc, gram asc).
@@ -1012,7 +1024,7 @@ object SparkEntry {
       Bpe.encodeCol(docs, "text", model)
         .select($"doc_id", $"n_tokens",
           element_at($"tokens", 1).as("first_token"),
-          md5(concat_ws("", $"tokens")).as("tokens_md5"))
+          md5(concat_ws("\u001f", $"tokens")).as("tokens_md5"))
         .orderBy($"doc_id")
     }),
 
@@ -1041,7 +1053,22 @@ object SparkEntry {
       graft.pipeline.CorpusOps.maskRepeatedNgrams(
           t(s, dir, "documents"), "text", "doc_id", n = 8, minCount = 3)
         .select($"id".as("doc_id"), $"n_tokens", $"n_covered",
-          md5(concat_ws("", $"kept")).as("kept_md5"))
+          md5(concat_ws("\u001f", $"kept")).as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: the 100-TB variant of the span mask — count/join
+    // keyed on xxhash64(gram) so the gram shuffle moves 8-byte longs
+    // (~6× fewer bytes at whitespace 8-grams). Graded against the SAME
+    // string-keyed oracle: a 2^-64 hash collision could only over-mask,
+    // and the graded corpus has none, so outputs must be identical.
+    "repeated_ngrams_hashed" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.maskRepeatedNgrams(
+          t(s, dir, "documents"), "text", "doc_id", n = 8, minCount = 3,
+          hashedGrams = true)
+        .select($"id".as("doc_id"), $"n_tokens", $"n_covered",
+          md5(concat_ws("\u001f", $"kept")).as("kept_md5"))
         .orderBy($"doc_id")
     }),
 
@@ -1080,6 +1107,36 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .select($"doc_id", trim($"text").as("text"))
       graft.dedup.Dedup.simhashPairs(docs, "text", "doc_id", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LLM-pipeline: near-dup IMAGE dedup — the dedup family extended
+    // to the multimodal column. Documents' utf8 bytes packaged as P5
+    // grayscale netpbm (16 px wide, space-padded last row — the
+    // multimodal_resize synthesis), decoded through the REAL codec
+    // path (MediaCodecs.grayRaster), dHash-fingerprinted, banded like
+    // simhash, hamming <= 3. The all-pairs oracle recomputes the
+    // 9x8-NN dHash from the character codes — pure integer math, no
+    // decoder in the loop — so it grades decode + hash + banding
+    // recall in one entry.
+    "dedup_image_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val w = 16
+          val h = math.max(1, (bytes.length + w - 1) / w)
+          val px = new Array[Byte](w * h)
+          java.util.Arrays.fill(px, ' '.toByte)
+          System.arraycopy(bytes, 0, px, 0, bytes.length)
+          val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+          (id, header ++ px)
+        }
+        .toDF("media_id", "data")
+      graft.dedup.Dedup.imagePhashPairs(media, "data", "media_id", maxHamming = 3)
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -1535,6 +1592,16 @@ object SparkEntry {
   val rowsOnly: Set[String] = Set.empty
 
   def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // Derived oracle: the hashed-gram span mask must be byte-identical
+    // to the string-keyed mask on any corpus without a 64-bit gram-hash
+    // collision (a collision could only over-mask, and the graded
+    // corpus has none) — sharing the string keeps both entries in
+    // lock-step if the oracle is ever refined.
+    base + ("repeated_ngrams_hashed" -> base("repeated_ngrams"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = {
     val terms = kwTerms
     val bm25Expr = bm25ishSql("lower(text)", terms)
     Map(
@@ -1632,6 +1699,40 @@ object SparkEntry {
           |fp AS (
           |  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::HUGEINT << CAST(b AS INT) ELSE 0::HUGEINT END) AS f
           |  FROM bits GROUP BY doc_id),
+          |fps AS (
+          |  SELECT doc_id, CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
+          |       THEN f - CAST(18446744073709551616 AS HUGEINT) ELSE f END AS BIGINT) AS fs
+          |  FROM fp)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.fs, b.fs)) AS INT) AS hamming
+          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.fs, b.fs)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // dHash recomputed from first principles: the 9x8 NN resample of
+      // the 16xh space-padded gray raster built from the character
+      // codes (sy = y*h DIV 8, sx = x*16 DIV 9 — resizeNetpbm's NN
+      // rule), bit j set iff sampled pixel > right neighbor, then
+      // ALL-PAIRS hamming <= 3 (no banding: a green row certifies the
+      // banded path's recall too). Pure integer math, no decoder.
+      "dedup_image_phash" ->
+        """WITH s AS (
+          |  SELECT doc_id, len(text) AS n,
+          |    GREATEST(1, CAST(ceil(len(text) / 16.0) AS BIGINT)) AS h,
+          |    list_transform(range(1, len(text) + 1), i -> ord(text[i])) AS v
+          |  FROM documents),
+          |fp AS (
+          |  SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+          |    CASE WHEN
+          |      (CASE WHEN ((j // 8) * h // 8) * 16 + ((j % 8) * 16 // 9) + 1 <= n
+          |         THEN v[CAST(((j // 8) * h // 8) * 16 + ((j % 8) * 16 // 9) + 1 AS INT)]
+          |         ELSE 32 END)
+          |      >
+          |      (CASE WHEN ((j // 8) * h // 8) * 16 + (((j % 8) + 1) * 16 // 9) + 1 <= n
+          |         THEN v[CAST(((j // 8) * h // 8) * 16 + (((j % 8) + 1) * 16 // 9) + 1 AS INT)]
+          |         ELSE 32 END)
+          |    THEN 1::HUGEINT << CAST(j AS INT) ELSE 0::HUGEINT END)) AS f
+          |  FROM s),
           |fps AS (
           |  SELECT doc_id, CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
           |       THEN f - CAST(18446744073709551616 AS HUGEINT) ELSE f END AS BIGINT) AS fs
@@ -2036,6 +2137,27 @@ object SparkEntry {
           |                   FOR i IN range(1, greatest(len(ts)-1, 1))]) AS grams
           |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
           |  WHERE len(ts) >= 3),
+          |bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE is_bench),
+          |tr AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS total_grams
+          |       FROM sh WHERE NOT is_bench),
+          |ov AS (SELECT doc_id, count(*) AS overlap_grams
+          |       FROM (SELECT doc_id, unnest(grams) AS g FROM tr) t
+          |       JOIN bg USING (g) GROUP BY doc_id)
+          |SELECT tr.doc_id, total_grams,
+          |       COALESCE(overlap_grams, 0) AS overlap_grams,
+          |       round(CAST(COALESCE(overlap_grams, 0) AS DOUBLE) / total_grams, 6)
+          |         AS contamination
+          |FROM tr LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // n=8 window: ts[i:i+7] is the 8-token inclusive slice, i runs to
+      // len(ts)-7, docs need >= 8 words
+      "contamination_n8" ->
+        """WITH sh AS (
+          |  SELECT doc_id, (doc_id % 97 = 0) AS is_bench,
+          |    list_distinct([array_to_string(ts[i:i+7], ' ')
+          |                   FOR i IN range(1, greatest(len(ts)-6, 1))]) AS grams
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents)
+          |  WHERE len(ts) >= 8),
           |bg AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE is_bench),
           |tr AS (SELECT doc_id, grams, CAST(len(grams) AS BIGINT) AS total_grams
           |       FROM sh WHERE NOT is_bench),

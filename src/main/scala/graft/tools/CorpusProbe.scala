@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness for the Bench 500k corpus-probe block (VERDICT r9 #1):
+  * replicates Bench's documents tile (same copies expression, same
+  * cache + count materialization) and times the named probes ×RUNS
+  * each, printing every run — so a cross-round swing on unchanged code
+  * can be attributed to environment vs a real plan change without
+  * paying for the whole Bench suite.
+  *
+  * Usage:
+  * {{{
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.CorpusProbe pack surp_split span span_hashed"
+  * }}}
+  * Env: `SPARK_GRAFT_SF_DIR` (default sf0.1), `SPARK_GRAFT_CPUS`
+  * (default 32), `SPARK_GRAFT_RUNS` timed runs per probe (default 3).
+  */
+object CorpusProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // identical tile to Bench's corpus500k block
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val n = d.count()
+    val copies = math.max(1, (500000L / math.max(1L, n)).toInt)
+    val tiled = d.crossJoin(spark.range(copies).select(col("id").as("copy")))
+      .select((col("doc_id") + col("copy") * n).as("doc_id"), col("lang"), col("text"))
+      .repartition(cpus.toInt).cache()
+    val total = tiled.count()
+    println(s"[corpus-probe] tiled $total docs (${copies}x) from $sfDir")
+
+    val probes: Map[String, () => Unit] = Map(
+      "pack" -> (() => graft.pipeline.CorpusOps.packSequences(
+          tiled.select(col("doc_id"),
+            size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
+          "doc_id", "n_tokens", seqLen = 2048, bucketSize = 100000)
+        .agg(sum(col("span_len")), max(col("seq_id"))).collect(): Unit),
+      "surp" -> (() => graft.textanalysis.TextAnalysis.unigramSurprisal(
+          tiled, "text", "doc_id")
+        .agg(sum(col("surprisal"))).collect(): Unit),
+      "surp_split" -> (() => graft.textanalysis.TextAnalysis.unigramSurprisalSplit(
+          tiled, "text", "doc_id")
+        .agg(sum(col("surprisal"))).collect(): Unit),
+      "span" -> (() => graft.pipeline.CorpusOps.maskRepeatedNgrams(
+          tiled, "text", "doc_id", n = 8, minCount = 3)
+        .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit),
+      "span_hashed" -> (() => graft.pipeline.CorpusOps.maskRepeatedNgrams(
+          tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
+        .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit))
+
+    val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
+    names.foreach { name =>
+      val p = probes.getOrElse(name,
+        sys.error(s"unknown probe '$name'; known: ${probes.keys.toSeq.sorted.mkString(", ")}"))
+      p() // warmup
+      val secs = Array.fill(runs) {
+        val t0 = System.nanoTime()
+        p()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[corpus-probe] $name%-12s best=${secs.min}%.2fs runs=${secs.map(s => f"$s%.2f").mkString("[", ",", "]")}")
+    }
+    tiled.unpersist()
+    spark.stop()
+  }
+}

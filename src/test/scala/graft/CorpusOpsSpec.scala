@@ -302,6 +302,74 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4) === ((4L, 9, 9, Nil)))
   }
 
+  test("contaminationStats at n=8: real decontamination window") {
+    // bench doc 1 shares exactly one 8-gram with doc 2 (the first 8
+    // tokens), none with doc 3; docs under 8 words drop
+    val df = Seq(
+      (1L, "a b c d e f g h i"),   // bench: grams {a..h, b..i}
+      (2L, "a b c d e f g h x"),   // train: {a..h, b..x} -> overlap 1
+      (3L, "p q r s t u v w x y"), // train: no overlap
+      (4L, "a b c d e f g")        // train: 7 words, dropped
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.contaminationStats(df, "text", "doc_id", $"doc_id" === 1, n = 8)
+      .select($"id", $"total_grams", $"overlap_grams", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (2L, 2L, 1L, 0.5),
+      (3L, 3L, 0L, 0.0)))
+  }
+
+  test("maskRepeatedNgrams hashedGrams: byte-identical to the string-keyed path") {
+    // the hand-built corpus plus a 300-doc pseudo-random one: any
+    // difference would need a 64-bit xxhash collision between distinct
+    // grams of this corpus — impossible here, so exact equality
+    val hand = Seq(
+      (0L, "a b c d"), (1L, "x a b c"), (2L, "q w e r"),
+      (3L, "a b"), (4L, "a b c a b c a b c"))
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("red", "blue", "green", "ion", "flux", "core", "beam", "node")
+    val gen = (5L until 305L).map { i =>
+      (i, Vector.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (hand ++ gen).toDF("doc_id", "text")
+    def run(hashed: Boolean): Seq[(Long, Int, Int, List[String])] =
+      CorpusOps.maskRepeatedNgrams(docs, "text", "doc_id", n = 3, minCount = 2,
+          hashedGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[String](3).toList)).sortBy(_._1).toSeq
+    assert(run(hashed = true) === run(hashed = false))
+  }
+
+  test("epochShuffle writer contract: lexicographic file order IS the global key order") {
+    // the scaladoc claim: the range-partition sort gives downstream
+    // writers range-disjoint files whose name order is the global order
+    val dir = java.nio.file.Files.createTempDirectory("epoch_shuffle_files").toFile
+    // AQE coalesces a 2000-row sort to one partition — disable just for
+    // this write so the multi-file property is actually exercised (at
+    // real scale the sort genuinely spans many range partitions)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      val docs = spark.range(0, 2000).select($"id".as("doc_id"))
+      CorpusOps.epochShuffle(docs.repartition(8), "doc_id", seed = 7L, epoch = 1)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val parts = dir.listFiles().filter(_.getName.startsWith("part-"))
+        .map(_.getAbsolutePath).sorted
+      assert(parts.length > 1, s"want multiple range files, got ${parts.length}")
+      // concatenating per-file keys in FILE-NAME order must equal the
+      // globally sorted key sequence (files are range-disjoint + sorted)
+      val concat = parts.toSeq.flatMap { f =>
+        spark.read.parquet(f).select($"shuffle_key").collect().map(_.getString(0)).toSeq
+      }
+      assert(concat.length === 2000)
+      assert(concat === concat.sorted)
+    } finally {
+      spark.conf.set(coalesceKey, prev)
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("epochShuffle: deterministic per epoch, independent across epochs, row-preserving") {
     val docs = spark.range(0, 500).select($"id".as("doc_id"))
     def order(epoch: Int, partitions: Int): Seq[Long] =

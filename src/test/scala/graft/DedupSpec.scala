@@ -218,6 +218,20 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("fnv1a64 folds code points: BMP unchanged, astral matches the oracle fold") {
+    // BMP string: code-point fold == the historical code-unit fold
+    def fnvRef(cps: Seq[Int]): Long = {
+      var h = 0xcbf29ce484222325L
+      cps.foreach { c => h ^= c; h *= 0x100000001b3L }
+      h
+    }
+    assert(Dedup.fnv1a64("spark") === fnvRef("spark".map(_.toInt)))
+    // astral (non-BMP) char: one fold step over the CODE POINT, not two
+    // over the surrogate pair — what DuckDB's unicode(tok[i:i]) computes
+    val emoji = new String(Character.toChars(0x1F600)) // 😀
+    assert(Dedup.fnv1a64("a" + emoji) === fnvRef(Seq('a'.toInt, 0x1F600)))
+  }
+
   test("simhash: identical texts at hamming 0; small edit stays within band recall; unrelated far") {
     val base = "spark join filter hash table scan merge sort window aggregate shuffle partition"
     val near = base.replace("window", "windows") // one token changed
@@ -232,6 +246,49 @@ class DedupSpec extends AnyFunSuite {
     val d = java.lang.Long.bitCount(
       Dedup.simhash64(base.split(" ").toSeq) ^ Dedup.simhash64(near.split(" ").toSeq))
     if (d <= 3) assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) == d)
+  }
+
+  test("dhash64: matches an independent fold; uniform brightness shift is invariant") {
+    // 18x16 gradient raster; reference fold computed inline from the
+    // documented rule (sy = y*h/8, sx = x*w/9, bit = left > right)
+    val w = 18; val h = 16
+    val g = Array.tabulate(w * h)(i => (i * 7 + (i % 5) * 11) % 200)
+    def ref(px: Array[Int]): Long = {
+      var fp = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (px(sy * w + x * w / 9) > px(sy * w + (x + 1) * w / 9))
+          fp |= 1L << (y * 8 + x)
+      }
+      fp
+    }
+    assert(Dedup.dhash64(g, w, h) === ref(g))
+    // gradients are compared, not absolute levels
+    assert(Dedup.dhash64(g.map(_ + 40), w, h) === Dedup.dhash64(g, w, h))
+  }
+
+  test("imagePhashPairs: netpbm and PNG decode to the same fingerprint; unrelated images unpaired") {
+    import graft.multimodal.MediaCodecs
+    val w = 16; val h = 8
+    val base = Array.tabulate(w * h)(i => ((i * 13) % 180 + 20).toByte)
+    val shifted = base.map(b => ((b & 0xff) + 30).toByte) // uniform +30, no clamp (max 229)
+    val noise = Array.tabulate(w * h)(i => (((i * 97) ^ (i << 3)) % 256).toByte)
+    def p5(px: Array[Byte]): Array[Byte] =
+      s"P5\n$w $h\n255\n".getBytes("US-ASCII") ++ px
+    val df = Seq(
+      (1L, p5(base)),
+      (2L, MediaCodecs.encodePng(base, w, h, 1)), // same pixels, PNG path
+      (3L, p5(shifted)),                           // brightness-shifted near-dup
+      (4L, p5(noise)),                             // unrelated
+      (5L, "not an image".getBytes("UTF-8"))       // undecodable -> dropped
+    ).toDF("id", "data")
+    val pairs = Dedup.imagePhashPairs(df, "data", "id", maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 0) // codec paths agree bit-for-bit
+    assert(pairs((1L, 3L)) === 0) // dHash shift invariance
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    assert(!pairs.keySet.exists { case (a, b) => a == 5L || b == 5L })
   }
 
   test("connected components: chains merge, isolates keep own label, non-convergence throws") {
