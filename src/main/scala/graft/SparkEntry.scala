@@ -82,6 +82,50 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** CTE chain replaying [[graft.pipeline.Clustering.kmeansAssignQuantized]]
+    * (k=4, iters=2, scale=1e6) in pure SQL over `embeddings`: quantize
+    * to integers, assign to the 4 smallest-id seed vectors (exact
+    * integer argmin, ties to lowest cid), floor-mean update (empty
+    * cells keep their centroid), assign again — `a1` holds the final
+    * `(vec_id, cluster)`. Shared by `kmeans_assign` / `semdedup_pairs`. */
+  private val kmeansSqlCtes: String =
+    """q AS (
+      |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS c
+      |  FROM q ORDER BY vec_id LIMIT 4),
+      |d0 AS (
+      |  SELECT vec_id, cid,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS d
+      |  FROM q, c0),
+      |a0 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cid AS cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d0) WHERE rn = 1),
+      |u0 AS (
+      |  SELECT cluster, i, CAST(floor(sum(qv[i]) * 1.0 / count(*)) AS BIGINT) AS cv
+      |  FROM a0 JOIN q USING (vec_id), unnest(range(1, len(qv) + 1)) AS t(i)
+      |  GROUP BY cluster, i),
+      |c1 AS (
+      |  SELECT c0.cid AS cid, coalesce(u1.cl, c0.c) AS c
+      |  FROM c0 LEFT JOIN (
+      |    SELECT cluster AS cid, list(cv ORDER BY i) AS cl FROM u0 GROUP BY cluster) u1
+      |  USING (cid)),
+      |d1 AS (
+      |  SELECT vec_id, cid,
+      |    list_sum(list_transform(range(1, len(qv) + 1),
+      |      i -> (qv[i] - c[i]) * (qv[i] - c[i]))) AS d
+      |  FROM q, c1),
+      |a1 AS (
+      |  SELECT vec_id, cluster FROM (
+      |    SELECT vec_id, cid AS cluster,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM d1) WHERE rn = 1)""".stripMargin
+
   /** DuckDB rendering of [[graft.tree.TreeIndex.keywordRelevance]]:
     * contained-terms / terms over an already-lowercased text expr. */
   private def treeScoreSql(lowerTextExpr: String, terms: Seq[String]): String = {
@@ -971,6 +1015,44 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: deterministic quantized-integer k-means — the
+    // auditable cluster assignment SemDeDup-style curation needs
+    // (MLlib's float k-means can't be replayed by another engine; the
+    // integer path can — the oracle replays TWO full Lloyd iterations
+    // in pure SQL and must match by hash). k=4, iters=2, scale=1e6.
+    "kmeans_assign" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Clustering.kmeansAssignQuantized(
+          t(s, dir, "embeddings"), "embedding", "vec_id", k = 4, iters = 2)
+        .select($"id".as("vec_id"), $"cluster")
+        .orderBy($"vec_id")
+    }),
+
+    // LLM-pipeline: SemDeDup (Abbas et al. 2023) — semantic near-dup
+    // pairs found cluster-locally over the deterministic k-means cells:
+    // the pair space is bounded by the largest cell, and the whole
+    // cluster→cosine pipeline is replayed from scratch by the oracle.
+    "semdedup_pairs" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.Clustering.semdedupPairs(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          k = 4, iters = 2, tau = 0.3)
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LLM-pipeline: stupid-backoff bigram LM quality score (Brants
+    // 2007 / CCNet shape) — the LM trains on HALF the corpus (even
+    // doc_ids) and scores ALL of it, so the backoff branch genuinely
+    // fires on odd-doc bigrams the train half never saw.
+    "bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.textanalysis.TextAnalysis.bigramLmScore(
+          docs, docs.filter($"doc_id" % 2 === 0), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: multimodal byte metadata — media as opaque BINARY
     // with typed metadata columns (size, sha256 digest, header hex,
     // frame-sampling arithmetic). Payloads = utf8 document bytes with a
@@ -1137,6 +1219,39 @@ object SparkEntry {
         }
         .toDF("media_id", "data")
       graft.dedup.Dedup.imagePhashPairs(media, "data", "media_id", maxHamming = 3)
+        .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // LLM-pipeline: near-dup AUDIO dedup — the modality family's
+    // fourth member (text simhash / embedding / image phash / audio).
+    // Documents' utf8 bytes packaged as genuine mono 8-bit PCM WAVs
+    // (the multimodal_decode synthesis), decoded through the REAL
+    // RIFF walk (MediaCodecs.pcmIntSamples), energy-envelope
+    // fingerprinted (65 windows, exact integer squares), banded like
+    // simhash. The corpus has no byte-identical docs (its planted
+    // dups differ by case/whitespace, which the envelope correctly
+    // distinguishes), so 25 duplicate CLIPS are planted by id offset
+    // — the dedup_embedding_lsh pattern — and must surface at
+    // hamming 0. The all-pairs oracle recomputes window energies and
+    // the fingerprint from character codes — ord(c)-128 IS the 8-bit
+    // PCM sample — so one green row grades decode + fingerprint +
+    // banding recall.
+    "dedup_audio_fp" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.MediaCodecs
+      val base = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+      val maxId = base.agg(max($"media_id").as("m"))
+      val planted = base.filter($"media_id" < 25)
+        .crossJoin(broadcast(maxId))
+        .select(($"media_id" + $"m" + 1).as("media_id"), $"text")
+      val media = base.unionByName(planted)
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          (id, MediaCodecs.encodeWavPcm8(txt.getBytes("UTF-8"), 8000)) }
+        .toDF("media_id", "data")
+      graft.dedup.Dedup.audioFingerprintPairs(media, "data", "media_id", maxHamming = 3)
         .select($"id_a", $"id_b", $"hamming".cast("int").as("hamming"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -1733,6 +1848,45 @@ object SparkEntry {
           |         ELSE 32 END)
           |    THEN 1::HUGEINT << CAST(j AS INT) ELSE 0::HUGEINT END)) AS f
           |  FROM s),
+          |fps AS (
+          |  SELECT doc_id, CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
+          |       THEN f - CAST(18446744073709551616 AS HUGEINT) ELSE f END AS BIGINT) AS fs
+          |  FROM fp)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |  CAST(bit_count(xor(a.fs, b.fs)) AS INT) AS hamming
+          |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.fs, b.fs)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // First-principles replay of the audio-fingerprint pipeline:
+      // ord(c)-128 is the 8-bit PCM sample, window w spans samples
+      // [n·w/65, n·(w+1)/65) (integer division both sides), energies
+      // are exact integer sums of squares, bit j = e[j+1] > e[j];
+      // then ALL-PAIRS hamming — so the green row also certifies the
+      // banding's recall on the graded corpus.
+      "dedup_audio_fp" ->
+        """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          |u AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + m + 1 AS doc_id, text FROM documents, mx
+          |  WHERE doc_id < 25),
+          |s AS (
+          |  SELECT doc_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1), i -> ord(text[i]) - 128) AS v
+          |  FROM u),
+          |en AS (
+          |  SELECT doc_id, list_transform(range(0, 65), w ->
+          |    coalesce(list_sum(list_transform(
+          |      range(CAST(n * w // 65 AS BIGINT) + 1,
+          |            CAST(n * (w + 1) // 65 AS BIGINT) + 1),
+          |      i -> v[i] * v[i])), 0)) AS e
+          |  FROM s),
+          |fp AS (
+          |  SELECT doc_id, list_sum(list_transform(range(0, 64), j ->
+          |    CASE WHEN e[CAST(j + 2 AS INT)] > e[CAST(j + 1 AS INT)]
+          |         THEN 1::HUGEINT << CAST(j AS INT) ELSE 0::HUGEINT END)) AS f
+          |  FROM en),
           |fps AS (
           |  SELECT doc_id, CAST(CASE WHEN f >= CAST(9223372036854775808 AS HUGEINT)
           |       THEN f - CAST(18446744073709551616 AS HUGEINT) ELSE f END AS BIGINT) AS fs
@@ -2493,6 +2647,64 @@ object SparkEntry {
           |  FROM u a, u b WHERE a.vec_id < b.vec_id)
           |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.95
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // Two full Lloyd iterations replayed in SQL: quantize → assign
+      // (exact integer argmin, ties to lowest cid) → floor-mean update
+      // (empty cells keep their centroid) → assign. Integer arithmetic
+      // end to end, so this is an exact replay, not an approximation.
+      "kmeans_assign" ->
+        s"""WITH $kmeansSqlCtes
+           |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin,
+
+      // Same replayed clustering, then all within-cluster pairs scored
+      // with the identical double cosine + HALF_UP round the embedding
+      // dedup entries pin.
+      "semdedup_pairs" ->
+        s"""WITH $kmeansSqlCtes,
+           |e AS (SELECT vec_id, embedding FROM embeddings),
+           |scored AS (
+           |  SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+           |    round(${dotSql("ea.embedding", "eb.embedding")} /
+           |      (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+           |       sqrt(${dotSql("eb.embedding", "eb.embedding")})), 6) AS cos
+           |  FROM e ea JOIN a1 ca ON ea.vec_id = ca.vec_id
+           |       JOIN a1 cb ON ca.cluster = cb.cluster
+           |       JOIN e eb ON eb.vec_id = cb.vec_id AND ea.vec_id < eb.vec_id)
+           |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "bigram_lm" ->
+        """WITH ws0 AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+          |    w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |uni AS (
+          |  SELECT w, count(*) AS c1 FROM (
+          |    SELECT unnest(ws) AS w FROM ws0 WHERE doc_id % 2 = 0)
+          |  GROUP BY w),
+          |nv AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_tok,
+          |              CAST(count(*) AS DOUBLE) AS v_size FROM uni),
+          |bt AS (
+          |  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(*) AS c2
+          |  FROM ws0, unnest(range(1, len(ws))) AS t(i)
+          |  WHERE doc_id % 2 = 0
+          |  GROUP BY w1, w2),
+          |db AS (
+          |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+          |  FROM ws0, unnest(range(1, len(ws))) AS t(i)),
+          |scored AS (
+          |  SELECT doc_id,
+          |    CASE WHEN c2 IS NOT NULL THEN -ln(CAST(c2 AS DOUBLE) / c1a)
+          |         ELSE -ln(0.4 * CAST(coalesce(c1b, 0) + 1 AS DOUBLE)
+          |                  / (n_tok + v_size)) END AS s
+          |  FROM db
+          |  LEFT JOIN bt USING (w1, w2)
+          |  LEFT JOIN (SELECT w AS w1, c1 AS c1a FROM uni) u1 USING (w1)
+          |  LEFT JOIN (SELECT w AS w2, c1 AS c1b FROM uni) u2 USING (w2)
+          |  CROSS JOIN nv)
+          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |  round(avg(s), 6) AS lm_score
+          |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       "multimodal_meta" ->
         """SELECT doc_id AS media_id,

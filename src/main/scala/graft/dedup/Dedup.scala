@@ -715,9 +715,25 @@ object Dedup {
     // auto-unpersists the blocks once the returned plan is GC'd, so a
     // long-lived session does not accrete block-manager storage across
     // repeated calls (same stance as minhashLshPairs, line 149).
-    val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
+    bandedHammingPairs(spark.createDataset(fpRdd), maxHamming, maxBucket)
+  }
+
+  /** 4×16-bit-band candidate generation + exact hamming verify over a
+    * (PRE-PERSISTED) `(id, fingerprint64)` set — the shared engine
+    * behind [[simhashPairs]], [[imagePhashPairs]], and
+    * [[audioFingerprintPairs]]. Any pair within hamming ≤ 3 shares at
+    * least one intact 16-bit band (pigeonhole), so banding loses
+    * nothing at the guaranteed radius; `maxBucket` drops degenerate
+    * band values (k² fan-out in one task at 100 TB) for bounded recall
+    * loss. The plan references the banded table four times (bucket
+    * guard + both join sides) — callers persist the fingerprint RDD so
+    * the upstream decode/hash runs once, not four times. */
+  private def bandedHammingPairs(fps: org.apache.spark.sql.Dataset[(Long, Long)],
+                                 maxHamming: Int, maxBucket: Int): DataFrame = {
+    val banded0 = fps.flatMap { case (id, fp) =>
       (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
-    }.toDF("id", "fp", "band", "key")
+    }(org.apache.spark.sql.Encoders.product[(Long, Long, Int, Long)])
+      .toDF("id", "fp", "band", "key")
     val banded =
       if (maxBucket <= 0) banded0
       else banded0.join(
@@ -794,23 +810,63 @@ object Dedup {
         graft.multimodal.MediaCodecs.grayRaster(Option(b).getOrElse(Array.empty))
           .map { case (g, w, h) => (id, dhash64(g, w, h)) }
       }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded0 = spark.createDataset(fpRdd).flatMap { case (id, fp) =>
-      (0 until 4).map(b => (id, fp, b, (fp >>> (b * 16)) & 0xffffL))
-    }.toDF("id", "fp", "band", "key")
-    val banded =
-      if (maxBucket <= 0) banded0
-      else banded0.join(
-        banded0.groupBy("band", "key").count()
-          .filter(col("count") <= maxBucket).select("band", "key"),
-        Seq("band", "key"), "left_semi")
-    val l = banded.select(col("band"), col("key"), col("id").as("id_a"), col("fp").as("fp_a"))
-    val rt = banded.select(col("band"), col("key"), col("id").as("id_b"), col("fp").as("fp_b"))
-    l.join(rt, Seq("band", "key"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    bandedHammingPairs(spark.createDataset(fpRdd), maxHamming, maxBucket)
+  }
+
+  /** Energy-envelope audio fingerprint (the Haitsma–Kalker 2002 shape
+    * reduced to exact integers): the sample stream splits into 65
+    * contiguous windows, each window's energy is the EXACT long sum of
+    * squared integer samples, and bit j of the fingerprint is
+    * `energy(j+1) > energy(j)` — the sign of the energy envelope's
+    * derivative, invariant under constant gain (a volume change
+    * multiplies every window energy by g², preserving the
+    * comparisons) and replayable bit-for-bit in SQL (no floats
+    * anywhere). Inputs are
+    * 8/16-bit PCM integers ([[graft.multimodal.MediaCodecs.pcmIntSamples]]);
+    * 16-bit squares are ≤ 2^30, so a window holds 2^33 samples before
+    * the long could overflow — ~53 hours of 44.1 kHz audio per window. */
+  def audioFingerprint64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      val from = (n.toLong * w / 65).toInt
+      val until = (n.toLong * (w + 1) / 65).toInt
+      var s = 0L
+      var i = from
+      while (i < until) { val v = samples(i).toLong; s += v * v; i += 1 }
+      e(w) = s
+      w += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (e(j + 1) > e(j)) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  /** Near-dup AUDIO pairs — the dedup family extended to the audio
+    * modality: decode WAV bytes to integer PCM, fingerprint the energy
+    * envelope ([[audioFingerprint64]]), then exactly the simhash
+    * banding (4×16-bit bands, hamming ≤ 3 recall guaranteed,
+    * count-guarded buckets, 8 B/clip fingerprints persisted across the
+    * plan's four references). Undecodable or float/24/32-bit payloads
+    * drop out (flatMap None), same stance as [[imagePhashPairs]].
+    * Output `(id_a, id_b, hamming)`. */
+  def audioFingerprintPairs(df: DataFrame, bytesCol: String, idCol: String,
+                            maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4-band scheme guarantees recall only for hamming <= 3")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fpRdd = df.select(col(idCol).cast("long").as("id"), col(bytesCol).as("b"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, b) =>
+        graft.multimodal.MediaCodecs.pcmIntSamples(Option(b).getOrElse(Array.empty))
+          .map(s => (id, audioFingerprint64(s)))
+      }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bandedHammingPairs(spark.createDataset(fpRdd), maxHamming, maxBucket)
   }
 
   // ─── Embedding near-dup (IVF-style) ───

@@ -157,7 +157,13 @@ object MediaCodecs extends Serializable {
     * (format 3, 32-bit) WAV; `None` on anything malformed or any other
     * codec id — a truncated or exotic payload must route to the stub,
     * never crash the batch. */
-  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+  /** Parsed RIFF/WAVE layout — the chunk walk shared by [[decodeWav]]
+    * and [[pcmIntSamples]]. */
+  private final case class WavLayout(fmtCode: Int, channels: Int,
+                                     sampleRate: Int, bits: Int,
+                                     dataOff: Int, dataLen: Int)
+
+  private def wavLayout(bytes: Array[Byte]): Option[WavLayout] = {
     if (!isWav(bytes)) return None
     try {
       val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -185,6 +191,44 @@ object MediaCodecs extends Serializable {
       if (channels <= 0 || sampleRate <= 0 || dataOff < 0) return None
       if (fmtCode == 3 && bits != 32) return None
       if (fmtCode == 1 && bits != 8 && bits != 16 && bits != 24 && bits != 32) return None
+      Some(WavLayout(fmtCode, channels, sampleRate, bits, dataOff, dataLen))
+    } catch { case _: Exception => None }
+  }
+
+  /** Raw integer PCM samples (channel-interleaved) for the exact-
+    * integer audio-fingerprint path: 8-bit unsigned → value − 128,
+    * 16-bit signed LE → value. None for float/24/32-bit payloads
+    * (their squares would overflow the exact-long energy sums
+    * downstream — [[graft.dedup.Dedup.audioFingerprint64]]) or
+    * undecodable bytes. */
+  def pcmIntSamples(bytes: Array[Byte]): Option[Array[Int]] =
+    wavLayout(bytes).flatMap { l =>
+      if (l.fmtCode != 1 || (l.bits != 8 && l.bits != 16)) None
+      else try {
+        val bps = l.bits / 8
+        val n = l.dataLen / bps
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          out(i) =
+            if (l.bits == 8) (bytes(l.dataOff + i) & 0xff) - 128
+            else buf.getShort(l.dataOff + i * 2).toInt
+          i += 1
+        }
+        Some(out)
+      } catch { case _: Exception => None }
+    }
+
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    val layout = wavLayout(bytes)
+    if (layout.isEmpty) return None
+    try {
+      val l = layout.get
+      val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+      val fmtCode = l.fmtCode; val channels = l.channels
+      val sampleRate = l.sampleRate; val bits = l.bits
+      val dataOff = l.dataOff; val dataLen = l.dataLen
       val bytesPerSample = bits / 8
       val nSamples = dataLen / bytesPerSample
       val nFrames = nSamples / channels

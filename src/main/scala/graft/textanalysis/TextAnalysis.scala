@@ -257,6 +257,61 @@ object TextAnalysis {
         Ipv4Re, "[IP]"),
       PhoneRe, "[PHONE]")
 
+  /** Stupid-backoff bigram LM scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" — the web-scale LM score
+    * that skips normalization) — the CCNet-shape quality signal where
+    * the LM trains on a REFERENCE corpus (`train`) and scores a
+    * different one (`score`), so backoff genuinely fires on unseen
+    * bigrams. Per scored doc with ≥ 2 tokens:
+    *
+    *   s(w_{i-1}, w_i) = -ln( c2(w_{i-1}, w_i) / c1(w_{i-1}) )    seen
+    *                   = -ln( α · (c1(w_i) + 1) / (N + V) )       else
+    *
+    * (add-one unigram terminal so unseen words stay finite; α = 0.4
+    * per the paper; N = train tokens, V = train vocab). Returns
+    * `(id, n_bigrams, lm_score)` with lm_score = avg s rounded 6dp.
+    *
+    * Plan shape for 100 TB: counts are two map-side-combinable
+    * groupBys over the TRAIN corpus (unigram, bigram); scoring is two
+    * joins of the scored bigram stream against those count tables
+    * (sort-merge at scale, AQE-broadcast when the LM is small — the
+    * usual case: the reference corpus is curated and much smaller
+    * than the corpus being filtered) + the 2-row (N, V) scalar on a
+    * broadcast cross join + one per-doc average. Nothing pairwise,
+    * nothing driver-side. */
+  def bigramLmScore(score: org.apache.spark.sql.DataFrame,
+                    train: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String,
+                    alpha: Double = 0.4): org.apache.spark.sql.DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+        filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+    def bigrams(df: org.apache.spark.sql.DataFrame) =
+      toks(df).filter(size($"ws") >= 2)
+        .select($"id", explode(expr(
+          "transform(slice(ws, 1, size(ws) - 1), (x, i) -> struct(x AS w1, ws[i + 1] AS w2))")).as("b"))
+        .select($"id", $"b.w1", $"b.w2")
+    val uni = toks(train).select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("c1"))
+    val nv = uni.agg(sum($"c1").cast("double").as("n_tok"),
+      count(lit(1)).cast("double").as("v_size"))
+    val big = bigrams(train).groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+    bigrams(score)
+      .join(uni.select($"w".as("w1"), $"c1".as("c1a")), Seq("w1"), "left")
+      .join(uni.select($"w".as("w2"), $"c1".as("c1b")), Seq("w2"), "left")
+      .join(big, Seq("w1", "w2"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("s",
+        when($"c2".isNotNull, -log($"c2".cast("double") / $"c1a"))
+          .otherwise(-log(lit(alpha) * (coalesce($"c1b", lit(0L)) + lit(1L)).cast("double")
+            / ($"n_tok" + $"v_size"))))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"s"), 6).as("lm_score"))
+  }
+
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
     * keep the min hash of every sliding window of size w — the standard
     * local document fingerprint (Schleimer et al., public algorithm).

@@ -372,4 +372,34 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(gotZ == brute)
   }
+
+  test("audioFingerprint64: hand-computed envelope bits; constant gain is invariant") {
+    // 130 samples = 2 per window; odd windows carry energy 18, even 0
+    // -> bit j set iff j even (e[j+1]=18 > e[j]=0 exactly at even j)
+    val samples = Array.tabulate(130)(i => if ((i / 2) % 2 == 1) 3 else 0)
+    assert(Dedup.audioFingerprint64(samples) == 0x5555555555555555L)
+    // volume x7 multiplies every window energy by 49 - same fingerprint
+    assert(Dedup.audioFingerprint64(samples.map(_ * 7)) == 0x5555555555555555L)
+    // silence: all energies 0, no strict increase anywhere
+    assert(Dedup.audioFingerprint64(Array.fill(200)(0)) == 0L)
+    assert(Dedup.audioFingerprint64(Array.empty[Int]) == 0L)
+  }
+
+  test("audioFingerprintPairs: duplicate clips at hamming 0; unrelated unpaired; garbage drops") {
+    import graft.multimodal.MediaCodecs
+    def wav(seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      MediaCodecs.encodeWavPcm8(Array.fill(400)(rnd.nextInt(256).toByte), 8000)
+    }
+    val media = Seq(
+      (1L, wav(7)), (2L, wav(7)),          // exact duplicate audio
+      (3L, wav(99)), (4L, wav(1234)),      // unrelated clips
+      (5L, Array[Byte](1, 2, 3))           // undecodable -> dropped
+    ).toDF("media_id", "data")
+    val pairs = Dedup.audioFingerprintPairs(media, "data", "media_id")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(pairs.forall { case (a, b, _) => Set(a, b).subsetOf(Set(1L, 2L, 3L, 4L)) })
+    assert(!pairs.exists { case (a, b, _) => Set(a, b) == Set(3L, 4L) })
+  }
 }

@@ -63,6 +63,23 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(MediaCodecs.decodeWav("RIFFxxxxWAVEgarbage".getBytes).isEmpty)
   }
 
+  test("pcmIntSamples: 8-bit centers at -128, 16-bit raw values, float/garbage rejected") {
+    // 8-bit round trip through the synthesis half: byte b -> (b&0xff)-128
+    val raw = Array[Byte](0, 127, -128, -1, 64)
+    val got8 = MediaCodecs.pcmIntSamples(MediaCodecs.encodeWavPcm8(raw, 8000)).get
+    assert(got8.sameElements(Array(-128, -1, 0, 127, -64)))
+    // 16-bit: signed little-endian values come back verbatim
+    val s16 = Array[Short](0, 32767, -32768, -1)
+    val got16 = MediaCodecs.pcmIntSamples(wavPcm16(8000, 1, s16)).get
+    assert(got16.sameElements(Array(0, 32767, -32768, -1)))
+    // chunk walk: trailing LIST chunk doesn't confuse the data range
+    assert(MediaCodecs.pcmIntSamples(wavPcm16(8000, 1, s16, trailingChunk = true)).get
+      .sameElements(got16))
+    // garbage and truncation reject without throwing
+    assert(MediaCodecs.pcmIntSamples(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodecs.pcmIntSamples(wavPcm16(8000, 1, s16).take(30)).isEmpty)
+  }
+
   test("decodeNetpbm: P6 dims + BT.601 luma, comments, 16-bit/truncated rejected") {
     val grad = ppm(4, 2, (x, _) => (x * 60, x * 60, x * 60), comment = true)
     val (info, raster) = MediaCodecs.decodeNetpbm(grad).get

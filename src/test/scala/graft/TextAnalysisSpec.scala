@@ -105,6 +105,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L)._2 > got(1L)._2)
   }
 
+  test("bigram LM: seen bigrams use c2/c1, unseen back off with add-one unigram") {
+    // train: doc 0 "a b a b c"  -> uni a=2 b=2 c=1 (N=5, V=3)
+    //        bigrams: (a,b)=2 (b,a)=1 (b,c)=1
+    val train = Seq((0L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b c"),    // (a,b) seen: 2/2; (b,c) seen: 1/2
+      (2L, "c a"),      // (c,a) UNSEEN: 0.4*(2+1)/(5+3)
+      (3L, "a zzz"),    // (a,zzz) unseen, zzz OOV: 0.4*(0+1)/8
+      (4L, "solo")      // < 2 tokens: no row
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(score, train, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got(1L) == ((2L, r6((-math.log(2.0 / 2) - math.log(1.0 / 2)) / 2))))
+    assert(got(2L) == ((1L, r6(-math.log(0.4 * 3 / 8)))))
+    assert(got(3L) == ((1L, r6(-math.log(0.4 * 1 / 8)))))
+    assert(!got.contains(4L))
+    // an unseen transition scores worse than the corpus's common one
+    assert(got(2L)._2 > got(1L)._2)
+  }
+
   test("unigramSurprisalSplit == unigramSurprisal, topV straddling the vocab both ways") {
     // a vocab of 3 words probed with topV below, at, and above |vocab|
     // forces rows down BOTH the broadcast-hit and the shuffle-miss
