@@ -678,10 +678,11 @@ object Bench {
     // the would-it-survive-100× evidence for the corpus-prep operators.
     val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
-    // surprisal, surprisal-split, sequence-packing) — the scrub/LM
-    // probes aggregate over their computed columns so column pruning
-    // cannot optimize the work away under a bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
+    // surprisal, sequence-packing, span-mask ×2, nfc-clean, bloom-dedup,
+    // zorder-write) — the scrub/LM probes aggregate over their computed
+    // columns so column pruning cannot optimize the work away under a
+    // bare count()
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -738,16 +739,40 @@ object Bench {
         val spanHashedSec = bestSec(2)(graft.pipeline.CorpusOps.maskRepeatedNgrams(
             tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
           .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit)
+        // Round-10: per-row NFC clean (scan-speed, zero shuffle — the
+        // agg defeats column pruning)
+        val normSec = bestSec(2)(tiled.agg(sum(length(
+            graft.functions.UnicodeNormalize.cleanText(col("text"))))).collect(): Unit)
+        // Bloom incremental dedup at 500k: distributed filter build +
+        // shuffle-free membership probe of the full batch (worst case:
+        // every incoming row is a dup, all probe positive)
+        val bloomSec = bestSec(2) {
+          val bf = graft.dedup.BloomDedup.buildFilter(
+            tiled, "text", expectedItems = total, fpp = 0.01)
+          graft.dedup.BloomDedup.novelOnly(tiled, bf, "text").count(): Unit
+        }
+        // Z-order layout at 500k: Morton key + range-partition sort +
+        // parquet write — the write-once cost the multi-column pruning
+        // repays on every subsequent box-filtered scan
+        val zorderSec = bestSec(1) {
+          val out = java.nio.file.Files.createTempDirectory("zorder_bench").toString
+          graft.pipeline.ZOrder.zorderLayout(
+              tiled.select(col("doc_id"), (col("doc_id") % 4096).as("a"),
+                (length(col("text")).cast("long") % 4096).as("b")),
+              Seq(col("a"), col("b")), bits = 12, numFiles = 32)
+            .write.mode("overwrite").parquet(out)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+        }
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
-          surprisalSec, packSec, spanSec, spanHashedSec))
+          surprisalSec, packSec, spanSec, spanHashedSec, normSec, bloomSec, zorderSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new

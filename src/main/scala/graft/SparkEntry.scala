@@ -1053,6 +1053,43 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: Unicode NFC normalization + control-strip +
+    // whitespace-collapse — the canonical first cleaning step (the web
+    // serves the same text byte-different: é as U+00E9 vs e+U+0301).
+    // The testdata text is ASCII, so the entry deterministically
+    // decomposes it first (every 'e' → e+COMBINING ACUTE, BEL + pad
+    // affixed) and grades that the native codegen expression
+    // re-composes to exactly what DuckDB's nfc_normalize produces.
+    // Per-row, stateless, scan-speed at 100 TB.
+    "text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.UnicodeNormalize
+      val dirty = concat(lit("\u0007  "),
+        regexp_replace($"text", "e", "e\u0301"), lit("  \t"))
+      t(s, dir, "documents").select(
+        $"doc_id",
+        md5(UnicodeNormalize.cleanText(dirty)).as("norm_md5"),
+        length(UnicodeNormalize.normalize(regexp_replace($"text", "e", "e\u0301")))
+          .cast("long").as("nfc_len"),
+        length($"text").cast("long").as("raw_len"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: Z-order (Morton) layout key — multi-column pruning
+    // for the 100 TB lakehouse: interleave quantized column bits into
+    // one sort key so file min/max stats prune box predicates on every
+    // interleaved column (a single-column sort clusters only itself).
+    // Key math graded here; the layout (range-partition + sort) and its
+    // pruning win are pinned by LayoutSpec.
+    "zorder_key" -> ((s, dir) => {
+      import s.implicits._
+      import graft.pipeline.ZOrder
+      t(s, dir, "events").select(
+        $"event_id",
+        ZOrder.zkey(Seq($"user_id" % 256, $"event_id" % 256), 8).as("z_key"))
+        .orderBy($"event_id")
+    }),
+
     // LLM-pipeline: multimodal byte metadata — media as opaque BINARY
     // with typed metadata columns (size, sha256 digest, header hex,
     // frame-sampling arithmetic). Payloads = utf8 document bytes with a
@@ -2705,6 +2742,30 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  round(avg(s), 6) AS lm_score
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // chr(769) = U+0301 COMBINING ACUTE; DuckDB length() counts code
+      // points like Spark's length(), and nfc_normalize implements the
+      // same canonical composition as java.text.Normalizer NFC.
+      "text_normalize" ->
+        """WITH dirty AS (
+          |  SELECT doc_id, text,
+          |    replace(text, 'e', 'e' || chr(769)) AS dec,
+          |    chr(7) || '  ' || replace(text, 'e', 'e' || chr(769))
+          |      || '  ' || chr(9) AS d
+          |  FROM documents)
+          |SELECT doc_id,
+          |  md5(trim(regexp_replace(regexp_replace(nfc_normalize(d),
+          |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g'),
+          |    '\s+', ' ', 'g'))) AS norm_md5,
+          |  CAST(length(nfc_normalize(dec)) AS BIGINT) AS nfc_len,
+          |  CAST(length(text) AS BIGINT) AS raw_len
+          |FROM dirty ORDER BY doc_id""".stripMargin,
+
+      "zorder_key" ->
+        s"""SELECT event_id,
+           |  ${graft.pipeline.ZOrder.zkeySql(
+                 Seq("(user_id % 256)", "(event_id % 256)"), 8)} AS z_key
+           |FROM events ORDER BY event_id""".stripMargin,
 
       "multimodal_meta" ->
         """SELECT doc_id AS media_id,

@@ -76,7 +76,32 @@ object Registry {
       colFn("graft_ws_tokens", 1)(cs => TextAnalysis.wsTokenCount(cs.head)),
       colFn("graft_bpeish_tokens", 1)(cs => TextAnalysis.bpeishTokenCount(cs.head)),
       colFn("graft_est_tokens", 1)(cs => TextAnalysis.estTokenCount(cs.head)),
-      colFn("graft_normalize_text", 1)(cs => TextAnalysis.normalized(cs.head)))
+      colFn("graft_normalize_text", 1)(cs => TextAnalysis.normalized(cs.head)),
+      // Unicode normalization: graft_nfc(text) or graft_nfc(text, 'NFKC')
+      (FunctionIdentifier("graft_nfc"),
+        new ExpressionInfo(classOf[UnicodeNormalize].getCanonicalName, "graft_nfc"),
+        { exprs =>
+          require(exprs.nonEmpty && exprs.length <= 2,
+            "graft_nfc(text[, form]) takes 1 or 2 arguments")
+          val form = if (exprs.length == 2) {
+            require(exprs(1).foldable, "graft_nfc's form must be a literal string")
+            java.text.Normalizer.Form.valueOf(exprs(1).eval().toString)
+          } else java.text.Normalizer.Form.NFC
+          UnicodeNormalize(exprs.head, form)
+        }),
+      // Morton key: graft_zorder_key(bits, c0, c1, ...) — bits literal,
+      // columns cast to long
+      (FunctionIdentifier("graft_zorder_key"),
+        new ExpressionInfo(
+          graft.pipeline.ZOrder.ZOrderKey.getClass.getCanonicalName, "graft_zorder_key"),
+        { exprs =>
+          require(exprs.length >= 2, "graft_zorder_key(bits, col, ...) needs ≥ 1 column")
+          require(exprs.head.foldable, "graft_zorder_key's bits must be a literal")
+          val bits = exprs.head.eval().toString.toInt
+          graft.pipeline.ZOrder.ZOrderKey(
+            exprs.tail.map(e => org.apache.spark.sql.catalyst.expressions.Cast(
+              e, org.apache.spark.sql.types.LongType)), bits)
+        }))
   }
 
   /** Register on a live session (idempotent — re-registration replaces). */
