@@ -966,10 +966,12 @@ object Bench {
     // line therefore carries only the headline blocks plus the 6
     // slowest queries; the full per-query map and curves are in
     // bench_latest.json (committed every round).
-    val slowest = results.sortBy(-_._2).take(6)
+    // take(4) since r10: the corpus block grew 3 keys (nfc/bloom/zord)
+    // and the line crossed 1500 B at take(6)
+    val slowest = results.sortBy(-_._2).take(4)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

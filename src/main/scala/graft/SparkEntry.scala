@@ -1176,6 +1176,21 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: span-level DECONTAMINATION — the output half of the
+    // contamination report: positions covered by any n-gram appearing
+    // anywhere in the eval slice (doc_id % 7 = 0) are masked out of the
+    // train docs, the unique remainder survives. Broadcast semi-join
+    // against the benchmark-sized eval gram set — zero corpus-wide
+    // shuffle.
+    "decontaminate_spans" -> ((s, dir) => {
+      import s.implicits._
+      graft.pipeline.CorpusOps.decontaminateSpans(
+          t(s, dir, "documents"), "text", "doc_id", $"doc_id" % 7 === 0, n = 4)
+        .select($"id".as("doc_id"), $"n_tokens", $"n_covered",
+          md5(concat_ws("\u001f", $"kept")).as("kept_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: the 100-TB variant of the span mask — count/join
     // keyed on xxhash64(gram) so the gram shuffle moves 8-byte longs
     // (~6× fewer bytes at whitespace 8-grams). Graded against the SAME
@@ -1798,6 +1813,32 @@ object SparkEntry {
       // expansion, kept tokens by indexed lambda filter. coalesce('')
       // because DuckDB's array_to_string of an empty list is NULL while
       // Spark's concat_ws of an empty array is '' (fully-covered docs).
+      "decontaminate_spans" ->
+        """WITH toks AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, i, array_to_string(ts[i:i+3], chr(31)) AS gram
+          |  FROM toks, unnest(range(1, len(ts) - 2)) AS t(i)),
+          |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0),
+          |starts AS (
+          |  SELECT g.doc_id, g.i FROM grams g JOIN eg USING (gram)
+          |  WHERE g.doc_id % 7 <> 0),
+          |covered AS (
+          |  SELECT DISTINCT doc_id, i + o AS p
+          |  FROM starts, unnest(range(4)) AS t(o)),
+          |agg AS (SELECT doc_id, list(p) AS ps FROM covered GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_tokens,
+          |  CAST(coalesce(len(a.ps), 0) AS INT) AS n_covered,
+          |  md5(coalesce(array_to_string(
+          |    [x for x in list_transform(t.ts, (x, i) ->
+          |       CASE WHEN a.ps IS NULL OR NOT list_contains(a.ps, i)
+          |            THEN x ELSE NULL END)
+          |     if x IS NOT NULL], chr(31)), '')) AS kept_md5
+          |FROM toks t LEFT JOIN agg a USING (doc_id)
+          |WHERE t.doc_id % 7 <> 0
+          |ORDER BY t.doc_id""".stripMargin,
+
       "repeated_ngrams" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts

@@ -158,25 +158,45 @@ object CorpusOps {
                          hashedGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val spark = df.sparkSession
-    import spark.implicits._
-    val toks = df.select(col(idCol).cast("long").as("id"),
+    val toks = spanToks(df, textCol, idCol)
+    val keyed = spanGrams(toks, n, hashedGrams)
+    val hot = keyed.groupBy("gram").count()
+      .filter(col("count") >= minCount).select("gram")
+    maskByHotGrams(toks, keyed, hot, n)
+  }
+
+  /** `(id, ts)` tokenization shared by the span-masking family — must
+    * stay in lock-step with the DuckDB oracles' `string_split_regex
+    * (lower(trim(text)), '\\s+')`. */
+  private def spanToks(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
       split(lower(trim(coalesce(col(textCol), lit("")))), "\\s+").as("ts"))
-    // Scala-side sliding grams: a SQL higher-order `transform` over a
-    // derived index array re-inlines the derivation per element
-    // (O(len²)/row — the profiled trap the shingle paths also avoid)
+
+  /** `(id, i, gram)` sliding n-gram starts, `\\u001f`-joined (gram
+    * equality IS token-sequence equality). Scala-side sliding: a SQL
+    * higher-order `transform` over a derived index array re-inlines the
+    * derivation per element (O(len²)/row — the profiled trap the
+    * shingle paths also avoid). `hashedGrams` projects the codegen'd
+    * `xxhash64` BEFORE any exchange so downstream shuffles/joins move
+    * 8-byte longs instead of n-token strings (the 100 TB key). */
+  private def spanGrams(toks: DataFrame, n: Int, hashedGrams: Boolean): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
     val grams = toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
       if (ts.length < n) Iterator.empty
       else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("\u001f")) }
     }.toDF("id", "i", "gram")
-    // Hashed path: replace the string key with xxhash64 in a map-side
-    // projection — every downstream exchange (count shuffle, semi-join)
-    // then moves 8-byte longs, not n-token strings
-    val keyed =
-      if (hashedGrams) grams.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
-      else grams
-    val hot = keyed.groupBy("gram").count()
-      .filter(col("count") >= minCount).select("gram")
+    if (hashedGrams) grams.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
+    else grams
+  }
+
+  /** Mask every position covered by a gram start whose gram key is in
+    * `hot`; keep the uncovered remainder in order. One row per `toks`
+    * row: `(id, n_tokens, n_covered, kept)`. */
+  private def maskByHotGrams(toks: DataFrame, keyed: DataFrame,
+                             hot: DataFrame, n: Int): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
     val starts = keyed.join(hot, Seq("gram"), "left_semi")
       .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
     // Scala-side masking: a boolean mask built once per doc is
@@ -203,6 +223,36 @@ object CorpusOps {
         }
         (id, ts.length, covered, kept.result())
       }.toDF("id", "n_tokens", "n_covered", "kept")
+  }
+
+  /** Span-level DECONTAMINATION (the output half of
+    * [[contaminationStats]]'s report): mask every position of a train
+    * doc covered by an n-gram that appears ANYWHERE in the eval/bench
+    * set, keep the unique remainder — removing the leaked span instead
+    * of dropping the whole document. Eval rows are excluded from the
+    * output.
+    *
+    * THE SCALE SHAPE: the eval gram set is benchmark-sized (millions of
+    * grams, not corpus-sized), so it is explicitly `broadcast()` — the
+    * train-side gram stream meets it in a map-side semi-join with NO
+    * corpus-wide shuffle at all; the only exchange is the per-doc
+    * starts groupBy, which carries ONLY contaminated-doc gram starts
+    * (rare by construction). `hashedGrams` shrinks both the broadcast
+    * and the probe keys to 8-byte longs (collision ⇒ over-mask only,
+    * 2^-64). */
+  def decontaminateSpans(df: DataFrame, textCol: String, idCol: String,
+                         isEval: Column, n: Int,
+                         hashedGrams: Boolean = false): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val flagged = df.withColumn("_is_eval", isEval)
+    val train = flagged.filter(!col("_is_eval"))
+    val eval = flagged.filter(col("_is_eval"))
+    val trainToks = spanToks(train, textCol, idCol)
+    val trainGrams = spanGrams(trainToks, n, hashedGrams)
+    val evalGrams = broadcast(
+      spanGrams(spanToks(eval, textCol, idCol), n, hashedGrams)
+        .select("gram").distinct())
+    maskByHotGrams(trainToks, trainGrams, evalGrams, n)
   }
 
   // ─── Deterministic epoch shuffle (training-reader order) ───

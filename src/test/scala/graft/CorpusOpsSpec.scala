@@ -319,6 +319,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, 3L, 0L, 0.0)))
   }
 
+  test("decontaminateSpans: eval grams masked out of train docs only") {
+    val docs = Seq(
+      (7L, "the quick brown fox jumps"),   // EVAL (id % 7 == 0)
+      (1L, "see the quick brown fox run"), // train: 4-gram hit at 1..4
+      (2L, "the quick red fox jumps"),     // train: no full 4-gram match
+      (3L, "quick brown fox jumps end"),   // train: hit at 0..3
+      (4L, "a b"))                         // train: shorter than n
+      .toDF("doc_id", "text")
+    def run(hashed: Boolean): Seq[(Long, Int, Int, List[String])] =
+      CorpusOps.decontaminateSpans(docs, "text", "doc_id", $"doc_id" % 7 === 0,
+          n = 4, hashedGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getSeq[String](3).toList)).sortBy(_._1).toSeq
+    val got = run(hashed = false)
+    // eval doc 7 is NOT in the output
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(got(0) === ((1L, 6, 4, List("see", "run"))))
+    assert(got(1) === ((2L, 5, 0, List("the", "quick", "red", "fox", "jumps"))))
+    assert(got(2) === ((3L, 5, 4, List("end"))))
+    assert(got(3) === ((4L, 2, 0, List("a", "b"))))
+    // hashed keys: byte-identical (no 64-bit collision on this corpus)
+    assert(run(hashed = true) === got)
+  }
+
   test("maskRepeatedNgrams hashedGrams: byte-identical to the string-keyed path") {
     // the hand-built corpus plus a 300-doc pseudo-random one: any
     // difference would need a 64-bit xxhash collision between distinct
