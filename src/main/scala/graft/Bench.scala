@@ -676,6 +676,13 @@ object Bench {
     // dedup work (500k -> ~5k canonical rows); contamination's bench
     // slice is ~50 docs whose gram set broadcasts. Throughputs here are
     // the would-it-survive-100× evidence for the corpus-prep operators.
+    // Inter-block settle (r10): the 10M-PQ block just released ~2.5 GB
+    // of cached blocks; its ContextCleaner unpersists drain
+    // asynchronously and the first timed run of the next block
+    // otherwise absorbs the GC + eviction cost (span probe read 38.9 s
+    // in-suite vs 8.1 s standalone on identical code). Two GCs around a
+    // short pause let the cleaner queue empty before timing resumes.
+    System.gc(); Thread.sleep(2000); System.gc()
     val corpusCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
     // surprisal, sequence-packing, span-mask ×2, nfc-clean, bloom-dedup,

@@ -114,6 +114,21 @@ class LayoutSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  // ─── SQL surface (Registry) ───
+
+  test("graft_nfc and graft_zorder_key SQL functions match the Column DSL") {
+    graft.functions.Registry.register(spark)
+    Seq(("e\u0301colo", 3L, 5L)).toDF("t", "a", "b").createOrReplaceTempView("sqlreg_t")
+    val r = spark.sql(
+      """SELECT graft_nfc(t) AS nfc, graft_nfc(t, 'NFKC') AS nfkc,
+        |       graft_zorder_key(8, a, b) AS z FROM sqlreg_t""".stripMargin).head()
+    assert(r.getString(0) == "\u00e9colo" && r.getString(1) == "\u00e9colo")
+    assert(r.getLong(2) == mortonRef(Seq(3L, 5L), 8))
+    // bits must be a literal; non-literal errors loudly
+    intercept[Exception](spark.sql(
+      "SELECT graft_zorder_key(a, a, b) FROM sqlreg_t").collect())
+  }
+
   // ─── BloomDedup ───
 
   test("BloomDedup.novelOnly: zero duplicate leakage, bounded novel loss") {
