@@ -59,7 +59,9 @@ object CorpusProbe {
         .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit),
       "span_hashed" -> (() => graft.pipeline.CorpusOps.maskRepeatedNgrams(
           tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
-        .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit))
+        .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit),
+      "contam" -> (() => graft.pipeline.CorpusOps.contaminationStats(
+          tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit))
 
     val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
     names.foreach { name =>

@@ -364,6 +364,48 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(hashed = true) === run(hashed = false))
   }
 
+  test("TrainingExport.writeShards: split-partitioned, range-disjoint, name-ordered shards + manifest") {
+    import graft.pipeline.TrainingExport
+    val docs = (0L until 600L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val man = TrainingExport.writeShards(docs, "doc_id", dir,
+      seed = 7L, epoch = 1, numShards = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3), r.getString(4)))
+    // all rows accounted for, every split present
+    assert(man.map(_._3).sum == 600L)
+    assert(man.map(_._1).toSet == Set("train", "val", "test"))
+    // within each split: file name order == key order, ranges disjoint
+    man.groupBy(_._1).foreach { case (split, files) =>
+      val ordered = files.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array((_, f1, _, _, max1), (_, f2, _, min2, _)) =>
+          assert(max1 < min2, s"$split: $f1 range overlaps $f2")
+        case _ => ()
+      }
+    }
+    // reading a split's files in name order yields the epoch's sorted keys
+    val trainFiles = man.filter(_._1 == "train").map(_._2).sorted
+    val keysInFileOrder = trainFiles.flatMap { f =>
+      spark.read.parquet(f.stripPrefix("file:"))
+        .select($"shuffle_key").as[String].collect()
+    }
+    assert(keysInFileOrder.toSeq == keysInFileOrder.sorted.toSeq)
+    // split assignment matches the content-addressed rule
+    val splitOf = spark.read.parquet(dir)
+      .select($"doc_id", $"split".cast("string")).as[(Long, String)].collect().toMap
+    val expected = docs.select($"doc_id",
+      graft.pipeline.CorpusOps.splitAssign($"doc_id")).as[(Long, String)].collect().toMap
+    assert(splitOf == expected)
+    // JSONL variant round-trips with the same totals
+    val dirJ = java.nio.file.Files.createTempDirectory("shardsj").toString
+    val manJ = TrainingExport.writeShards(docs, "doc_id", dirJ,
+      seed = 7L, epoch = 1, numShards = 4, format = "json")
+    assert(manJ.agg(sum($"rows")).head().getLong(0) == 600L)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dirJ))
+  }
+
   test("epochShuffle writer contract: lexicographic file order IS the global key order") {
     // the scaladoc claim: the range-partition sort gives downstream
     // writers range-disjoint files whose name order is the global order

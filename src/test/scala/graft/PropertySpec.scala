@@ -170,6 +170,73 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Morton key preserves box containment: prefix-equal cells are curve-contiguous") {
+    // For any two points in the same 2^k-aligned cell, every z-value
+    // between theirs belongs to the same cell — the property file-level
+    // min/max pruning relies on. Check on arbitrary points via the
+    // scalar reference against the Spark expression.
+    import graft.pipeline.ZOrder
+    val ptGen = Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L))
+    val pts = samples(Gen.listOfN(24, ptGen), 6).flatten.distinct
+    val df = pts.toDF("a", "b")
+    val got = df.select($"a", $"b", ZOrder.zkey(Seq($"a", $"b"), 8).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      // round-trip: de-interleave recovers the inputs (bijectivity)
+      var ra = 0L; var rb = 0L
+      (0 until 8).foreach { i =>
+        ra |= ((z >>> (2 * i)) & 1L) << i
+        rb |= ((z >>> (2 * i + 1)) & 1L) << i
+      }
+      assert((ra, rb) == ((a, b)), s"z=$z did not round-trip ($a,$b)")
+      // cell-prefix property: top 2k bits of z == interleave of the
+      // points' top k bits — same quadrant ⇒ same z-prefix
+      (1 to 7).foreach { k =>
+        val cellZ = z >>> (2 * k)
+        var ca = 0L; var cb = 0L
+        (0 until 8 - k).foreach { i =>
+          ca |= ((cellZ >>> (2 * i)) & 1L) << i
+          cb |= ((cellZ >>> (2 * i + 1)) & 1L) << i
+        }
+        assert((ca, cb) == ((a >>> k, b >>> k)))
+      }
+    }
+  }
+
+  test("UnicodeNormalize is idempotent and agrees with java.text on arbitrary text") {
+    import graft.functions.UnicodeNormalize
+    val charGen = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('\u0301', '\u00e9', '\u00c5', '\u212b', '\ufb01', ' '))
+    val textGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    val texts = samples(textGen, 40).distinct
+    val df = texts.toDF("t")
+    val once = df.select(UnicodeNormalize.normalize($"t")).as[String].collect().toSeq
+    val ref = texts.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    assert(once == ref)
+    // idempotence: NFC(NFC(x)) == NFC(x)
+    val twice = df.select(UnicodeNormalize.normalize(UnicodeNormalize.normalize($"t")))
+      .as[String].collect().toSeq
+    assert(twice == once)
+  }
+
+  test("BloomDedup never leaks a duplicate on arbitrary corpora") {
+    val wordGen = Gen.chooseNum(0, 400).map(i => s"w$i")
+    val docGen = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, wordGen).map(_.mkString(" ")))
+    samples(Gen.listOfN(60, docGen), 3).foreach { docs =>
+      val history = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // incoming = every history doc re-sent + fresh ones
+      val incoming = (docs.zipWithIndex.map { case (t, i) => (1000L + i, t) } ++
+        (0 until 20).map(i => (2000L + i, s"fresh only $i"))).toDF("doc_id", "text")
+      val bf = graft.dedup.BloomDedup.buildFilter(history, "text",
+        expectedItems = docs.size.toLong, fpp = 0.05)
+      val out = graft.dedup.BloomDedup.novelOnly(incoming, bf, "text")
+        .select($"doc_id").as[Long].collect()
+      assert(out.forall(_ >= 2000L), "bloom filter leaked a known duplicate")
+    }
+  }
+
   test("minhash signature agreement approximates Jaccard within tolerance") {
     val setGen = Gen.chooseNum(20, 60).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0, 99).map(i => s"shingle_$i")).map(_.distinct))
