@@ -42,8 +42,15 @@ case class UnicodeNormalize(child: Expression, form: Normalizer.Form)
   override def prettyName: String = "unicode_normalize"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    UTF8String.fromString(Normalizer.normalize(s, form))
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    // Already-normalized fast path (the common case — pure-ASCII web
+    // text): return the INPUT UTF8String unchanged, skipping the
+    // String→UTF8String re-encode that `normalize` would force even
+    // when it returns its argument. `isNormalized` is the same
+    // quick-check scan `normalize` runs internally.
+    if (Normalizer.isNormalized(s, form)) u
+    else UTF8String.fromString(Normalizer.normalize(s, form))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -51,9 +58,13 @@ case class UnicodeNormalize(child: Expression, form: Normalizer.Form)
     // reference object needed.
     val formRef = s"java.text.Normalizer.Form.${form.name()}"
     nullSafeCodeGen(ctx, ev, c => {
+      val s = ctx.freshName("s")
       s"""
-         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
-         |  java.text.Normalizer.normalize($c.toString(), $formRef));
+         |String $s = $c.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized($s, $formRef)
+         |  ? $c
+         |  : org.apache.spark.unsafe.types.UTF8String.fromString(
+         |      java.text.Normalizer.normalize($s, $formRef));
        """.stripMargin
     })
   }
