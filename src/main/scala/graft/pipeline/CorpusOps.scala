@@ -176,18 +176,56 @@ object CorpusOps {
     * equality IS token-sequence equality). Scala-side sliding: a SQL
     * higher-order `transform` over a derived index array re-inlines the
     * derivation per element (O(len²)/row — the profiled trap the
-    * shingle paths also avoid). `hashedGrams` projects the codegen'd
-    * `xxhash64` BEFORE any exchange so downstream shuffles/joins move
-    * 8-byte longs instead of n-token strings (the 100 TB key). */
+    * shingle paths also avoid).
+    *
+    * `hashedGrams` is the 100 TB key: an 8-byte long through every
+    * downstream exchange instead of the n-token string. Since r10 the
+    * hash is [[gramHash]] — FNV-1a folded INCREMENTALLY over the
+    * window's tokens (+ the 0x1f separator), bit-identical to
+    * `Dedup.fnv1a64(g.mkString("\\u001f"))` — so the gram string is
+    * never materialized at all: at the 500k worst-case probe the old
+    * build-string-then-xxhash64 path allocated ~75M short-lived
+    * strings whose GC churn dominated the stage (observed 7–26 s
+    * spread on identical code); this path allocates nothing per gram.
+    * A 2^-64 collision can only over-mask, exactly as before. */
   private def spanGrams(toks: DataFrame, n: Int, hashedGrams: Boolean): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    val grams = toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
-      if (ts.length < n) Iterator.empty
-      else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("\u001f")) }
-    }.toDF("id", "i", "gram")
-    if (hashedGrams) grams.select(col("id"), col("i"), xxhash64(col("gram")).as("gram"))
-    else grams
+    if (hashedGrams)
+      toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
+        if (ts.length < n) Iterator.empty
+        else {
+          val arr = ts.toIndexedSeq
+          (0 to arr.length - n).iterator.map(i => (id, i, gramHash(arr, i, n)))
+        }
+      }.toDF("id", "i", "gram")
+    else
+      toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
+        if (ts.length < n) Iterator.empty
+        else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("\u001f")) }
+      }.toDF("id", "i", "gram")
+  }
+
+  /** FNV-1a 64 over the tokens of `ts[start, start+n)` joined by
+    * `\\u001f`, WITHOUT building the joined string: the same code-point
+    * fold as [[Dedup.fnv1a64]], with the separator folded between
+    * tokens — `gramHash(ts, i, n) == Dedup.fnv1a64(ts.slice(i, i+n)
+    * .mkString("\\u001f"))` exactly (parity spec-pinned). */
+  private[graft] def gramHash(ts: IndexedSeq[String], start: Int, n: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var t = start
+    while (t < start + n) {
+      if (t > start) { h ^= 0x1f; h *= 0x100000001b3L }
+      val s = ts(t)
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        h ^= cp; h *= 0x100000001b3L
+        i += Character.charCount(cp)
+      }
+      t += 1
+    }
+    h
   }
 
   /** Mask every position covered by a gram start whose gram key is in

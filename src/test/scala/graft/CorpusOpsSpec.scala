@@ -343,6 +343,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(hashed = true) === got)
   }
 
+  test("gramHash == fnv1a64 of the separator-joined gram string, exactly") {
+    val rnd = new scala.util.Random(9)
+    val vocab = Vector("a", "bc", "définitive", "x1", "émoji☃", "longertokenhere")
+    (0 until 50).foreach { _ =>
+      val ts = IndexedSeq.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      val n = 2 + rnd.nextInt(3)
+      (0 to ts.length - n).foreach { i =>
+        assert(CorpusOps.gramHash(ts, i, n) ==
+          graft.dedup.Dedup.fnv1a64(ts.slice(i, i + n).mkString("\u001f")),
+          s"ts=$ts i=$i n=$n")
+      }
+    }
+  }
+
   test("maskRepeatedNgrams hashedGrams: byte-identical to the string-keyed path") {
     // the hand-built corpus plus a 300-doc pseudo-random one: any
     // difference would need a 64-bit xxhash collision between distinct
