@@ -707,10 +707,17 @@ object SparkEntry {
     // 8-gram shingles (GPT-3/PaLM-style pipelines window at 8-13
     // grams; the n=3 entry above grades the engine-standard shingle).
     // Same plan shape, only the shingle width changes.
+    // hashedGrams since r10: this entry now grades the 100-TB hashed
+    // path end-to-end (counts are representation-free; the oracle's
+    // string-gram recomputation must agree exactly absent a 2^-64
+    // collision) — the `contamination`/`contamination_n8` pair mirrors
+    // `repeated_ngrams`/`repeated_ngrams_hashed`: one string-keyed
+    // entry, one hash-keyed, same oracle discipline.
     "contamination_n8" -> ((s, dir) => {
       import s.implicits._
       graft.pipeline.CorpusOps.contaminationStats(
-          t(s, dir, "documents"), "text", "doc_id", $"doc_id" % 97 === 0, n = 8)
+          t(s, dir, "documents"), "text", "doc_id", $"doc_id" % 97 === 0, n = 8,
+          hashedGrams = true)
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")
     }),

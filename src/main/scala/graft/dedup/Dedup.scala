@@ -43,6 +43,40 @@ object Dedup {
     else w.sliding(n).map(_.mkString(" ")).toVector.distinct
   }
 
+  /** Hashed twin of [[shingleSet]]: the distinct FNV-1a 64 hashes of
+    * the space-joined n-grams, folded INCREMENTALLY over the window's
+    * tokens (separator 0x20 between them) so no gram string is ever
+    * built — `shingleHashSet(t, n) == shingleSet(t, n).map(fnv1a64)`
+    * exactly (parity spec-pinned). The 100 TB key for set-overlap
+    * consumers like contamination stats: 8-byte longs through the
+    * explode/join instead of n-token strings, zero per-gram
+    * allocation; a 2^-64 collision only merges two gram identities. */
+  def shingleHashSet(text: String, n: Int): Seq[Long] = {
+    if (text == null) return Seq.empty
+    val w = text.split(" ", -1)
+    if (w.length < n) return Seq.empty
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i <= w.length - n) {
+      var h = 0xcbf29ce484222325L
+      var t = i
+      while (t < i + n) {
+        if (t > i) { h ^= 0x20; h *= 0x100000001b3L }
+        val s = w(t)
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          h ^= cp; h *= 0x100000001b3L
+          j += Character.charCount(cp)
+        }
+        t += 1
+      }
+      out += h
+      i += 1
+    }
+    out.toVector
+  }
+
   /** `(id LONG, sh ARRAY<STRING>)` shingle table for a corpus — one
     * narrow Scala map, empty sets dropped. */
   def shingled(df: DataFrame, textCol: String, idCol: String): DataFrame = {

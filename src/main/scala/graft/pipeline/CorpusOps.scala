@@ -372,14 +372,23 @@ object CorpusOps {
     * only shuffle in the whole plan is the final per-doc count, which
     * partial-aggregates map-side. */
   def contaminationStats(df: DataFrame, textCol: String, idCol: String,
-      isBench: Column, n: Int = 3): DataFrame = {
+      isBench: Column, n: Int = 3, hashedGrams: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shf = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"),
         isBench.as("is_bench"))
       .as[(Long, String, Boolean)]
-      .map { case (id, t, b) => (id, Dedup.shingleSet(t, n), b) }
-      .toDF("id", "sh", "is_bench")
+    // The output is pure COUNTS, so the gram's representation is free:
+    // `hashedGrams` swaps the n-token gram strings for their
+    // incrementally-folded FNV hashes (Dedup.shingleHashSet — identical
+    // set cardinalities absent a 2^-64 collision) — 8-byte longs
+    // through the explode + broadcast join, zero per-gram allocation.
+    val shf = (if (hashedGrams)
+        base.map { case (id, t, b) => (id, Dedup.shingleHashSet(t, n), b) }
+          .toDF("id", "sh", "is_bench")
+      else
+        base.map { case (id, t, b) => (id, Dedup.shingleSet(t, n), b) }
+          .toDF("id", "sh", "is_bench"))
       .filter(size($"sh") > 0)
     val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g"))
       .distinct().withColumn("hit", lit(1L))

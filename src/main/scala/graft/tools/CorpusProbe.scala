@@ -61,7 +61,10 @@ object CorpusProbe {
           tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
         .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit),
       "contam" -> (() => graft.pipeline.CorpusOps.contaminationStats(
-          tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit))
+          tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit),
+      "contam_hashed" -> (() => graft.pipeline.CorpusOps.contaminationStats(
+          tiled, "text", "doc_id", col("doc_id") % 9973 === 0,
+          hashedGrams = true).count(): Unit))
 
     val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
     names.foreach { name =>

@@ -343,6 +343,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(run(hashed = true) === got)
   }
 
+  test("shingleHashSet == shingleSet.map(fnv1a64); contaminationStats hashed parity") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bc", "définitive", "x1", "émoji☃", "tok")
+    (0 until 30).foreach { _ =>
+      val t = Vector.fill(2 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (2 to 4).foreach { n =>
+        assert(graft.dedup.Dedup.shingleHashSet(t, n) ==
+          graft.dedup.Dedup.shingleSet(t, n).map(graft.dedup.Dedup.fnv1a64),
+          s"t='$t' n=$n")
+      }
+    }
+    // end-to-end: hashed contamination counts == string counts
+    val df = Seq(
+      (1L, "a b c d e"), (2L, "a b c x y"), (3L, "c d e a b c d"),
+      (4L, "q r s t"), (5L, "zz")).toDF("doc_id", "text")
+    def run(h: Boolean) = CorpusOps.contaminationStats(
+        df, "text", "doc_id", $"doc_id" === 1, hashedGrams = h)
+      .select($"id", $"total_grams", $"overlap_grams", $"contamination")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(h = true) == run(h = false))
+  }
+
   test("gramHash == fnv1a64 of the separator-joined gram string, exactly") {
     val rnd = new scala.util.Random(9)
     val vocab = Vector("a", "bc", "définitive", "x1", "émoji☃", "longertokenhere")
