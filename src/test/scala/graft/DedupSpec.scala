@@ -19,6 +19,15 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("hashedShingles LSH path: identical pairs AND jaccard values to the string path") {
+    def run(h: Boolean) = Dedup.minhashLshPairs(docs, "text", "doc_id",
+        tau = 0.5, hashedShingles = h)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val hashed = run(h = true)
+    assert(hashed.nonEmpty)
+    assert(hashed == run(h = false))
+  }
+
   test("incremental pairs-between: cross-corpus dups found, history never self-paired, ids may overlap") {
     import org.apache.spark.sql.functions.col
     val old = docs.filter(col("doc_id") < 400).select("doc_id", "text")
