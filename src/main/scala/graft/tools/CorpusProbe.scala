@@ -64,7 +64,13 @@ object CorpusProbe {
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit),
       "contam_hashed" -> (() => graft.pipeline.CorpusOps.contaminationStats(
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0,
-          hashedGrams = true).count(): Unit))
+          hashedGrams = true).count(): Unit),
+      "line" -> (() => graft.pipeline.CorpusOps.dropBoilerplateLines(
+          tiled, "text", "doc_id", minDf = 1000L)
+        .agg(sum(col("n_kept") + length(col("clean_text")))).collect(): Unit),
+      "line_hashed" -> (() => graft.pipeline.CorpusOps.dropBoilerplateLines(
+          tiled, "text", "doc_id", minDf = 1000L, hashedLines = true)
+        .agg(sum(col("n_kept") + length(col("clean_text")))).collect(): Unit))
 
     val names = if (args.nonEmpty) args.toSeq else probes.keys.toSeq.sorted
     names.foreach { name =>

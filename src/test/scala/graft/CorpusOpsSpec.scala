@@ -153,6 +153,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     val none = CorpusOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 4L)
       .as[(Long, String, Long, Long)].collect()
     assert(none.forall(_._4 == 0L))
+    // hashed line keys: byte-identical output to the string-keyed path
+    val hashed = CorpusOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 3L,
+        hashedLines = true)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val strs = CorpusOps.dropBoilerplateLines(df, "text", "doc_id", minDf = 3L)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(hashed == strs)
   }
 
   test("docFreqGrams counts documents per gram with a min-df filter") {
