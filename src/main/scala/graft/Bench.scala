@@ -766,15 +766,17 @@ object Bench {
         // Z-order layout at 500k: Morton key + range-partition sort +
         // parquet write — the write-once cost the multi-column pruning
         // repays on every subsequent box-filtered scan
+        // dir setup/teardown OUTSIDE the timed region (review r10: the
+        // cleanup of 32 parquet files was inflating the metric)
+        val zorderOut = java.nio.file.Files.createTempDirectory("zorder_bench").toString
         val zorderSec = bestSec(1) {
-          val out = java.nio.file.Files.createTempDirectory("zorder_bench").toString
           graft.pipeline.ZOrder.zorderLayout(
               tiled.select(col("doc_id"), (col("doc_id") % 4096).as("a"),
                 (length(col("text")).cast("long") % 4096).as("b")),
               Seq(col("a"), col("b")), bits = 12, numFiles = 32)
-            .write.mode("overwrite").parquet(out)
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+            .write.mode("overwrite").parquet(zorderOut)
         }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zorderOut))
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
           surprisalSec, packSec, spanSec, spanHashedSec, normSec, bloomSec,
           zorderSec, contamHashedSec))

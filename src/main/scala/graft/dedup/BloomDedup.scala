@@ -51,16 +51,58 @@ object BloomDedup {
   /** Build the serialized history filter with one distributed
     * aggregate over `history(textCol)`. `expectedItems` sizes the
     * filter (overestimate is safe — FPP only drops); at warehouse scale
-    * pass the history row count from table stats. */
+    * pass the history row count from table stats.
+    *
+    * Two silent failure modes of the raw aggregate are handled here
+    * (review r10):
+    *  - `BloomFilterAggregate` clamps its arguments to
+    *    `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
+    *    (defaults 4M items / 67M bits — sized for join runtime filters,
+    *    not corpus dedup). A silent clamp at 1e9 docs would yield
+    *    ~0.07 bits/doc and FPP→1: nearly every NOVEL doc dropped as a
+    *    "duplicate". The confs are raised to the requested size for the
+    *    build (and restored), and the serialized size is verified.
+    *  - An EMPTY history aggregates to SQL NULL (not an empty filter);
+    *    `might_contain(null, …)` is null and both filter directions
+    *    drop every row — the bootstrap ingest would vanish. A null
+    *    result becomes a real empty filter (contains nothing → the
+    *    whole first batch is novel, as it should be). */
   def buildFilter(history: DataFrame, textCol: String,
                   expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
-    val agg = new BloomFilterAggregate(
-      keyExpr(col(textCol)),
-      Literal(expectedItems),
-      Literal(optimalNumBits(expectedItems, fpp)))
-    history
-      .select(GraftSqlBridge.column(agg.toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val conf = history.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = conf.getOption(itemsKey)
+    val oldBits = conf.getOption(bitsKey)
+    val bytes = try {
+      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
+      conf.set(bitsKey, math.max(numBits, 67108864L).toString)
+      val agg = new BloomFilterAggregate(
+        keyExpr(col(textCol)), Literal(expectedItems), Literal(numBits))
+      history
+        .select(GraftSqlBridge.column(agg.toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally {
+      def restore(k: String, old: Option[String]): Unit =
+        old.fold(conf.unset(k))(v => conf.set(k, v))
+      restore(itemsKey, oldItems)
+      restore(bitsKey, oldBits)
+    }
+    if (bytes == null) {
+      // empty history → genuine empty filter, not SQL NULL
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    } else {
+      // belt-and-braces vs any residual clamp: the serialized filter
+      // must be within 20% of the requested bit budget
+      require(bytes.length.toLong * 8 >= numBits - (numBits / 5),
+        s"bloom filter came back ${bytes.length * 8L} bits for a $numBits-bit " +
+          "request — a conf cap truncated it; FPP would be unbounded")
+      bytes
+    }
   }
 
   /** `might_contain(filter, xxhash64(c))` as a codegen predicate. */

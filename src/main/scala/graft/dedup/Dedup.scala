@@ -58,17 +58,11 @@ object Dedup {
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var i = 0
     while (i <= w.length - n) {
-      var h = 0xcbf29ce484222325L
+      var h = FnvBasis
       var t = i
       while (t < i + n) {
-        if (t > i) { h ^= 0x20; h *= 0x100000001b3L }
-        val s = w(t)
-        var j = 0
-        while (j < s.length) {
-          val cp = s.codePointAt(j)
-          h ^= cp; h *= 0x100000001b3L
-          j += Character.charCount(cp)
-        }
+        if (t > i) h = fnvFoldSep(h, 0x20)
+        h = fnvFoldString(h, w(t))
         t += 1
       }
       out += h
@@ -126,21 +120,34 @@ object Dedup {
 
   // ─── MinHash + LSH ───
 
-  /** FNV-1a 64-bit string hash — deterministic across JVMs. Folds
-    * Unicode CODE POINTS (not UTF-16 code units): identical for BMP
-    * text, and for astral chars (emoji, rare CJK) it matches the
-    * DuckDB oracles' `unicode(tok[i:i])` fold instead of hashing the
-    * surrogate halves separately (advice r9). */
-  def fnv1a64(s: String): Long = {
-    var h = 0xcbf29ce484222325L
+  /** FNV-1a 64 offset basis / prime — the shared fold constants. */
+  private[graft] final val FnvBasis = 0xcbf29ce484222325L
+  private[graft] final val FnvPrime = 0x100000001b3L
+
+  /** Fold one string's Unicode CODE POINTS into an FNV-1a accumulator
+    * (not UTF-16 code units: identical for BMP text, and for astral
+    * chars it matches the DuckDB oracles' `unicode(tok[i:i])` fold
+    * instead of hashing the surrogate halves separately — advice r9).
+    * THE single definition of the per-token fold: `fnv1a64`,
+    * [[shingleHashSet]], and `CorpusOps.gramHash` all build on it, so a
+    * future fold change cannot silently break their spec-pinned parity
+    * contracts (review r10). */
+  private[graft] def fnvFoldString(h0: Long, s: String): Long = {
+    var h = h0
     var i = 0
     while (i < s.length) {
       val cp = s.codePointAt(i)
-      h ^= cp; h *= 0x100000001b3L
+      h ^= cp; h *= FnvPrime
       i += Character.charCount(cp)
     }
     h
   }
+
+  /** Fold a single separator code point. */
+  private[graft] def fnvFoldSep(h: Long, sep: Int): Long = (h ^ sep) * FnvPrime
+
+  /** FNV-1a 64-bit string hash — deterministic across JVMs. */
+  def fnv1a64(s: String): Long = fnvFoldString(FnvBasis, s)
 
   /** Seeded universal-hash coefficients (odd multipliers). */
   private def coefficients(numHashes: Int, seed: Int): Array[(Long, Long)] = {
@@ -227,33 +234,30 @@ object Dedup {
     // Jaccard verify, signatures from the pre-hashed values. Every
     // Jaccard value (and so the output) is identical absent a 2^-64
     // collision; the graded entry keeps the string default.
-    if (hashedShingles) {
-      val shRdd = shingledHashed(df, textCol, idCol).as[(Long, Seq[Long])]
+    // One shared band/bucket/verify tail; only the shingle source and
+    // the per-doc base-hash extraction differ between representations
+    // (review r10: the previously-duplicated branches could drift).
+    val sh = if (hashedShingles) {
+      val rdd = shingledHashed(df, textCol, idCol).as[(Long, Seq[Long])]
         .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = spark.createDataset(shRdd).toDF("id", "sh")
-      val banded = sh.as[(Long, Seq[Long])].flatMap { case (id, s) =>
-        val sig = minhashSignatureFromHashes(s.toArray, coeffs)
-        (0 until bands).map { b =>
-          val slice = sig.slice(b * r, b * r + r)
-          (id, b, MurmurHash3.arrayHash(slice))
-        }
-      }.toDF("id", "band", "bucket")
-      val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
-      verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
+      spark.createDataset(rdd).toDF("id", "sh")
     } else {
-      val shRdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
+      val rdd = shingled(df, textCol, idCol).as[(Long, Seq[String])]
         .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = spark.createDataset(shRdd).toDF("id", "sh")
-      val banded = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
-        val sig = minhashSignature(s, coeffs)
-        (0 until bands).map { b =>
-          val slice = sig.slice(b * r, b * r + r)
-          (id, b, MurmurHash3.arrayHash(slice))
-        }
-      }.toDF("id", "band", "bucket")
-      val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
-      verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
+      spark.createDataset(rdd).toDF("id", "sh")
     }
+    val baseHashes: org.apache.spark.sql.Dataset[(Long, Array[Long])] =
+      if (hashedShingles) sh.as[(Long, Seq[Long])].map { case (id, s) => (id, s.toArray) }
+      else sh.as[(Long, Seq[String])].map { case (id, s) => (id, s.map(fnv1a64).toArray) }
+    val banded = baseHashes.flatMap { case (id, base) =>
+      val sig = minhashSignatureFromHashes(base, coeffs)
+      (0 until bands).map { b =>
+        val slice = sig.slice(b * r, b * r + r)
+        (id, b, MurmurHash3.arrayHash(slice))
+      }
+    }.toDF("id", "band", "bucket")
+    val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
+    verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
   }
 
   /** INCREMENTAL near-dup: pairs BETWEEN a new batch and an existing

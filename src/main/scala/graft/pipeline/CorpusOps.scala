@@ -212,17 +212,11 @@ object CorpusOps {
     * tokens — `gramHash(ts, i, n) == Dedup.fnv1a64(ts.slice(i, i+n)
     * .mkString("\\u001f"))` exactly (parity spec-pinned). */
   private[graft] def gramHash(ts: IndexedSeq[String], start: Int, n: Int): Long = {
-    var h = 0xcbf29ce484222325L
+    var h = Dedup.FnvBasis
     var t = start
     while (t < start + n) {
-      if (t > start) { h ^= 0x1f; h *= 0x100000001b3L }
-      val s = ts(t)
-      var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        h ^= cp; h *= 0x100000001b3L
-        i += Character.charCount(cp)
-      }
+      if (t > start) h = Dedup.fnvFoldSep(h, 0x1f)
+      h = Dedup.fnvFoldString(h, ts(t))
       t += 1
     }
     h
@@ -282,7 +276,10 @@ object CorpusOps {
                          isEval: Column, n: Int,
                          hashedGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
-    val flagged = df.withColumn("_is_eval", isEval)
+    // null isEval = NOT eval (review r10): a bare filter pair would
+    // silently drop null-predicate rows from BOTH sides — the doc
+    // promises one output row per non-eval input doc
+    val flagged = df.withColumn("_is_eval", coalesce(isEval, lit(false)))
     val train = flagged.filter(!col("_is_eval"))
     val eval = flagged.filter(col("_is_eval"))
     val trainToks = spanToks(train, textCol, idCol)

@@ -348,6 +348,16 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(3) === ((4L, 2, 0, List("a", "b"))))
     // hashed keys: byte-identical (no 64-bit collision on this corpus)
     assert(run(hashed = true) === got)
+    // null isEval predicate = train (review r10: a bare filter pair
+    // dropped null-predicate rows from BOTH sides)
+    val withNull = Seq((Some("eval"), 7L, "the quick brown fox jumps"),
+      (None: Option[String], 8L, "quick brown fox jumps too"),
+      (Some("train"), 9L, "nothing shared here at all"))
+      .toDF("source", "doc_id", "text")
+    val out = CorpusOps.decontaminateSpans(withNull, "text", "doc_id",
+        $"source" === "eval", n = 4)
+      .select($"id").as[Long].collect().toSet
+    assert(out == Set(8L, 9L), s"null-source row must stay in train, got $out")
   }
 
   test("shingleHashSet == shingleSet.map(fnv1a64); contaminationStats hashed parity") {

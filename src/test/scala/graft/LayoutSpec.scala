@@ -147,6 +147,27 @@ class LayoutSpec extends AnyFunSuite {
     assert(out.size >= (2500 * 0.95).toInt, s"kept only ${out.size} of 2500 novel")
   }
 
+  test("BloomDedup: empty history passes the whole first batch through (bootstrap ingest)") {
+    val history = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val incoming = (0 until 50).map(i => (i.toLong, s"first batch $i")).toDF("doc_id", "text")
+    val bf = BloomDedup.buildFilter(history, "text", expectedItems = 1000L)
+    assert(bf != null, "empty history must yield a real empty filter, not SQL NULL")
+    assert(BloomDedup.novelOnly(incoming, bf, "text").count() == 50L)
+    assert(BloomDedup.novelLossless(history, incoming, "text", 1000L).count() == 50L)
+  }
+
+  test("BloomDedup: sizing above Spark's runtime-filter conf caps is honored, not clamped") {
+    // 10M items at 1% fpp needs ~95.9M bits — past the default 67.1M
+    // maxNumBits cap; without the conf raise the aggregate silently
+    // truncates and buildFilter's size check throws
+    val history = (0 until 100).map(i => (i.toLong, s"h $i")).toDF("doc_id", "text")
+    val bf = BloomDedup.buildFilter(history, "text", expectedItems = 10000000L, fpp = 0.01)
+    assert(bf.length.toLong * 8 > 90000000L, s"filter is ${bf.length * 8L} bits")
+    // and it still behaves: the 100 known docs are all positive
+    val stillDup = BloomDedup.novelOnly(history, bf, "text").count()
+    assert(stillDup == 0L)
+  }
+
   test("BloomDedup.novelLossless recovers false-positive novel rows exactly") {
     val history = (0 until 3000).map(i => (i.toLong, s"h $i")).toDF("doc_id", "text")
     val incoming = ((0 until 1500).map(i => (10000L + i, s"h $i")) ++
