@@ -168,6 +168,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(stillDup == 0L)
   }
 
+  test("BloomDedup composes with Structured Streaming: history filter on an ingest stream") {
+    // The membership predicate is a stateless per-row codegen filter,
+    // so it drops straight into a streaming pipeline — the shape of
+    // "dedup the live crawl against yesterday's corpus" with NO
+    // streaming state beyond the broadcast-sized filter literal.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val history = (0 until 2000).map(i => (i.toLong, s"seen before $i"))
+      .toDF("doc_id", "text")
+    val bf = BloomDedup.buildFilter(history, "text", expectedItems = 2000L)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    stream.addData((0 until 500).map(i => (10000L + i, s"seen before $i")) ++ // dups
+      (0 until 500).map(i => (20000L + i, s"brand new $i")))                  // novel
+    val out = BloomDedup.novelOnly(
+      stream.toDS().toDF("doc_id", "text"), bf, "text")
+    val q = out.writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("bloom_stream").select($"doc_id").as[Long].collect().toSet
+    assert(ids.forall(_ >= 20000L), "a known duplicate leaked into the stream output")
+    assert(ids.size >= 490, s"kept only ${ids.size} of 500 novel (fpp bound)")
+  }
+
   test("BloomDedup.novelLossless recovers false-positive novel rows exactly") {
     val history = (0 until 3000).map(i => (i.toLong, s"h $i")).toDF("doc_id", "text")
     val incoming = ((0 until 1500).map(i => (10000L + i, s"h $i")) ++
