@@ -1621,6 +1621,37 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // LLM-pipeline: event DEBOUNCE dedup — drop an event when the same
+    // (user, type) fired within the previous 60 s (duplicate clicks,
+    // retry storms, at-least-once upstream delivery). ONE partitioned
+    // lag window — per-key ordering only, no corpus-wide sort, the
+    // 100×-safe shape (state per task = one row).
+    "events_debounce" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev0 = t(s, dir, "events")
+      val ev = ev0.select($"event_id".cast("long").as("event_id"), $"user_id",
+        $"event_type", graft.functions.EventTime.epochMs(ev0).as("ts_ms"))
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts_ms", $"event_id")
+      ev.withColumn("prev_ms", lag($"ts_ms", 1).over(w))
+        .filter($"prev_ms".isNull || $"ts_ms" - $"prev_ms" > 60000L)
+        .select($"event_id", $"user_id", $"event_type", $"ts_ms")
+        .orderBy($"event_id")
+    }),
+
+    // LLM-pipeline: deterministic global top-k sample — EXACTLY k rows,
+    // content-addressed order (md5 of id), same rows on any cluster or
+    // rerun. Plans as TakeOrderedAndProject: per-partition top-k heaps
+    // before one k-row exchange — never a global sort. Complements
+    // hashSample (~rate) and stratifiedSample (per-stratum k).
+    "sample_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id", $"lang")
+        .orderBy(graft.pipeline.CorpusOps.splitHash($"doc_id"), $"doc_id")
+        .limit(100)
+    }),
+
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
     // agents = sources with their language sets as capabilities; rank
     // by |required ∩ capabilities| — argmax as a sorted limit.
@@ -2996,6 +3027,20 @@ object SparkEntry {
           |  AND v.view_ms > p.ts_ms - 3600000 AND v.view_ms <= p.ts_ms
           |GROUP BY p.event_id, p.user_id, p.ts_ms
           |ORDER BY p.event_id""".stripMargin,
+
+      "events_debounce" ->
+        """WITH o AS (
+          |  SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms,
+          |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id, event_type
+          |                            ORDER BY epoch_ms(ts), event_id) AS prev_ms
+          |  FROM events)
+          |SELECT event_id, user_id, event_type, ts_ms FROM o
+          |WHERE prev_ms IS NULL OR ts_ms - prev_ms > 60000
+          |ORDER BY event_id""".stripMargin,
+
+      "sample_topk" ->
+        """SELECT doc_id, lang FROM documents
+          |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100""".stripMargin,
 
       "events_sessionize" ->
         """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
