@@ -565,6 +565,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: quantile-based quality PRUNE — the output half of
+    // the surprisal report (CCNet shape): keep the 90% of docs at or
+    // below the corpus's p90 LM surprisal, drop the gibberish tail.
+    // The threshold is one exact-percentile aggregate over the
+    // (already tiny) per-doc score table, broadcast back as a scalar —
+    // the corpus is never collected. Safe to compare unrounded: both
+    // engines interpolate between IDENTICAL 6dp-rounded scores, so the
+    // threshold either equals a score exactly (tie) or sits ≫1 ulp
+    // away from every score.
+    "quality_prune" -> ((s, dir) => {
+      import s.implicits._
+      val sur = graft.textanalysis.TextAnalysis.unigramSurprisal(
+          t(s, dir, "documents"), "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+      val thr = sur.agg(expr("percentile(surprisal, 0.9)").as("thr"))
+      sur.crossJoin(broadcast(thr))
+        .filter($"surprisal" <= $"thr")
+        .select($"doc_id", $"n_words", $"surprisal")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: TF-IDF keyword extraction — top-3 terms per doc by
     // tf·ln(N/df), ties by term. The uniform word-soup vocab makes
     // every common term's idf ~0, so docs are augmented with
@@ -2261,6 +2282,20 @@ object SparkEntry {
            |  round(en, 6) AS en_score, round(es, 6) AS es_score
            |FROM s ORDER BY doc_id""".stripMargin
       },
+
+      "quality_prune" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+          |  FROM documents),
+          |ww AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+          |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ww GROUP BY w),
+          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+          |s AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |    round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+          |  FROM ww JOIN vocab USING (w), tot GROUP BY doc_id),
+          |t AS (SELECT quantile_cont(surprisal, 0.9) AS thr FROM s)
+          |SELECT doc_id, n_words, surprisal FROM s, t
+          |WHERE surprisal <= thr ORDER BY doc_id""".stripMargin,
 
       "text_surprisal" ->
         """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
