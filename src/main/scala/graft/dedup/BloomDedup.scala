@@ -2,9 +2,9 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Bloom-filter incremental dedup — the memory-bounded scale path for
   * "drop incoming docs already in the corpus".
@@ -16,8 +16,8 @@ import org.apache.spark.sql.types.BinaryType
   * Bloom filter at 1% FPP is ~*12 bits per doc* (~150 GB for 10¹¹ —
   * still shardable, and at the 10⁹-doc per-ingest-window granularity a
   * single ~1.5 GB filter), lives driver/broadcast-side, and turns the
-  * membership check into a per-row codegen predicate with NO shuffle
-  * and NO join.
+  * membership check into a per-row predicate with NO shuffle and NO
+  * join.
   *
   * Semantics (one-sided error, the right direction for dedup):
   *  - **no false negatives** — a doc whose text was in the history can
@@ -25,17 +25,27 @@ import org.apache.spark.sql.types.BinaryType
   *  - false positives drop at most `fpp` of genuinely-novel docs —
   *    acceptable loss for corpus curation, and the caller can route
   *    "maybe-dup" rows to an exact re-check instead of dropping
-  *    ([[novelAndMaybe]]) to make the path lossless: the exact join
+  *    ([[novelLossless]]) to make the path lossless: the exact join
   *    then runs on `fpp`×batch rows instead of the whole batch.
   *
-  * Implementation: Spark's own runtime-filter machinery —
-  * `BloomFilterAggregate` builds the sketch as a distributed partial
-  * aggregate (each partition builds, sketches merge up the exec tree),
-  * and `BloomFilterMightContain` probes it as a codegen predicate.
+  * Implementation: the sketch is `org.apache.spark.util.sketch
+  * .BloomFilter` built via `DataFrame.stat.bloomFilter` (per-partition
+  * build + merge in an RDD aggregate — no SQL-conf dependency, no
+  * session-global state, safe under concurrent builds; r10 review
+  * replaced the `BloomFilterAggregate` build that mutated
+  * `runtime.bloomFilter.maxNumItems/maxNumBits` around the action).
   * Keys are `xxhash64(text)` on BOTH sides, so build and probe share
-  * one hash definition. Embedding the serialized filter as a binary
-  * literal mirrors what Spark's `InjectRuntimeFilter` does with its
-  * bloom subquery result.
+  * one hash definition. The probe has two physical forms, picked by
+  * filter size ([[LiteralProbeMaxBytes]]):
+  *  - small filters embed as a binary `Literal` feeding Spark's own
+  *    `BloomFilterMightContain` codegen predicate — exactly what
+  *    `InjectRuntimeFilter` does with its bloom subquery result;
+  *  - large filters (a Literal is serialized into EVERY task binary
+  *    and codegen reference, and would hit the 2 GB array / task-size
+  *    limits near the GB scale the scaladoc above advertises) ship
+  *    ONCE per executor as a broadcast variable, deserialized once per
+  *    JVM ([[FilterCache]]) and probed by a UDF on the same xxhash64
+  *    key.
   */
 object BloomDedup {
 
@@ -45,70 +55,77 @@ object BloomDedup {
     math.ceil(-expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong.max(64L)
   }
 
-  private def keyExpr(c: Column) =
-    GraftSqlBridge.expression(xxhash64(c))
+  /** Filters at or under this serialized size probe via a plan
+    * `Literal` + codegen `BloomFilterMightContain`; larger ones go
+    * through the broadcast + cached-deserialize path. 16 MB keeps the
+    * task binary well under Spark's 1 GB broadcast/task warnings while
+    * covering every join-runtime-filter-sized sketch (~10⁷ items). */
+  val LiteralProbeMaxBytes: Int = 16 << 20
 
   /** Build the serialized history filter with one distributed
-    * aggregate over `history(textCol)`. `expectedItems` sizes the
-    * filter (overestimate is safe — FPP only drops); at warehouse scale
-    * pass the history row count from table stats.
-    *
-    * Two silent failure modes of the raw aggregate are handled here
-    * (review r10):
-    *  - `BloomFilterAggregate` clamps its arguments to
-    *    `spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits`
-    *    (defaults 4M items / 67M bits — sized for join runtime filters,
-    *    not corpus dedup). A silent clamp at 1e9 docs would yield
-    *    ~0.07 bits/doc and FPP→1: nearly every NOVEL doc dropped as a
-    *    "duplicate". The confs are raised to the requested size for the
-    *    build (and restored), and the serialized size is verified.
-    *  - An EMPTY history aggregates to SQL NULL (not an empty filter);
-    *    `might_contain(null, …)` is null and both filter directions
-    *    drop every row — the bootstrap ingest would vanish. A null
-    *    result becomes a real empty filter (contains nothing → the
-    *    whole first batch is novel, as it should be). */
+    * per-partition build + merge over `xxhash64(history(textCol))`.
+    * `expectedItems` sizes the filter (overestimate is safe — FPP only
+    * drops); at warehouse scale pass the history row count from table
+    * stats. An empty history yields a real empty filter (contains
+    * nothing → the whole first batch is novel), never SQL NULL. */
   def buildFilter(history: DataFrame, textCol: String,
                   expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     val numBits = optimalNumBits(expectedItems, fpp)
-    val conf = history.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = conf.getOption(itemsKey)
-    val oldBits = conf.getOption(bitsKey)
-    val bytes = try {
-      conf.set(itemsKey, math.max(expectedItems, 4000000L).toString)
-      conf.set(bitsKey, math.max(numBits, 67108864L).toString)
-      val agg = new BloomFilterAggregate(
-        keyExpr(col(textCol)), Literal(expectedItems), Literal(numBits))
-      history
-        .select(GraftSqlBridge.column(agg.toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-    } finally {
-      def restore(k: String, old: Option[String]): Unit =
-        old.fold(conf.unset(k))(v => conf.set(k, v))
-      restore(itemsKey, oldItems)
-      restore(bitsKey, oldBits)
-    }
-    if (bytes == null) {
-      // empty history → genuine empty filter, not SQL NULL
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
-      val bos = new java.io.ByteArrayOutputStream()
-      empty.writeTo(bos)
-      bos.toByteArray
-    } else {
-      // belt-and-braces vs any residual clamp: the serialized filter
-      // must be within 20% of the requested bit budget
-      require(bytes.length.toLong * 8 >= numBits - (numBits / 5),
-        s"bloom filter came back ${bytes.length * 8L} bits for a $numBits-bit " +
-          "request — a conf cap truncated it; FPP would be unbounded")
-      bytes
-    }
+    val items = math.max(expectedItems, 1L)
+    // per-partition build + tree merge over the raw hash RDD.
+    // (`stat.bloomFilter` / `BloomFilterAggregate` silently clamp to
+    // `runtime.bloomFilter.maxNumBits` — 67M bits, sized for join
+    // runtime filters; a clamped 1e9-doc build would drop nearly every
+    // NOVEL doc as FPP→1. The RDD build has no conf in the loop.)
+    // Partitions with no rows contribute null so empty-history builds
+    // don't allocate; filters share (numBits, items) so mergeInPlace
+    // is always compatible.
+    val bf0 = history.select(xxhash64(col(textCol)).as("_k"))
+      .rdd.map(_.getLong(0))
+      .treeAggregate(null: BloomFilter)(
+        (bf, h) => {
+          val b = if (bf == null) BloomFilter.create(items, numBits) else bf
+          b.putLong(h); b
+        },
+        (a, b) =>
+          if (a == null) b
+          else if (b == null) a
+          else { a.mergeInPlace(b); a })
+    val bf = if (bf0 == null) BloomFilter.create(items, numBits) else bf0
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
-  /** `might_contain(filter, xxhash64(c))` as a codegen predicate. */
+  /** Per-JVM deserialized-filter cache for the broadcast probe path:
+    * every task on an executor shares ONE deserialized filter per
+    * broadcast id instead of re-reading the byte image. */
+  private object FilterCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
+    def get(id: Long, bytes: () => Array[Byte]): BloomFilter =
+      cache.computeIfAbsent(id,
+        _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes())))
+  }
+
+  /** `might_contain(filter, xxhash64(c))`. Small filters inline as a
+    * codegen `Literal` predicate; filters past [[LiteralProbeMaxBytes]]
+    * ship as ONE broadcast per job and deserialize once per executor
+    * (the Literal form would serialize the filter into every task). */
   def mightContain(filterBytes: Array[Byte], c: Column): Column =
-    GraftSqlBridge.column(
-      BloomFilterMightContain(Literal(filterBytes, BinaryType), keyExpr(c)))
+    if (filterBytes.length <= LiteralProbeMaxBytes)
+      GraftSqlBridge.column(
+        BloomFilterMightContain(Literal(filterBytes, BinaryType), keyOf(c)))
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val bc = spark.sparkContext.broadcast(filterBytes)
+      val probe = udf { h: Long =>
+        FilterCache.get(bc.id, () => bc.value).mightContainLong(h)
+      }
+      probe(xxhash64(c))
+    }
+
+  private def keyOf(c: Column) = GraftSqlBridge.expression(xxhash64(c))
 
   /** Rows of `incoming` that are DEFINITELY not in the filtered
     * history (zero duplicate leakage; up to `fpp` of novel rows are
@@ -121,7 +138,11 @@ object BloomDedup {
     * definite-novel rows shuffle-free, and exact-anti-join ONLY the
     * maybe-dup slice (≈ true-dups + fpp·novel rows) against the
     * history — the join's probe side shrinks from the whole batch to
-    * the filter's positives. Returns all genuinely-novel rows. */
+    * the filter's positives. Returns all genuinely-novel rows. The
+    * rescue join hash-partitions on `xxhash64(text)` but keeps the
+    * text itself as a second equi-key, so even a 2⁻⁶⁴ hash collision
+    * between a novel doc and a history doc cannot drop the novel row —
+    * the path is exact, not merely 2⁻⁶⁴-exact (r10 review). */
   def novelLossless(history: DataFrame, incoming: DataFrame,
                     textCol: String, expectedItems: Long,
                     fpp: Double = 0.01): DataFrame = {
@@ -129,8 +150,10 @@ object BloomDedup {
     val definiteNovel = novelOnly(incoming, bf, textCol)
     val maybeDup = incoming.filter(mightContain(bf, col(textCol)))
     val rescued = maybeDup.join(
-      history.select(xxhash64(col(textCol)).as("_h")).distinct(),
-      xxhash64(col(textCol)) === col("_h"), "left_anti")
+      history.select(xxhash64(col(textCol)).as("_h"),
+        col(textCol).as("_t")).distinct(),
+      xxhash64(col(textCol)) === col("_h") && col(textCol) === col("_t"),
+      "left_anti")
     definiteNovel.unionByName(rescued)
   }
 }
