@@ -871,6 +871,36 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dedup_stored split failed: ${e.getMessage}"); None
       }
+    // Distributed connected-components at 10M edges (VERDICT r10 #5):
+    // the >2^20-edge min-label branch, which the graded sf entries
+    // never reach (their pair graphs are tiny by design). Synthetic
+    // two-level-star graph — 100k components of 100 nodes, diameter 4
+    // (leaf → decade head → group head) — so the measured cost is the
+    // per-round join/agg machinery at scale, not an adversarial
+    // diameter. The action counts distinct labels, so the timing
+    // covers the full propagation loop + the final aggregate; the
+    // component count doubles as a correctness check (must be 100k).
+    val cc10m: Option[(Long, Double, Long)] =
+      try {
+        import org.apache.spark.sql.functions._
+        val nEdges = 10000000L
+        def edges = spark.range(nEdges).select(
+          col("id").as("id_a"),
+          when(col("id") % 100 === 0, col("id") + 5)
+            .when(col("id") % 10 === 0, col("id") - col("id") % 100)
+            .otherwise(col("id") - col("id") % 10).as("id_b"))
+        def run(): Long = graft.dedup.Dedup.connectedComponents(edges)
+          .agg(countDistinct(col("comp"))).head().getLong(0)
+        val comps = run() // warm (plan/codegen)
+        val sec = bestSec(1)(run(): Unit)
+        Some((nEdges, sec, comps))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] cc_10m failed: ${e.getMessage}"); None
+      }
+    def cc10mJson: String = cc10m.map { case (n, s, c) =>
+      s"""{"edges":$n,"sec":${fmt(s, 2)},"components":$c}"""
+    }.getOrElse("null")
+
     def dedupStoredJson: String = dedupStored.map { case (b, q) =>
       s"""{"build_sec":${fmt(b, 2)},"query_sec":${fmt(q, 2)}}"""
     }.getOrElse("null")
@@ -967,7 +997,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -986,7 +1016,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(4)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

@@ -175,6 +175,35 @@ object SparkEntry {
         .select($"vec_id", $"label", $"score")
     }),
 
+    // Serving tier: the ROUTED IVF handle graded end-to-end (VERDICT
+    // r10 #7 — its parity was spec-pinned only). A fleet of 8 queries
+    // routes through ServingSession.routedIvf (resident snapshot at
+    // this scale; the dispatch contract is pinned both sides in
+    // PackedIndexSpec) with nProbe = nCells, so the probe set is
+    // exhaustive and recall is 1.0 BY CONSTRUCTION — the routed
+    // machinery (cell pack, kernel, heap drain, rank) must reproduce
+    // the exact top-10 ids/ranks the oracle computes in SQL. Scores
+    // stay un-graded: the packed kernel accumulates in float32 by
+    // design (6dp-round parity with DuckDB's double math is not a
+    // contract the float path makes; id/rank order is).
+    "serving_routed" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val model = graft.ann.Ann.trainIvf(emb, "embedding", nCells = 8, maxIter = 5)
+      val cells = graft.ann.Ann.assignCells(emb, "embedding", "vec_id", model)
+      val idx = graft.search.PackedIndex.buildIvf(cells, model)
+      try {
+        val handle = graft.search.ServingSession.routedIvf(idx)
+        val fleet = emb.filter($"vec_id" < 8)
+          .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+          .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+        handle.search(fleet, k = 10, nProbe = model.nCells)
+          .map { case (qid, id, _, rank) => (qid, rank, id) }
+          .toDF("query_id", "rank", "vec_id")
+          .orderBy($"query_id", $"rank")
+      } finally idx.unpersist()
+    }),
+
     // §2.1 point lookup by id — engine.get (FusionEngine.js:225-228):
     // an id-pushdown scan (PushedFilters prunes row groups at scale).
     "point_lookup" -> ((s, dir) => {
@@ -576,12 +605,8 @@ object SparkEntry {
     // away from every score.
     "quality_prune" -> ((s, dir) => {
       import s.implicits._
-      val sur = graft.textanalysis.TextAnalysis.unigramSurprisal(
-          t(s, dir, "documents"), "text", "doc_id")
-        .withColumnRenamed("id", "doc_id")
-      val thr = sur.agg(expr("percentile(surprisal, 0.9)").as("thr"))
-      sur.crossJoin(broadcast(thr))
-        .filter($"surprisal" <= $"thr")
+      graft.pipeline.CorpusOps.pruneBySurprisalQuantile(
+          t(s, dir, "documents"), "text", "doc_id", p = 0.9)
         .select($"doc_id", $"n_words", $"surprisal")
         .orderBy($"doc_id")
     }),
@@ -1220,10 +1245,12 @@ object SparkEntry {
     }),
 
     // LLM-pipeline: the 100-TB variant of the span mask — count/join
-    // keyed on xxhash64(gram) so the gram shuffle moves 8-byte longs
-    // (~6× fewer bytes at whitespace 8-grams). Graded against the SAME
-    // string-keyed oracle: a 2^-64 hash collision could only over-mask,
-    // and the graded corpus has none, so outputs must be identical.
+    // keyed on the incremental FNV-1a gramHash (folded over the
+    // window's tokens, no gram string ever built) so the gram shuffle
+    // moves 8-byte longs (~6× fewer bytes at whitespace 8-grams).
+    // Graded against the SAME string-keyed oracle: a 2^-64 FNV
+    // collision could only over-mask, and the graded corpus has none,
+    // so outputs must be identical.
     "repeated_ngrams_hashed" -> ((s, dir) => {
       import s.implicits._
       graft.pipeline.CorpusOps.maskRepeatedNgrams(
@@ -1645,32 +1672,30 @@ object SparkEntry {
     // LLM-pipeline: event DEBOUNCE dedup — drop an event when the same
     // (user, type) fired within the previous 60 s (duplicate clicks,
     // retry storms, at-least-once upstream delivery). ONE partitioned
-    // lag window — per-key ordering only, no corpus-wide sort, the
-    // 100×-safe shape (state per task = one row).
+    // lag window (EventStreams.debounce) — per-key ordering only, no
+    // corpus-wide sort, the 100×-safe shape (state per task = one row).
     "events_debounce" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val ev0 = t(s, dir, "events")
       val ev = ev0.select($"event_id".cast("long").as("event_id"), $"user_id",
         $"event_type", graft.functions.EventTime.epochMs(ev0).as("ts_ms"))
-      val w = Window.partitionBy($"user_id", $"event_type")
-        .orderBy($"ts_ms", $"event_id")
-      ev.withColumn("prev_ms", lag($"ts_ms", 1).over(w))
-        .filter($"prev_ms".isNull || $"ts_ms" - $"prev_ms" > 60000L)
+      graft.streaming.EventStreams.debounce(ev,
+          Seq("user_id", "event_type"), "ts_ms", windowMs = 60000L,
+          tieCols = Seq("event_id"))
         .select($"event_id", $"user_id", $"event_type", $"ts_ms")
         .orderBy($"event_id")
     }),
 
     // LLM-pipeline: deterministic global top-k sample — EXACTLY k rows,
     // content-addressed order (md5 of id), same rows on any cluster or
-    // rerun. Plans as TakeOrderedAndProject: per-partition top-k heaps
-    // before one k-row exchange — never a global sort. Complements
-    // hashSample (~rate) and stratifiedSample (per-stratum k).
+    // rerun (CorpusOps.sampleTopK). Plans as TakeOrderedAndProject:
+    // per-partition top-k heaps before one k-row exchange — never a
+    // global sort. Complements hashSample (~rate) and stratifiedSample
+    // (per-stratum k).
     "sample_topk" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents").select($"doc_id", $"lang")
-        .orderBy(graft.pipeline.CorpusOps.splitHash($"doc_id"), $"doc_id")
-        .limit(100)
+      graft.pipeline.CorpusOps.sampleTopK(
+        t(s, dir, "documents").select($"doc_id", $"lang"), "doc_id", k = 100)
     }),
 
     // §2.3 delegation capability match (AgentOrchestrator.js:305-323):
@@ -2058,6 +2083,25 @@ object SparkEntry {
            | round(1.0 - sqrt(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> (x[1]-x[2])*(x[1]-x[2])))), 6) AS score
            |FROM embeddings e, q
            |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // routed-IVF fleet at nProbe = nCells ⇒ must equal the EXACT
+      // per-query cosine top-10 (ids/ranks; float-kernel scores are
+      // deliberately not graded — see the entry comment)
+      "serving_routed" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${dotSql("e.embedding", "q.qv")} /
+           |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+           |  FROM embeddings e, q),
+           |ranked AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+           |FROM ranked WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
 
       "point_lookup" ->
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42",

@@ -658,15 +658,23 @@ object Dedup {
           if (round >= maxIter)
             throw new IllegalStateException(
               s"connectedComponents did not converge in $maxIter rounds")
+          // ONE join + ONE groupBy per round; convergence falls out of
+          // the SAME aggregate (r10 VERDICT #5: the old separate
+          // old-vs-new join doubled the per-round joins). Each node's
+          // own label rides the union tagged with itself as `old`
+          // (exactly one such row per id); neighbor labels carry
+          // Long.MaxValue, so min(old) recovers the previous label and
+          // `comp < old` marks a change — counted with a narrow scan
+          // over the checkpointed round result, no extra join.
           val viaNeighbors = sym.join(labels, sym("dst") === labels("id"))
             .select(sym("src").as("id"), col("comp"))
-          val updated = labels.select("id", "comp").union(viaNeighbors)
-            .groupBy("id").agg(min("comp").as("comp"))
+          val updated = labels.select(col("id"), col("comp"), col("comp").as("old"))
+            .union(viaNeighbors.select(col("id"), col("comp"),
+              lit(Long.MaxValue).as("old")))
+            .groupBy("id").agg(min("comp").as("comp"), min("old").as("old"))
             .localCheckpoint(true)
-          converged = labels.as("o").join(updated.as("n"), "id")
-            .filter(col("o.comp") =!= col("n.comp"))
-            .isEmpty
-          labels = updated
+          converged = updated.filter(col("comp") < col("old")).isEmpty
+          labels = updated.select("id", "comp")
           round += 1
         }
         labels

@@ -66,6 +66,20 @@ object CorpusOps {
     else df.filter(substring(splitHash(col(idCol)), 1, 4) < f"$num%04x")
   }
 
+  /** Deterministic EXACTLY-k sample: the k rows with the smallest
+    * content-addressed hash ([[splitHash]] of the id, ties by id) —
+    * the same rows on any cluster, any partitioning, any rerun.
+    * Complements [[hashSample]] (~rate, no shuffle) and
+    * [[stratifiedSample]] (per-stratum k).
+    *
+    * Scale: plans as `TakeOrderedAndProject` — each partition keeps a
+    * k-row heap and ONE k-row-per-partition exchange merges them;
+    * never a global sort. `k > rows` returns all rows. */
+  def sampleTopK(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    df.orderBy(splitHash(col(idCol)), col(idCol)).limit(k)
+  }
+
   // ─── Temperature-balanced stratum sampling ───
 
   /** The multilingual training-mix rebalance (mC4 / XLM-R style): keep
@@ -443,20 +457,53 @@ object CorpusOps {
       .drop("tok_total")
   }
 
+  // ─── Quantile-based quality pruning ───
+
+  /** Quantile quality PRUNE — the output half of the surprisal report
+    * (CCNet shape): keep the `p`-fraction of docs at or below the
+    * corpus's own p-quantile unigram-LM surprisal, drop the gibberish
+    * tail. Returns the input rows (all columns) with `n_words` and
+    * `surprisal` (6dp) appended, filtered to the keepers.
+    *
+    * Scale: the per-doc score table is one row per doc; `exact = true`
+    * (the graded default) aggregates an exact `percentile` whose
+    * buffer is bounded by the DISTINCT 6dp-rounded scores, fine to
+    * ~10⁹ docs — past that pass `exact = false` for
+    * `approx_percentile` (mergeable sketch, bounded memory at any
+    * scale). Either way the threshold is ONE scalar broadcast back;
+    * the corpus is never collected. */
+  def pruneBySurprisalQuantile(df: DataFrame, textCol: String,
+      idCol: String, p: Double = 0.9, exact: Boolean = true): DataFrame = {
+    require(p > 0 && p <= 1, s"p must be in (0, 1], got $p")
+    val sur = graft.textanalysis.TextAnalysis
+      .unigramSurprisal(df, textCol, idCol)
+    val pct = if (exact) s"percentile(surprisal, $p)"
+              else s"approx_percentile(surprisal, $p)"
+    val thr = sur.agg(expr(pct).as("_thr"))
+    val kept = sur.crossJoin(broadcast(thr))
+      .filter(col("surprisal") <= col("_thr"))
+      .drop("_thr")
+    df.join(kept, df(idCol).cast("long") === kept("id")).drop("id")
+  }
+
   // ─── End-to-end curation ───
 
   /** The composed raw-corpus → training-set pipeline: exact-dedup to
     * canonical (min-id) rows, drop too-short and high-repetition docs,
-    * then assign deterministic splits. Each stage is one of this
-    * module's / [[Dedup]]'s graded operators — this is the composition
-    * a 100 TB curation run executes, end to end.
+    * optionally prune the high-surprisal quality tail, then assign
+    * deterministic splits. Each stage is one of this module's /
+    * [[Dedup]]'s graded operators — this is the composition a 100 TB
+    * curation run executes, end to end.
     *
     * Plan: dedup window (one shuffle on the text digest, planned as
     * WindowGroupLimit) → narrow repetition map on the surviving rows →
-    * id-keyed join → per-row split hash. Docs with < 3 words have no
-    * repetition signal and are dropped with the spam. */
+    * id-keyed join → (optional surprisal prune: vocab-agg + broadcast
+    * threshold, [[pruneBySurprisalQuantile]]) → per-row split hash.
+    * Docs with < 3 words have no repetition signal and are dropped
+    * with the spam. */
   def curate(df: DataFrame, textCol: String, idCol: String,
-      maxRepetition: Double = 0.5, minChars: Int = 50): DataFrame = {
+      maxRepetition: Double = 0.5, minChars: Int = 50,
+      surprisalQuantile: Option[Double] = None): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val canon = Dedup.dedupExact(df, textCol, idCol)
@@ -464,9 +511,12 @@ object CorpusOps {
     val rep = repetitionStats(canon, textCol, idCol)
       .select($"id", $"repetition")
       .filter($"repetition" < maxRepetition)
-    canon.join(rep, canon(idCol).cast("long") === rep("id"))
+    val base = canon.join(rep, canon(idCol).cast("long") === rep("id"))
       .drop("id")
-      .withColumn("split", splitAssign(col(idCol)))
+    val pruned = surprisalQuantile.fold(base)(p =>
+      pruneBySurprisalQuantile(base, textCol, idCol, p)
+        .drop("n_words", "surprisal"))
+    pruned.withColumn("split", splitAssign(col(idCol)))
   }
 
   // ─── Boilerplate n-gram detection ───

@@ -65,6 +65,33 @@ object EventStreams {
       .select("user_id", "start_ms", "end_ms", "n_events")
   }
 
+  /** Event DEBOUNCE dedup: drop an event when another event of the same
+    * key fired within the previous `windowMs` (duplicate clicks, retry
+    * storms, at-least-once upstream delivery). An event is kept iff its
+    * gap to the IMMEDIATELY PRECEDING event of its key exceeds
+    * `windowMs` — the raw-predecessor definition (a burst longer than
+    * the window collapses to its first event only if gaps inside the
+    * burst stay under the window; each sub-threshold gap suppresses).
+    *
+    * Scale: ONE partitioned lag window keyed on `keyCols` — per-key
+    * ordering only, never a corpus-wide sort; state per task is one
+    * row. `tieCols` break equal-timestamp order deterministically
+    * (equal-ts events debounce in `tieCols` order: the first survives,
+    * the rest are 0-gap duplicates). Returns the input columns,
+    * filtered. Input `tsMsCol` must be epoch millis. */
+  def debounce(events: DataFrame, keyCols: Seq[String], tsMsCol: String,
+               windowMs: Long, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "debounce needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsMsCol +: tieCols).map(col): _*)
+    events
+      .withColumn("_prev_ms", lag(col(tsMsCol), 1).over(w))
+      .filter(col("_prev_ms").isNull ||
+        col(tsMsCol) - col("_prev_ms") > windowMs)
+      .drop("_prev_ms")
+  }
+
   /** Point-in-time (as-of) LEFT join: each `left` row picks up
     * `carryCols` from the LATEST `right` row of the same key with
     * `right.time <= left.time` (ties at equal time match — the right

@@ -398,8 +398,9 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("maskRepeatedNgrams hashedGrams: byte-identical to the string-keyed path") {
     // the hand-built corpus plus a 300-doc pseudo-random one: any
-    // difference would need a 64-bit xxhash collision between distinct
-    // grams of this corpus — impossible here, so exact equality
+    // difference would need a 64-bit collision of the incremental
+    // FNV-1a gramHash between distinct grams of this corpus —
+    // impossible here, so exact equality
     val hand = Seq(
       (0L, "a b c d"), (1L, "x a b c"), (2L, "q w e r"),
       (3L, "a b"), (4L, "a b c a b c a b c"))
@@ -513,5 +514,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     val want = java.security.MessageDigest.getInstance("MD5")
       .digest("7:1:0".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(key === want)
+  }
+
+  test("sampleTopK: exactly k, content-addressed, partitioning-invariant, k > rows") {
+    val docs = spark.range(0, 300).select($"id".as("doc_id"),
+      concat(lit("t"), $"id").as("lang"))
+    def ids(partitions: Int, k: Int): Seq[Long] =
+      CorpusOps.sampleTopK(docs.repartition(partitions), "doc_id", k)
+        .select("doc_id").as[Long].collect().toSeq.sorted
+    val got = ids(4, 50)
+    assert(got.size == 50)
+    // same rows whatever the physical partitioning
+    assert(ids(13, 50) === got)
+    // reference: the 50 smallest md5(id) values
+    val want = (0L until 300L)
+      .sortBy(i => (md5hex(i.toString), i)).take(50).sorted
+    assert(got === want)
+    // nested: top-20 is a subset of top-50
+    assert(ids(4, 20).forall(got.contains))
+    // k > rows returns everything; k = 0 returns none
+    assert(ids(4, 1000) === (0L until 300L))
+    assert(ids(4, 0).isEmpty)
+  }
+
+  test("pruneBySurprisalQuantile: keeps the at-or-below-threshold docs, schema appends scores") {
+    // rare-word docs score high surprisal; common-word docs low
+    val docs = ((0L until 16L).map(i => (i, "the cat sat on the mat")) ++
+      Seq((16L, "zyx qwv jkl pnm"), (17L, "aardvark xylophone quux corge")))
+      .toDF("doc_id", "text")
+    val out = CorpusOps.pruneBySurprisalQuantile(docs, "text", "doc_id", p = 0.8)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "n_words", "surprisal"))
+    val keptIds = out.select("doc_id").as[Long].collect().toSet
+    // the two rare-word docs are the >p80 tail and must be pruned
+    assert(keptIds == (0L until 16L).toSet)
+    // prune matches the inline definition: threshold = exact percentile
+    val sur = graft.textanalysis.TextAnalysis
+      .unigramSurprisal(docs, "text", "doc_id")
+    val thr = sur.agg(expr("percentile(surprisal, 0.8)")).head.getDouble(0)
+    val wantIds = sur.filter($"surprisal" <= thr)
+      .select("id").as[Long].collect().toSet
+    assert(keptIds == wantIds)
+    // approx path agrees on this tiny corpus (sketch is exact here)
+    val approxIds = CorpusOps.pruneBySurprisalQuantile(
+        docs, "text", "doc_id", p = 0.8, exact = false)
+      .select("doc_id").as[Long].collect().toSet
+    assert(approxIds == keptIds)
+  }
+
+  test("curate with surprisalQuantile composes the prune, schema unchanged") {
+    val docs = ((0L until 12L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i end")) ++
+      Seq((20L, "zyxw vuts rqpo nmlk jihg fedc baqq plor mnbv cxza qwer tyui")))
+      .toDF("doc_id", "text")
+    val base = CorpusOps.curate(docs, "text", "doc_id")
+    val pruned = CorpusOps.curate(docs, "text", "doc_id",
+      surprisalQuantile = Some(0.9))
+    assert(pruned.columns.toSeq == base.columns.toSeq)
+    val baseIds = base.select("doc_id").as[Long].collect().toSet
+    val prunedIds = pruned.select("doc_id").as[Long].collect().toSet
+    // the gibberish doc survives base curation but falls to the prune
+    assert(baseIds.contains(20L))
+    assert(prunedIds.subsetOf(baseIds) && !prunedIds.contains(20L))
+    assert(prunedIds.nonEmpty)
   }
 }

@@ -307,4 +307,37 @@ class EventStreamsSpec extends AnyFunSuite {
       assert(sessions.contains((7L, 60L, 60L, 1L))) // second session of user 7
     } finally q.stop()
   }
+
+  test("debounce: window-edge, equal-ts, and burst-chain semantics") {
+    // user 1 "click": 0 → kept; 60000 (gap == window, NOT > window) →
+    // dropped; 120001 (gap 60001 from its raw predecessor 60000, which
+    // was itself dropped) → kept: the raw-predecessor definition.
+    // user 1 "view": independent key, kept.
+    // user 2 "click": equal timestamps — tie order by event_id, first
+    // survives, second is a 0-gap duplicate.
+    val ev = Seq(
+      (10L, 1L, "click", 0L),
+      (11L, 1L, "click", 60000L),
+      (12L, 1L, "click", 120001L),
+      (13L, 1L, "view", 30L),
+      (14L, 2L, "click", 500L),
+      (15L, 2L, "click", 500L))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val kept = EventStreams.debounce(ev, Seq("user_id", "event_type"),
+        "ts_ms", windowMs = 60000L, tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L, 14L))
+    // schema passes through untouched
+    assert(EventStreams.debounce(ev, Seq("user_id"), "ts_ms", 1L)
+      .columns.toSeq == ev.columns.toSeq)
+    // a burst with every gap under the window collapses to its head
+    // even when the burst spans longer than the window end-to-end
+    val burst = (0L until 10L).map(i => (i, 1L, "c", i * 50000L))
+      .toDF("event_id", "user_id", "event_type", "ts_ms")
+    val burstKept = EventStreams.debounce(burst,
+        Seq("user_id", "event_type"), "ts_ms", 60000L,
+        tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(burstKept == Set(0L))
+  }
 }
