@@ -10,10 +10,12 @@ import org.apache.spark.sql.types._
   *
   * DECODE is real for every format a stock JVM can parse: WAV PCM and
   * netpbm by pure byte math, PNG/JPEG/GIF/BMP/TIFF via the JDK's
-  * built-in headless ImageIO readers ([[MediaCodecs]]). Only
-  * compressed AUDIO/VIDEO (MP3, H.264, …) — which the JDK cannot
-  * decode — fall to the clearly-marked deterministic stub
-  * ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
+  * built-in headless ImageIO readers ([[MediaCodecs]]), and compressed
+  * audio via the from-scratch MPEG-1 Layer II sample decoder ([[Mp2]]
+  * — bitstream + requantization standard-exact, synthesis window a
+  * documented stand-in). Only VIDEO codecs (H.264, …) and Layer III's
+  * hybrid filterbank still fall to the clearly-marked deterministic
+  * stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
   * partitioning, operator signatures, frame-sampling arithmetic) is
   * identical either way, so swapping the stub for a JNI/codec
   * implementation changes no plan shape.
