@@ -57,6 +57,21 @@ object AnnProbe {
     println(s"[annprobe] ivf_scan runs=${scanRuns.map(s => f"$s%.2f").mkString("[", ",", "]")}s " +
       f"best_qps=${queries.size / scanRuns.min}%.1f")
 
+    // resident-IVF FLEET path (Bench's knn_* `ivf_fleet_qps` cell) —
+    // the r10 artifact's 1M row swung 912→376 on the degraded box;
+    // this isolates it with the same build + best-of-3
+    val ivfIdx = graft.search.PackedIndex.buildIvf(cells, model)
+    graft.search.ServingSession.fromIvf(ivfIdx) match {
+      case Some(s) =>
+        s.search(queries.take(4), k = 10, nProbe = nProbe) // warm
+        val fleetRuns = timedRuns(3)(
+          s.search(queries, k = 10, nProbe = nProbe): Unit)
+        println(s"[annprobe] ivf_fleet runs=${fleetRuns.map(s => f"$s%.2f").mkString("[", ",", "]")}s " +
+          f"best_qps=${queries.size / fleetRuns.min}%.1f")
+      case None => println("[annprobe] ivf_fleet: snapshot over byte cap, skipped")
+    }
+    ivfIdx.unpersist()
+
     val qArr = queries.map { case (q, v) => (q, v.toArray) }
     graft.search.VectorSearch.knnBatchFast(tiled, qArr, k = 10,
       vectorCol = "embedding", idCol = "vec_id").count() // warm
