@@ -43,6 +43,26 @@ object Dedup {
     else w.sliding(n).map(_.mkString(" ")).toVector.distinct
   }
 
+  /** Count-only twin of [[shingleSet]] — `shingleSet(t, n).size`
+    * without materializing the gram vector. Called per row from the
+    * codegen [[graft.functions.DistinctShingleCount]] expression (the
+    * static forwarder makes it reachable from generated Java). */
+  def distinctShingleCount(text: String, n: Int): Long = {
+    if (text == null) return 0L
+    val w = text.split(" ", -1)
+    if (w.length < n) return 0L
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i <= w.length - n) {
+      val sb = new java.lang.StringBuilder(w(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(w(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.size.toLong
+  }
+
   /** Hashed twin of [[shingleSet]]: the distinct FNV-1a 64 hashes of
     * the space-joined n-grams, folded INCREMENTALLY over the window's
     * tokens (separator 0x20 between them) so no gram string is ever

@@ -99,9 +99,10 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, mp3, ppm, pgm, png, jpeg, gif, bmp,
-    * tiff, unknown, null-payload}; audio fields populated for wav/mp3
-    * (mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
+    * media row, `format` ∈ {wav, mp2, mp3, ppm, pgm, png, jpeg, gif,
+    * bmp, tiff, unknown, null-payload}; audio fields populated for
+    * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
+    * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
     * needs no PCM decode), image fields for the image formats
     * (`channels` is shared: audio channels for wav/mp3, color bands
     * for images), and the stub byte-histogram feature for everything
@@ -153,9 +154,23 @@ object Multimodal {
               im.width, im.height, im.meanLuma, null, null)
             case None => stubRow("unknown")
           }
+        } else if (Mp2.isMp2(bytes) && Mp2.decode(bytes).isDefined) {
+          // Layer II: REAL sample decode (bitstream + requantization +
+          // synthesis — Mp2 scaladoc), so rms/peak come from actual
+          // PCM like the wav branch; streams outside Mp2's scope
+          // (stereo, 32 kHz, CRC) fall through to header metadata
+          val m = Mp2.decode(bytes).get
+          var sumSq = 0.0; var peak = 0.0
+          m.pcm.foreach { x =>
+            sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a
+          }
+          val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
+          Row(id, "mp2", m.sampleRate, m.channels, null,
+            m.nFrames.toLong * 1152, m.nFrames * 1152 * 1000.0 / m.sampleRate,
+            rms, peak, null, null, null, m.bitrateKbps, null)
         } else if (MediaCodecs.isMp3(bytes)) {
-          // frame-header metadata only — PCM decode stays on the stub's
-          // remit (MediaCodecs.decodeMp3 scaladoc)
+          // frame-header metadata only — Layer III PCM stays on the
+          // stub's remit (MediaCodecs.decodeMp3 scaladoc)
           MediaCodecs.decodeMp3(bytes) match {
             case Some(m) => Row(id, "mp3", m.sampleRate, m.channels, null,
               m.nFrames, m.durationMs, null, null, null, null, null,

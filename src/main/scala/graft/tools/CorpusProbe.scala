@@ -48,6 +48,9 @@ object CorpusProbe {
             size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),
           "doc_id", "n_tokens", seqLen = 2048, bucketSize = 100000)
         .agg(sum(col("span_len")), max(col("seq_id"))).collect(): Unit),
+      "rep" -> (() => graft.pipeline.CorpusOps.repetitionStats(
+          tiled, "text", "doc_id")
+        .agg(sum(col("repetition"))).collect(): Unit),
       "surp" -> (() => graft.textanalysis.TextAnalysis.unigramSurprisal(
           tiled, "text", "doc_id")
         .agg(sum(col("surprisal"))).collect(): Unit),

@@ -516,6 +516,43 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(key === want)
   }
 
+  test("repetitionStats codegen plan matches a row-by-row reference, incl. null/empty/short docs") {
+    val docs = Seq[(Long, String)](
+      (0L, "a b c a b c a b c"), (1L, "x y z w v u"), (2L, "a b"),
+      (3L, ""), (4L, null), (5L, "t t t t t t t t"),
+      (6L, "one  two  three four"), // double spaces -> empty tokens count
+      (7L, "solo words here exactly"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.repetitionStats(docs, "text", "doc_id")
+      .select("id", "total_grams", "distinct_grams", "repetition")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val want = Seq[(Long, String)](
+      (0L, "a b c a b c a b c"), (1L, "x y z w v u"), (2L, "a b"),
+      (3L, ""), (4L, null), (5L, "t t t t t t t t"),
+      (6L, "one  two  three four"), (7L, "solo words here exactly"))
+      .flatMap { case (id, t) =>
+        val words = if (t == null) 0 else t.split(" ", -1).length
+        val total = math.max(words - 2, 0).toLong
+        if (total == 0) None
+        else {
+          val distinct = graft.dedup.Dedup.shingleSet(t).size.toLong
+          Some((id, total, distinct,
+            BigDecimal(1.0 - distinct.toDouble / total)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+    assert(got == want)
+    // the count twin really equals shingleSet(_).size on arbitrary text
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "cd", "ef", "")
+    (0 until 200).foreach { _ =>
+      val t = Vector.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      assert(graft.dedup.Dedup.distinctShingleCount(t, 3) ==
+        graft.dedup.Dedup.shingleSet(t, 3).size.toLong, s"text='$t'")
+    }
+  }
+
   test("sampleTopK: exactly k, content-addressed, partitioning-invariant, k > rows") {
     val docs = spark.range(0, 300).select($"id".as("doc_id"),
       concat(lit("t"), $"id").as("lang"))

@@ -116,6 +116,26 @@ class Mp2Spec extends AnyFunSuite {
     assert(a.exists(_ != 0.0))
   }
 
+  test("decodeMedia routes Layer II payloads through the real sample decoder") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq(
+      (1L, Mp2.encode(1L, 2)),
+      (2L, graft.multimodal.MediaCodecs.encodeMp3Frames(1, 10, mono = true, 3)))
+      .toDF("media_id", "data")
+    val rows = graft.multimodal.Multimodal.decodeMedia(media)
+      .orderBy($"media_id")
+      .select($"media_id", $"format", $"sample_rate", $"n_frames", $"rms", $"peak")
+      .collect()
+    assert(rows(0).getString(1) == "mp2")
+    assert(rows(0).getInt(2) == 48000)
+    assert(rows(0).getLong(3) == 2L * 1152) // PCM frames, wav-branch units
+    assert(rows(0).getDouble(4) > 0.0 && rows(0).getDouble(5) > rows(0).getDouble(4))
+    // Layer III still routes to header metadata: no rms/peak
+    assert(rows(1).getString(1) == "mp3" && rows(1).isNullAt(4))
+  }
+
   test("strictness: wrong layer/mode/truncation and garbage all return None") {
     val good = Mp2.encode(3L, 1)
     assert(Mp2.decode(good.dropRight(1)) === None)     // truncated frame
