@@ -1,0 +1,46 @@
+package graft.tools
+
+/** Standalone probe for the HNSW serving index (Bench's `hnsw_100k`
+  * block, sizeable): build seconds, single-query p50 at ef, recall@10
+  * vs brute force. Usage: `sbt "runMain graft.tools.HnswProbe [n] [ef]"`. */
+object HnswProbe {
+  def main(args: Array[String]): Unit = {
+    val target = if (args.length > 0) args(0).toInt else 100000
+    val ef = if (args.length > 1) args(1).toInt else 64
+    // distinct seeded random vectors (the tiled testdata corpus has
+    // ~1k unique embeddings - duplicates collapse into graph nodes,
+    // so it cannot exercise a 100k graph); isotropic random is ANN's
+    // hardest recall regime, the honest setting. No Spark needed.
+    val dim = 64
+    val rnd0 = new scala.util.Random(11)
+    val rows = Array.tabulate(target)(i =>
+      (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
+    val t0 = System.nanoTime()
+    val idx = graft.ann.Hnsw.build(rows.iterator, dim)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    val rnd = new scala.util.Random(7)
+    val queries = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val normRows = rows.map { case (id, v) => (id, graft.ann.Hnsw.l2normalize(v)) }
+    // score-recall@10 (the suite's convention: tiled corpora duplicate
+    // vectors, so id-membership is meaningless under score ties)
+    def bruteKth(q: Array[Double]): Double = {
+      val qn = graft.ann.Hnsw.l2normalize(q.map(_.toFloat))
+      normRows.map { case (_, vn) =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += vn(d).toDouble * qn(d); d += 1 }
+        s
+      }.sorted(Ordering[Double].reverse).apply(9)
+    }
+    val recall = queries.take(20).map { q =>
+      val kth = bruteKth(q)
+      idx.searchOne(q.toSeq, 10, ef).count(_._2 >= kth - 1e-6) / 10.0
+    }.sum / 20
+    idx.searchOne(queries(0).toSeq, 10, ef)
+    var qi = 0
+    val p50 = Timing.p50Ms(201) {
+      idx.searchOne(queries(qi % queries.length).toSeq, 10, ef); qi += 1
+    }
+    println(f"[probe] hnsw n=${rows.length} build=$buildSec%.1fs p50=$p50%.3fms " +
+      f"recall@10(ef=$ef)=$recall%.3f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
+  }
+}

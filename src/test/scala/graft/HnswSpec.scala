@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Hnsw
+
+/** HNSW serving index (SURVEY §2.5/§2.6/§2.7 rows previously n/a):
+  * beam/greedy search correctness vs brute force, determinism, level
+  * distribution, and the byte-cap guard. */
+class HnswSpec extends AnyFunSuite {
+
+  private def mkVecs(n: Int, dim: Int, seed: Int): Array[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+  }
+
+  private def bruteTopK(vs: Array[(Long, Array[Float])], q: Array[Float],
+                        k: Int): Seq[Long] = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vs.map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+  }
+
+  test("ef = n explores the whole (connected) graph: recall 1.0 vs brute force") {
+    val vs = mkVecs(500, 16, seed = 1)
+    val idx = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 16)
+    val rnd = new scala.util.Random(2)
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+      val got = idx.searchOne(q.map(_.toDouble).toSeq, k = 10, ef = 500).map(_._1)
+      assert(got == bruteTopK(vs, q, 10))
+    }
+  }
+
+  test("recall at ef=64 is high on a 2k corpus, and grows with ef") {
+    val vs = mkVecs(2000, 32, seed = 3)
+    val idx = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 32)
+    val rnd = new scala.util.Random(4)
+    def recallAt(ef: Int): Double = {
+      var hit = 0; var tot = 0
+      (0 until 50).foreach { _ =>
+        val q = Array.fill(32)(rnd.nextFloat() * 2 - 1)
+        val want = bruteTopK(vs, q, 10).toSet
+        val got = idx.searchOne(q.map(_.toDouble).toSeq, k = 10, ef = ef).map(_._1)
+        hit += got.count(want.contains); tot += 10
+      }
+      hit.toDouble / tot
+    }
+    val r64 = recallAt(64)
+    assert(r64 >= 0.85, s"recall@ef=64 was $r64") // isotropic random = worst case
+    assert(recallAt(256) >= r64)
+  }
+
+  test("build and search are deterministic for a fixed seed; ranks tie-break by id") {
+    val vs = mkVecs(800, 16, seed = 5)
+    val a = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 9L)
+    val b = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 9L)
+    val q = Array.fill(16)(0.25)
+    assert(a.searchOne(q.map(_.toDouble).toSeq, 10) == b.searchOne(q.map(_.toDouble).toSeq, 10))
+    assert(a.topLevel == b.topLevel)
+    // duplicate vectors: equal scores rank by id ascending
+    val dup = Array.tabulate(8)(i => (i.toLong, Array.fill(16)(0.5f)))
+    val di = Hnsw.build(dup.iterator.map(v => (v._1, v._2.clone())), dim = 16)
+    val ranks = di.searchOne(Seq.fill(16)(0.5), k = 8, ef = 16)
+    assert(ranks.map(_._1) == (0L until 8L).toSeq)
+  }
+
+  test("levels follow the geometric distribution: most nodes at 0, max level ~ log_M(n)") {
+    val vs = mkVecs(3000, 8, seed = 7)
+    val idx = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 8, m = 16)
+    val counts = (0 until 3000).map(idx.level).groupBy(identity).view.mapValues(_.size).toMap
+    // P(level >= 1) = 1/M = 1/16 -> ~188 of 3000; seeded, so assert a band
+    val above0 = 3000 - counts.getOrElse(0, 0)
+    assert(above0 > 100 && above0 < 300, s"nodes above level 0: $above0")
+    assert(idx.topLevel <= 6) // log_16(3000) ~ 2.9; seeded tail stays low
+  }
+
+  test("fromDataFrame: deterministic over partitioning, byte-cap guard, empty frame") {
+    import TestSpark.spark
+    import spark.implicits._
+    val df = mkVecs(300, 8, seed = 8).toSeq
+      .map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val i1 = Hnsw.fromDataFrame(df.repartition(7), "embedding", "vec_id").get
+    val i2 = Hnsw.fromDataFrame(df.repartition(2), "embedding", "vec_id").get
+    val q = Seq.fill(8)(0.3)
+    assert(i1.searchOne(q, 5) == i2.searchOne(q, 5))
+    assert(Hnsw.fromDataFrame(df, "embedding", "vec_id", maxBytes = 1024).isEmpty)
+    val empty = Hnsw.fromDataFrame(df.filter($"vec_id" < 0), "embedding", "vec_id")
+    assert(empty.get.searchOne(q, 5).isEmpty)
+  }
+}
