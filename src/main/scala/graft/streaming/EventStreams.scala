@@ -394,6 +394,76 @@ object EventStreams {
       }
   }
 
+  /** One debounce-stream event (public for the encoder). */
+  final case class DebEvent(key: Long, tsMs: Long, eventId: Long)
+  /** [[DebEvent]] + the event-time column the watermark rides. */
+  final case class DebEventT(key: Long, tsMs: Long, eventId: Long,
+                             eventTime: Timestamp)
+  /** One buffered pending event (public for the state encoder). */
+  final case class DebPend(tsMs: Long, eventId: Long)
+  /** [[debounceStream]] per-key state: events awaiting the watermark
+    * plus the raw-predecessor timestamp of the already-emitted prefix.
+    * Bounded by one watermark delay of rows per key. */
+  final case class DebounceState(pending: List[DebPend], lastTs: Long,
+                                 hasLast: Boolean)
+
+  /** STREAMING twin of [[debounce]] — the same raw-predecessor
+    * semantics (keep an event iff its gap to the immediately preceding
+    * event of its key exceeds `windowMs`) made exact under cross-batch
+    * out-of-order arrival by the [[asOfEnrichStreamExact]] recipe:
+    * events buffer per key until the WATERMARK passes their event
+    * time, then process in `(ts, eventId)` order against the state's
+    * raw-predecessor timestamp. Latency = `watermarkDelay`; state = one
+    * delay of rows per key; rows later than the watermark are dropped
+    * by the standard contract. On a BATCH Dataset the watermark is +∞:
+    * one pass drains everything and equals [[debounce]] by
+    * construction (spec-pinned). */
+  def debounceStream(events: Dataset[DebEvent], windowMs: Long,
+                     watermarkDelay: String = "10 minutes"): Dataset[DebEvent] = {
+    implicit val evEnc = Encoders.product[DebEventT]
+    implicit val outEnc = Encoders.product[DebEvent]
+    implicit val stEnc = Encoders.product[DebounceState]
+    implicit val longEnc = Encoders.scalaLong
+    val streaming = events.isStreaming
+    val withTime = events.toDF()
+      .withColumn("eventTime", expr("timestamp_millis(tsMs)"))
+    val marked = if (streaming) withTime.withWatermark("eventTime", watermarkDelay)
+      else withTime
+    val timeout = if (streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    marked.as[DebEventT]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[DebounceState, DebEvent](OutputMode.Append, timeout) {
+        (key: Long, rows: Iterator[DebEventT], state: GroupState[DebounceState]) =>
+          val st0 = state.getOption.getOrElse(
+            DebounceState(Nil, Long.MinValue, hasLast = false))
+          var pend = st0.pending
+          rows.foreach(e => pend ::= DebPend(e.tsMs, e.eventId))
+          val wm = if (streaming) state.getCurrentWatermarkMs() else Long.MaxValue
+          val sorted = pend.sortBy(p => (p.tsMs, p.eventId))
+          val (ready, keep) = sorted.partition(_.tsMs <= wm)
+          var lastTs = st0.lastTs
+          var hasLast = st0.hasLast
+          val out = List.newBuilder[DebEvent]
+          ready.foreach { p =>
+            if (!hasLast || p.tsMs - lastTs > windowMs)
+              out += DebEvent(key, p.tsMs, p.eventId)
+            lastTs = p.tsMs; hasLast = true // raw predecessor: every event counts
+          }
+          if (keep.isEmpty && !streaming) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(DebounceState(keep, lastTs, hasLast))
+            if (streaming) {
+              val next = keep.headOption.map(_.tsMs)
+                .getOrElse(wm + 24L * 3600 * 1000)
+              state.setTimeoutTimestamp(math.max(next, wm + 1))
+            }
+          }
+          out.result().iterator
+      }
+  }
+
   /** Internal per-user state (public: the codegen'd state encoder
     * instantiates it from generated Java). */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long)

@@ -340,4 +340,56 @@ class EventStreamsSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSet
     assert(burstKept == Set(0L))
   }
+
+  test("debounceStream: cross-batch out-of-order input equals batch debounce") {
+    import EventStreams.DebEvent
+    // base offset keeps every event-time strictly above the initial
+    // watermark (a ts-0 row sits exactly ON watermark 0 and is dropped
+    // as late before the group function ever sees it).
+    // key 1: base (keep), +50000 (drop), +120000 (keep, gap 70000 from
+    // raw predecessor +50000), +130000 (drop); key 2: singleton
+    val base = 3600000L
+    val all = Seq(
+      DebEvent(1L, base, 10L), DebEvent(1L, base + 50000L, 11L),
+      DebEvent(1L, base + 120000L, 12L), DebEvent(1L, base + 130000L, 13L),
+      DebEvent(2L, base + 7L, 20L))
+    val batchKept = EventStreams.debounce(
+        all.toDF("user_id", "ts_ms", "event_id"),
+        Seq("user_id"), "ts_ms", windowMs = 60000L, tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(batchKept == Set(10L, 12L, 20L))
+    val stream = MemoryStream[DebEvent]
+    val q = EventStreams.debounceStream(stream.toDS(), windowMs = 60000L,
+        watermarkDelay = "5 minutes")
+      .writeStream.format("memory").queryName("deb")
+      .outputMode("append").start()
+    try {
+      // out-of-order ACROSS batches, all within the 5-min watermark:
+      // the 50000 row arrives a batch AFTER the 120000 row — an
+      // as-of-arrival debounce would wrongly keep 120000's successor
+      stream.addData(DebEvent(1L, base, 10L), DebEvent(1L, base + 120000L, 12L))
+      q.processAllAvailable()
+      stream.addData(DebEvent(1L, base + 50000L, 11L),
+        DebEvent(1L, base + 130000L, 13L), DebEvent(2L, base + 7L, 20L))
+      q.processAllAvailable()
+      // advance the watermark far past every buffered event
+      stream.addData(DebEvent(9L, 10L * 60 * 60 * 1000, 99L))
+      q.processAllAvailable()
+      val kept = spark.table("deb").select("eventId").as[Long].collect().toSet
+      assert(kept == batchKept)
+    } finally q.stop()
+  }
+
+  test("debounceStream on a static Dataset equals batch debounce (single drain)") {
+    import EventStreams.DebEvent
+    val all = (0L until 40L).map(i =>
+      DebEvent(i % 3, (i * 37000L) % 400000L, i))
+    val viaStream = EventStreams.debounceStream(all.toDS(), windowMs = 60000L)
+      .collect().map(_.eventId).toSet
+    val viaBatch = EventStreams.debounce(
+        all.toDF("user_id", "ts_ms", "event_id"),
+        Seq("user_id"), "ts_ms", 60000L, tieCols = Seq("event_id"))
+      .select("event_id").as[Long].collect().toSet
+    assert(viaStream == viaBatch)
+  }
 }
