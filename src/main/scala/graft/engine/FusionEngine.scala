@@ -479,6 +479,74 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Driver-resident HNSW handle over a cosine collection (r11): the
+    * reference's own index structure as the single-query latency path.
+    * Same lifecycle rules as [[ServingHandle]] — version-invalidated by
+    * writes, TTL-expiry aware — but a deliberately narrower contract:
+    * cosine metric only (HNSW unit-normalizes), no tenant/metadata
+    * pre-filters (those callers use [[serving]]/[[search]], the exact
+    * paths), results APPROXIMATE at the chosen `ef`. */
+  final class HnswHandle private[engine] (
+      val collection: String,
+      val index: graft.ann.Hnsw.Index,
+      private val rowIds: Array[String],
+      private[engine] val version: Long,
+      private[engine] val minExpiryMs: Long,
+      val estBytes: Long) {
+    private[engine] var lastUsedMs: Long = System.currentTimeMillis()
+    private[engine] def stale(ver: Long): Boolean =
+      ver != version || System.currentTimeMillis() >= minExpiryMs
+    /** Approximate top-k: `(id, cosine, rank)`, ties by id. */
+    def search(queryVec: Seq[Double], topK: Int = 10,
+               ef: Int = 64): Seq[(String, Double, Int)] =
+      index.searchOne(queryVec, topK, ef).map { case (i, s, r) =>
+        (rowIds(i.toInt), s, r)
+      }
+  }
+
+  private val hnswCache = new java.util.concurrent.ConcurrentHashMap[String, HnswHandle]()
+
+  /** Lazily-built, write-invalidated [[HnswHandle]] for a cosine
+    * collection; `None` when the collection is empty, non-cosine, or
+    * over `maxBytes` (fall back to [[serving]]/[[search]]). The build
+    * is sequential (graph inserts mutate shared adjacency) — amortize
+    * it across many queries, exactly like the reference's in-process
+    * index. */
+  def servingHnsw(name: String, maxBytes: Long = FusionEngine.DefaultServingBytes,
+                  m: Int = 16, efConstruction: Int = 100): Option[HnswHandle] = {
+    val cfg = getConfig(name)
+    if (cfg.distanceMetric != "cosine") return None
+    val ver = dataVersion(name)
+    val cached = hnswCache.get(name)
+    if (cached != null && !cached.stale(ver)) {
+      if (cached.estBytes <= maxBytes) {
+        cached.lastUsedMs = System.currentTimeMillis()
+        return Some(cached)
+      } else return None
+    }
+    hnswCache.remove(name)
+    val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
+    val src = table(name).filter(alive)
+    val probe = src.agg(
+      org.apache.spark.sql.functions.count(lit(1)).as("n"),
+      min(when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
+      .collect()(0)
+    val n = probe.getLong(0)
+    val minExpiry = if (probe.isNullAt(1)) Long.MaxValue else probe.getLong(1)
+    val est = n * (cfg.dimensions.toLong * 4 + 8 + m * 2L * 4 + 96)
+    if (n == 0 || est > maxBytes) return None
+    val rows = src.select(col("id"), col("vector")).orderBy(col("id")).collect()
+    val ids = new Array[String](rows.length)
+    val packed = rows.iterator.zipWithIndex.map { case (r, i) =>
+      ids(i) = r.getString(0)
+      (i.toLong, r.getSeq[Float](1).toArray)
+    }
+    val idx = graft.ann.Hnsw.build(packed, cfg.dimensions, m, efConstruction)
+    val h = new HnswHandle(name, idx, ids, ver, minExpiry, est)
+    hnswCache.put(name, h)
+    Some(h)
+  }
+
   /** Collection version = data-dir mtime combined with this engine's
     * write counter (see [[bumpWrite]]). */
   private def dataVersion(name: String): Long = {

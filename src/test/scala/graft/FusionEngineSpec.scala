@@ -73,6 +73,38 @@ class FusionEngineSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](h2.search(Seq(1.0, 2.0), topK = 1))
   }
 
+  test("servingHnsw: matches exact search at ef >= n, invalidates on write, cosine-only") {
+    val e = freshEngine()
+    insertDemo(e)
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    val h = e.servingHnsw("demo").getOrElse(fail("4 docs must fit the cap"))
+    // ef >= n beams the whole graph: ids/ranks equal the exact path
+    val got = h.search(qv, topK = 3, ef = 16)
+    val job = e.search("demo", qv, topK = 3)
+      .select("id", "score").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.map(_._1) == job.map(_._1).toSeq)
+    got.zip(job).foreach { case ((_, s, _), (_, js)) =>
+      assert(math.abs(s - js) < 1e-5)
+    }
+    assert(got.map(_._3) == Seq(1, 2, 3))
+    // cached while unchanged; a write invalidates and the new row appears
+    assert(e.servingHnsw("demo").get eq h)
+    Thread.sleep(5)
+    e.insert("demo", Embed.withEmbedding(
+      Seq("d9" -> "chemical safety requirements exactly").toDF("id", "content"),
+      "content", "vector", embedder))
+    val h2 = e.servingHnsw("demo").getOrElse(fail("rebuild must fit"))
+    assert(!(h2 eq h))
+    assert(h2.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
+    // over-cap and non-cosine both fall back to None
+    assert(e.servingHnsw("demo", maxBytes = 16).isEmpty)
+    e.createCollection("dotcoll",
+      CollectionConfig(dimensions = 64, distanceMetric = "dot"))
+    e.insert("dotcoll", Embed.withEmbedding(
+      Seq("x1" -> "anything").toDF("id", "content"), "content", "vector", embedder))
+    assert(e.servingHnsw("dotcoll").isEmpty)
+  }
+
   test("serving cache: aggregate budget LRU-evicts the least recently used snapshot") {
     val e = freshEngine()
     insertDemo(e, "c1")
