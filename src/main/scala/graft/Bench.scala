@@ -977,7 +977,7 @@ object Bench {
     def hnswProbeOn(rows: Array[(Long, Array[Float])], dim: Int): String =
       try {
         val tBuild = System.nanoTime()
-        val idx = graft.ann.Hnsw.build(rows.iterator, dim)
+        val idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
         val buildSec = (System.nanoTime() - tBuild) / 1e9
         val rnd = new scala.util.Random(7)
         val queries = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))

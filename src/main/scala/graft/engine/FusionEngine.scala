@@ -541,7 +541,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       ids(i) = r.getString(0)
       (i.toLong, r.getSeq[Float](1).toArray)
     }
-    val idx = graft.ann.Hnsw.build(packed, cfg.dimensions, m, efConstruction)
+    val idx = graft.ann.Hnsw.buildParallel(packed, cfg.dimensions, m, efConstruction)
     val h = new HnswHandle(name, idx, ids, ver, minExpiry, est)
     hnswCache.put(name, h)
     Some(h)

@@ -8,6 +8,7 @@ object HnswProbe {
     val target = if (args.length > 0) args(0).toInt else 100000
     val ef = if (args.length > 1) args(1).toInt else 64
     val efC = if (args.length > 2) args(2).toInt else 100
+    val par = args.length > 3 && args(3) == "par"
     // distinct seeded random vectors (the tiled testdata corpus has
     // ~1k unique embeddings - duplicates collapse into graph nodes,
     // so it cannot exercise a 100k graph); isotropic random is ANN's
@@ -17,7 +18,9 @@ object HnswProbe {
     val rows = Array.tabulate(target)(i =>
       (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
     val t0 = System.nanoTime()
-    val idx = graft.ann.Hnsw.build(rows.iterator, dim, efConstruction = efC)
+    val idx =
+      if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, efConstruction = efC)
+      else graft.ann.Hnsw.build(rows.iterator, dim, efConstruction = efC)
     val buildSec = (System.nanoTime() - t0) / 1e9
     val rnd = new scala.util.Random(7)
     val queries = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
@@ -41,7 +44,7 @@ object HnswProbe {
     val p50 = Timing.p50Ms(201) {
       idx.searchOne(queries(qi % queries.length).toSeq, 10, ef); qi += 1
     }
-    println(f"[probe] hnsw n=${rows.length} efC=$efC build=$buildSec%.1fs p50=$p50%.3fms " +
+    println(f"[probe] hnsw n=${rows.length} efC=$efC par=$par build=$buildSec%.1fs p50=$p50%.3fms " +
       f"recall@10(ef=$ef)=$recall%.3f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
   }
 }

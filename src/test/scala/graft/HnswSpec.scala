@@ -79,6 +79,39 @@ class HnswSpec extends AnyFunSuite {
     assert(idx.topLevel <= 6) // log_16(3000) ~ 2.9; seeded tail stays low
   }
 
+  test("buildParallel: deterministic, sequential-grade recall, duplicates still collapse") {
+    val vs = mkVecs(3000, 16, seed = 21)
+    def mk() = Hnsw.buildParallel(vs.iterator.map(v => (v._1, v._2.clone())),
+      dim = 16, batchSize = 256, warmup = 300)
+    val a = mk(); val b = mk()
+    val rnd = new scala.util.Random(22)
+    (0 until 10).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+      assert(a.searchOne(q.toSeq, 10, 64) == b.searchOne(q.toSeq, 10, 64))
+    }
+    // recall parity band vs the sequential build on the same corpus
+    val seq = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 16)
+    def recallOf(idx: Hnsw.Index): Double = {
+      val r = new scala.util.Random(23)
+      var hit = 0
+      (0 until 30).foreach { _ =>
+        val qf = Array.fill(16)(r.nextFloat() * 2 - 1)
+        val want = bruteTopK(vs, qf, 10).toSet
+        hit += idx.searchOne(qf.map(_.toDouble).toSeq, 10, 128)
+          .map(_._1).count(want.contains)
+      }
+      hit / 300.0
+    }
+    val (rp, rs) = (recallOf(a), recallOf(seq))
+    assert(rp >= 0.85 && rp >= rs - 0.05, s"parallel $rp vs sequential $rs")
+    // duplicate corpus: collapse + id-order expansion hold
+    val dup = Array.tabulate(64)(i => (i.toLong, Array.fill(16)((i % 4).toFloat + 1f)))
+    val di = Hnsw.buildParallel(dup.iterator.map(v => (v._1, v._2.clone())),
+      dim = 16, warmup = 2, batchSize = 2)
+    assert(di.n == 1) // all 64 vectors are positive-constant -> SAME unit vector
+    assert(di.searchOne(Seq.fill(16)(1.0), 64, 64).map(_._1) == (0L until 64L))
+  }
+
   test("fromDataFrame: deterministic over partitioning, byte-cap guard, empty frame") {
     import TestSpark.spark
     import spark.implicits._
