@@ -979,8 +979,14 @@ object Bench {
         val tBuild = System.nanoTime()
         val idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
         val buildSec = (System.nanoTime() - tBuild) / 1e9
-        val rnd = new scala.util.Random(7)
-        val queries = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+        // queries drawn FROM the corpus (every other ann/pq block's
+        // protocol: vec_id < 100 as the query fleet) — an isotropic
+        // random query against a CLUSTERED corpus sits off-manifold
+        // between all clusters, a regime no embedding workload has
+        // (first cut measured recall 0.36 there; corpus-drawn queries
+        // are the honest setting for both corpora)
+        val queries = rows.iterator.take(50)
+          .map(_._2.map(_.toDouble)).toArray
         // score-recall@10 (suite convention — id-membership undercounts
         // under score ties)
         val normRows = rows.map { case (_, v) => graft.ann.Hnsw.l2normalize(v) }

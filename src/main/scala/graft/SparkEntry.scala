@@ -204,6 +204,30 @@ object SparkEntry {
       } finally idx.unpersist()
     }),
 
+    // Serving tier: the HNSW graph index graded end-to-end (r11 — the
+    // reference's own structure; spec-pinned in HnswSpec, this entry
+    // closes the oracle gap). A fleet of 8 corpus queries searches
+    // with ef = n, so the beam provably covers the whole (connected)
+    // graph and the duplicate-collapse + greedy-descent + beam + id
+    // expansion machinery must reproduce the exact top-10 ids/ranks
+    // the oracle computes in SQL. Scores stay un-graded (float-
+    // normalized dots vs the oracle's double cosine — id/rank order is
+    // the contract, as in serving_routed).
+    "hnsw_search" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val idx = graft.ann.Hnsw
+        .fromDataFrame(emb, "embedding", "vec_id").get
+      val fleet = emb.filter($"vec_id" < 8)
+        .select($"vec_id".cast("long"), $"embedding".cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+      fleet.flatMap { case (qid, qv) =>
+        idx.searchOne(qv, k = 10, ef = idx.n)
+          .map { case (id, _, rank) => (qid, rank, id) }
+      }.toDF("query_id", "rank", "vec_id")
+        .orderBy($"query_id", $"rank")
+    }),
+
     // §2.1 point lookup by id — engine.get (FusionEngine.js:225-228):
     // an id-pushdown scan (PushedFilters prunes row groups at scale).
     "point_lookup" -> ((s, dir) => {
@@ -2114,6 +2138,25 @@ object SparkEntry {
            | round(1.0 - sqrt(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qv), x -> (x[1]-x[2])*(x[1]-x[2])))), 6) AS score
            |FROM embeddings e, q
            |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+      // HNSW at ef = n ⇒ the beam covers the whole graph and must
+      // equal the EXACT per-query cosine top-10 (ids/ranks; float-
+      // normalized scores deliberately not graded)
+      "hnsw_search" ->
+        s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           |           FROM embeddings WHERE vec_id < 8),
+           |scored AS (
+           |  SELECT q.query_id, e.vec_id,
+           |    ${dotSql("e.embedding", "q.qv")} /
+           |      (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+           |  FROM embeddings e, q),
+           |ranked AS (
+           |  SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, CAST(rank AS INT) AS rank, vec_id
+           |FROM ranked WHERE rank <= 10
+           |ORDER BY query_id, rank""".stripMargin,
 
       // routed-IVF fleet at nProbe = nCells ⇒ must equal the EXACT
       // per-query cosine top-10 (ids/ranks; float-kernel scores are

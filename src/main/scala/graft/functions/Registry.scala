@@ -89,6 +89,19 @@ object Registry {
           } else java.text.Normalizer.Form.NFC
           UnicodeNormalize(exprs.head, form)
         }),
+      // distinct word-n-gram count: graft_distinct_shingles(text[, n])
+      (FunctionIdentifier("graft_distinct_shingles"),
+        new ExpressionInfo(classOf[DistinctShingleCount].getCanonicalName,
+          "graft_distinct_shingles"),
+        { exprs =>
+          require(exprs.nonEmpty && exprs.length <= 2,
+            "graft_distinct_shingles(text[, n]) takes 1 or 2 arguments")
+          val n = if (exprs.length == 2) {
+            require(exprs(1).foldable, "graft_distinct_shingles's n must be a literal")
+            exprs(1).eval().toString.toInt
+          } else 3
+          DistinctShingleCount(exprs.head, n)
+        }),
       // Morton key: graft_zorder_key(bits, c0, c1, ...) — bits literal,
       // columns cast to long
       (FunctionIdentifier("graft_zorder_key"),

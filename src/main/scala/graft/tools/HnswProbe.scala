@@ -13,17 +13,27 @@ object HnswProbe {
     // ~1k unique embeddings - duplicates collapse into graph nodes,
     // so it cannot exercise a 100k graph); isotropic random is ANN's
     // hardest recall regime, the honest setting. No Spark needed.
+    val clustered = args.length > 4 && args(4) == "clu"
     val dim = 64
     val rnd0 = new scala.util.Random(11)
-    val rows = Array.tabulate(target)(i =>
-      (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
+    val rows =
+      if (clustered) Array.tabulate(target) { i =>
+        val cl = i % 50
+        val rc = new scala.util.Random(cl * 1009 + 7)
+        val center = Array.fill(dim)(rc.nextGaussian())
+        val rn = new scala.util.Random(i)
+        (i.toLong, center.map(x => (x + rn.nextGaussian()).toFloat))
+      }
+      else Array.tabulate(target)(i =>
+        (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
     val t0 = System.nanoTime()
     val idx =
       if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, efConstruction = efC)
       else graft.ann.Hnsw.build(rows.iterator, dim, efConstruction = efC)
     val buildSec = (System.nanoTime() - t0) / 1e9
-    val rnd = new scala.util.Random(7)
-    val queries = Array.fill(50)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    // corpus-drawn queries (Bench protocol; isotropic queries against a
+    // clustered corpus sit off-manifold — no workload looks like that)
+    val queries = rows.iterator.take(50).map(_._2.map(_.toDouble)).toArray
     val normRows = rows.map { case (id, v) => (id, graft.ann.Hnsw.l2normalize(v)) }
     // score-recall@10 (the suite's convention: tiled corpora duplicate
     // vectors, so id-membership is meaningless under score ties)

@@ -127,6 +127,13 @@ class LayoutSpec extends AnyFunSuite {
     // bits must be a literal; non-literal errors loudly
     intercept[Exception](spark.sql(
       "SELECT graft_zorder_key(a, a, b) FROM sqlreg_t").collect())
+    // distinct-shingle count: default n=3 and explicit n=2
+    Seq(Tuple1("a b c a b c a b c")).toDF("t").createOrReplaceTempView("sqlreg_s")
+    val sh = spark.sql(
+      """SELECT graft_distinct_shingles(t) AS s3,
+        |       graft_distinct_shingles(t, 2) AS s2 FROM sqlreg_s""".stripMargin).head()
+    assert(sh.getLong(0) == graft.dedup.Dedup.shingleSet("a b c a b c a b c", 3).size)
+    assert(sh.getLong(1) == graft.dedup.Dedup.shingleSet("a b c a b c a b c", 2).size)
   }
 
   // ─── BloomDedup ───
