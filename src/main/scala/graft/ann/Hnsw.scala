@@ -328,6 +328,45 @@ object Hnsw {
         out.result()
       }
 
+    /** Fleet search: every query runs the same descent/beam as
+      * [[searchOne]], fanned across threads with per-worker visited
+      * scratch (queries are independent; the graph is read-only here),
+      * so results are identical to a sequential searchOne loop
+      * whatever the thread count. Returns `(qid, id, score, rank)` in
+      * qid-then-rank order — the serving-session fleet shape. */
+    def searchBatch(queries: Seq[(Long, Seq[Double])], k: Int,
+                    ef: Int = 64): Seq[(Long, Long, Double, Int)] = {
+      if (n == 0 || queries.isEmpty) return Seq.empty
+      val qArr = queries.toArray
+      val out = new Array[Seq[(Long, Double, Int)]](qArr.length)
+      val scratches = new java.lang.ThreadLocal[Scratch] {
+        override def initialValue(): Scratch = new Scratch
+      }
+      java.util.stream.IntStream.range(0, qArr.length).parallel().forEach { qi =>
+        val sc = scratches.get()
+        val q = l2normalize(qArr(qi)._2.toArray.map(_.toFloat))
+        var ep = entry
+        var layer = maxLevel
+        while (layer > 0) { ep = greedyStep(q, ep, layer); layer -= 1 }
+        val beam = searchLayer(q, ep, math.max(ef, k), 0, sc)
+        val b = Vector.newBuilder[(Long, Double, Int)]
+        var r = 0
+        val it = beam.iterator
+        while (r < k && it.hasNext) {
+          val (node, s) = it.next()
+          val dupIds = nodeIds(node)
+          var di = 0
+          while (r < k && di < dupIds.length) {
+            b += ((dupIds(di), s, r + 1)); r += 1; di += 1
+          }
+        }
+        out(qi) = b.result()
+      }
+      qArr.iterator.zipWithIndex.flatMap { case ((qid, _), qi) =>
+        out(qi).map { case (id, s, r) => (qid, id, s, r) }
+      }.toSeq
+    }
+
     /** Estimated resident bytes (vectors + ids + links). */
     def bytes: Long =
       vecs.length.toLong * 4 + nVectors * 8 +

@@ -79,6 +79,23 @@ class HnswSpec extends AnyFunSuite {
     assert(idx.topLevel <= 6) // log_16(3000) ~ 2.9; seeded tail stays low
   }
 
+  test("searchBatch equals a sequential searchOne loop, any thread interleaving") {
+    val vs = mkVecs(1500, 16, seed = 31)
+    val idx = Hnsw.build(vs.iterator.map(v => (v._1, v._2.clone())), dim = 16)
+    val rnd = new scala.util.Random(32)
+    val fleet = (0 until 64).map(qi =>
+      (qi.toLong, Seq.fill(16)(rnd.nextDouble() * 2 - 1)))
+    val batch = idx.searchBatch(fleet, k = 10, ef = 64)
+    val serial = fleet.flatMap { case (qid, qv) =>
+      idx.searchOne(qv, 10, 64).map { case (id, s, r) => (qid, id, s, r) }
+    }
+    assert(batch == serial)
+    // twice more: the parallel fan-out must be schedule-independent
+    assert(idx.searchBatch(fleet, 10, 64) == serial)
+    assert(idx.searchBatch(fleet.reverse, 10, 64).sortBy(x => (x._1, x._4)) ==
+      serial.sortBy(x => (x._1, x._4)))
+  }
+
   test("buildParallel: deterministic, sequential-grade recall, duplicates still collapse") {
     val vs = mkVecs(3000, 16, seed = 21)
     def mk() = Hnsw.buildParallel(vs.iterator.map(v => (v._1, v._2.clone())),
