@@ -972,8 +972,9 @@ object Bench {
     // tile has only ~1k unique vectors (duplicates collapse into graph
     // nodes, so a tiled "100k" graph would really be a 1k graph), and
     // isotropic random data is ANN's hardest recall regime — the
-    // honest setting. Build is sequential by nature (timed without the
-    // generation); recall@10 is score-recall vs a driver brute force.
+    // honest setting. Build is the deterministic batch-parallel one
+    // (timed without the generation); recall@10 is score-recall vs a
+    // driver brute force.
     def hnswProbeOn(rows: Array[(Long, Array[Float])], dim: Int): String =
       try {
         val tBuild = System.nanoTime()

@@ -394,6 +394,21 @@ object Hnsw {
     * Deterministic for a fixed seed and order. */
   def build(rows: Iterator[(Long, Array[Float])], dim: Int,
             m: Int = 16, efConstruction: Int = 100, seed: Long = 42L): Index = {
+    val (idx, lv) = ingest(rows, dim, m, efConstruction, seed)
+    val sc = idx.buildScratch()
+    var i = 0
+    while (i < idx.n) { idx.insert(i, lv(i), sc); i += 1 }
+    idx
+  }
+
+  /** Shared build preamble: normalize, collapse exact duplicates into
+    * nodes, pack the flat vector array, draw the level sequence —
+    * ONE definition of the collapse semantics for both builds (r11
+    * review: build/buildParallel previously duplicated these 25 lines
+    * verbatim). Returns the empty-linked Index plus per-node levels. */
+  private def ingest(rows: Iterator[(Long, Array[Float])], dim: Int,
+                     m: Int, efConstruction: Int, seed: Long): (Index, Array[Int]) = {
+    require(m >= 2, s"m must be >= 2, got $m") // ln(m) = 0 at m = 1 -> infinite levels
     val nodeOf = scala.collection.mutable.LinkedHashMap
       .empty[scala.collection.immutable.ArraySeq[Float], Int]
     val idBuf = scala.collection.mutable.ArrayBuffer
@@ -417,11 +432,7 @@ object Hnsw {
     val nodeIds = idBuf.iterator.map(_.toArray.sorted).toArray
     val idx = new Index(dim, m, efConstruction, seed, nodeIds, vecs,
       new Array[Int](n), new Array[Array[Array[Int]]](n), -1, -1)
-    val lv = drawLevels(n, m, seed)
-    val sc = idx.buildScratch()
-    i = 0
-    while (i < n) { idx.insert(i, lv(i), sc); i += 1 }
-    idx
+    (idx, drawLevels(n, m, seed))
   }
 
   /** Node levels drawn up front from ONE seeded RNG — the same draw
@@ -450,33 +461,11 @@ object Hnsw {
   def buildParallel(rows: Iterator[(Long, Array[Float])], dim: Int,
                     m: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
                     batchSize: Int = 512, warmup: Int = 1024): Index = {
-    val nodeOf = scala.collection.mutable.LinkedHashMap
-      .empty[scala.collection.immutable.ArraySeq[Float], Int]
-    val idBuf = scala.collection.mutable.ArrayBuffer
-      .empty[scala.collection.mutable.ArrayBuffer[Long]]
-    val vecBuf = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-    rows.foreach { case (id, v) =>
-      require(v.length == dim, s"vector dim ${v.length} != $dim")
-      val nv = l2normalize(v)
-      val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(nv)
-      val node = nodeOf.getOrElseUpdate(key, {
-        vecBuf += nv
-        idBuf += scala.collection.mutable.ArrayBuffer.empty[Long]
-        vecBuf.length - 1
-      })
-      idBuf(node) += id
-    }
-    val n = vecBuf.length
-    val vecs = new Array[Float](n * dim)
-    var i = 0
-    while (i < n) { System.arraycopy(vecBuf(i), 0, vecs, i * dim, dim); i += 1 }
-    val nodeIds = idBuf.iterator.map(_.toArray.sorted).toArray
-    val idx = new Index(dim, m, efConstruction, seed, nodeIds, vecs,
-      new Array[Int](n), new Array[Array[Array[Int]]](n), -1, -1)
-    val lv = drawLevels(n, m, seed)
+    val (idx, lv) = ingest(rows, dim, m, efConstruction, seed)
+    val n = idx.n
     val sc0 = idx.buildScratch()
     val seqEnd = math.min(math.max(warmup, 1), n)
-    i = 0
+    var i = 0
     while (i < seqEnd) { idx.insert(i, lv(i), sc0); i += 1 }
     val scratches = new java.lang.ThreadLocal[idx.Scratch] {
       override def initialValue(): idx.Scratch = idx.buildScratch()
@@ -516,11 +505,17 @@ object Hnsw {
                     m: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
                     maxBytes: Long = 1L << 30,
                     parallel: Boolean = true): Option[Index] = {
-    val first = df.select(col(vecCol).cast("array<float>")).limit(1).collect()
-    if (first.isEmpty)
+    // ONE probe job for n + dim (the byte-cap guard must precede the
+    // collect), then the ordered collect — r11 review collapsed the
+    // earlier separate limit(1) dim job into the count aggregate
+    val probe = df.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.first(
+        org.apache.spark.sql.functions.size(col(vecCol)))).collect()(0)
+    val n = probe.getLong(0)
+    if (n == 0)
       return Some(build(Iterator.empty, dim = 0, m, efConstruction, seed))
-    val dim = first(0).getSeq[Float](0).length
-    val n = df.count()
+    val dim = probe.getInt(1)
     if (n * (dim.toLong * 4 + 8 + m * 2 * 4 + 64) > maxBytes) return None
     val rows = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))

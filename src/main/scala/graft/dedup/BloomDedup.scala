@@ -99,13 +99,25 @@ object BloomDedup {
 
   /** Per-JVM deserialized-filter cache for the broadcast probe path:
     * every task on an executor shares ONE deserialized filter per
-    * broadcast id instead of re-reading the byte image. */
+    * broadcast id instead of re-reading the byte image. BOUNDED
+    * (r11 review): entries for old broadcasts evict once more than
+    * [[MaxCachedFilters]] accumulate — a long-lived session running
+    * hourly ingest windows must not pin every window's filter. */
   private object FilterCache {
-    private val cache =
-      new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
-    def get(id: Long, bytes: () => Array[Byte]): BloomFilter =
-      cache.computeIfAbsent(id,
-        _ => BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes())))
+    val MaxCachedFilters = 4
+    private val cache = new java.util.LinkedHashMap[Long, BloomFilter](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Long, BloomFilter]): Boolean =
+        size() > MaxCachedFilters
+    }
+    def get(id: Long, bytes: () => Array[Byte]): BloomFilter = cache.synchronized {
+      val hit = cache.get(id)
+      if (hit != null) hit
+      else {
+        val bf = BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes()))
+        cache.put(id, bf)
+        bf
+      }
+    }
   }
 
   /** `might_contain(filter, xxhash64(c))`. Small filters inline as a
@@ -147,8 +159,13 @@ object BloomDedup {
                     textCol: String, expectedItems: Long,
                     fpp: Double = 0.01): DataFrame = {
     val bf = buildFilter(history, textCol, expectedItems, fpp)
-    val definiteNovel = novelOnly(incoming, bf, textCol)
-    val maybeDup = incoming.filter(mightContain(bf, col(textCol)))
+    // ONE probe Column reused by both branches: the large-filter path
+    // allocates a broadcast per mightContain call (r11 review — two
+    // broadcasts of the same GB-scale image per ingest window
+    // otherwise)
+    val probe = mightContain(bf, col(textCol))
+    val definiteNovel = incoming.filter(!probe)
+    val maybeDup = incoming.filter(probe)
     val rescued = maybeDup.join(
       history.select(xxhash64(col(textCol)).as("_h"),
         col(textCol).as("_t")).distinct(),

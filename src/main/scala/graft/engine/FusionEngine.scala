@@ -84,6 +84,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val existed = Files.exists(dir(name))
     if (existed) deleteRecursively(dir(name))
     servingCache.remove(name)
+    hnswCache.remove(name)
     bumpWrite(name)
     existed
   }
@@ -518,7 +519,10 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     if (cfg.distanceMetric != "cosine") return None
     val ver = dataVersion(name)
     val cached = hnswCache.get(name)
-    if (cached != null && !cached.stale(ver)) {
+    if (cached != null && !cached.stale(ver) &&
+        cached.index.m == m && cached.index.efConstruction == efConstruction) {
+      // the cache hit must honor THIS caller's graph parameters (r11
+      // review: a hit keyed on name alone silently ignored m/efC)
       if (cached.estBytes <= maxBytes) {
         cached.lastUsedMs = System.currentTimeMillis()
         return Some(cached)
@@ -543,7 +547,20 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     }
     val idx = graft.ann.Hnsw.buildParallel(packed, cfg.dimensions, m, efConstruction)
     val h = new HnswHandle(name, idx, ids, ver, minExpiry, est)
-    hnswCache.put(name, h)
+    // same aggregate budget discipline as servingCache (r11 review):
+    // LRU-evict other graphs until this one fits; an unfittable graph
+    // is returned un-cached (served once, GC'd after use)
+    hnswCache.synchronized {
+      var others = hnswCache.values().toArray(Array.empty[HnswHandle])
+        .filter(_.collection != name).sortBy(_.lastUsedMs)
+      var total = others.map(_.estBytes).sum + h.estBytes
+      while (total > FusionEngine.AggregateServingBytes && others.nonEmpty) {
+        hnswCache.remove(others.head.collection)
+        total -= others.head.estBytes
+        others = others.tail
+      }
+      if (total <= FusionEngine.AggregateServingBytes) hnswCache.put(name, h)
+    }
     Some(h)
   }
 

@@ -137,6 +137,7 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
+        var mp2Info: Option[Mp2.Mp2Info] = None
         def stubRow(fmt: String) = Row(id, fmt,
           null, null, null, null, null, null, null, null, null, null, null,
           if (bytes == null) null else StubDecoder.decodeFrame(bytes).toSeq)
@@ -154,19 +155,21 @@ object Multimodal {
               im.width, im.height, im.meanLuma, null, null)
             case None => stubRow("unknown")
           }
-        } else if (Mp2.isMp2(bytes) && Mp2.decode(bytes).isDefined) {
+        } else if (Mp2.isMp2(bytes) && { mp2Info = Mp2.decode(bytes); mp2Info.isDefined }) {
           // Layer II: REAL sample decode (bitstream + requantization +
           // synthesis — Mp2 scaladoc), so rms/peak come from actual
           // PCM like the wav branch; streams outside Mp2's scope
-          // (stereo, 32 kHz, CRC) fall through to header metadata
-          val m = Mp2.decode(bytes).get
+          // (stereo, 32 kHz, CRC) fall through to header metadata.
+          // Decoded ONCE (r11 review: the isDefined-guard-then-get
+          // shape re-ran the full synthesis per row).
+          val m = mp2Info.get
           var sumSq = 0.0; var peak = 0.0
           m.pcm.foreach { x =>
             sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a
           }
           val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
           Row(id, "mp2", m.sampleRate, m.channels, null,
-            m.nFrames.toLong * 1152, m.nFrames * 1152 * 1000.0 / m.sampleRate,
+            m.nFrames.toLong * 1152, m.nFrames.toLong * 1152 * 1000.0 / m.sampleRate,
             rms, peak, null, null, null, m.bitrateKbps, null)
         } else if (MediaCodecs.isMp3(bytes)) {
           // frame-header metadata only — Layer III PCM stays on the

@@ -450,13 +450,23 @@ object EventStreams {
               out += DebEvent(key, p.tsMs, p.eventId)
             lastTs = p.tsMs; hasLast = true // raw predecessor: every event counts
           }
-          if (keep.isEmpty && !streaming) {
+          // state is REMOVABLE once nothing is buffered and the
+          // watermark has passed lastTs + windowMs: any future
+          // non-late event has ts > wm >= lastTs + windowMs, so its
+          // gap exceeds the window whatever lastTs was (r11 review —
+          // without this, one state row per key ever seen lived
+          // forever and the store grew unboundedly)
+          val removable = keep.isEmpty &&
+            (!streaming || (hasLast && wm - lastTs >= windowMs))
+          if (removable) {
             if (state.exists) state.remove()
           } else {
             state.update(DebounceState(keep, lastTs, hasLast))
             if (streaming) {
+              // wake at the earliest buffered event, or at the moment
+              // this key's state becomes removable
               val next = keep.headOption.map(_.tsMs)
-                .getOrElse(wm + 24L * 3600 * 1000)
+                .getOrElse(lastTs + windowMs)
               state.setTimeoutTimestamp(math.max(next, wm + 1))
             }
           }
