@@ -1613,6 +1613,52 @@ object SparkEntry {
         .orderBy($"media_id", $"frame", $"granule", $"j", $"sb")
     }),
 
+    // LLM-pipeline: REAL video sample decode (the stub's last video
+    // container slot, r12) — documents drive deterministic AVI files
+    // with uncompressed 24-bit DIB frames (4×2 px, 1 + id%3 frames at
+    // 25 fps; frame f's RGB bytes are text bytes f*24..f*24+23,
+    // space-padded), decoded through MediaCodecs.decodeAvi's real
+    // RIFF walk — avih/strf headers, bottom-up BGR rows, stride —
+    // and graded on dims, frame count, duration, per-frame BT.601
+    // mean luma, and the order-sensitive first_luma (top-left px of
+    // frame 0, which the oracle reads STRAIGHT from the text bytes:
+    // wrong row-flip or channel-swap handling shows up here). The
+    // oracle replays every field from character codes — no decoder
+    // on the oracle side. Inter-frame codecs (H.264) stay stubbed.
+    "multimodal_decode_video" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{MediaCodecs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val nf = 1 + (id % 3).toInt
+          val frames = Array.tabulate(nf) { f =>
+            val px = new Array[Byte](4 * 2 * 3)
+            java.util.Arrays.fill(px, ' '.toByte)
+            val start = f * 24
+            val nCopy = math.max(0, math.min(24, bytes.length - start))
+            if (nCopy > 0) System.arraycopy(bytes, start, px, 0, nCopy)
+            px
+          }
+          (id, MediaCodecs.encodeAviDib(frames, width = 4, height = 2,
+            usecPerFrame = 40000))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"video_codec", $"width", $"height",
+          $"n_frames", round($"duration_ms", 6).as("duration_ms"),
+          // grade the pixel-luma TOTAL, not the mean: the mean's 8·nf
+          // divisor puts values on a 1/16000 grid whose points land
+          // EXACTLY on 6dp rounding boundaries (30/500 docs flipped
+          // by one ulp between Spark and DuckDB); the total stays on
+          // the 0.001 grid, 5000× the FP error away from any boundary
+          round($"mean_luma" * $"n_frames" * lit(8), 6).as("luma_total"),
+          round($"first_luma", 6).as("first_luma"))
+        .orderBy($"media_id")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -3169,6 +3215,43 @@ object SparkEntry {
           |  CAST(nf * 1152 AS INT) AS n_pcm
           |FROM qi
           |ORDER BY media_id, frame, granule, j, sb""".stripMargin,
+
+      // every field replayed from the character codes that drove the
+      // AVI synthesis: frame f pixel p has RGB = text bytes
+      // f*24+3p .. f*24+3p+2 (32 = space pad past the end), per-frame
+      // mean is the BT.601 sum over the 8 pixels / 8, video mean is
+      // the frame-mean average, first_luma is pixel 0 of frame 0 —
+      // no decoder on the oracle side (the decoder's RIFF walk,
+      // bottom-up row flip and BGR swap must land back on exactly
+      // these bytes)
+      "multimodal_decode_video" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ord(text[i]) AS DOUBLE)) AS v,
+          |    1 + doc_id % 3 AS nf
+          |  FROM documents),
+          |f AS (
+          |  SELECT media_id, n, v, nf,
+          |    list_transform(range(0, CAST(nf AS BIGINT)), f ->
+          |      list_sum(list_transform(range(0, 8), p ->
+          |        0.299 * (CASE WHEN f * 24 + 3 * p + 1 <= n
+          |          THEN v[CAST(f * 24 + 3 * p + 1 AS INT)] ELSE 32.0 END)
+          |      + 0.587 * (CASE WHEN f * 24 + 3 * p + 2 <= n
+          |          THEN v[CAST(f * 24 + 3 * p + 2 AS INT)] ELSE 32.0 END)
+          |      + 0.114 * (CASE WHEN f * 24 + 3 * p + 3 <= n
+          |          THEN v[CAST(f * 24 + 3 * p + 3 AS INT)] ELSE 32.0 END)
+          |      )) / 8.0) AS fl
+          |  FROM s)
+          |SELECT media_id, 'avi' AS format, 'dib' AS video_codec,
+          |  CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  round(nf * 40.0, 6) AS duration_ms,
+          |  round(list_sum(fl) * 8.0, 6) AS luma_total,
+          |  round(0.299 * (CASE WHEN 1 <= n THEN v[1] ELSE 32.0 END)
+          |      + 0.587 * (CASE WHEN 2 <= n THEN v[2] ELSE 32.0 END)
+          |      + 0.114 * (CASE WHEN 3 <= n THEN v[3] ELSE 32.0 END), 6) AS first_luma
+          |FROM f ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

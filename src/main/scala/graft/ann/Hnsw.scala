@@ -72,10 +72,44 @@ object Hnsw {
     }
     private val scratch = new Scratch
 
+    /** 4 independent double accumulator lanes: the single-chain
+      * version is add-latency-bound (~4 cycles/element); independent
+      * lanes give the ILP back (the [[graft.search.Kernels]] euclid
+      * pattern). Products stay single-precision floats widened on
+      * accumulate — the double-product variant measured 30% slower on
+      * the backlink phase (extra converts break the SLP pattern).
+      * Fixed summation order ⇒ still deterministic. */
     @inline private def dot(node: Int, q: Array[Float]): Double = {
-      var s = 0.0; var d = 0; val off = node * dim
-      while (d < dim) { s += vecs(off + d) * q(d); d += 1 }
-      s
+      val off = node * dim
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var d = 0
+      val lim = dim - 3
+      while (d < lim) {
+        s0 += vecs(off + d) * q(d)
+        s1 += vecs(off + d + 1) * q(d + 1)
+        s2 += vecs(off + d + 2) * q(d + 2)
+        s3 += vecs(off + d + 3) * q(d + 3)
+        d += 4
+      }
+      while (d < dim) { s0 += vecs(off + d) * q(d); d += 1 }
+      (s0 + s1) + (s2 + s3)
+    }
+
+    /** Same 4-lane pattern for a vecs-vs-vecs dot (selection and
+      * backlink shrinks score stored nodes against each other). */
+    @inline private def dotNodes(aOff: Int, bOff: Int): Double = {
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+      var d = 0
+      val lim = dim - 3
+      while (d < lim) {
+        s0 += vecs(aOff + d) * vecs(bOff + d)
+        s1 += vecs(aOff + d + 1) * vecs(bOff + d + 1)
+        s2 += vecs(aOff + d + 2) * vecs(bOff + d + 2)
+        s3 += vecs(aOff + d + 3) * vecs(bOff + d + 3)
+        d += 4
+      }
+      while (d < dim) { s0 += vecs(aOff + d) * vecs(bOff + d); d += 1 }
+      (s0 + s1) + (s2 + s3)
     }
 
     /** Greedy descent at one layer: follow the best-improving neighbor
@@ -145,6 +179,15 @@ object Hnsw {
       }
     }
 
+    /** Primitive (node, score) candidate list, best-first (score desc,
+      * id asc) — the un-boxed replacement for the tuple buffers the
+      * first cut used (the boxed sort + per-candidate tuple allocation
+      * measured ~25% of the whole build). */
+    private[Hnsw] final class Cand(val nodes: Array[Int], val scores: Array[Double]) {
+      @inline def size: Int = nodes.length
+    }
+    private val emptyCand = new Cand(Array.empty[Int], Array.empty[Double])
+
     /** The paper's beam search at one layer: expand the closest
       * unexpanded candidate while it can still improve the worst of
       * the `ef` best results. Returns (node, score) sorted best-first
@@ -152,7 +195,7 @@ object Hnsw {
       * callers serialize or clone, same stance as the reference's
       * in-process index. */
     private def searchLayer(q: Array[Float], start: Int, ef: Int,
-                            layer: Int, sc: Scratch): scala.collection.mutable.ArrayBuffer[(Int, Double)] = {
+                            layer: Int, sc: Scratch): Cand = {
       sc.epoch += 1
       val visited = sc.visited
       val visitEpoch = sc.epoch
@@ -186,47 +229,70 @@ object Hnsw {
       }
       val m = res.size
       val nodes = new Array[Int](m); val scores = new Array[Double](m)
-      res.drainTo(nodes, scores)
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-      var i = 0
-      while (i < m) { out += ((nodes(i), scores(i))); i += 1 }
-      out.sortInPlace()(Ordering.by[(Int, Double), (Double, Long)] {
-        case (node, s) => (-s, nodeIds(node)(0))
-      })
-      out
+      res.drainTo(nodes, scores) // min-heap drain: ascending by score
+      // reverse to best-first, then id-sort equal-score runs so the
+      // final order is exactly (score desc, id asc) — same contract as
+      // the boxed global sort, without allocating a tuple per entry
+      var i = 0; var j = m - 1
+      while (i < j) {
+        val tn = nodes(i); nodes(i) = nodes(j); nodes(j) = tn
+        val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+        i += 1; j -= 1
+      }
+      i = 0
+      while (i < m) {
+        var e = i + 1
+        while (e < m && scores(e) == scores(i)) e += 1
+        if (e - i > 1) { // insertion-sort the tie run by first id
+          var a = i + 1
+          while (a < e) {
+            val vn = nodes(a); val vid = nodeIds(vn)(0)
+            var b = a - 1
+            while (b >= i && nodeIds(nodes(b))(0) > vid) {
+              nodes(b + 1) = nodes(b); b -= 1
+            }
+            nodes(b + 1) = vn
+            a += 1
+          }
+        }
+        i = e
+      }
+      new Cand(nodes, scores)
     }
 
     /** Algorithm 4 neighbor selection: keep a candidate only if it is
-      * closer to `q`'s vector than to every already-kept neighbor. */
-    private def selectHeuristic(q: Array[Float],
-                                cands: Seq[(Int, Double)], max: Int): Array[Int] = {
-      val kept = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-      val it = cands.iterator
-      while (it.hasNext && kept.size < max) {
-        val (c, sq) = it.next()
+      * closer to `q`'s vector than to every already-kept neighbor.
+      * Candidates arrive best-first in primitive arrays (`cn` live
+      * entries); `taken(i)` marks kept indices for the backfill. */
+    private def selectHeuristic(candNodes: Array[Int], candScores: Array[Double],
+                                cn: Int, max: Int): Array[Int] = {
+      val kept = new Array[Int](math.min(cn, max))
+      val taken = new Array[Boolean](cn)
+      var nk = 0
+      var ci = 0
+      while (ci < cn && nk < max) {
+        val c = candNodes(ci); val sq = candScores(ci)
         var ok = true
         var i = 0
-        while (ok && i < kept.length) {
+        val co = c * dim
+        while (ok && i < nk) {
           // dot(c, kept) > dot(c, q) means c is better explained by an
           // existing neighbor — skip it (diversity pruning)
-          var s = 0.0; var d = 0
-          val co = c * dim; val ko = kept(i)._1 * dim
-          while (d < dim) { s += vecs(co + d) * vecs(ko + d); d += 1 }
-          if (s > sq) ok = false
+          if (dotNodes(co, kept(i) * dim) > sq) ok = false
           i += 1
         }
-        if (ok) kept += ((c, sq))
+        if (ok) { kept(nk) = c; taken(ci) = true; nk += 1 }
+        ci += 1
       }
       // backfill with closest skipped if the heuristic kept too few
-      if (kept.size < max) {
-        val have = kept.map(_._1).toSet
-        val it2 = cands.iterator
-        while (it2.hasNext && kept.size < max) {
-          val (c, sq) = it2.next()
-          if (!have.contains(c)) kept += ((c, sq))
+      if (nk < math.min(cn, max)) {
+        ci = 0
+        while (ci < cn && nk < max) {
+          if (!taken(ci)) { kept(nk) = candNodes(ci); nk += 1 }
+          ci += 1
         }
       }
-      kept.map(_._1).toArray
+      if (nk == kept.length) kept else java.util.Arrays.copyOf(kept, nk)
     }
 
     private def maxM(layer: Int): Int = if (layer == 0) 2 * m else m
@@ -236,18 +302,18 @@ object Hnsw {
       * graph. Safe to run concurrently with other searches — only
       * `sc` is mutated. */
     private[Hnsw] def searchPhase(node: Int, l: Int,
-        sc: Scratch): Array[scala.collection.mutable.ArrayBuffer[(Int, Double)]] = {
+        sc: Scratch): Array[Cand] = {
       val off = node * dim
       val q = java.util.Arrays.copyOfRange(vecs, off, off + dim)
       var ep = entry
       var layer = maxLevel
       while (layer > l) { ep = greedyStep(q, ep, layer); layer -= 1 }
       val lowest = math.min(l, maxLevel)
-      val plans = new Array[scala.collection.mutable.ArrayBuffer[(Int, Double)]](lowest + 1)
+      val plans = new Array[Cand](lowest + 1)
       while (layer >= 0) {
         val found = searchLayer(q, ep, efConstruction, layer, sc)
         plans(layer) = found
-        ep = if (found.nonEmpty) found.head._1 else ep
+        ep = if (found.size > 0) found.nodes(0) else ep
         layer -= 1
       }
       plans
@@ -257,9 +323,7 @@ object Hnsw {
       * candidates, connect bidirectionally, shrink over-capacity
       * lists. Must run single-threaded, in node order. */
     private[Hnsw] def applyPhase(node: Int, l: Int,
-        plans: Array[scala.collection.mutable.ArrayBuffer[(Int, Double)]]): Unit = {
-      val off = node * dim
-      val q = java.util.Arrays.copyOfRange(vecs, off, off + dim)
+        plans: Array[Cand]): Unit = {
       // drive from the PLAN's layer count, not min(l, maxLevel): a
       // batch-mate's apply may have raised maxLevel since the frozen
       // search ran (layers above the frozen top stay empty until
@@ -268,27 +332,69 @@ object Hnsw {
       var layer = plans.length - 1
       while (layer >= 0) {
         val found = plans(layer)
-        val sel = selectHeuristic(q, found.toSeq, maxM(layer))
+        val sel = selectHeuristic(found.nodes, found.scores, found.size, maxM(layer))
         links(node)(layer) = sel
         // bidirectional links, shrinking over-capacity lists by
         // re-running the selection from the neighbor's viewpoint
         var i = 0
         while (i < sel.length) {
-          val nb = sel(i)
-          val cur = links(nb)(layer)
-          if (cur.length < maxM(layer)) links(nb)(layer) = cur :+ node
-          else {
-            val nbo = nb * dim
-            val nbv = java.util.Arrays.copyOfRange(vecs, nbo, nbo + dim)
-            val all = (cur :+ node).map(x => (x, dot(x, nbv)))
-              .sortBy { case (x, s) => (-s, nodeIds(x)(0)) }
-            links(nb)(layer) = selectHeuristic(nbv, all.toSeq, maxM(layer))
-          }
+          addBacklink(sel(i), layer, node)
           i += 1
         }
         layer -= 1
       }
       if (l > maxLevel) { maxLevel = l; entry = node }
+    }
+
+    /** Parallel-safe half of [[applyPhase]]: per-layer neighbor
+      * selection from the FROZEN plan (reads only `vecs` + the plan,
+      * mutates nothing) — hoisted out of the sequential apply so the
+      * batch build can run it alongside the searches. Layer count is
+      * driven from the plan, exactly like [[applyPhase]]. */
+    private[Hnsw] def selectPhase(node: Int, plans: Array[Cand]): Array[Array[Int]] =
+      Array.tabulate(plans.length) { layer =>
+        val p = plans(layer)
+        selectHeuristic(p.nodes, p.scores, p.size, maxM(layer))
+      }
+
+    /** One backlink arrival at `nb`: append when under capacity, else
+      * re-select from the neighbor's viewpoint — the exact loop body
+      * the per-node apply runs per selected neighbor. Touches ONLY
+      * `links(nb)(layer)`, so concurrent calls for DISTINCT neighbors
+      * are race-free and order-independent across neighbors. */
+    private[Hnsw] def addBacklink(nb: Int, layer: Int, node: Int): Unit = {
+      val cur = links(nb)(layer)
+      val cap = maxM(layer)
+      if (cur.length < cap) {
+        val grown = java.util.Arrays.copyOf(cur, cur.length + 1)
+        grown(cur.length) = node
+        links(nb)(layer) = grown
+      } else {
+        val nbo = nb * dim
+        val cn = cur.length + 1
+        val candNodes = java.util.Arrays.copyOf(cur, cn)
+        candNodes(cur.length) = node
+        val candScores = new Array[Double](cn)
+        var i = 0
+        while (i < cn) {
+          candScores(i) = dotNodes(candNodes(i) * dim, nbo)
+          i += 1
+        }
+        // insertion sort best-first (score desc, id asc) — cn ≤ 2M+1
+        i = 1
+        while (i < cn) {
+          val vn = candNodes(i); val vs = candScores(i); val vid = nodeIds(vn)(0)
+          var b = i - 1
+          while (b >= 0 && (candScores(b) < vs ||
+              (candScores(b) == vs && nodeIds(candNodes(b))(0) > vid))) {
+            candNodes(b + 1) = candNodes(b); candScores(b + 1) = candScores(b)
+            b -= 1
+          }
+          candNodes(b + 1) = vn; candScores(b + 1) = vs
+          i += 1
+        }
+        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap)
+      }
     }
 
     private[Hnsw] def insert(node: Int, l: Int, sc: Scratch): Unit = {
@@ -316,14 +422,15 @@ object Hnsw {
         val beam = searchLayer(q, ep, math.max(ef, k), 0, scratch)
         val out = Vector.newBuilder[(Long, Double, Int)]
         var r = 0
-        val it = beam.iterator
-        while (r < k && it.hasNext) {
-          val (node, s) = it.next()
+        var bi = 0
+        while (r < k && bi < beam.size) {
+          val node = beam.nodes(bi); val s = beam.scores(bi)
           val dupIds = nodeIds(node)
           var di = 0
           while (r < k && di < dupIds.length) {
             out += ((dupIds(di), s, r + 1)); r += 1; di += 1
           }
+          bi += 1
         }
         out.result()
       }
@@ -351,14 +458,15 @@ object Hnsw {
         val beam = searchLayer(q, ep, math.max(ef, k), 0, sc)
         val b = Vector.newBuilder[(Long, Double, Int)]
         var r = 0
-        val it = beam.iterator
-        while (r < k && it.hasNext) {
-          val (node, s) = it.next()
+        var bi = 0
+        while (r < k && bi < beam.size) {
+          val node = beam.nodes(bi); val s = beam.scores(bi)
           val dupIds = nodeIds(node)
           var di = 0
           while (r < k && di < dupIds.length) {
             b += ((dupIds(di), s, r + 1)); r += 1; di += 1
           }
+          bi += 1
         }
         out(qi) = b.result()
       }
@@ -471,28 +579,91 @@ object Hnsw {
       override def initialValue(): idx.Scratch = idx.buildScratch()
     }
     var done = seqEnd
+    var searchNs = 0L; var linkNs = 0L; var backNs = 0L
+    val timing = java.lang.Boolean.getBoolean("graft.hnsw.timing")
     while (done < n) {
       val end = math.min(done + batchSize, n)
-      val plans = new Array[Array[scala.collection.mutable.ArrayBuffer[(Int, Double)]]](end - done)
-      // frozen-graph searches: read-only, embarrassingly parallel;
-      // results land at fixed offsets, so scheduling can't reorder
+      val sels = new Array[Array[Array[Int]]](end - done)
+      // frozen-graph searches + neighbor selection: both read-only
+      // against the frozen graph (selection reads only vecs + the
+      // plan), embarrassingly parallel; results land at fixed offsets,
+      // so scheduling can't reorder
       val from = done
+      val t0 = System.nanoTime()
       java.util.stream.IntStream.range(from, end).parallel().forEach { node =>
         // level/links slots must exist before a CONCURRENT searcher of
         // a later batch could see them — they don't yet; only this
-        // batch runs, and plans index by offset
-        plans(node - from) = idx.searchPhase(node, math.min(lv(node), idx.topLevel), scratches.get())
+        // batch runs, and sels index by offset
+        val sc = scratches.get()
+        sels(node - from) =
+          idx.selectPhase(node, idx.searchPhase(node, math.min(lv(node), idx.topLevel), sc))
       }
+      val t1 = System.nanoTime()
+      // sequential, cheap: assign self-links and entry/maxLevel in
+      // node order (identical to the per-node apply), and gather each
+      // selected neighbor's backlink arrivals in that same iteration
+      // order — (node asc, layer top→0), the order the sequential
+      // apply would deliver them
+      val backlinks = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
       var node = from
       while (node < end) {
         val l = lv(node)
         idx.levels(node) = l
-        idx.links(node) = Array.tabulate(l + 1)(_ => Array.empty[Int])
-        idx.applyPhase(node, l, plans(node - from))
+        val sel = sels(node - from)
+        val ls = new Array[Array[Int]](l + 1)
+        var layer = l
+        while (layer >= 0) {
+          ls(layer) = if (layer < sel.length) sel(layer) else Array.empty[Int]
+          layer -= 1
+        }
+        idx.links(node) = ls
+        layer = sel.length - 1
+        while (layer >= 0) {
+          val s = sel(layer)
+          var i = 0
+          while (i < s.length) {
+            var buf = backlinks.get(s(i))
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              backlinks.put(s(i), buf)
+            }
+            buf += (layer.toLong << 32) | (node.toLong & 0xffffffffL)
+            i += 1
+          }
+          layer -= 1
+        }
+        if (l > idx.topLevel) { idx.maxLevel = l; idx.entry = node }
         node += 1
+      }
+      val t2 = System.nanoTime()
+      // backlink application: every arrival at a given neighbor runs
+      // in the gathered order, but DISTINCT neighbors are independent
+      // (each shrink touches only links(nb)(layer) and reads immutable
+      // vecs — all selected neighbors are pre-batch nodes, invisible
+      // batch-mates can't appear), so neighbors fan across threads.
+      // The resulting graph is bit-identical to the sequential apply.
+      val nbs = new Array[Int](backlinks.size())
+      val it = backlinks.keySet().iterator()
+      var ni = 0
+      while (it.hasNext) { nbs(ni) = it.next().intValue(); ni += 1 }
+      java.util.Arrays.sort(nbs)
+      java.util.stream.IntStream.range(0, nbs.length).parallel().forEach { k =>
+        val nb = nbs(k)
+        val buf = backlinks.get(nb)
+        var i = 0
+        while (i < buf.length) {
+          val packed = buf(i)
+          idx.addBacklink(nb, (packed >>> 32).toInt, packed.toInt)
+          i += 1
+        }
+      }
+      if (timing) {
+        searchNs += t1 - t0; linkNs += t2 - t1; backNs += System.nanoTime() - t2
       }
       done = end
     }
+    if (timing) System.err.println(
+      f"[hnsw-timing] search+select=${searchNs / 1e9}%.1fs link=${linkNs / 1e9}%.1fs backlink=${backNs / 1e9}%.1fs")
     idx
   }
 

@@ -9,9 +9,11 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `javax.imageio.ImageIO` readers — zero extra dependencies, works
   * headless. These replace [[Multimodal.StubDecoder]] for payloads
   * whose magic bytes match; compressed-audio SAMPLES decode through
-  * the from-scratch Layer II decoder ([[Mp2]], r11), so only VIDEO
-  * codecs (H.264, …) and Layer III's hybrid filterbank still need a
-  * JNI/PandasUDF slot and fall through to the stub. (VERDICT r6: the
+  * the from-scratch Layer II decoder ([[Mp2]], r11), and VIDEO decodes
+  * through the RIFF/AVI container walk ([[decodeAvi]], r12 — DIB
+  * frames by pure byte math, MJPEG via ImageIO), so only inter-frame
+  * video codecs (H.264, …) and Layer III's hybrid filterbank still
+  * need a JNI/PandasUDF slot and fall through to the stub. (VERDICT r6: the
   * earlier "container has no codecs" claim was wrong for images.)
   *
   * Everything here is driver/executor-agnostic pure byte math: decoders
@@ -596,5 +598,255 @@ object MediaCodecs extends Serializable {
       System.arraycopy(out, 0, payload, header.length, out.length)
       payload
     }
+  }
+
+  // ───────────────────────── AVI video ─────────────────────────
+  // RIFF/AVI container per Microsoft's published AVI file format:
+  // 'RIFF' sz 'AVI ' { LIST hdrl { avih, LIST strl { strh, strf } },
+  // LIST movi { 00db | 00dc frames } }. Two REAL frame decoders:
+  // uncompressed DIB frames ('00db', BI_RGB 24-bit, bottom-up BGR
+  // rows padded to 4 bytes — pure byte math, SQL-oracle-able) and
+  // MJPEG frames ('00dc', each chunk a baseline JPEG through the
+  // JDK's headless ImageIO reader). Inter-frame codecs (H.264, …)
+  // remain the stub's remit.
+
+  /** Decoded video facts: dimensions, decoded frame count, frame
+    * period, duration, per-frame mean luma (BT.601) averaged over
+    * frames, first frame's TOP-LEFT pixel luma (order-sensitive: it
+    * proves the bottom-up row flip), and the frame codec. */
+  final case class VideoInfo(width: Int, height: Int, nFrames: Int,
+                             usecPerFrame: Int, durationMs: Double,
+                             meanLuma: Double, firstLuma: Double, codec: String)
+
+  /** `RIFF....AVI ` sniff (size field between the tags is
+    * payload-dependent, match around it — same shape as [[isWav]]). */
+  def isAvi(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I' && bytes(11) == ' '
+
+  @inline private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL)) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  @inline private def fourcc(b: Array[Byte], off: Int): String =
+    new String(Array(b(off), b(off + 1), b(off + 2), b(off + 3)), "US-ASCII")
+
+  /** Decode an AVI: chunk walk for `avih` (frame period, dims),
+    * `strf` (bit depth, compression), then every `00db`/`00dc` movi
+    * frame through the matching real decoder. `None` on malformed
+    * headers, dimension/stride mismatches, or any undecodable frame
+    * (strict, like the other codecs — a corrupt frame must not
+    * silently skew the stats). */
+  def decodeAvi(bytes: Array[Byte]): Option[VideoInfo] = {
+    if (!isAvi(bytes)) return None
+    try {
+      val end = math.min(bytes.length.toLong, 8 + u32le(bytes, 4)).toInt
+      var usecPerFrame = 0
+      var width = 0; var height = 0
+      var biBitCount = 0; var biCompression = 0L; var biHeight = 0
+      var haveAvih = false; var haveStrf = false
+      var lumaSum = 0.0; var firstLuma = 0.0
+      var frames = 0
+      var codec: String = null
+
+      def decodeDibFrame(off: Int, size: Int): Boolean = {
+        if (biBitCount != 24) return false
+        val stride = ((width * 3 + 3) / 4) * 4
+        if (size < stride * height) return false
+        var luma = 0.0
+        var y = 0
+        while (y < height) {
+          // stored bottom-up when biHeight > 0: stored row y is image
+          // row (height-1-y)
+          val ro = off + y * stride
+          var x = 0
+          while (x < width) {
+            val p = ro + x * 3 // BGR order
+            luma += 0.114 * (bytes(p) & 0xff) + 0.587 * (bytes(p + 1) & 0xff) +
+              0.299 * (bytes(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // top-left of the IMAGE = first pixel of the stored LAST row
+        // (bottom-up); top-down rasters (biHeight < 0) store it first
+        val tl = if (biHeight >= 0) off + (height - 1) * stride else off
+        val tlLuma = 0.114 * (bytes(tl) & 0xff) + 0.587 * (bytes(tl + 1) & 0xff) +
+          0.299 * (bytes(tl + 2) & 0xff)
+        if (frames == 0) firstLuma = tlLuma
+        lumaSum += luma / (width.toLong * height)
+        true
+      }
+
+      def decodeJpegFrame(off: Int, size: Int): Boolean = {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+          bytes, off, size))
+        if (img == null || img.getWidth != width || img.getHeight != height) return false
+        val raster = img.getRaster
+        val color = raster.getNumBands >= 3
+        var luma = 0.0
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) {
+            val l = if (color) 0.299 * raster.getSample(x, y, 0) +
+              0.587 * raster.getSample(x, y, 1) + 0.114 * raster.getSample(x, y, 2)
+            else raster.getSample(x, y, 0).toDouble
+            if (frames == 0 && x == 0 && y == 0) firstLuma = l
+            luma += l
+            x += 1
+          }
+          y += 1
+        }
+        lumaSum += luma / (width.toLong * height)
+        true
+      }
+
+      // walk(from, to): iterate sibling chunks in [from, to)
+      def walk(from: Int, to: Int): Boolean = {
+        var p = from
+        while (p + 8 <= to) {
+          val cc = fourcc(bytes, p)
+          val size = u32le(bytes, p + 4)
+          val dataOff = p + 8
+          if (size < 0 || dataOff + size > to) return false
+          val dataEnd = (dataOff + size).toInt
+          cc match {
+            case "LIST" =>
+              if (size < 4) return false
+              // list type is the first 4 data bytes; children follow
+              if (!walk(dataOff + 4, dataEnd)) return false
+            case "avih" =>
+              if (size < 40) return false
+              usecPerFrame = u32le(bytes, dataOff).toInt
+              width = u32le(bytes, dataOff + 32).toInt
+              height = u32le(bytes, dataOff + 36).toInt
+              haveAvih = true
+            case "strf" =>
+              if (size >= 40 && !haveStrf) { // first (video) stream only
+                biHeight = u32le(bytes, dataOff + 8).toInt
+                biBitCount = (u32le(bytes, dataOff + 12) >>> 16).toInt & 0xffff
+                biCompression = u32le(bytes, dataOff + 16)
+                haveStrf = true
+              }
+            case c if c.length == 4 && c.endsWith("db") =>
+              if (!haveAvih || width <= 0 || height <= 0) return false
+              if (!decodeDibFrame(dataOff, size.toInt)) return false
+              frames += 1
+              if (codec == null) codec = "dib"
+            case c if c.length == 4 && c.endsWith("dc") =>
+              if (!haveAvih || width <= 0 || height <= 0) return false
+              if (!decodeJpegFrame(dataOff, size.toInt)) return false
+              frames += 1
+              if (codec == null) codec = "mjpeg"
+            case _ => () // idx1, strh, strn, JUNK, … — skipped
+          }
+          p = dataEnd + (size.toInt & 1) // chunks pad to even
+        }
+        true
+      }
+
+      if (!walk(12, end)) return None
+      if (!haveAvih || width <= 0 || height <= 0 || frames == 0) return None
+      Some(VideoInfo(width, height, frames, usecPerFrame,
+        frames.toLong * usecPerFrame / 1000.0,
+        lumaSum / frames, firstLuma, if (codec == null) "none" else codec))
+    } catch { case _: Exception => None }
+  }
+
+  private def putFourcc(buf: ByteBuffer, s: String): Unit =
+    buf.put(s.getBytes("US-ASCII"), 0, 4)
+
+  /** Synthesis half of [[decodeAvi]] for DIB frames: `frames` are
+    * row-major TOP-DOWN interleaved RGB rasters (3 B/px, the
+    * [[encodePng]] pixel order); written as the spec's bottom-up BGR
+    * rows padded to 4-byte stride, so a decode round-trip proves both
+    * the channel swap and the row flip. Pure integer layout — the
+    * SQL oracle can replay every decoded stat from the input bytes. */
+  def encodeAviDib(frames: Array[Array[Byte]], width: Int, height: Int,
+                   usecPerFrame: Int): Array[Byte] = {
+    require(frames.nonEmpty && width > 0 && height > 0, "need frames and positive dims")
+    require(frames.forall(_.length == width * height * 3), "frame size must be w*h*3")
+    val stride = ((width * 3 + 3) / 4) * 4
+    val frameBytes = stride * height
+    val framePadded = frameBytes + (frameBytes & 1)
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + frames.length * (8 + framePadded)
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    putFourcc(buf, "RIFF"); buf.putInt(riffSize); putFourcc(buf, "AVI ")
+    putFourcc(buf, "LIST"); buf.putInt(hdrlSize); putFourcc(buf, "hdrl")
+    putFourcc(buf, "avih"); buf.putInt(56)
+    buf.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+    buf.putInt(frames.length).putInt(0).putInt(1).putInt(0)
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); putFourcc(buf, "strl")
+    putFourcc(buf, "strh"); buf.putInt(56)
+    putFourcc(buf, "vids"); putFourcc(buf, "DIB ")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+    buf.putInt(usecPerFrame).putInt(1000000) // scale, rate: fps = rate/scale
+    buf.putInt(0).putInt(frames.length).putInt(frameBytes).putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    putFourcc(buf, "strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    buf.putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(moviSize); putFourcc(buf, "movi")
+    frames.foreach { px =>
+      putFourcc(buf, "00db"); buf.putInt(frameBytes)
+      var y = height - 1 // bottom-up
+      while (y >= 0) {
+        var x = 0
+        while (x < width) {
+          val src = (y * width + x) * 3
+          buf.put(px(src + 2)).put(px(src + 1)).put(px(src)) // RGB → BGR
+          x += 1
+        }
+        var pad = stride - width * 3
+        while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+        y -= 1
+      }
+      if ((frameBytes & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** MJPEG synthesis half: frames are pre-encoded JPEGs (e.g. from
+    * ImageIO's jpeg writer) dropped into `00dc` chunks with the
+    * `MJPG` compression tag. */
+  def encodeAviMjpeg(jpegFrames: Array[Array[Byte]], width: Int, height: Int,
+                     usecPerFrame: Int): Array[Byte] = {
+    require(jpegFrames.nonEmpty && width > 0 && height > 0, "need frames and positive dims")
+    val padded = jpegFrames.map(f => f.length + (f.length & 1))
+    val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val moviSize = 4 + padded.map(8 + _).sum
+    val riffSize = 4 + (8 + hdrlSize) + (8 + moviSize)
+    val buf = ByteBuffer.allocate(8 + riffSize).order(ByteOrder.LITTLE_ENDIAN)
+    putFourcc(buf, "RIFF"); buf.putInt(riffSize); putFourcc(buf, "AVI ")
+    putFourcc(buf, "LIST"); buf.putInt(hdrlSize); putFourcc(buf, "hdrl")
+    putFourcc(buf, "avih"); buf.putInt(56)
+    buf.putInt(usecPerFrame).putInt(0).putInt(0).putInt(0)
+    buf.putInt(jpegFrames.length).putInt(0).putInt(1).putInt(0)
+    buf.putInt(width).putInt(height)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(4 + (8 + 56) + (8 + 40)); putFourcc(buf, "strl")
+    putFourcc(buf, "strh"); buf.putInt(56)
+    putFourcc(buf, "vids"); putFourcc(buf, "MJPG")
+    buf.putInt(0).putShort(0).putShort(0).putInt(0)
+    buf.putInt(usecPerFrame).putInt(1000000)
+    buf.putInt(0).putInt(jpegFrames.length).putInt(jpegFrames.map(_.length).max).putInt(-1).putInt(0)
+    buf.putShort(0).putShort(0).putShort(width.toShort).putShort(height.toShort)
+    putFourcc(buf, "strf"); buf.putInt(40)
+    buf.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+    putFourcc(buf, "MJPG") // biCompression
+    buf.putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    putFourcc(buf, "LIST"); buf.putInt(moviSize); putFourcc(buf, "movi")
+    jpegFrames.foreach { f =>
+      putFourcc(buf, "00dc"); buf.putInt(f.length)
+      buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
   }
 }

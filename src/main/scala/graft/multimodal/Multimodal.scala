@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * built-in headless ImageIO readers ([[MediaCodecs]]), and compressed
   * audio via the from-scratch MPEG-1 Layer II sample decoder ([[Mp2]]
   * — bitstream + requantization standard-exact, synthesis window a
-  * documented stand-in). Only VIDEO codecs (H.264, …) and Layer III's
-  * hybrid filterbank still fall to the clearly-marked deterministic
+  * documented stand-in), and VIDEO via the RIFF/AVI container walk
+  * ([[MediaCodecs.decodeAvi]] — uncompressed DIB frames by pure byte
+  * math, MJPEG frames through ImageIO). Only inter-frame video codecs
+  * (H.264, …) and Layer III's hybrid filterbank still fall to the
+  * clearly-marked deterministic
   * stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
   * partitioning, operator signatures, frame-sampling arithmetic) is
   * identical either way, so swapping the stub for a JNI/codec
@@ -99,7 +102,7 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, mp2, mp3, ppm, pgm, png, jpeg, gif,
+    * media row, `format` ∈ {wav, mp2, mp3, avi, ppm, pgm, png, jpeg, gif,
     * bmp, tiff, unknown, null-payload}; audio fields populated for
     * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
     * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
@@ -117,6 +120,8 @@ object Multimodal {
     StructField("width", IntegerType), StructField("height", IntegerType),
     StructField("mean_luma", DoubleType),
     StructField("bitrate_kbps", IntegerType),
+    StructField("first_luma", DoubleType), // video: top-left px of frame 0
+    StructField("video_codec", StringType), // dib | mjpeg
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
@@ -140,19 +145,31 @@ object Multimodal {
         var mp2Info: Option[Mp2.Mp2Info] = None
         def stubRow(fmt: String) = Row(id, fmt,
           null, null, null, null, null, null, null, null, null, null, null,
+          null, null,
           if (bytes == null) null else StubDecoder.decodeFrame(bytes).toSeq)
         if (bytes == null) stubRow("null-payload")
-        else if (MediaCodecs.isWav(bytes)) {
+        else if (MediaCodecs.isAvi(bytes)) {
+          // REAL video decode for AVI containers: uncompressed DIB
+          // frames by pure byte math, MJPEG frames via ImageIO —
+          // inter-frame codecs (H.264, …) keep the stub's remit
+          MediaCodecs.decodeAvi(bytes) match {
+            case Some(v) => Row(id, "avi", null, 3.asInstanceOf[Integer], null,
+              v.nFrames.toLong, v.durationMs, null, null,
+              v.width, v.height, v.meanLuma, null, v.firstLuma, v.codec, null)
+            case None => stubRow("unknown") // AVI magic but undecodable body
+          }
+        } else if (MediaCodecs.isWav(bytes)) {
           MediaCodecs.decodeWav(bytes) match {
             case Some(w) => Row(id, "wav", w.sampleRate, w.channels, w.bitsPerSample,
-              w.nFrames, w.durationMs, w.rms, w.peak, null, null, null, null, null)
+              w.nFrames, w.durationMs, w.rms, w.peak, null, null, null, null,
+              null, null, null)
             case None => stubRow("unknown") // WAV magic but undecodable body
           }
         } else if (MediaCodecs.isNetpbm(bytes)) {
           MediaCodecs.decodeNetpbm(bytes) match {
             case Some((im, _)) => Row(id, if (im.channels == 3) "ppm" else "pgm",
               null, im.channels, null, null, null, null, null,
-              im.width, im.height, im.meanLuma, null, null)
+              im.width, im.height, im.meanLuma, null, null, null, null)
             case None => stubRow("unknown")
           }
         } else if (Mp2.isMp2(bytes) && { mp2Info = Mp2.decode(bytes); mp2Info.isDefined }) {
@@ -170,21 +187,21 @@ object Multimodal {
           val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
           Row(id, "mp2", m.sampleRate, m.channels, null,
             m.nFrames.toLong * 1152, m.nFrames.toLong * 1152 * 1000.0 / m.sampleRate,
-            rms, peak, null, null, null, m.bitrateKbps, null)
+            rms, peak, null, null, null, m.bitrateKbps, null, null, null)
         } else if (MediaCodecs.isMp3(bytes)) {
           // frame-header metadata only — Layer III PCM stays on the
           // stub's remit (MediaCodecs.decodeMp3 scaladoc)
           MediaCodecs.decodeMp3(bytes) match {
             case Some(m) => Row(id, "mp3", m.sampleRate, m.channels, null,
               m.nFrames, m.durationMs, null, null, null, null, null,
-              m.bitrateKbps, null)
+              m.bitrateKbps, null, null, null)
             case None => stubRow("unknown") // MP3 sync but undecodable stream
           }
         } else MediaCodecs.imageIoFormat(bytes) match {
           case Some(fmt) => MediaCodecs.decodeImageIO(bytes) match {
             case Some(im) => Row(id, fmt,
               null, im.channels, null, null, null, null, null,
-              im.width, im.height, im.meanLuma, null, null)
+              im.width, im.height, im.meanLuma, null, null, null, null)
             case None => stubRow("unknown") // image magic, undecodable body
           }
           case None => stubRow("unknown")

@@ -229,4 +229,78 @@ class MediaCodecsSpec extends AnyFunSuite {
     assert(resized(1L).length == 10) // wav is not netpbm -> stub path
     assert(resized(4L) == null)
   }
+
+  test("decodeAvi: DIB frames — dims/duration exact, BT.601 luma, row flip, stride padding") {
+    // 3×2 RGB frames — width 3 forces a 4-byte-stride pad (9 → 12)
+    def frame(base: Int): Array[Byte] = Array.tabulate[Byte](3 * 2 * 3) { i =>
+      ((base + i * 7) % 256).toByte
+    }
+    val frames = Array(frame(10), frame(100))
+    val avi = MediaCodecs.encodeAviDib(frames, width = 3, height = 2,
+      usecPerFrame = 40000) // 25 fps
+    assert(MediaCodecs.isAvi(avi) && !MediaCodecs.isWav(avi))
+    val v = MediaCodecs.decodeAvi(avi).get
+    assert(v.width == 3 && v.height == 2 && v.nFrames == 2 && v.codec == "dib")
+    assert(v.usecPerFrame == 40000 && math.abs(v.durationMs - 80.0) < 1e-9)
+    // mean luma replayed from the raw RGB bytes
+    def lumaOf(px: Array[Byte]): Double =
+      (0 until 6).map { p =>
+        0.299 * (px(3 * p) & 0xff) + 0.587 * (px(3 * p + 1) & 0xff) +
+          0.114 * (px(3 * p + 2) & 0xff)
+      }.sum / 6
+    assert(math.abs(v.meanLuma - (lumaOf(frames(0)) + lumaOf(frames(1))) / 2) < 1e-9)
+    // firstLuma is the TOP-LEFT pixel of frame 0 — byte offsets 0..2 of
+    // the TOP-DOWN input raster; if the decoder forgot the bottom-up
+    // flip it would read the stored first row = image BOTTOM row
+    val want = 0.299 * (frames(0)(0) & 0xff) + 0.587 * (frames(0)(1) & 0xff) +
+      0.114 * (frames(0)(2) & 0xff)
+    assert(math.abs(v.firstLuma - want) < 1e-9)
+    val bottomLeft = 0.299 * (frames(0)(9) & 0xff) + 0.587 * (frames(0)(10) & 0xff) +
+      0.114 * (frames(0)(11) & 0xff)
+    assert(math.abs(want - bottomLeft) > 1e-6) // the flip is actually observable
+    // malformed: truncated mid-movi and a frame-size lie both reject
+    assert(MediaCodecs.decodeAvi(avi.take(avi.length - 5)).isEmpty)
+    val lied = avi.clone()
+    // find first 00db chunk and shrink its declared size below a frame
+    val idx = lied.indices.find(i => i + 4 < lied.length && lied(i) == '0' &&
+      lied(i + 1) == '0' && lied(i + 2) == 'd' && lied(i + 3) == 'b').get
+    lied(idx + 4) = 5; lied(idx + 5) = 0; lied(idx + 6) = 0; lied(idx + 7) = 0
+    assert(MediaCodecs.decodeAvi(lied).isEmpty)
+  }
+
+  test("decodeAvi: MJPEG frames through ImageIO; decodeMedia routes avi rows") {
+    // encode two 8×8 gray JPEGs with the JDK writer
+    def jpeg(shade: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until 8; x <- 0 until 8) img.getRaster.setSample(x, y, 0, shade)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", out)
+      out.toByteArray
+    }
+    val avi = MediaCodecs.encodeAviMjpeg(Array(jpeg(40), jpeg(200)), 8, 8,
+      usecPerFrame = 33333)
+    val v = MediaCodecs.decodeAvi(avi).get
+    assert(v.width == 8 && v.height == 8 && v.nFrames == 2 && v.codec == "mjpeg")
+    // flat-shade JPEGs decode near-exactly (DC-only blocks)
+    assert(math.abs(v.meanLuma - 120.0) < 3.0)
+    assert(math.abs(v.firstLuma - 40.0) < 3.0)
+
+    // DataFrame routing: avi rows land on the real decoder with the
+    // video columns set; a corrupt avi falls to the stub as unknown
+    val dib = MediaCodecs.encodeAviDib(
+      Array(Array.tabulate[Byte](4 * 2 * 3)(i => (i * 5).toByte)), 4, 2, 100000)
+    val bad = dib.clone(); bad(40) = 99 // clobber inside avih
+    val rows = Multimodal.decodeMedia(
+        Seq((1L, dib), (2L, avi), (3L, bad.take(20))).toDF("media_id", "data"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    assert(rows(1L).getAs[String]("format") == "avi" &&
+      rows(1L).getAs[String]("video_codec") == "dib" &&
+      rows(1L).getAs[Long]("n_frames") == 1 &&
+      rows(1L).getAs[Int]("width") == 4 &&
+      math.abs(rows(1L).getAs[Double]("duration_ms") - 100.0) < 1e-9 &&
+      !rows(1L).isNullAt(rows(1L).fieldIndex("first_luma")))
+    assert(rows(2L).getAs[String]("video_codec") == "mjpeg")
+    assert(rows(3L).getAs[String]("format") == "unknown")
+  }
 }
