@@ -1019,7 +1019,18 @@ object Bench {
           }
           queries.length / t.min
         }
-        s"""{"n":${rows.length},"build_sec":${fmt(buildSec, 1)},"qps_ef64":${fmt(qps, 0)},"ef_frontier":$frontier}"""
+        // dynamic trickle-insert throughput (the reference bench's own
+        // shape — one-by-one inserts into the live graph): 2000 NEW
+        // seeded vectors through Index.add after the bulk build
+        val addPerSec = {
+          val rnd = new scala.util.Random(rows.length + 13)
+          val extra = Array.tabulate(2000)(i =>
+            (rows.length.toLong + i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+          val t0 = System.nanoTime()
+          extra.foreach { case (id, v) => idx.add(id, v) }
+          extra.length / ((System.nanoTime() - t0) / 1e9)
+        }
+        s"""{"n":${rows.length},"build_sec":${fmt(buildSec, 1)},"qps_ef64":${fmt(qps, 0)},"add_per_sec":${fmt(addPerSec, 0)},"ef_frontier":$frontier}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); "null"
       }

@@ -490,19 +490,25 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   final class HnswHandle private[engine] (
       val collection: String,
       val index: graft.ann.Hnsw.Index,
-      private val rowIds: Array[String],
-      private[engine] val version: Long,
-      private[engine] val minExpiryMs: Long,
-      val estBytes: Long) {
+      // grown in place by the append-only delta refresh: the array is
+      // REPLACED (volatile) before the graph gains the new nodes, so a
+      // concurrent search can never see a node id past the array end
+      @volatile private[engine] var rowIds: Array[String],
+      @volatile private[engine] var version: Long,
+      @volatile private[engine] var minExpiryMs: Long,
+      @volatile private[engine] var estBytesV: Long) {
+    def estBytes: Long = estBytesV
     private[engine] var lastUsedMs: Long = System.currentTimeMillis()
     private[engine] def stale(ver: Long): Boolean =
       ver != version || System.currentTimeMillis() >= minExpiryMs
     /** Approximate top-k: `(id, cosine, rank)`, ties by id. */
     def search(queryVec: Seq[Double], topK: Int = 10,
-               ef: Int = 64): Seq[(String, Double, Int)] =
+               ef: Int = 64): Seq[(String, Double, Int)] = {
+      val ids = rowIds // one volatile read; stays consistent below
       index.searchOne(queryVec, topK, ef).map { case (i, s, r) =>
-        (rowIds(i.toInt), s, r)
+        (ids(i.toInt), s, r)
       }
+    }
   }
 
   private val hnswCache = new java.util.concurrent.ConcurrentHashMap[String, HnswHandle]()
@@ -519,14 +525,28 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     if (cfg.distanceMetric != "cosine") return None
     val ver = dataVersion(name)
     val cached = hnswCache.get(name)
-    if (cached != null && !cached.stale(ver) &&
-        cached.index.m == m && cached.index.efConstruction == efConstruction) {
+    if (cached != null && cached.index.m == m &&
+        cached.index.efConstruction == efConstruction &&
+        System.currentTimeMillis() < cached.minExpiryMs) {
       // the cache hit must honor THIS caller's graph parameters (r11
       // review: a hit keyed on name alone silently ignored m/efC)
-      if (cached.estBytes <= maxBytes) {
-        cached.lastUsedMs = System.currentTimeMillis()
-        return Some(cached)
-      } else return None
+      if (cached.version == ver) {
+        if (cached.estBytes <= maxBytes) {
+          cached.lastUsedMs = System.currentTimeMillis()
+          return Some(cached)
+        } else return None
+      }
+      // version moved: if the collection only GREW (inserts are
+      // append-only; deletes/updates show up as missing ids), add the
+      // new rows into the live graph via Hnsw.Index.add instead of
+      // rebuilding — the reference's insert-then-search serving loop
+      // costs one beam search per new row, not an O(n) rebuild
+      if (hnswDeltaRefresh(cached, name, cfg, ver, maxBytes)) {
+        if (cached.estBytes <= maxBytes) {
+          cached.lastUsedMs = System.currentTimeMillis()
+          return Some(cached)
+        } else return None
+      }
     }
     hnswCache.remove(name)
     val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
@@ -562,6 +582,58 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       if (total <= FusionEngine.AggregateServingBytes) hnswCache.put(name, h)
     }
     Some(h)
+  }
+
+  /** Append-only delta refresh of a cached [[HnswHandle]]: when every
+    * id the graph already holds is still alive and the only change is
+    * NEW distinct ids (≤ 25% growth), fetch just those rows and
+    * [[graft.ann.Hnsw.Index.add]] them. Returns false — caller falls
+    * back to a full rebuild — on any removal, an appended duplicate of
+    * an existing id (the multiset check can't tell old row from new),
+    * oversized growth, or a byte-cap breach. The refreshed graph is
+    * not bit-identical to a fresh rebuild (insertion order differs);
+    * both are inside the approximate-path contract and deterministic
+    * for a given op sequence. */
+  private def hnswDeltaRefresh(h: HnswHandle, name: String, cfg: CollectionConfig,
+                               ver: Long, maxBytes: Long): Boolean = h.synchronized {
+    if (h.version == ver) return true // another thread already refreshed
+    val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
+    val src = table(name).filter(alive)
+    val ids = src.select(col("id")).collect().map(_.getString(0))
+    val counts = new java.util.HashMap[String, Integer]()
+    h.rowIds.foreach(i => counts.merge(i, Integer.valueOf(1), (a, b) => a + b))
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    ids.foreach { i =>
+      val c = counts.get(i)
+      if (c != null && c > 0) counts.put(i, c - 1) else fresh += i
+    }
+    var removed = false
+    counts.forEach((_, c) => if (c > 0) removed = true)
+    if (removed || fresh.isEmpty || fresh.length > h.rowIds.length / 4 ||
+        fresh.exists(counts.containsKey)) return false
+    val est2 = (h.rowIds.length.toLong + fresh.length) *
+      (cfg.dimensions.toLong * 4 + 8 + h.index.m * 2L * 4 + 96)
+    if (est2 > maxBytes) return false
+    val rows = src.filter(col("id").isin(fresh.toSeq.map(lit(_)): _*))
+      .select(col("id"), col("vector"),
+        when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms")).as("exp"))
+      .orderBy(col("id")).collect()
+    val base = h.rowIds.length
+    val grown = java.util.Arrays.copyOf(h.rowIds, base + rows.length)
+    var k = 0
+    while (k < rows.length) { grown(base + k) = rows(k).getString(0); k += 1 }
+    h.rowIds = grown // publish BEFORE the graph can return the new nodes
+    var minExp = h.minExpiryMs
+    k = 0
+    while (k < rows.length) {
+      h.index.add((base + k).toLong, rows(k).getSeq[Float](1).toArray)
+      if (!rows(k).isNullAt(2)) minExp = math.min(minExp, rows(k).getLong(2))
+      k += 1
+    }
+    h.minExpiryMs = minExp
+    h.estBytesV = est2
+    h.version = ver
+    true
   }
 
   /** Collection version = data-dir mtime combined with this engine's

@@ -14,6 +14,7 @@ object HnswProbe {
     // so it cannot exercise a 100k graph); isotropic random is ANN's
     // hardest recall regime, the honest setting. No Spark needed.
     val clustered = args.length > 4 && args(4) == "clu"
+    val batch = if (args.length > 5) args(5).toInt else 512
     val dim = 64
     val rnd0 = new scala.util.Random(11)
     val rows =
@@ -28,7 +29,8 @@ object HnswProbe {
         (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
     val t0 = System.nanoTime()
     val idx =
-      if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, efConstruction = efC)
+      if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, efConstruction = efC,
+        batchSize = batch)
       else graft.ann.Hnsw.build(rows.iterator, dim, efConstruction = efC)
     val buildSec = (System.nanoTime() - t0) / 1e9
     // corpus-drawn queries (Bench protocol; isotropic queries against a

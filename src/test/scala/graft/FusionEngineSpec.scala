@@ -87,15 +87,23 @@ class FusionEngineSpec extends AnyFunSuite {
       assert(math.abs(s - js) < 1e-5)
     }
     assert(got.map(_._3) == Seq(1, 2, 3))
-    // cached while unchanged; a write invalidates and the new row appears
+    // cached while unchanged; an APPEND-ONLY write delta-refreshes the
+    // same handle in place (one Index.add per new row, no rebuild)
     assert(e.servingHnsw("demo").get eq h)
     Thread.sleep(5)
     e.insert("demo", Embed.withEmbedding(
       Seq("d9" -> "chemical safety requirements exactly").toDF("id", "content"),
       "content", "vector", embedder))
-    val h2 = e.servingHnsw("demo").getOrElse(fail("rebuild must fit"))
-    assert(!(h2 eq h))
+    val h2 = e.servingHnsw("demo").getOrElse(fail("refresh must fit"))
+    assert(h2 eq h) // delta path, not a rebuild
     assert(h2.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
+    // a delete is NOT append-only: the graph can't drop nodes, so the
+    // handle rebuilds and the removed row is gone
+    Thread.sleep(5)
+    e.deleteByIds("demo", Seq("d9"))
+    val h3 = e.servingHnsw("demo").getOrElse(fail("rebuild must fit"))
+    assert(!(h3 eq h2))
+    assert(!h3.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
     // over-cap and non-cosine both fall back to None
     assert(e.servingHnsw("demo", maxBytes = 16).isEmpty)
     e.createCollection("dotcoll",

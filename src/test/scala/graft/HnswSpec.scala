@@ -129,6 +129,40 @@ class HnswSpec extends AnyFunSuite {
     assert(di.searchOne(Seq.fill(16)(1.0), 64, 64).map(_._1) == (0L until 64L))
   }
 
+  test("add: build(A) then adds of B equals build(A ++ B) exactly; collapse; re-add no-op") {
+    val all = mkVecs(900, 16, seed = 41)
+    val (a, b) = all.splitAt(600)
+    val full = Hnsw.build(all.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 7L)
+    val inc = Hnsw.build(a.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 7L)
+    b.foreach { case (id, v) => inc.add(id, v.clone()) }
+    // identical graph: same node count/top level, same adjacency, and
+    // therefore identical search results (the add path re-runs the
+    // sequential build's insert with the continued RNG sequence)
+    assert(inc.n == full.n && inc.topLevel == full.topLevel)
+    (0 until full.n).foreach { i =>
+      assert(inc.level(i) == full.level(i))
+      assert(inc.neighbors(i, 0) == full.neighbors(i, 0))
+    }
+    val rnd = new scala.util.Random(42)
+    (0 until 15).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+      assert(inc.searchOne(q.toSeq, 10, 64) == full.searchOne(q.toSeq, 10, 64))
+    }
+    // duplicate vector collapses into the existing node, ids sorted —
+    // both ids come back adjacent with the same score
+    val n0 = inc.n
+    inc.add(9999L, a(5)._2.clone())
+    assert(inc.n == n0 && inc.nVectors == full.nVectors + 1)
+    val hits = inc.searchOne(a(5)._2.map(_.toDouble).toSeq, 2, 64)
+    assert(hits.map(_._1) == Seq(a(5)._1, 9999L))
+    assert(hits(0)._2 == hits(1)._2)
+    // exact (id, vector) re-add is a no-op
+    inc.add(9999L, a(5)._2.clone())
+    assert(inc.n == n0 && inc.nVectors == full.nVectors + 1)
+    // dimension mismatch rejects
+    intercept[IllegalArgumentException](inc.add(1L, Array.fill(8)(0.1f)))
+  }
+
   test("fromDataFrame: deterministic over partitioning, byte-cap guard, empty frame") {
     import TestSpark.spark
     import spark.implicits._
