@@ -1030,7 +1030,22 @@ object Bench {
           extra.foreach { case (id, v) => idx.add(id, v) }
           extra.length / ((System.nanoTime() - t0) / 1e9)
         }
-        s"""{"n":${rows.length},"build_sec":${fmt(buildSec, 1)},"qps_ef64":${fmt(qps, 0)},"add_per_sec":${fmt(addPerSec, 0)},"ef_frontier":$frontier}"""
+        // persistence round-trip: the warm-start path a new process
+        // takes instead of re-running build_sec (parity-checked)
+        val (saveSec, loadSec) = {
+          val tmp = java.nio.file.Files.createTempFile("bench_hnsw", ".bin")
+          try {
+            val t0 = System.nanoTime()
+            idx.save(tmp)
+            val t1 = System.nanoTime()
+            val back = graft.ann.Hnsw.load(tmp)
+            val t2 = System.nanoTime()
+            require(back.searchOne(queries(0).toSeq, 10, 64) ==
+              idx.searchOne(queries(0).toSeq, 10, 64), "load parity")
+            ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+          } finally java.nio.file.Files.deleteIfExists(tmp)
+        }
+        s"""{"n":${rows.length},"build_sec":${fmt(buildSec, 1)},"qps_ef64":${fmt(qps, 0)},"add_per_sec":${fmt(addPerSec, 0)},"save_sec":${fmt(saveSec, 2)},"load_sec":${fmt(loadSec, 2)},"ef_frontier":$frontier}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); "null"
       }

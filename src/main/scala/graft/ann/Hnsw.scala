@@ -63,9 +63,32 @@ object Hnsw {
       private[Hnsw] val nodeOf: scala.collection.mutable.HashMap[scala.collection.immutable.ArraySeq[Float], Int],
       private[Hnsw] val levelRng: java.util.Random) {
 
-    def n: Int = nNodes
+    // id -> node slot, for [[remove]] (the reference keeps its whole
+    // graph keyed by id; we only need the reverse map on the delete
+    // path). LongMap keeps the keys unboxed. Dead slots are tombstones:
+    // nodeIds/links null, level -1 — never reachable (unlinked) and
+    // never reused (slot index = stable external node id).
+    private[Hnsw] val idToNode: scala.collection.mutable.LongMap[Int] = {
+      val m = new scala.collection.mutable.LongMap[Int](math.max(nNodes * 2, 16))
+      var i = 0
+      while (i < nNodes) {
+        val ids = nodeIds(i)
+        if (ids != null) { var j = 0; while (j < ids.length) { m.update(ids(j), i); j += 1 } }
+        i += 1
+      }
+      m
+    }
+    private[Hnsw] var nDead: Int = {
+      var d = 0; var i = 0
+      while (i < nNodes) { if (nodeIds(i) == null) d += 1; i += 1 }
+      d
+    }
+
+    /** Live node count (tombstoned slots excluded). */
+    def n: Int = nNodes - nDead
     /** Total vector count including collapsed duplicates. */
-    def nVectors: Long = nodeIds.iterator.take(nNodes).map(_.length.toLong).sum
+    def nVectors: Long = nodeIds.iterator.take(nNodes)
+      .map(ids => if (ids == null) 0L else ids.length.toLong).sum
     def level(i: Int): Int = levels(i)
     def topLevel: Int = maxLevel
     def neighbors(i: Int, layer: Int): Seq[Int] = links(i)(layer).toSeq
@@ -134,8 +157,14 @@ object Hnsw {
         val nb = links(cur)(layer)
         var i = 0
         while (i < nb.length) {
-          val s = dot(nb(i), q)
-          if (s > curScore) { curScore = s; cur = nb(i); improved = true }
+          // tombstone skip: backlink shrinks break strict bidirectionality,
+          // so a stale pointer to a removed slot can survive [[remove]]'s
+          // unlink pass — same null-check stance as the reference's
+          // traversal (`HNSWIndex.js` `_searchLayer`)
+          if (nDead == 0 || nodeIds(nb(i)) != null) {
+            val s = dot(nb(i), q)
+            if (s > curScore) { curScore = s; cur = nb(i); improved = true }
+          }
           i += 1
         }
       }
@@ -229,10 +258,13 @@ object Hnsw {
             val e = nb(i)
             if (visited(e) != visitEpoch) {
               visited(e) = visitEpoch
-              val es = dot(e, q)
-              if (res.size < ef || es > res.headScore) {
-                cand.add(es, e); res.add(es, e)
-                if (res.size > ef) res.pop()
+              // tombstone skip — see [[remove]]; dead slots stay visited
+              if (nDead == 0 || nodeIds(e) != null) {
+                val es = dot(e, q)
+                if (res.size < ef || es > res.headScore) {
+                  cand.add(es, e); res.add(es, e)
+                  if (res.size > ef) res.pop()
+                }
               }
             }
             i += 1
@@ -375,8 +407,22 @@ object Hnsw {
       * `links(nb)(layer)`, so concurrent calls for DISTINCT neighbors
       * are race-free and order-independent across neighbors. */
     private[Hnsw] def addBacklink(nb: Int, layer: Int, node: Int): Unit = {
-      val cur = links(nb)(layer)
+      var cur = links(nb)(layer)
       val cap = maxM(layer)
+      if (nDead > 0) { // purge stale tombstone pointers before capacity math
+        var d = 0; var i = 0
+        while (i < cur.length) { if (nodeIds(cur(i)) == null) d += 1; i += 1 }
+        if (d > 0) {
+          val live = new Array[Int](cur.length - d)
+          var w = 0; i = 0
+          while (i < cur.length) {
+            if (nodeIds(cur(i)) != null) { live(w) = cur(i); w += 1 }
+            i += 1
+          }
+          cur = live
+          links(nb)(layer) = live
+        }
+      }
       if (cur.length < cap) {
         val grown = java.util.Arrays.copyOf(cur, cur.length + 1)
         grown(cur.length) = node
@@ -446,6 +492,7 @@ object Hnsw {
             grown(ins) = id
             System.arraycopy(ids, ins, grown, ins + 1, ids.length - ins)
             nodeIds(node) = grown
+            idToNode.update(id, node)
           }
         case None =>
           if (nNodes == nodeIds.length) { // double the node-indexed arrays
@@ -459,11 +506,85 @@ object Hnsw {
           System.arraycopy(nv, 0, vecs, node * dim, dim)
           nodeIds(node) = Array(id)
           nodeOf.put(key, node)
+          idToNode.update(id, node)
           nNodes += 1
           val l = math.floor(-math.log(math.max(levelRng.nextDouble(), 1e-300)) *
             (1.0 / math.log(m))).toInt
           insert(node, l, scratch)
       }
+    }
+
+    /** Dynamic delete — the reference's `delete()`
+      * (`/root/reference/src/core/HNSWIndex.js:328`): drop the id; when
+      * it was the node's last id, unlink the node from every neighbor
+      * at every layer and tombstone the slot (a graph can't compact
+      * slots without renumbering every caller's node ids). Entry-point
+      * repair DETERMINISTICALLY picks the highest-level live node
+      * (lowest slot on ties) — strictly better than the reference's
+      * arbitrary first-map-key pick, which can strand upper layers.
+      * Removed vectors leave [[nodeOf]], so re-adding the same vector
+      * builds a fresh node. Heavy deletion degrades graph navigability
+      * (tombstones leave holes); callers bound it and rebuild past a
+      * budget, as [[graft.engine.FusionEngine]] does at 25%. Returns
+      * false when the id is absent. */
+    def remove(id: Long): Boolean = this.synchronized {
+      val nodeOpt = idToNode.get(id)
+      if (nodeOpt.isEmpty) return false
+      val nd = nodeOpt.get
+      idToNode.remove(id)
+      val ids = nodeIds(nd)
+      if (ids.length > 1) { // collapsed duplicate: just drop the id
+        val pos = java.util.Arrays.binarySearch(ids, id)
+        val shrunk = new Array[Long](ids.length - 1)
+        System.arraycopy(ids, 0, shrunk, 0, pos)
+        System.arraycopy(ids, pos + 1, shrunk, pos, ids.length - pos - 1)
+        nodeIds(nd) = shrunk
+        return true
+      }
+      val off = nd * dim
+      nodeOf.remove(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        java.util.Arrays.copyOfRange(vecs, off, off + dim)))
+      // unlink bidirectionally at every layer the node participates in
+      var layer = 0
+      while (layer <= levels(nd)) {
+        val nbs = links(nd)(layer)
+        var i = 0
+        while (i < nbs.length) {
+          val nb = nbs(i)
+          if (nodeIds(nb) != null) { // neighbor may itself be freshly dead
+            val cur = links(nb)(layer)
+            var hit = false
+            var j = 0
+            while (j < cur.length && !hit) { hit = cur(j) == nd; j += 1 }
+            if (hit) {
+              val shrunk = new Array[Int](cur.length - 1)
+              var k = 0; var w = 0
+              while (k < cur.length) {
+                if (cur(k) != nd) { shrunk(w) = cur(k); w += 1 }
+                k += 1
+              }
+              links(nb)(layer) = shrunk
+            }
+          }
+          i += 1
+        }
+        layer += 1
+      }
+      nodeIds(nd) = null
+      links(nd) = null
+      levels(nd) = -1
+      nDead += 1
+      if (entry == nd) { // repair: highest-level live node, lowest slot wins ties
+        var best = -1; var bestLevel = -1
+        var i = 0
+        while (i < nNodes) {
+          if (nodeIds(i) != null && levels(i) > bestLevel) { best = i; bestLevel = levels(i) }
+          i += 1
+        }
+        entry = best
+        maxLevel = bestLevel
+      }
+      true
     }
 
     private[Hnsw] def buildScratch(): Scratch = new Scratch
@@ -542,6 +663,153 @@ object Hnsw {
       nNodes.toLong * dim * 4 + nVectors * 8 +
         links.iterator.take(nNodes).map(ls =>
           if (ls == null) 0L else ls.iterator.map(_.length.toLong * 4 + 16).sum).sum
+
+    /** Persist the full graph — the reference's `serialize()`
+      * (`/root/reference/src/core/HNSWIndex.js:390`) re-expressed as a
+      * compact binary stream instead of per-node JSON: header, levels,
+      * one flat little-endian-free float block (bulk `FloatBuffer`
+      * chunks, not 12M `writeFloat` calls at 100k×128d), id lists,
+      * adjacency. [[Hnsw.load]] restores a graph that is
+      * bit-identical — INCLUDING the continued seeded level sequence,
+      * so `add`s after a save/load round-trip equal `add`s without it
+      * (spec-pinned). Caller owns stream lifecycle and atomicity. */
+    def save(out: java.io.DataOutputStream): Unit = this.synchronized {
+      out.writeInt(Magic); out.writeInt(1)
+      out.writeInt(dim); out.writeInt(m); out.writeInt(efConstruction)
+      out.writeLong(seed)
+      out.writeInt(nNodes); out.writeInt(entry); out.writeInt(maxLevel)
+      var i = 0
+      while (i < nNodes) { out.writeInt(levels(i)); i += 1 }
+      val total = nNodes * dim
+      val chunkF = 1 << 14
+      val bytes = new Array[Byte](chunkF * 4)
+      val fb = java.nio.ByteBuffer.wrap(bytes).asFloatBuffer()
+      var off = 0
+      while (off < total) {
+        val nF = math.min(chunkF, total - off)
+        fb.clear(); fb.put(vecs, off, nF)
+        out.write(bytes, 0, nF * 4)
+        off += nF
+      }
+      i = 0
+      while (i < nNodes) {
+        val ids = nodeIds(i) // tombstone = 0 ids (levels already carry -1)
+        out.writeInt(if (ids == null) 0 else ids.length)
+        if (ids != null) {
+          var j = 0; while (j < ids.length) { out.writeLong(ids(j)); j += 1 }
+        }
+        i += 1
+      }
+      i = 0
+      while (i < nNodes) {
+        val ls = links(i)
+        out.writeInt(if (ls == null) 0 else ls.length)
+        if (ls != null) {
+          var l = 0
+          while (l < ls.length) {
+            val a = ls(l); out.writeInt(a.length)
+            var j = 0; while (j < a.length) { out.writeInt(a(j)); j += 1 }
+            l += 1
+          }
+        }
+        i += 1
+      }
+    }
+
+    /** [[save]] to a file (plain write; wrap in tmp-then-atomic-move
+      * yourself if the path is served concurrently, as
+      * `FusionEngine` does). */
+    def save(path: java.nio.file.Path): Unit = {
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        java.nio.file.Files.newOutputStream(path), 1 << 16))
+      try save(out) finally out.close()
+    }
+  }
+
+  private val Magic = 0x47484E53 // "GHNS"
+
+  /** Restore a graph written by [[Index.save]] — the reference's
+    * `HNSWIndex.deserialize` (`HNSWIndex.js:424`). The duplicate-
+    * collapse map rebuilds from the vector block, and the level RNG
+    * is re-seeded then advanced past the `nNodes` draws the saved
+    * graph consumed, so post-load [[Index.add]]s continue the exact
+    * sequence the un-saved graph would have drawn. */
+  def load(in: java.io.DataInputStream): Index = {
+    require(in.readInt() == Magic, "not an Hnsw graph stream")
+    require(in.readInt() == 1, "unsupported Hnsw graph version")
+    val dim = in.readInt(); val m = in.readInt(); val efC = in.readInt()
+    val seed = in.readLong()
+    val nNodes = in.readInt(); val entry = in.readInt(); val maxLevel = in.readInt()
+    require(dim > 0 && m >= 2 && nNodes >= 0 && entry < nNodes,
+      s"corrupt Hnsw header: dim=$dim m=$m n=$nNodes entry=$entry")
+    val levels = new Array[Int](nNodes)
+    var i = 0
+    while (i < nNodes) { levels(i) = in.readInt(); i += 1 }
+    val vecs = new Array[Float](nNodes * dim)
+    val chunkF = 1 << 14
+    val bytes = new Array[Byte](chunkF * 4)
+    val fb = java.nio.ByteBuffer.wrap(bytes).asFloatBuffer()
+    var off = 0
+    while (off < vecs.length) {
+      val nF = math.min(chunkF, vecs.length - off)
+      in.readFully(bytes, 0, nF * 4)
+      fb.clear(); fb.get(vecs, off, nF)
+      off += nF
+    }
+    val nodeIds = new Array[Array[Long]](nNodes)
+    i = 0
+    while (i < nNodes) {
+      val len = in.readInt()
+      require(len >= 0 && len <= Int.MaxValue / 8, s"corrupt id list at node $i")
+      require((len == 0) == (levels(i) == -1), s"tombstone mismatch at node $i")
+      if (len > 0) {
+        val ids = new Array[Long](len)
+        var j = 0; while (j < len) { ids(j) = in.readLong(); j += 1 }
+        nodeIds(i) = ids
+      }
+      i += 1
+    }
+    val links = new Array[Array[Array[Int]]](nNodes)
+    i = 0
+    while (i < nNodes) {
+      val nl = in.readInt()
+      require(nl == levels(i) + 1 || (nl == 0 && levels(i) == -1),
+        s"corrupt adjacency at node $i")
+      if (nl > 0) {
+        val ls = new Array[Array[Int]](nl)
+        var l = 0
+        while (l < nl) {
+          val len = in.readInt()
+          val a = new Array[Int](len)
+          var j = 0; while (j < len) { a(j) = in.readInt(); j += 1 }
+          ls(l) = a
+          l += 1
+        }
+        links(i) = ls
+      }
+      i += 1
+    }
+    val nodeOf = scala.collection.mutable.HashMap
+      .empty[scala.collection.immutable.ArraySeq[Float], Int]
+    i = 0
+    while (i < nNodes) {
+      if (nodeIds(i) != null)
+        nodeOf.put(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+          java.util.Arrays.copyOfRange(vecs, i * dim, (i + 1) * dim)), i)
+      i += 1
+    }
+    val rng = new java.util.Random(seed)
+    i = 0
+    while (i < nNodes) { rng.nextDouble(); i += 1 }
+    new Index(dim, m, efC, seed, nodeIds, vecs, levels, links, entry, maxLevel,
+      nNodes, nodeOf, rng)
+  }
+
+  /** [[load]] from a file. */
+  def load(path: java.nio.file.Path): Index = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(path), 1 << 16))
+    try load(in) finally in.close()
   }
 
   /** Unit-normalize (the cosine-as-dot precondition; shared with the

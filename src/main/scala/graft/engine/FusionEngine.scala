@@ -321,6 +321,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   def clear(name: String): Unit = {
     getConfig(name)
     if (Files.exists(dataDir(name))) deleteRecursively(dataDir(name))
+    Files.deleteIfExists(hnswPath(name)) // sidecar is content-checked, but don't leave it
     bumpWrite(name)
   }
 
@@ -490,15 +491,31 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
   final class HnswHandle private[engine] (
       val collection: String,
       val index: graft.ann.Hnsw.Index,
-      // grown in place by the append-only delta refresh: the array is
-      // REPLACED (volatile) before the graph gains the new nodes, so a
-      // concurrent search can never see a node id past the array end
+      // maintained by the delta reconcile with copy-then-publish
+      // (volatile): grown before the graph gains new nodes, pruned
+      // (slots nulled) after the graph drops removed ones — a
+      // concurrent search can never map a returned node to a missing
+      // or null id
       @volatile private[engine] var rowIds: Array[String],
+      // xxhash64 of each row's vector, parallel to rowIds — the delta
+      // refresh and disk warm-start reconcile on (id, vhash) PAIRS, so
+      // a delete + reinsert of the same id with a DIFFERENT vector
+      // reads as a removal (rebuild), never a silent stale serve
+      @volatile private[engine] var vecHashes: Array[Long],
       @volatile private[engine] var version: Long,
       @volatile private[engine] var minExpiryMs: Long,
       @volatile private[engine] var estBytesV: Long) {
     def estBytes: Long = estBytesV
     private[engine] var lastUsedMs: Long = System.currentTimeMillis()
+    // delta-remove bookkeeping: a slot whose row was deleted keeps its
+    // position (graph node ids are slot indexes) but nulls its rowIds
+    // entry; the graph never returns a tombstoned node. The cumulative
+    // removal budget (vs the row count at the last FULL build) bounds
+    // graph-quality rot before a rebuild is forced.
+    private[engine] var deadSlots: Int = 0
+    private[engine] var removedSinceBuild: Int = 0
+    private[engine] var builtRows: Int = rowIds.length
+    private[engine] def liveRows: Int = rowIds.length - deadSlots
     private[engine] def stale(ver: Long): Boolean =
       ver != version || System.currentTimeMillis() >= minExpiryMs
     /** Approximate top-k: `(id, cosine, rank)`, ties by id. */
@@ -526,22 +543,25 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val ver = dataVersion(name)
     val cached = hnswCache.get(name)
     if (cached != null && cached.index.m == m &&
-        cached.index.efConstruction == efConstruction &&
-        System.currentTimeMillis() < cached.minExpiryMs) {
+        cached.index.efConstruction == efConstruction) {
       // the cache hit must honor THIS caller's graph parameters (r11
-      // review: a hit keyed on name alone silently ignored m/efC)
-      if (cached.version == ver) {
+      // review: a hit keyed on name alone silently ignored m/efC).
+      // A passed minExpiry means some TTL row lapsed WITHOUT a version
+      // bump (expiry is read-time, not a write) — force the reconcile,
+      // which delta-REMOVES the lapsed rows and recomputes the expiry
+      // instead of rebuilding the whole graph
+      val expired = System.currentTimeMillis() >= cached.minExpiryMs
+      if (cached.version == ver && !expired) {
         if (cached.estBytes <= maxBytes) {
           cached.lastUsedMs = System.currentTimeMillis()
           return Some(cached)
         } else return None
       }
-      // version moved: if the collection only GREW (inserts are
-      // append-only; deletes/updates show up as missing ids), add the
-      // new rows into the live graph via Hnsw.Index.add instead of
-      // rebuilding — the reference's insert-then-search serving loop
-      // costs one beam search per new row, not an O(n) rebuild
-      if (hnswDeltaRefresh(cached, name, cfg, ver, maxBytes)) {
+      // version moved (or a TTL lapsed): grow-only changes delta-add,
+      // deletes/updates/expiries delta-remove — the reference's
+      // insert/delete serving loop, one beam search per changed row,
+      // not an O(n) rebuild
+      if (hnswReconcile(cached, name, cfg, ver, maxBytes, force = expired)) {
         if (cached.estBytes <= maxBytes) {
           cached.lastUsedMs = System.currentTimeMillis()
           return Some(cached)
@@ -549,6 +569,17 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       }
     }
     hnswCache.remove(name)
+    // disk warm start (r12): a previous process persisted its graph —
+    // load + content-reconcile (delta-add/remove as needed) beats the
+    // O(n) rebuild exactly as the reference's deserialize beats
+    // re-insert; a lapsed sidecar expiry forces the content pass
+    loadHnswDisk(name, m, efConstruction, maxBytes) match {
+      case Some(h) if hnswReconcile(h, name, cfg, ver, maxBytes,
+          force = System.currentTimeMillis() >= h.minExpiryMs) =>
+        if (h.estBytes <= maxBytes) { cacheHnsw(name, h); return Some(h) }
+        else return None
+      case _ => ()
+    }
     val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
     val src = table(name).filter(alive)
     val probe = src.agg(
@@ -559,17 +590,28 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     val minExpiry = if (probe.isNullAt(1)) Long.MaxValue else probe.getLong(1)
     val est = n * (cfg.dimensions.toLong * 4 + 8 + m * 2L * 4 + 96)
     if (n == 0 || est > maxBytes) return None
-    val rows = src.select(col("id"), col("vector")).orderBy(col("id")).collect()
+    val rows = src.select(col("id"), col("vector"),
+      org.apache.spark.sql.functions.xxhash64(col("vector")).as("vh"))
+      .orderBy(col("id")).collect()
     val ids = new Array[String](rows.length)
+    val vhs = new Array[Long](rows.length)
     val packed = rows.iterator.zipWithIndex.map { case (r, i) =>
       ids(i) = r.getString(0)
+      vhs(i) = r.getLong(2)
       (i.toLong, r.getSeq[Float](1).toArray)
     }
+    hnswFullBuilds.incrementAndGet()
     val idx = graft.ann.Hnsw.buildParallel(packed, cfg.dimensions, m, efConstruction)
-    val h = new HnswHandle(name, idx, ids, ver, minExpiry, est)
-    // same aggregate budget discipline as servingCache (r11 review):
-    // LRU-evict other graphs until this one fits; an unfittable graph
-    // is returned un-cached (served once, GC'd after use)
+    val h = new HnswHandle(name, idx, ids, vhs, ver, minExpiry, est)
+    persistHnsw(name, h)
+    cacheHnsw(name, h)
+    Some(h)
+  }
+
+  /** Same aggregate budget discipline as servingCache (r11 review):
+    * LRU-evict other graphs until this one fits; an unfittable graph
+    * is returned un-cached (served once, GC'd after use). */
+  private def cacheHnsw(name: String, h: HnswHandle): Unit =
     hnswCache.synchronized {
       var others = hnswCache.values().toArray(Array.empty[HnswHandle])
         .filter(_.collection != name).sortBy(_.lastUsedMs)
@@ -581,47 +623,115 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       }
       if (total <= FusionEngine.AggregateServingBytes) hnswCache.put(name, h)
     }
-    Some(h)
-  }
 
-  /** Append-only delta refresh of a cached [[HnswHandle]]: when every
-    * id the graph already holds is still alive and the only change is
-    * NEW distinct ids (≤ 25% growth), fetch just those rows and
-    * [[graft.ann.Hnsw.Index.add]] them. Returns false — caller falls
-    * back to a full rebuild — on any removal, an appended duplicate of
-    * an existing id (the multiset check can't tell old row from new),
-    * oversized growth, or a byte-cap breach. The refreshed graph is
-    * not bit-identical to a fresh rebuild (insertion order differs);
-    * both are inside the approximate-path contract and deterministic
-    * for a given op sequence. */
-  private def hnswDeltaRefresh(h: HnswHandle, name: String, cfg: CollectionConfig,
-                               ver: Long, maxBytes: Long): Boolean = h.synchronized {
-    if (h.version == ver) return true // another thread already refreshed
+  /** Content reconcile of a [[HnswHandle]] against the live table —
+    * serves both the cached delta refresh and the disk warm start.
+    * Compares the MULTISET of `(id, xxhash64(vector))` pairs the
+    * handle holds against the alive rows: identical → handle is
+    * current (safe BECAUSE the pairs hash content — an id-only check
+    * could not bless an unchanged multiset); new pairs → fetch just
+    * those rows and [[graft.ann.Hnsw.Index.add]] them (≤ 25% growth);
+    * missing pairs → [[graft.ann.Hnsw.Index.remove]] their graph
+    * nodes in place — the reference's own `delete()` — bounded by a
+    * CUMULATIVE 25%-of-built-rows budget because tombstones degrade
+    * graph navigability (past it, rebuild). A delete + reinsert of
+    * the same id with a different vector is remove + add in one pass.
+    * Returns false — caller falls back to a full rebuild — on budget
+    * breach, an appended duplicate of a still-live id, or a byte-cap
+    * breach. Hashing the vector closes the staleness hole an id-only
+    * check would have (2^-64 per the engine's hashed-key convention).
+    * The refreshed graph is not bit-identical to a fresh rebuild (op
+    * order differs); both are inside the approximate-path contract
+    * and deterministic for a given op sequence. */
+  private def hnswReconcile(h: HnswHandle, name: String, cfg: CollectionConfig,
+                            ver: Long, maxBytes: Long,
+                            force: Boolean = false): Boolean = h.synchronized {
+    // `force` = a TTL lapsed without a version bump; the content pass
+    // must run (and will see the lapsed rows as removals)
+    if (h.version == ver && !force) return true // another thread refreshed
     val alive = VectorSearch.ttlAlive(col("ts"), col("ttl_ms"))
     val src = table(name).filter(alive)
-    val ids = src.select(col("id")).collect().map(_.getString(0))
-    val counts = new java.util.HashMap[String, Integer]()
-    h.rowIds.foreach(i => counts.merge(i, Integer.valueOf(1), (a, b) => a + b))
-    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
-    ids.foreach { i =>
-      val c = counts.get(i)
-      if (c != null && c > 0) counts.put(i, c - 1) else fresh += i
+    val pairs = src.select(col("id"),
+      org.apache.spark.sql.functions.xxhash64(col("vector")).as("vh"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // (id, vhash) -> live slots holding that pair (id-unique collections
+    // have singleton queues; duplicate rows degrade gracefully)
+    val slotsOf = new java.util.HashMap[(String, Long), java.util.ArrayDeque[Integer]]()
+    val liveIds = new java.util.HashSet[String]()
+    var i = 0
+    while (i < h.rowIds.length) {
+      if (h.rowIds(i) != null) {
+        slotsOf.computeIfAbsent((h.rowIds(i), h.vecHashes(i)),
+          _ => new java.util.ArrayDeque[Integer]()).add(Integer.valueOf(i))
+        liveIds.add(h.rowIds(i))
+      }
+      i += 1
     }
-    var removed = false
-    counts.forEach((_, c) => if (c > 0) removed = true)
-    if (removed || fresh.isEmpty || fresh.length > h.rowIds.length / 4 ||
-        fresh.exists(counts.containsKey)) return false
-    val est2 = (h.rowIds.length.toLong + fresh.length) *
-      (cfg.dimensions.toLong * 4 + 8 + h.index.m * 2L * 4 + 96)
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[String]
+    pairs.foreach { case (id, vh) =>
+      val q = slotsOf.get((id, vh))
+      if (q != null && !q.isEmpty) q.poll() // matched: this slot survives
+      else fresh += id
+    }
+    val removedSlots = scala.collection.mutable.ArrayBuffer.empty[Int]
+    slotsOf.forEach((_, q) => q.forEach(s => removedSlots += s.intValue()))
+    val removedIds = removedSlots.iterator.map(h.rowIds(_)).toSet
+    // a fresh id colliding with a SURVIVING held id is a duplicate-id
+    // append (slot->id must stay 1:1) — rebuild; a fresh id whose old
+    // slot is being removed this pass is an UPDATE — allowed
+    val freshHeldId = fresh.exists(id =>
+      liveIds.contains(id) && !removedIds.contains(id))
+    if (freshHeldId || fresh.length > h.liveRows / 4 ||
+        h.removedSinceBuild + removedSlots.length > h.builtRows / 4)
+      return false
+    if (fresh.isEmpty && removedSlots.isEmpty) {
+      // forced pass with nothing lapsed yet (clock raced the boundary):
+      // refresh the expiry so the next hit can short-circuit again
+      if (force) h.minExpiryMs = recomputeMinExpiry(src)
+      h.version = ver
+      return true
+    }
+    val rowBytes = cfg.dimensions.toLong * 4 + 8 + h.index.m * 2L * 4 + 96
+    val est2 = (h.liveRows.toLong - removedSlots.length + fresh.length) * rowBytes
     if (est2 > maxBytes) return false
+    // removals first (an update of an id re-adds after its old node is
+    // gone). COPY-then-publish, like the grow path: a search holding
+    // the pre-remove array maps any already-beamed node to its old id
+    // (consistent pre-delete view); once the graph drops the node it
+    // can't be returned, and the published array nulls only slots the
+    // graph no longer serves
+    if (removedSlots.nonEmpty) {
+      val pruned = h.rowIds.clone()
+      removedSlots.foreach { s =>
+        h.index.remove(s.toLong)
+        pruned(s) = null
+      }
+      h.rowIds = pruned
+    }
+    h.deadSlots += removedSlots.length
+    h.removedSinceBuild += removedSlots.length
+    if (fresh.isEmpty) {
+      h.estBytesV = est2
+      h.minExpiryMs = recomputeMinExpiry(src)
+      h.version = ver
+      persistHnsw(name, h)
+      return true
+    }
     val rows = src.filter(col("id").isin(fresh.toSeq.map(lit(_)): _*))
       .select(col("id"), col("vector"),
-        when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms")).as("exp"))
+        when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms")).as("exp"),
+        org.apache.spark.sql.functions.xxhash64(col("vector")).as("vh"))
       .orderBy(col("id")).collect()
     val base = h.rowIds.length
     val grown = java.util.Arrays.copyOf(h.rowIds, base + rows.length)
+    val grownVh = java.util.Arrays.copyOf(h.vecHashes, base + rows.length)
     var k = 0
-    while (k < rows.length) { grown(base + k) = rows(k).getString(0); k += 1 }
+    while (k < rows.length) {
+      grown(base + k) = rows(k).getString(0)
+      grownVh(base + k) = rows(k).getLong(3)
+      k += 1
+    }
+    h.vecHashes = grownVh
     h.rowIds = grown // publish BEFORE the graph can return the new nodes
     var minExp = h.minExpiryMs
     k = 0
@@ -630,11 +740,102 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       if (!rows(k).isNullAt(2)) minExp = math.min(minExp, rows(k).getLong(2))
       k += 1
     }
-    h.minExpiryMs = minExp
+    // a removed row may have held the min expiry — recompute from the
+    // live rows so the handle doesn't read permanently expired
+    h.minExpiryMs =
+      if (removedSlots.nonEmpty) recomputeMinExpiry(src) else minExp
     h.estBytesV = est2
     h.version = ver
+    persistHnsw(name, h) // keep the disk graph warm for the next process
     true
   }
+
+  private def recomputeMinExpiry(src: org.apache.spark.sql.DataFrame): Long = {
+    val r = src.agg(
+      min(when(col("ttl_ms") > 0, unix_millis(col("ts")) + col("ttl_ms"))).as("exp"))
+      .collect()(0)
+    if (r.isNullAt(0)) Long.MaxValue else r.getLong(0)
+  }
+
+  /** Persisted-graph sidecar (`<collection dir>/hnsw.bin`) — the
+    * reference's `serialize()`d index inside its snapshot file, kept
+    * as a binary sidecar here so a new process warm-starts serving
+    * without the O(n) rebuild. Written tmp-then-atomic-move on every
+    * full build and delta refresh; best-effort (an IO failure only
+    * costs the next process a rebuild). Layout: engine header
+    * (minExpiry, estBytes, row count, per-row id + vector hash) then
+    * the [[graft.ann.Hnsw.Index.save]] stream. */
+  private def hnswPath(name: String): Path = dir(name).resolve("hnsw.bin")
+
+  private def persistHnsw(name: String, h: HnswHandle): Unit =
+    try {
+      val tmp = dir(name).resolve(s"hnsw.bin.tmp${System.nanoTime()}")
+      val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+        Files.newOutputStream(tmp), 1 << 16))
+      try {
+        out.writeInt(FusionEngine.HnswSidecarMagic)
+        out.writeInt(1)
+        out.writeLong(h.minExpiryMs)
+        out.writeLong(h.estBytes)
+        out.writeInt(h.builtRows)
+        out.writeInt(h.removedSinceBuild)
+        out.writeInt(h.rowIds.length)
+        var i = 0
+        while (i < h.rowIds.length) {
+          val alive = h.rowIds(i) != null
+          out.writeBoolean(alive)
+          if (alive) { out.writeUTF(h.rowIds(i)); out.writeLong(h.vecHashes(i)) }
+          i += 1
+        }
+        h.index.save(out)
+      } finally out.close()
+      Files.move(tmp, hnswPath(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case _: java.io.IOException => () }
+
+  /** Load the sidecar if present and parameter-compatible; version is
+    * stamped STALE so the caller's [[hnswReconcile]] always validates
+    * content against the live table before the handle serves. */
+  private def loadHnswDisk(name: String, m: Int, efConstruction: Int,
+                           maxBytes: Long): Option[HnswHandle] =
+    try {
+      val p = hnswPath(name)
+      if (!Files.exists(p)) return None
+      val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+        Files.newInputStream(p), 1 << 16))
+      try {
+        if (in.readInt() != FusionEngine.HnswSidecarMagic) return None
+        if (in.readInt() != 1) return None
+        val minExp = in.readLong()
+        val est = in.readLong()
+        if (est > maxBytes) return None // don't deserialize what the cap refuses
+        val builtRows = in.readInt()
+        val removedSinceBuild = in.readInt()
+        val nRows = in.readInt()
+        val ids = new Array[String](nRows)
+        val vhs = new Array[Long](nRows)
+        var dead = 0
+        var i = 0
+        while (i < nRows) {
+          if (in.readBoolean()) { ids(i) = in.readUTF(); vhs(i) = in.readLong() }
+          else dead += 1
+          i += 1
+        }
+        val idx = graft.ann.Hnsw.load(in)
+        if (idx.m != m || idx.efConstruction != efConstruction) return None
+        hnswDiskLoads.incrementAndGet()
+        val h = new HnswHandle(name, idx, ids, vhs, Long.MinValue, minExp, est)
+        h.builtRows = builtRows
+        h.removedSinceBuild = removedSinceBuild
+        h.deadSlots = dead
+        Some(h)
+      } finally in.close()
+    } catch { case _: Exception => None } // corrupt sidecar = no warm start
+
+  // instrumentation for specs (prove warm start skipped the rebuild)
+  private[graft] val hnswFullBuilds = new java.util.concurrent.atomic.AtomicLong()
+  private[graft] val hnswDiskLoads = new java.util.concurrent.atomic.AtomicLong()
 
   /** Collection version = data-dir mtime combined with this engine's
     * write counter (see [[bumpWrite]]). */
@@ -817,6 +1018,9 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
 }
 
 object FusionEngine {
+
+  /** `hnsw.bin` sidecar header magic ("GHSE"). */
+  private[engine] val HnswSidecarMagic = 0x47485345
 
   /** Per-collection serving-cache resident-footprint cap — aliases the
     * serving tier's single source of truth

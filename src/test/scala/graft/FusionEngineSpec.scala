@@ -97,13 +97,19 @@ class FusionEngineSpec extends AnyFunSuite {
     val h2 = e.servingHnsw("demo").getOrElse(fail("refresh must fit"))
     assert(h2 eq h) // delta path, not a rebuild
     assert(h2.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
-    // a delete is NOT append-only: the graph can't drop nodes, so the
-    // handle rebuilds and the removed row is gone
+    // a delete within the 25% budget delta-REMOVES in place (the
+    // reference's own HNSWIndex.delete): same handle, row gone
     Thread.sleep(5)
     e.deleteByIds("demo", Seq("d9"))
-    val h3 = e.servingHnsw("demo").getOrElse(fail("rebuild must fit"))
-    assert(!(h3 eq h2))
+    val h3 = e.servingHnsw("demo").getOrElse(fail("refresh must fit"))
+    assert(h3 eq h2)
     assert(!h3.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
+    // past the cumulative removal budget the handle rebuilds
+    Thread.sleep(5)
+    e.deleteByIds("demo", Seq("d3", "d4"))
+    val h4 = e.servingHnsw("demo").getOrElse(fail("rebuild must fit"))
+    assert(!(h4 eq h3))
+    assert(h4.search(qv, topK = 4, ef = 16).map(_._1).toSet == Set("d1", "d2"))
     // over-cap and non-cosine both fall back to None
     assert(e.servingHnsw("demo", maxBytes = 16).isEmpty)
     e.createCollection("dotcoll",
@@ -111,6 +117,79 @@ class FusionEngineSpec extends AnyFunSuite {
     e.insert("dotcoll", Embed.withEmbedding(
       Seq("x1" -> "anything").toDF("id", "content"), "content", "vector", embedder))
     assert(e.servingHnsw("dotcoll").isEmpty)
+  }
+
+  test("servingHnsw: a lapsed TTL row delta-removes from the live graph, no rebuild") {
+    val e = freshEngine()
+    e.createCollection("httl", CollectionConfig(dimensions = 64))
+    val now = System.currentTimeMillis()
+    val keeps = Seq("k1" -> "alpha particles", "k2" -> "beta waves",
+      "k3" -> "gamma rays", "k4" -> "delta function").toDF("id", "content")
+    e.insert("httl", Embed.withEmbedding(keeps, "content", "vector", embedder))
+    e.insert("httl", Embed.withEmbedding(
+      Seq("dead" -> "expiring row").toDF("id", "content"),
+      "content", "vector", embedder),
+      ttlMs = Some(4000L), now = Some(new Timestamp(now)))
+    val qv = embedder.embed("expiring row").map(_.toDouble).toSeq
+    val h = e.servingHnsw("httl").getOrElse(fail("must fit"))
+    assert(h.search(qv, topK = 5, ef = 16).map(_._1).contains("dead"))
+    Thread.sleep(math.max(0L, now + 4100 - System.currentTimeMillis()))
+    // expiry is read-time (no version bump): the forced reconcile
+    // removes the lapsed node in place instead of rebuilding
+    val h2 = e.servingHnsw("httl").getOrElse(fail("delta refresh must serve"))
+    assert(h2 eq h)
+    assert(!h2.search(qv, topK = 5, ef = 16).map(_._1).contains("dead"))
+    assert(e.hnswFullBuilds.get() == 1) // the initial build, nothing since
+  }
+
+  test("servingHnsw: persisted graph warm-starts a new process without a rebuild") {
+    val root = Files.createTempDirectory("graft_engine").toString
+    val e1 = new FusionEngine(spark, root)
+    insertDemo(e1)
+    val qv = embedder.embed("chemical safety requirements").map(_.toDouble).toSeq
+    val want = e1.servingHnsw("demo").getOrElse(fail("must fit"))
+      .search(qv, topK = 3, ef = 16)
+    assert(e1.hnswFullBuilds.get() == 1) // built once, sidecar persisted
+
+    // "new process": a fresh engine over the same root — loads the
+    // sidecar, content-reconciles against the table, never rebuilds
+    val e2 = new FusionEngine(spark, root)
+    val h2 = e2.servingHnsw("demo").getOrElse(fail("warm start must serve"))
+    assert(e2.hnswFullBuilds.get() == 0 && e2.hnswDiskLoads.get() == 1)
+    assert(h2.search(qv, topK = 3, ef = 16) == want)
+
+    // append rows, then warm-start yet another engine: the loaded graph
+    // delta-adds the new rows instead of rebuilding
+    e2.insert("demo", Embed.withEmbedding(
+      Seq("d9" -> "chemical safety requirements exactly").toDF("id", "content"),
+      "content", "vector", embedder))
+    val e3 = new FusionEngine(spark, root)
+    val h3 = e3.servingHnsw("demo").getOrElse(fail("warm start must serve"))
+    assert(e3.hnswFullBuilds.get() == 0 && e3.hnswDiskLoads.get() == 1)
+    assert(h3.search(qv, topK = 5, ef = 16).map(_._1).contains("d9"))
+
+    // a delete + reinsert of the SAME id with a DIFFERENT vector is an
+    // UPDATE: the (id, vector-hash) reconcile removes the old node and
+    // adds the new row in one pass — still no rebuild, and an id-only
+    // check would have served d1's stale vector here
+    e3.deleteByIds("demo", Seq("d1"))
+    e3.insert("demo", Embed.withEmbedding(
+      Seq("d1" -> "entirely different replacement content").toDF("id", "content"),
+      "content", "vector", embedder))
+    val e4 = new FusionEngine(spark, root)
+    val h4 = e4.servingHnsw("demo").getOrElse(fail("warm start must serve"))
+    assert(e4.hnswFullBuilds.get() == 0 && e4.hnswDiskLoads.get() == 1)
+    val d1Score = h4.search(
+      embedder.embed("entirely different replacement content").map(_.toDouble).toSeq,
+      topK = 1, ef = 16)
+    assert(d1Score.head._1 == "d1" && d1Score.head._2 > 0.999)
+    assert(!h4.search(qv, topK = 5, ef = 16).map(_._1).exists(_ == null))
+
+    // a corrupt sidecar is ignored, not fatal
+    Files.write(java.nio.file.Paths.get(root, "demo", "hnsw.bin"),
+      Array[Byte](1, 2, 3))
+    val e5 = new FusionEngine(spark, root)
+    assert(e5.servingHnsw("demo").isDefined && e5.hnswFullBuilds.get() == 1)
   }
 
   test("serving cache: aggregate budget LRU-evicts the least recently used snapshot") {

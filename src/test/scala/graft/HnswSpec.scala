@@ -163,6 +163,94 @@ class HnswSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](inc.add(1L, Array.fill(8)(0.1f)))
   }
 
+  test("remove: unlinks + tombstones, entry repair, duplicate ids, re-add, round-trips") {
+    val all = mkVecs(400, 16, seed = 77)
+    val idx = Hnsw.build(all.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 9L)
+    assert(!idx.remove(99999L)) // unknown id
+    // remove 40 ids: they disappear, live ids keep perfect self-recall
+    val gone = (0 until 40).map(i => (i * 7L) % 400L).distinct
+    gone.foreach(id => assert(idx.remove(id)))
+    assert(idx.n == 400 - gone.size && idx.nVectors == 400 - gone.size)
+    val rnd = new scala.util.Random(1)
+    (0 until 20).foreach { _ =>
+      val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+      val hits = idx.searchOne(q.toSeq, 10, 64).map(_._1)
+      assert(hits.nonEmpty && hits.intersect(gone).isEmpty)
+    }
+    all.filterNot(v => gone.contains(v._1)).take(50).foreach { case (id, v) =>
+      assert(idx.searchOne(v.map(_.toDouble).toSeq, 1, 64).head._1 == id)
+    }
+    // collapsed duplicates: removing one id keeps the node + other id
+    idx.add(1000L, all(50)._2.clone())
+    assert(idx.remove(50L))
+    assert(idx.searchOne(all(50)._2.map(_.toDouble).toSeq, 1, 64).head._1 == 1000L)
+    // re-adding a fully-removed vector builds a fresh node
+    val n0 = idx.n
+    assert(idx.remove(1000L))
+    idx.add(2000L, all(50)._2.clone())
+    assert(idx.n == n0)
+    assert(idx.searchOne(all(50)._2.map(_.toDouble).toSeq, 1, 64).head._1 == 2000L)
+    // entry repair: removing every top-level node leaves search working
+    // (tombstoned slots carry level -1, so the filter only sees live
+    // nodes; slot index == original id for this duplicate-free corpus)
+    val top = (0 until 400).filter(i => idx.level(i) == idx.topLevel)
+    top.foreach(i => assert(idx.remove(i.toLong)))
+    val q0 = Array.fill(16)(0.5)
+    assert(idx.searchOne(q0.toSeq, 5, 64).nonEmpty)
+    assert(idx.topLevel >= 0)
+    // tombstones survive save/load; adds still work after
+    val tmp = java.nio.file.Files.createTempFile("hnsw_rm", ".bin")
+    try {
+      idx.save(tmp)
+      val back = Hnsw.load(tmp)
+      assert(back.n == idx.n && back.nVectors == idx.nVectors &&
+        back.topLevel == idx.topLevel)
+      (0 until 10).foreach { _ =>
+        val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+        assert(back.searchOne(q.toSeq, 10, 64) == idx.searchOne(q.toSeq, 10, 64))
+      }
+      back.add(3000L, Array.fill(16)(0.25f))
+      idx.add(3000L, Array.fill(16)(0.25f))
+      assert(back.searchOne(Seq.fill(16)(0.25), 1, 64) ==
+        idx.searchOne(Seq.fill(16)(0.25), 1, 64))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  test("save/load: bit-identical graph, identical searches, adds continue the seeded sequence") {
+    val all = mkVecs(700, 16, seed = 91)
+    val (a, b) = all.splitAt(500)
+    val idx = Hnsw.build(a.iterator.map(v => (v._1, v._2.clone())), dim = 16, seed = 3L)
+    val tmp = java.nio.file.Files.createTempFile("hnsw", ".bin")
+    try {
+      idx.save(tmp)
+      val back = Hnsw.load(tmp)
+      assert(back.n == idx.n && back.topLevel == idx.topLevel &&
+        back.nVectors == idx.nVectors &&
+        back.m == idx.m && back.efConstruction == idx.efConstruction)
+      (0 until idx.n).foreach { i =>
+        assert(back.level(i) == idx.level(i))
+        (0 to idx.level(i)).foreach(l => assert(back.neighbors(i, l) == idx.neighbors(i, l)))
+      }
+      val rnd = new scala.util.Random(5)
+      (0 until 10).foreach { _ =>
+        val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+        assert(back.searchOne(q.toSeq, 10, 64) == idx.searchOne(q.toSeq, 10, 64))
+      }
+      // the RNG resumes where the saved graph left off: adds into the
+      // loaded graph produce the same graph as adds into the original
+      b.foreach { case (id, v) => idx.add(id, v.clone()); back.add(id, v.clone()) }
+      assert(back.n == idx.n && back.topLevel == idx.topLevel)
+      (0 until idx.n).foreach(i => assert(back.neighbors(i, 0) == idx.neighbors(i, 0)))
+      // duplicate collapse survives the round-trip (nodeOf rebuilt)
+      back.add(8888L, a(3)._2.clone())
+      assert(back.n == idx.n)
+      // corrupt stream rejects
+      val out = new java.io.DataOutputStream(java.nio.file.Files.newOutputStream(tmp))
+      out.writeInt(0xBADBAD); out.writeInt(1); out.close()
+      intercept[IllegalArgumentException](Hnsw.load(tmp))
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   test("fromDataFrame: deterministic over partitioning, byte-cap guard, empty frame") {
     import TestSpark.spark
     import spark.implicits._
