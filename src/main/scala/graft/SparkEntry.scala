@@ -1130,6 +1130,24 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: model-BASED filtering (the DCLM / fineweb-edu
+    // shape): a multinomial Naive Bayes classifier trained
+    // distributed (one count shuffle; add-one smoothing) on the even
+    // half of the corpus with the `lang` column as labels, applied to
+    // the odd half — the trained counterpart of the heuristic
+    // `text_langid`. The oracle replays train + inference end-to-end
+    // in SQL: identical counts, smoothing, priors, and the
+    // per-doc argmax with the label-order tie-break.
+    "nb_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.textanalysis.TextAnalysis.nbClassifier(
+          docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
+          "text", "doc_id", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: Unicode NFC normalization + control-strip +
     // whitespace-collapse — the canonical first cleaning step (the web
     // serves the same text byte-different: é as U+00E9 vs e+U+0301).
@@ -3020,6 +3038,46 @@ object SparkEntry {
           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
           |  round(avg(s), 6) AS lm_score
           |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // NB train + inference replayed end-to-end in SQL: identical
+      // tokenization (lower, \s+ split, drop empties), add-one
+      // smoothing over the train vocabulary, class priors, and the
+      // per-doc argmax with ties broken on label order. Score rounded
+      // to 4 decimals to absorb double-sum association order.
+      "nb_classifier" ->
+        """WITH ws0 AS (
+          |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'),
+          |    w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |tok AS (SELECT doc_id, unnest(ws) AS w FROM ws0),
+          |cnt AS (
+          |  SELECT d.lang AS label, t.w, count(*) AS c
+          |  FROM tok t JOIN ws0 d USING (doc_id)
+          |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+          |tot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS tok_c FROM cnt GROUP BY 1),
+          |pri AS (SELECT lang AS label, count(*) AS n_c
+          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          |nv AS (SELECT (SELECT CAST(sum(n_c) AS DOUBLE) FROM pri) AS n,
+          |              (SELECT CAST(count(DISTINCT w) AS DOUBLE) FROM cnt) AS v),
+          |terms AS (
+          |  SELECT s.doc_id, t.label,
+          |    ln((coalesce(c.c, 0) + 1) / (t.tok_c + nv.v)) AS term
+          |  FROM (SELECT doc_id, w FROM tok WHERE doc_id % 2 = 1) s
+          |  CROSS JOIN tot t
+          |  LEFT JOIN cnt c ON c.label = t.label AND c.w = s.w
+          |  CROSS JOIN nv),
+          |persum AS (
+          |  SELECT doc_id, label, sum(term) AS s FROM terms GROUP BY 1, 2),
+          |scored AS (
+          |  SELECT p.doc_id, p.label, p.s + ln(pri.n_c / nv.n) AS tot_s
+          |  FROM persum p JOIN pri USING (label) CROSS JOIN nv),
+          |ranked AS (
+          |  SELECT doc_id, label, tot_s,
+          |    row_number() OVER (PARTITION BY doc_id
+          |      ORDER BY tot_s DESC, label) AS rn
+          |  FROM scored)
+          |SELECT doc_id, label AS pred, round(tot_s, 4) AS nb_score
+          |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
       // chr(769) = U+0301 COMBINING ACUTE; DuckDB length() counts code
       // points like Spark's length(), and nfc_normalize implements the

@@ -312,6 +312,70 @@ object TextAnalysis {
         round(avg($"s"), 6).as("lm_score"))
   }
 
+  /** Multinomial Naive Bayes text classifier — the model-BASED filter
+    * of the curation family (DCLM / fineweb-edu style quality or
+    * language routing), trained and applied as two Spark plans with no
+    * driver-side learning loop.
+    *
+    * Train: per-(label, token) counts with add-one smoothing over the
+    * training vocabulary; priors from label frequencies. Score: for
+    * each doc, `argmax_c [ ln p(c) + Σ_w ln p(w|c) ]`, out-of-vocab
+    * tokens falling back to the smoothed floor `1/(tokens_c + V)`.
+    * Ties break on label order (deterministic).
+    *
+    * 100 TB shape: ONE count shuffle over the train tokens (map-side
+    * combined), model = V×C rows (bounded by Heaps'-law vocabulary;
+    * pass the tokens through a hash-mod first if V must be capped),
+    * broadcast-joined to the score tokens; per-doc Σ is the second and
+    * last shuffle, keyed on (id, label) with C = |labels| small. The
+    * argmax is a per-id window after aggregation (rows = docs × C).
+    *
+    * Returns `(id, pred, nb_score)` — predicted label and its total
+    * log-probability rounded to 4 decimals (absorbs double-sum
+    * association order across engines; the DuckDB oracle replays the
+    * identical math).
+    *
+    * No reference counterpart (the reference has no classifier);
+    * public-algorithm NB per Manning, Raghavan & Schütze, IIR ch. 13. */
+  def nbClassifier(score: org.apache.spark.sql.DataFrame,
+                   train: org.apache.spark.sql.DataFrame,
+                   textCol: String, idCol: String, labelCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = score.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def toks(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+          filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+        .select($"id", explode($"ws").as("w"))
+    val labels = train.select(col(idCol).cast("long").as("id"),
+      col(labelCol).as("label"))
+    val cnt = toks(train)
+      .join(labels, Seq("id"))
+      .groupBy($"label", $"w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"label").agg(sum($"c").cast("double").as("tok_c"))
+    val pri = labels.groupBy($"label").agg(count(lit(1)).as("n_c"))
+    val nv = pri.agg(sum($"n_c").cast("double").as("n"))
+      .crossJoin(cnt.select($"w").distinct()
+        .agg(count(lit(1)).cast("double").as("v")))
+    val scoreToks = toks(score)
+    val perClass = scoreToks
+      .crossJoin(broadcast(tot))
+      .join(broadcast(cnt), Seq("label", "w"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("term",
+        log((coalesce($"c", lit(0L)) + lit(1L)).cast("double") / ($"tok_c" + $"v")))
+      .groupBy($"id", $"label")
+      .agg(sum($"term").as("s"))
+      .join(broadcast(pri), Seq("label"))
+      .crossJoin(broadcast(nv.select($"n")))
+      .withColumn("tot_s", $"s" + log($"n_c".cast("double") / $"n"))
+    val rn = row_number().over(
+      Window.partitionBy($"id").orderBy($"tot_s".desc, $"label".asc))
+    perClass.withColumn("rn", rn).filter($"rn" === 1)
+      .select($"id", $"label".as("pred"), round($"tot_s", 4).as("nb_score"))
+  }
+
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
     * keep the min hash of every sliding window of size w — the standard
     * local document fingerprint (Schleimer et al., public algorithm).

@@ -1,0 +1,142 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** Per-query shuffle-byte audit over every graded [[graft.SparkEntry]]
+  * entry — the measured answer to "which operator's exchange explodes
+  * at 100×?".
+  *
+  * For each query, runs the plan at every SF dir given and records the
+  * task-metric totals (shuffle bytes written, shuffle bytes read,
+  * input bytes, disk spill). With two SFs 10× apart, the growth ratio
+  * `shuffle(sf_big) / shuffle(sf_small)` against the 10× data ratio is
+  * direct evidence of each operator's scaling class:
+  *
+  *  - ratio ≈ 10 → linear (shuffle carries O(N) rows — fine),
+  *  - ratio ≈ 1  → size-independent (broadcast/metadata — ideal),
+  *  - ratio ≫ 10 → superlinear — a scale bug worth a VERDICT line.
+  *
+  * Usage:
+  * {{{
+  *   SPARK_GRAFT_SF_DIRS=/root/testdata/sf0.01,/root/testdata/sf0.1 \
+  *     sbt "runMain graft.tools.ShuffleAudit"
+  * }}}
+  *
+  * Writes `SHUFFLE_AUDIT.json` to the working directory and prints a
+  * compact per-query table. Listener delivery is asynchronous, so the
+  * counters are polled to quiescence after each action instead of
+  * relying on the private listener-bus flush API.
+  */
+object ShuffleAudit {
+
+  private final class MetricsListener extends SparkListener {
+    val shuffleWrite = new AtomicLong
+    val shuffleRead = new AtomicLong
+    val inputBytes = new AtomicLong
+    val spillBytes = new AtomicLong
+    val tasks = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        spillBytes.addAndGet(m.diskBytesSpilled)
+        tasks.incrementAndGet()
+      }
+      ()
+    }
+    def snapshot(): (Long, Long, Long, Long, Long) =
+      (shuffleWrite.get, shuffleRead.get, inputBytes.get, spillBytes.get, tasks.get)
+  }
+
+  final case class Audit(shuffleWrite: Long, shuffleRead: Long,
+                         input: Long, spill: Long, tasks: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDirs = sys.env.getOrElse("SPARK_GRAFT_SF_DIRS",
+      "/root/testdata/sf0.01,/root/testdata/sf0.1").split(',').toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
+
+    def settle(): (Long, Long, Long, Long, Long) = {
+      // poll until two consecutive reads agree — the public-API stand-in
+      // for the private listenerBus.waitUntilEmpty()
+      var prev = listener.snapshot()
+      var same = false
+      while (!same) {
+        Thread.sleep(150)
+        val cur = listener.snapshot()
+        same = cur == prev
+        prev = cur
+      }
+      prev
+    }
+
+    val names = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    // per SF: name -> Audit
+    val results: Seq[(String, Map[String, Audit])] = sfDirs.map { sfDir =>
+      val perQuery = names.flatMap { name =>
+        try {
+          val before = settle()
+          graft.SparkEntry.queries(name)(spark, sfDir).count()
+          val after = settle()
+          Some(name -> Audit(
+            after._1 - before._1, after._2 - before._2,
+            after._3 - before._3, after._4 - before._4,
+            after._5 - before._5))
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[audit] $name failed at $sfDir: ${e.getMessage}")
+            None
+        }
+      }.toMap
+      System.err.println(s"[audit] finished ${perQuery.size} queries at $sfDir")
+      (sfDir, perQuery)
+    }
+
+    val (smallDir, small) = results.head
+    val (bigDir, big) = if (results.size > 1) results.last else results.head
+    def fmtRatio(a: Long, b: Long): String =
+      if (a <= 0) "null" else f"${b.toDouble / a}%.2f"
+    val rows = names.filter(n => small.contains(n) && big.contains(n)).map { n =>
+      val s = small(n); val b = big(n)
+      s"""    "$n": {"shuffle_write_small":${s.shuffleWrite},"shuffle_write_big":${b.shuffleWrite},"shuffle_growth":${fmtRatio(s.shuffleWrite, b.shuffleWrite)},"shuffle_read_big":${b.shuffleRead},"input_small":${s.input},"input_big":${b.input},"input_growth":${fmtRatio(s.input, b.input)},"spill_big":${b.spill},"tasks_big":${b.tasks}}"""
+    }
+    val json =
+      s"""{
+         |  "sf_small": "$smallDir",
+         |  "sf_big": "$bigDir",
+         |  "data_ratio_hint": 10.0,
+         |  "note": "per-query task-metric totals; shuffle_growth ~= data ratio means the exchange is linear in corpus size, ~1 means size-independent (broadcast), >> data ratio is superlinear and a scale bug",
+         |  "queries": {
+         |${rows.mkString(",\n")}
+         |  }
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("SHUFFLE_AUDIT.json"),
+      json.getBytes("UTF-8"))
+    // compact table on stdout, sorted by big-SF shuffle write desc
+    val top = names.filter(big.contains).sortBy(n => -big(n).shuffleWrite)
+    println(f"${"query"}%-28s ${"shufW_big"}%12s ${"growth"}%8s ${"input_big"}%12s ${"spill"}%8s")
+    top.foreach { n =>
+      val s = small.get(n); val b = big(n)
+      val g = s.map(x => fmtRatio(x.shuffleWrite, b.shuffleWrite)).getOrElse("-")
+      println(f"$n%-28s ${b.shuffleWrite}%12d $g%8s ${b.input}%12d ${b.spill}%8d")
+    }
+    spark.stop()
+  }
+}

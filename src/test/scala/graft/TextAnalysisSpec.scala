@@ -164,6 +164,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains((3L, 2)))
   }
 
+  test("nbClassifier: hand-computed smoothing, OOV floor, and label-order tie-break") {
+    // train: x = "a a b", y = "c c d"  → V = 4, tok_c = 3 each,
+    // priors 1/2 each. p(a|x) = (2+1)/(3+4) = 3/7, p(c|x) = 1/7, etc.
+    val train = Seq((0L, "a a b", "x"), (1L, "c c d", "y"))
+      .toDF("doc_id", "text", "label")
+    // "a c" scores identically under both classes (3/7 · 1/7 each
+    // way) → tie breaks to the smaller label "x". "a a" favors x;
+    // "zz" is fully OOV → both classes hit the smoothed floor 1/7,
+    // tie again → "x".
+    val score = Seq((10L, "a c"), (11L, "a a"), (12L, "c d c"), (13L, "zz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.nbClassifier(score, train, "text", "doc_id", "label")
+      .as[(Long, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L)._1 == "x")
+    assert(got(11L)._1 == "x")
+    assert(got(12L)._1 == "y")
+    assert(got(13L)._1 == "x")
+    def r4(d: Double) = math.round(d * 1e4) / 1e4
+    assert(got(11L)._2 == r4(math.log(0.5) + 2 * math.log(3.0 / 7)))
+    assert(got(13L)._2 == r4(math.log(0.5) + math.log(1.0 / 7)))
+    // "c d c" under y: p(c|y) = (2+1)/7, p(d|y) = (1+1)/7
+    assert(got(12L)._2 == r4(math.log(0.5) + 2 * math.log(3.0 / 7) + math.log(2.0 / 7)))
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
