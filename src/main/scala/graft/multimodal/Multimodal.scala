@@ -15,10 +15,12 @@ import org.apache.spark.sql.types._
   * — bitstream + requantization standard-exact, synthesis window a
   * documented stand-in), and VIDEO via the RIFF/AVI container walk
   * ([[MediaCodecs.decodeAvi]] — uncompressed DIB frames by pure byte
-  * math, MJPEG frames through ImageIO). Only inter-frame video codecs
-  * (H.264, …) and Layer III's hybrid filterbank still fall to the
-  * clearly-marked deterministic
-  * stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
+  * math, MJPEG frames through ImageIO) and the from-scratch MPEG-1
+  * VIDEO intra-frame decoder ([[Mpeg1]] — full DC/AC VLC layer,
+  * §2.4.4.2 reconstruction, IDCT; I-picture elementary streams).
+  * Only inter-frame prediction (P/B pictures, H.264, …) and Layer
+  * III's hybrid filterbank still fall to the clearly-marked
+  * deterministic stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
   * partitioning, operator signatures, frame-sampling arithmetic) is
   * identical either way, so swapping the stub for a JNI/codec
   * implementation changes no plan shape.
@@ -102,8 +104,8 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, mp2, mp3, avi, ppm, pgm, png, jpeg, gif,
-    * bmp, tiff, unknown, null-payload}; audio fields populated for
+    * media row, `format` ∈ {wav, mp2, mp3, avi, m1v, ppm, pgm, png, jpeg,
+    * gif, bmp, tiff, unknown, null-payload}; audio fields populated for
     * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
     * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
     * needs no PCM decode), image fields for the image formats
@@ -121,7 +123,7 @@ object Multimodal {
     StructField("mean_luma", DoubleType),
     StructField("bitrate_kbps", IntegerType),
     StructField("first_luma", DoubleType), // video: top-left px of frame 0
-    StructField("video_codec", StringType), // dib | mjpeg
+    StructField("video_codec", StringType), // dib | mjpeg | intra (m1v)
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
@@ -157,6 +159,16 @@ object Multimodal {
               v.nFrames.toLong, v.durationMs, null, null,
               v.width, v.height, v.meanLuma, null, v.firstLuma, v.codec, null)
             case None => stubRow("unknown") // AVI magic but undecodable body
+          }
+        } else if (Mpeg1.isM1v(bytes)) {
+          // REAL MPEG-1 video decode for intra-only elementary
+          // streams: the full I-picture macroblock layer ([[Mpeg1]]).
+          // P/B pictures decode to None and keep the stub's remit.
+          Mpeg1.decode(bytes) match {
+            case Some(v) => Row(id, "m1v", null, 3.asInstanceOf[Integer], null,
+              v.nFrames.toLong, v.durationMs, null, null,
+              v.width, v.height, v.meanLuma, null, v.firstLuma, "intra", null)
+            case None => stubRow("unknown") // sequence header but out of scope
           }
         } else if (MediaCodecs.isWav(bytes)) {
           MediaCodecs.decodeWav(bytes) match {
