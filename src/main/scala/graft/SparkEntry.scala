@@ -1752,6 +1752,62 @@ object SparkEntry {
         .orderBy($"media_id", $"blk", $"zz")
     }),
 
+    // LLM-pipeline: MOTION-COMPENSATED video decode — the P-picture
+    // layer (the part that makes video VIDEO rather than a JPEG
+    // sequence). Each doc drives a 32×32 two-frame stream: an
+    // I-picture whose 16 flat luma blocks carry text bytes, then a
+    // P-picture whose four macroblocks sweep the predicted types by
+    // id — skipped (co-located copy), pred-m (forward vector only),
+    // pred-mc (vector + DC-only non-intra residual on an id-chosen
+    // cbp subset, odd qs so §2.4.4.3 skips oddification), and
+    // intra-in-P. Vectors are whole-block (±2 blocks) so every
+    // predicted 8×8 stays flat and DuckDB replays each block's pixel
+    // from the character codes: Table B.4 vector decode (fCode 3 with
+    // residual bits + predictor chains and resets), Table B.3 cbp,
+    // the dct_coeff_first special form, and clamp(round(pred + v/8))
+    // must all land back on exactly these integers.
+    "multimodal_m1v_motion" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mpeg1
+      t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          def byteAt(r: Int, c: Int): Int = {
+            val i = 4 * r + c
+            if (i < bytes.length) bytes(i) & 0xff else 32
+          }
+          val iDc = Array.tabulate(16)(i => byteAt(i / 4, i % 4))
+          val qs = 1 + 2 * (id % 16).toInt
+          val mbs = (0 until 4).map { m =>
+            val a0 = ((id + m) % 4).toInt
+            val a = if ((m == 0 || m == 3) && a0 == 0) 2 else a0
+            val dxb = ((id * 7 + m) % 3).toInt * (if (m % 2 == 0) 1 else -1)
+            val dyb = ((id * 5 + m) % 3).toInt * (if (m < 2) 1 else -1)
+            a match {
+              case 0 => Mpeg1.SkipMb
+              case 1 => Mpeg1.PredMb(16 * dxb, 16 * dyb)
+              case 2 => Mpeg1.PredMb(16 * dxb, 16 * dyb, residual = b =>
+                if (b < 4 && (id + b) % 2 == 0) {
+                  val l0 = ((id * 3 + m + b) % 9).toInt - 4
+                  Seq((0, if (l0 == 0) 1 else l0))
+                } else Nil)
+              case _ => Mpeg1.IntraMb(
+                Array.tabulate(4)(b => ((id * 11 + m * 5 + b * 3) % 256).toInt))
+            }
+          }
+          val stream = Mpeg1.encodeFrames(
+            Seq(Mpeg1.IFrame(iDc), Mpeg1.PFrame(mbs)),
+            mbCols = 2, mbRows = 2, quantizerScale = qs)
+          val p = Mpeg1.decode(stream).get.frames(1)
+          for (br <- 0 until 4; bc <- 0 until 4)
+            yield (id, br, bc, p.y(br * 8 * 32 + bc * 8))
+        }
+        .toDF("media_id", "br", "bc", "luma")
+        .orderBy($"media_id", $"br", $"bc")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -3461,6 +3517,58 @@ object SparkEntry {
           |  CAST(GREATEST(-2048, LEAST(2047, f1)) AS INT) AS value
           |FROM (SELECT * FROM dc UNION ALL SELECT media_id, blk, zz, f1 FROM acf)
           |ORDER BY media_id, blk, zz""".stripMargin,
+
+      // term-by-term replay of the motion-compensated P-frame: each
+      // 8×8 block of frame 1 is flat by construction (whole-block
+      // vectors over flat reference blocks), so its pixel is: the
+      // co-located byte (skip), the vector-shifted byte (pred-m /
+      // uncoded pred-mc blocks), clamp(round(shifted + (2L±1)·qs/8))
+      // for coded pred-mc blocks (W=16 cancels; odd·odd stays odd so
+      // no oddification and v/8's fraction is never .5 — no rounding
+      // ties), or the new intra DC. No decoder on the oracle side.
+      "multimodal_m1v_motion" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1), i -> ord(text[i])) AS v,
+          |    CAST(1 + 2 * (doc_id % 16) AS INT) AS qs
+          |  FROM documents),
+          |g AS (
+          |  SELECT media_id, n, v, qs, br, bc,
+          |    (br // 2) * 2 + (bc // 2) AS m,
+          |    (br % 2) * 2 + (bc % 2) AS bib
+          |  FROM s, (SELECT unnest(range(4)) AS br),
+          |       (SELECT unnest(range(4)) AS bc)),
+          |p AS (
+          |  SELECT media_id, n, v, qs, br, bc, m, bib,
+          |    CASE WHEN (m = 0 OR m = 3) AND (media_id + m) % 4 = 0 THEN 2
+          |         ELSE CAST((media_id + m) % 4 AS INT) END AS a,
+          |    CAST((media_id * 7 + m) % 3 AS INT) *
+          |      (CASE WHEN m % 2 = 0 THEN 1 ELSE -1 END) AS dxb,
+          |    CAST((media_id * 5 + m) % 3 AS INT) *
+          |      (CASE WHEN m < 2 THEN 1 ELSE -1 END) AS dyb
+          |  FROM g),
+          |q AS (
+          |  SELECT media_id, br, bc, a, qs, bib, m,
+          |    CASE WHEN 4 * (br + CASE WHEN a IN (1, 2) THEN dyb ELSE 0 END)
+          |              + (bc + CASE WHEN a IN (1, 2) THEN dxb ELSE 0 END) + 1 <= n
+          |         THEN v[CAST(4 * (br + CASE WHEN a IN (1, 2) THEN dyb ELSE 0 END)
+          |              + (bc + CASE WHEN a IN (1, 2) THEN dxb ELSE 0 END) + 1 AS INT)]
+          |         ELSE 32 END AS base
+          |  FROM p),
+          |r AS (
+          |  SELECT media_id, br, bc, a, qs, bib, m, base,
+          |    CASE WHEN ((media_id * 3 + m + bib) % 9) - 4 = 0 THEN 1
+          |         ELSE CAST((media_id * 3 + m + bib) % 9 AS INT) - 4 END AS lvl
+          |  FROM q)
+          |SELECT media_id, CAST(br AS INT) AS br, CAST(bc AS INT) AS bc,
+          |  CAST(CASE
+          |    WHEN a = 3 THEN (media_id * 11 + m * 5 + bib * 3) % 256
+          |    WHEN a = 2 AND (media_id + bib) % 2 = 0 THEN
+          |      GREATEST(0, LEAST(255, round(base +
+          |        (CASE WHEN lvl > 0 THEN 2*lvl + 1 ELSE 2*lvl - 1 END) * qs / 8.0)))
+          |    ELSE base END AS INT) AS luma
+          |FROM r
+          |ORDER BY media_id, br, bc""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

@@ -1,10 +1,10 @@
 package graft.multimodal
 
-/** MPEG-1 VIDEO (ISO/IEC 11172-2) intra-frame SAMPLE decoder — the
-  * from-scratch compressed-VIDEO codec closing the stub's last video
-  * slot (VERDICT r10 "what's missing" #2; the audio twin is [[Mp2]]).
-  * The reference engine has no media handling at all
-  * (`/root/reference/src/index.js:1` exposes none), so this whole
+/** MPEG-1 VIDEO (ISO/IEC 11172-2) intra- and predicted-frame SAMPLE
+  * decoder — the from-scratch compressed-VIDEO codec closing the
+  * stub's last video slot (VERDICT r10 "what's missing" #2; the audio
+  * twin is [[Mp2]]). The reference engine has no media handling at
+  * all (`/root/reference/src/index.js:1` exposes none), so this whole
   * modality is beyond-reference surface for training-data pipelines;
   * the operator shape it feeds ([[Multimodal.decodeMedia]]'s batched
   * narrow `mapPartitions`) is unchanged.
@@ -12,10 +12,11 @@ package graft.multimodal
   * Scope (strict, like Mp2 — anything outside decodes to `None`
   * rather than silently skewing stats):
   *  - MPEG-1 video ELEMENTARY streams (sequence header first),
-  *    I-pictures only — P/B pictures and inter-frame prediction are
-  *    rejected, not approximated;
-  *  - default or stream-loaded intra quantizer matrix; 4:2:0 chroma
-  *    (the only MPEG-1 layout), nearest-neighbor upsample;
+  *    I- and P-pictures — B-pictures (bidirectional prediction) and
+  *    D-pictures are rejected, not approximated;
+  *  - default or stream-loaded intra AND non-intra quantizer
+  *    matrices; 4:2:0 chroma (the only MPEG-1 layout),
+  *    nearest-neighbor upsample;
   *  - all of the intra macroblock layer: address-increment VLC
   *    (with stuffing + escape), I-picture macroblock types
   *    (`intra` / `intra+quant`), DC-size VLCs (Tables B.12/B.13)
@@ -24,7 +25,18 @@ package graft.multimodal
   *    §2.4.4.2 intra reconstruction (×8 DC; (2·L·qs·W)/16 AC with
   *    truncating division, oddification mismatch control, and
   *    [-2048, 2047] saturation — all integer math, SQL-oracle-able),
-  *    and a double-precision separable IDCT.
+  *    and a double-precision separable IDCT;
+  *  - all of the P-picture predicted macroblock layer: the seven
+  *    Table B.2b macroblock types (pred-m/-c/-mc, each ±quant, and
+  *    intra-in-P with its DC-predictor reset rules), skipped
+  *    macroblocks (co-located copy, predictor resets), the Table B.4
+  *    motion VLC with forward_f_code residuals and the §2.4.4.2
+  *    little/big wraparound reconstruction, full- and half-pel
+  *    forward prediction (half-pel averages round away from zero,
+  *    the standard's `//`), the Table B.3 coded_block_pattern VLC,
+  *    the dct_coeff_first special form, and §2.4.4.3 non-intra
+  *    reconstruction ((2·L + Sign L)·qs·W/16, oddify, saturate)
+  *    added to the prediction with per-pixel round + clamp.
   *
   * Decoded Y'CbCr converts to RGB with the full-range BT.601 inverse
   * (R = Y + 1.402·(Cr−128), …, rounded and clamped per channel), and
@@ -64,6 +76,18 @@ object Mpeg1 {
       val v = read(n)
       pos = p0
       v
+    }
+    /** Like peek, but bits past the buffer end read as 0 — the
+      * standard's `nextbits()` start-code test near a slice's end,
+      * where fewer than n real bits may remain before the (excluded)
+      * next start code. A tiny trailing macroblock (P pred-m is 8
+      * bits) must not be dropped by a hard n-bit requirement. */
+    def peekPadded(n: Int): Int = {
+      val avail = math.min(n, bitsLeft)
+      val p0 = pos
+      val v = read(avail)
+      pos = p0
+      v << (n - avail)
     }
   }
 
@@ -138,12 +162,62 @@ object Mpeg1 {
   private val AddrStuffing = "00000001111"
   private val AddrEscape = "00000001000"
 
+  /** P-picture macroblock_type (Table B.2a-P / B.2b):
+    * (quant, motion_forward, pattern, intra). */
+  private val PMbTypes: Seq[(String, (Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "1" -> ((false, true, true, false)),   // pred-mc
+    "01" -> ((false, false, true, false)), // pred-c (MV = 0)
+    "001" -> ((false, true, false, false)),// pred-m (no coded blocks)
+    "00011" -> ((false, false, false, true)),
+    "00010" -> ((true, true, true, false)),
+    "00001" -> ((true, false, true, false)),
+    "000001" -> ((true, false, false, true)))
+
+  /** coded_block_pattern (Table B.3, inherited verbatim from H.261's
+    * CBP table): cbp bit 5 (MSB) = block 0 (luma TL) … bit 0 =
+    * block 5 (Cr). Spot values and prefix-freeness are spec-pinned. */
+  private val CbpCodes: Seq[(String, Int)] = Seq(
+    "111" -> 60,
+    "1101" -> 4, "1100" -> 8, "1011" -> 16, "1010" -> 32,
+    "10011" -> 12, "10010" -> 48, "10001" -> 20, "10000" -> 40,
+    "01111" -> 28, "01110" -> 44, "01101" -> 52, "01100" -> 56,
+    "01011" -> 1, "01010" -> 61, "01001" -> 2, "01000" -> 62,
+    "001111" -> 24, "001110" -> 36, "001101" -> 3, "001100" -> 63,
+    "0010111" -> 5, "0010110" -> 9, "0010101" -> 17, "0010100" -> 33,
+    "0010011" -> 6, "0010010" -> 10, "0010001" -> 18, "0010000" -> 34,
+    "00011111" -> 7, "00011110" -> 11, "00011101" -> 19, "00011100" -> 35,
+    "00011011" -> 13, "00011010" -> 49, "00011001" -> 21, "00011000" -> 41,
+    "00010111" -> 14, "00010110" -> 50, "00010101" -> 22, "00010100" -> 42,
+    "00010011" -> 15, "00010010" -> 51, "00010001" -> 23, "00010000" -> 43,
+    "00001111" -> 25, "00001110" -> 37, "00001101" -> 26, "00001100" -> 38,
+    "00001011" -> 29, "00001010" -> 45, "00001001" -> 53, "00001000" -> 57,
+    "00000111" -> 30, "00000110" -> 46, "00000101" -> 31, "00000100" -> 47,
+    "000000111" -> 27, "000000110" -> 39, "000000101" -> 54,
+    "000000100" -> 58, "000000011" -> 55, "000000010" -> 59)
+
+  /** motion_code magnitudes (Table B.4): magnitude m's prefix is the
+    * Table B.1 code for increment 2m with its last bit dropped (the
+    * two tables share one prefix tree — the dropped bit becomes the
+    * motion sign: 0 = positive). 0 is "1" with no sign bit. */
+  private val MotionMagPrefix: Map[Int, String] =
+    (1 to 16).map { m => m -> AddrIncr.find(_._2 == 2 * m).get._1.dropRight(1) }.toMap
+
+  /** Signed motion_code VLC (full codes incl. sign). */
+  private val MotionCodes: Seq[(String, Int)] =
+    ("1" -> 0) +: (1 to 16).flatMap { m =>
+      Seq((MotionMagPrefix(m) + "0") -> m, (MotionMagPrefix(m) + "1") -> -m)
+    }
+
+  /** Default non-intra quantizer matrix: flat 16 (§2.4.4.3). */
+  val DefaultNonIntraQuant: Array[Int] = Array.fill(64)(16)
+
   /** DCT coefficient run/level codes (Table B.5 b-f), WITHOUT the
     * trailing sign bit; "10" (EOB) and "000001" (escape) are handled
-    * inline. The "first coefficient" special form ("1" = run 0 level
-    * 1) never applies to intra blocks (their first coefficient is the
-    * DC, transmitted via Tables B.12/B.13), so this decoder — intra
-    * only — always uses the "subsequent" form below. */
+    * inline. The "first coefficient" special form ("1s" = run 0
+    * level ±1) never applies to intra blocks (their first
+    * coefficient is the DC, transmitted via Tables B.12/B.13); it
+    * applies only to the first pair of a coded NON-intra block and
+    * is handled inline in [[decodeNonIntraBlock]]. */
   private val AcCodes: Seq[(String, (Int, Int))] = Seq(
     "11" -> (0, 1), "011" -> (1, 1), "0100" -> (0, 2), "0101" -> (2, 1),
     "00101" -> (0, 3), "00111" -> (3, 1), "00110" -> (4, 1),
@@ -184,11 +258,26 @@ object Mpeg1 {
     AddrIncr :+ (AddrStuffing -> -1) :+ (AddrEscape -> -2))
   private val AcMap = vlcMap(AcCodes)
   private val MaxAcCodeLen = AcCodes.map(_._1.length).max
+  private val PMbTypeMap = vlcMap(PMbTypes)
+  private val CbpMap = vlcMap(CbpCodes)
+  private val MotionMap = vlcMap(MotionCodes)
 
   /** Encode-side reverse maps. */
   private val DcSizeLumEnc = DcSizeLum.map(_.swap).toMap
   private val DcSizeChromEnc = DcSizeChrom.map(_.swap).toMap
   private val AcEnc: Map[(Int, Int), String] = AcCodes.map(_.swap).toMap
+  private val CbpEnc: Map[Int, String] = CbpCodes.map(_.swap).toMap
+  private val MotionEnc: Map[Int, String] = MotionCodes.map(_.swap).toMap
+
+  /** Table self-checks the specs assert (a transposed VLC entry
+    * usually breaks prefix-freeness): every table decodes uniquely. */
+  private[graft] def prefixFree(codes: Seq[String]): Boolean =
+    codes.distinct.size == codes.size &&
+      !codes.exists(c => codes.exists(o => o != c && o.startsWith(c)))
+  private[graft] def cbpTableCodes: Seq[String] = CbpCodes.map(_._1)
+  private[graft] def cbpTableValues: Seq[Int] = CbpCodes.map(_._2)
+  private[graft] def motionTableCodes: Seq[String] = MotionCodes.map(_._1)
+  private[graft] def motionCodeOf(v: Int): String = MotionEnc(v)
 
   /** Walk a VLC: read bits until the accumulated (len, value) hits
     * the map, failing past `maxLen`. */
@@ -243,12 +332,15 @@ object Mpeg1 {
   // ─── Decoder ───
 
   /** One decoded picture: planes at coded (macroblock-padded)
-    * resolution, plus (when requested) the §2.4.4.2-reconstructed
-    * coefficient blocks (natural order) keyed by (mbAddress, block#)
-    * — the integer tap the SQL oracle grades pre-IDCT. */
+    * resolution, plus (when requested) the §2.4.4.2/§2.4.4.3
+    * reconstructed coefficient blocks (natural order) keyed by
+    * (mbAddress, block#) — the integer tap the SQL oracle grades
+    * pre-IDCT (for P-pictures these are the residuals). `picType`
+    * is 1 = I, 2 = P. */
   final case class M1vFrame(codedW: Int, codedH: Int,
                             y: Array[Int], cb: Array[Int], cr: Array[Int],
-                            coeffs: Vector[(Int, Int, Array[Int])])
+                            coeffs: Vector[(Int, Int, Array[Int])],
+                            picType: Int = 1)
 
   /** Decoded stream facts; stats cover VISIBLE pixels only. */
   final case class M1vInfo(width: Int, height: Int, frameRateCode: Int,
@@ -279,25 +371,37 @@ object Mpeg1 {
   }
 
   /** Decode an MPEG-1 video elementary stream. `None` on anything
-    * outside the documented intra-only scope or any bitstream error. */
+    * outside the documented I/P scope or any bitstream error. */
   def decode(bytes: Array[Byte], keepCoeffs: Boolean = false): Option[M1vInfo] = {
     if (!isM1v(bytes)) return None
     try {
       val codes = scanStartCodes(bytes)
       var width = 0; var height = 0; var frc = 0
       var intraQ = DefaultIntraQuant
+      var nonIntraQ = DefaultNonIntraQuant
       var mbW = 0; var mbH = 0
       var inPicture = false
+      var picType = 1
+      var fullPel = false
+      var fwdF = 1 // forward_f = 1 << (forward_f_code - 1)
+      var fwdRSize = 0
       val frames = Vector.newBuilder[M1vFrame]
       var curY: Array[Int] = null
       var curCb: Array[Int] = null
       var curCr: Array[Int] = null
+      // forward reference = the previously DECODED picture (I/P-only
+      // streams have coding order = display order)
+      var refY: Array[Int] = null
+      var refCb: Array[Int] = null
+      var refCr: Array[Int] = null
       var curCoeffs: scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])] = null
       var nFrames = 0
 
       def flushPicture(): Unit = if (inPicture) {
         frames += M1vFrame(mbW * 16, mbH * 16, curY, curCb, curCr,
-          if (curCoeffs == null) Vector.empty else curCoeffs.toVector)
+          if (curCoeffs == null) Vector.empty else curCoeffs.toVector,
+          picType)
+        refY = curY; refCb = curCb; refCr = curCr
         nFrames += 1
         inPicture = false
       }
@@ -319,15 +423,30 @@ object Mpeg1 {
               if (w.exists(_ == 0)) return None
               intraQ = w
             }
-            if (r.read(1) == 1) { var i = 0; while (i < 64) { r.read(8); i += 1 } }
+            if (r.read(1) == 1) { // load_non_intra_quantizer_matrix
+              val w = new Array[Int](64)
+              var i = 0
+              while (i < 64) { w(Zigzag(i)) = r.read(8); i += 1 }
+              if (w.exists(_ == 0)) return None
+              nonIntraQ = w
+            }
             mbW = (width + 15) / 16; mbH = (height + 15) / 16
           case 0xb8 => // GOP header — nothing the intra decoder needs
           case 0x00 => // picture header
             if (mbW == 0) return None
             flushPicture()
             r.read(10) // temporal_reference
-            if (r.read(3) != 1) return None // I-pictures only
+            picType = r.read(3)
+            if (picType != 1 && picType != 2) return None // I/P only; B/D rejected
+            if (picType == 2 && refY == null) return None // P needs a reference
             r.read(16) // vbv_delay
+            if (picType == 2) {
+              fullPel = r.read(1) == 1
+              val fc = r.read(3)
+              if (fc == 0) return None
+              fwdRSize = fc - 1
+              fwdF = 1 << fwdRSize
+            }
             while (r.bitsLeft >= 9 && r.read(1) == 1) r.read(8)
             curY = new Array[Int](mbW * 16 * mbH * 16)
             curCb = new Array[Int](mbW * 8 * mbH * 8)
@@ -338,7 +457,9 @@ object Mpeg1 {
             inPicture = true
           case s if s >= 0x01 && s <= 0xaf => // slice
             if (!inPicture) return None
-            decodeSlice(r, s, mbW, mbH, intraQ, curY, curCb, curCr, curCoeffs)
+            decodeSlice(r, s, mbW, mbH, intraQ, nonIntraQ, picType,
+              fullPel, fwdF, fwdRSize, curY, curCb, curCr,
+              refY, refCb, refCr, curCoeffs)
           case 0xb7 => // sequence end
           case 0xb2 | 0xb5 => // user data / extension: skip
           case _ => return None
@@ -392,48 +513,258 @@ object Mpeg1 {
   }
 
   private def decodeSlice(r: BitReader, sliceCode: Int, mbW: Int, mbH: Int,
-                          intraQ: Array[Int], y: Array[Int], cb: Array[Int],
-                          cr: Array[Int],
+                          intraQ: Array[Int], nonIntraQ: Array[Int],
+                          picType: Int, fullPel: Boolean, fwdF: Int,
+                          fwdRSize: Int,
+                          y: Array[Int], cb: Array[Int], cr: Array[Int],
+                          refY: Array[Int], refCb: Array[Int], refCr: Array[Int],
                           coeffs: scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]): Unit = {
     var qs = r.read(5)
     if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
     while (r.read(1) == 1) r.read(8) // extra_information_slice
     var mbAddr = (sliceCode - 1) * mbW - 1
-    // DC predictors reset at slice start (dct_zz domain: 1024/8)
+    // DC predictors reset at slice start (dct_zz domain: 1024/8) and
+    // again after every non-intra or skipped macroblock
     val dcPred = Array(128, 128, 128)
+    // motion predictors (half-pel recon domain, pre-full_pel-shift);
+    // reset at slice start, after intra MBs, after skipped MBs, and
+    // for pred-c MBs (no forward vector)
+    var mvPredR = 0; var mvPredD = 0
     var firstMb = true
-    while (r.bitsLeft >= 23 && r.peek(23) != 0) {
+    while (r.bitsLeft > 0 && r.peekPadded(23) != 0) {
       val incr = decodeAddrIncrement(r)
       // I-pictures have no skipped macroblocks: after the slice's
       // first (which may seek forward), every increment must be 1
-      if (!firstMb && incr != 1) throw new IllegalStateException("skipped MB in I-picture")
+      if (picType == 1 && !firstMb && incr != 1)
+        throw new IllegalStateException("skipped MB in I-picture")
+      if (picType == 2 && incr > 1) {
+        // skipped MBs: co-located copy (MV 0, no residual), reset
+        // both predictor families
+        var k = mbAddr + 1
+        while (k < mbAddr + incr) {
+          if (k >= 0 && k < mbW * mbH)
+            copyColocated(k, mbW, y, cb, cr, refY, refCb, refCr)
+          k += 1
+        }
+        dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+        mvPredR = 0; mvPredD = 0
+      }
       mbAddr += incr
       if (mbAddr < 0 || mbAddr >= mbW * mbH) throw new IllegalStateException("MB address")
       firstMb = false
-      // macroblock_type, I-picture (Table B.2a): 1=intra, 01=intra+quant
-      if (r.read(1) == 0) {
-        if (r.read(1) != 1) throw new IllegalStateException("macroblock_type")
-        qs = r.read(5)
-        if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
-      }
       val mbRow = mbAddr / mbW; val mbCol = mbAddr % mbW
-      var blk = 0
-      while (blk < 6) {
-        val comp = if (blk < 4) 0 else blk - 3 // 0=Y 1=Cb 2=Cr
-        val f = decodeIntraBlock(r, comp, dcPred, intraQ, qs)
-        if (coeffs != null) coeffs += ((mbAddr, blk, f.clone()))
-        val px = idct(f)
-        if (blk < 4) {
-          val bx = mbCol * 16 + (blk & 1) * 8
-          val by = mbRow * 16 + (blk >> 1) * 8
-          writeBlock(px, y, mbW * 16, bx, by)
-        } else {
-          val target = if (blk == 4) cb else cr
-          writeBlock(px, target, mbW * 8, mbCol * 8, mbRow * 8)
+
+      // macroblock_type
+      var motionForward = false
+      var pattern = false
+      var intra = true
+      if (picType == 1) {
+        // Table B.2a: 1 = intra, 01 = intra+quant
+        if (r.read(1) == 0) {
+          if (r.read(1) != 1) throw new IllegalStateException("macroblock_type")
+          qs = r.read(5)
+          if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
         }
-        blk += 1
+      } else {
+        val (quant, mf, pat, in) = readVlc(r, PMbTypeMap, 6)
+        motionForward = mf; pattern = pat; intra = in
+        if (quant) {
+          qs = r.read(5)
+          if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
+        }
+      }
+
+      if (intra) {
+        // intra MBs carry no vector: motion predictors reset
+        mvPredR = 0; mvPredD = 0
+        var blk = 0
+        while (blk < 6) {
+          val comp = if (blk < 4) 0 else blk - 3 // 0=Y 1=Cb 2=Cr
+          val f = decodeIntraBlock(r, comp, dcPred, intraQ, qs)
+          if (coeffs != null) coeffs += ((mbAddr, blk, f.clone()))
+          val px = idct(f)
+          if (blk < 4) {
+            val bx = mbCol * 16 + (blk & 1) * 8
+            val by = mbRow * 16 + (blk >> 1) * 8
+            writeBlock(px, y, mbW * 16, bx, by)
+          } else {
+            val target = if (blk == 4) cb else cr
+            writeBlock(px, target, mbW * 8, mbCol * 8, mbRow * 8)
+          }
+          blk += 1
+        }
+      } else {
+        // predicted MB: reconstruct the forward vector (half-pel
+        // units), motion-compensate, then add coded residuals
+        var reconR = 0; var reconD = 0
+        if (motionForward) {
+          reconR = decodeMotion(r, fwdF, fwdRSize, mvPredR)
+          reconD = decodeMotion(r, fwdF, fwdRSize, mvPredD)
+          mvPredR = reconR; mvPredD = reconD
+          if (fullPel) { reconR <<= 1; reconD <<= 1 }
+        } else {
+          // pred-c: vector is zero and predictors reset
+          mvPredR = 0; mvPredD = 0
+        }
+        // DC predictors reset by any non-intra MB
+        dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+        val cbp = if (pattern) readVlc(r, CbpMap, 9) else 0
+        var blk = 0
+        while (blk < 6) {
+          val pred =
+            if (blk < 4)
+              predictBlock(refY, mbW * 16, mbH * 16,
+                mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8,
+                reconR, reconD, chroma = false)
+            else
+              predictBlock(if (blk == 4) refCb else refCr, mbW * 8, mbH * 8,
+                mbCol * 8, mbRow * 8, reconR, reconD, chroma = true)
+          val coded = (cbp & (1 << (5 - blk))) != 0
+          if (coded) {
+            val f = decodeNonIntraBlock(r, nonIntraQ, qs)
+            if (coeffs != null) coeffs += ((mbAddr, blk, f.clone()))
+            val res = idct(f)
+            var i = 0
+            while (i < 64) {
+              pred(i) = math.max(0, math.min(255,
+                math.round(pred(i) + res(i)).toInt))
+              i += 1
+            }
+          }
+          val (plane, stride, bx, by) =
+            if (blk < 4)
+              (y, mbW * 16, mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8)
+            else
+              (if (blk == 4) cb else cr, mbW * 8, mbCol * 8, mbRow * 8)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              plane((by + j) * stride + bx + i) = pred(j * 8 + i)
+              i += 1
+            }
+            j += 1
+          }
+          blk += 1
+        }
       }
     }
+  }
+
+  /** Skipped-MB reconstruction: copy the co-located 16×16 luma and
+    * 8×8 chroma regions from the reference picture. */
+  private def copyColocated(mbAddr: Int, mbW: Int,
+                            y: Array[Int], cb: Array[Int], cr: Array[Int],
+                            refY: Array[Int], refCb: Array[Int],
+                            refCr: Array[Int]): Unit = {
+    val mbRow = mbAddr / mbW; val mbCol = mbAddr % mbW
+    var j = 0
+    while (j < 16) {
+      System.arraycopy(refY, (mbRow * 16 + j) * mbW * 16 + mbCol * 16,
+        y, (mbRow * 16 + j) * mbW * 16 + mbCol * 16, 16)
+      j += 1
+    }
+    j = 0
+    while (j < 8) {
+      System.arraycopy(refCb, (mbRow * 8 + j) * mbW * 8 + mbCol * 8,
+        cb, (mbRow * 8 + j) * mbW * 8 + mbCol * 8, 8)
+      System.arraycopy(refCr, (mbRow * 8 + j) * mbW * 8 + mbCol * 8,
+        cr, (mbRow * 8 + j) * mbW * 8 + mbCol * 8, 8)
+      j += 1
+    }
+  }
+
+  /** §2.4.4.2 forward motion vector reconstruction: Table B.4 code,
+    * forward_f residual, complement, and the little/big wraparound
+    * that keeps the result inside [-16f, 16f-1]. Returns the new
+    * recon value (half-pel units, pre-full_pel-shift). */
+  private def decodeMotion(r: BitReader, f: Int, rSize: Int, prev: Int): Int = {
+    val code = readVlc(r, MotionMap, 11)
+    val resid = if (f > 1 && code != 0) r.read(rSize) else 0
+    val complement = if (f == 1 || code == 0) 0 else f - 1 - resid
+    var little = code * f
+    var big = 0
+    if (little != 0) {
+      if (little > 0) { little -= complement; big = little - 32 * f }
+      else { little += complement; big = little + 32 * f }
+    }
+    val max = 16 * f - 1; val min = -16 * f
+    val nv = prev + little
+    if (nv <= max && nv >= min) nv else prev + big
+  }
+
+  /** Forward prediction of one 8×8 block from the reference plane.
+    * Luma: right = recon >> 1 (floor), half = recon & 1. Chroma: the
+    * vector halves first with truncation toward zero (§2.4.4.3), then
+    * splits the same way. Half-pel samples average with rounding away
+    * from zero (the standard's `//`: (a+b)//2, (a+b+c+d)//4). A
+    * vector referencing outside the coded picture throws (conforming
+    * streams never do) and the decode returns None. */
+  private def predictBlock(ref: Array[Int], strideW: Int, strideH: Int,
+                           bx: Int, by: Int, reconR: Int, reconD: Int,
+                           chroma: Boolean): Array[Int] = {
+    val (right, rightHalf, down, downHalf) =
+      if (chroma) {
+        val tr = reconR / 2; val td = reconD / 2
+        (tr >> 1, tr - 2 * (tr >> 1), td >> 1, td - 2 * (td >> 1))
+      } else (reconR >> 1, reconR & 1, reconD >> 1, reconD & 1)
+    val out = new Array[Int](64)
+    var j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        val x = bx + i + right; val yy = by + j + down
+        val needR = rightHalf != 0; val needD = downHalf != 0
+        if (x < 0 || yy < 0 || x + (if (needR) 1 else 0) >= strideW ||
+            yy + (if (needD) 1 else 0) >= strideH)
+          throw new IllegalStateException("motion vector out of picture")
+        val p00 = ref(yy * strideW + x)
+        out(j * 8 + i) =
+          if (!needR && !needD) p00
+          else if (needR && !needD) (p00 + ref(yy * strideW + x + 1) + 1) >> 1
+          else if (!needR && needD) (p00 + ref((yy + 1) * strideW + x) + 1) >> 1
+          else (p00 + ref(yy * strideW + x + 1) + ref((yy + 1) * strideW + x) +
+            ref((yy + 1) * strideW + x + 1) + 2) >> 2
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Non-intra block: dct_coeff_first (with the "1s" run-0/±1 special
+    * form) then run/level pairs to EOB, zigzag de-scan, §2.4.4.3
+    * reconstruction: ((2·L + Sign L)·qs·W)/16 truncating toward zero,
+    * oddification, [-2048, 2047] saturation. Returns the natural-order
+    * residual (pre-IDCT). */
+  private def decodeNonIntraBlock(r: BitReader, nonIntraQ: Array[Int],
+                                  qs: Int): Array[Int] = {
+    val out = new Array[Int](64)
+    var idx = -1
+    var first = true
+    var done = false
+    while (!done) {
+      if (!first && r.peek(2) == 2) { r.read(2); done = true } // EOB "10"
+      else {
+        val (run, level) =
+          if (first && r.peek(1) == 1) {
+            r.read(1); (0, if (r.read(1) == 1) -1 else 1) // dct_coeff_first "1s"
+          } else readAcCoefficient(r)
+        first = false
+        idx += run + 1
+        if (idx > 63) throw new IllegalStateException("coefficient index > 63")
+        out(Zigzag(idx)) = reconstructNonIntra(level, qs, nonIntraQ(Zigzag(idx)))
+      }
+    }
+    out
+  }
+
+  /** §2.4.4.3 non-intra reconstruction of one (level, qs, W) — public
+    * so specs and SQL oracles share one definition. */
+  def reconstructNonIntra(level: Int, quantizerScale: Int, w: Int): Int = {
+    var f = (2 * level + Integer.signum(level)) * quantizerScale * w / 16
+    if (f != 0 && (f & 1) == 0) f -= Integer.signum(f)
+    math.max(-2048, math.min(2047, f))
   }
 
   private def writeBlock(px: Array[Double], plane: Array[Int], stride: Int,
@@ -516,7 +847,47 @@ object Mpeg1 {
 
   // ─── Encoder (synthesis for specs + oracles) ───
 
-  /** Synthesize a conforming intra-only stream.
+  /** Per-macroblock spec of a synthesized P-frame. */
+  sealed trait PMb
+
+  /** Skipped macroblock: co-located copy. Not legal as the first or
+    * last MB of a slice (the encoder enforces it). */
+  case object SkipMb extends PMb
+
+  /** Predicted MB with forward vector (half-pel recon units, i.e.
+    * 2× the pixel displacement) and optional per-block residual
+    * coefficients (block# → strictly-increasing (zigzagIndex ≥ 0,
+    * level) pairs). Emitted as pred-mc when any block is coded,
+    * pred-m otherwise; `noMv = true` emits pred-c instead (requires a
+    * zero vector and at least one coded block). `newQs` uses the
+    * +quant type variant and switches the slice's quantizer_scale. */
+  final case class PredMb(mvxHalfPel: Int, mvyHalfPel: Int,
+                          residual: Int => Seq[(Int, Int)] = _ => Nil,
+                          noMv: Boolean = false,
+                          newQs: Option[Int] = None) extends PMb
+
+  /** Intra MB inside a P-frame: 4 luma DCs (block-raster within the
+    * MB: TL, TR, BL, BR) + optional per-block intra AC pairs. */
+  final case class IntraMb(lumaDc: Array[Int],
+                           ac: Int => Seq[(Int, Int)] = _ => Nil,
+                           newQs: Option[Int] = None) extends PMb
+
+  /** One synthesized picture. */
+  sealed trait FrameSpec
+
+  /** I-picture: per-block luma DC values (0..255), one per 8×8 block
+    * in block-raster order — `2·mbCols` per block row. Chroma DC is
+    * neutral 128. `ac`: (mbAddress, block#) → intra AC pairs. */
+  final case class IFrame(lumaDc: Array[Int],
+                          ac: (Int, Int) => Seq[(Int, Int)] = (_, _) => Nil)
+    extends FrameSpec
+
+  /** P-picture: one [[PMb]] per macroblock in address order. */
+  final case class PFrame(mbs: Seq[PMb], fCode: Int = 3,
+                          fullPel: Boolean = false) extends FrameSpec
+
+  /** Synthesize a conforming intra-only stream (the original API;
+    * [[encodeFrames]] is the I/P-general form).
     *
     * @param frames per-frame luma-block DC values (0..255), one per
     *   8×8 block in block-raster order — `2·mbCols` blocks per block
@@ -531,9 +902,26 @@ object Mpeg1 {
   def encode(frames: Seq[Array[Int]], mbCols: Int, mbRows: Int,
              frameRateCode: Int = 3, quantizerScale: Int = 8,
              ac: (Int, Int, Int) => Seq[(Int, Int)] = (_, _, _) => Nil,
-             intraMatrix: Option[Array[Int]] = None): Array[Byte] = {
+             intraMatrix: Option[Array[Int]] = None): Array[Byte] =
+    encodeFrames(
+      frames.zipWithIndex.map { case (dc, f) =>
+        IFrame(dc, (mb, blk) => ac(f, mb, blk))
+      },
+      mbCols, mbRows, frameRateCode, quantizerScale, intraMatrix)
+
+  /** Synthesize a conforming I/P stream — the general form driving
+    * the motion-compensation specs and oracle entries. Each picture
+    * is one slice; the slice quantizer_scale starts at
+    * `quantizerScale` and +quant MB types switch it for the rest of
+    * the slice. */
+  def encodeFrames(frames: Seq[FrameSpec], mbCols: Int, mbRows: Int,
+                   frameRateCode: Int = 3, quantizerScale: Int = 8,
+                   intraMatrix: Option[Array[Int]] = None,
+                   nonIntraMatrix: Option[Array[Int]] = None): Array[Byte] = {
     require(FrameRates.contains(frameRateCode), "bad frame rate code")
     require(quantizerScale >= 1 && quantizerScale <= 31, "bad quantizer_scale")
+    require(frames.headOption.forall(_.isInstanceOf[IFrame]),
+      "stream must open with an I-picture")
     val w = new BitWriter
     w.startCode(0xb3)
     w.write(mbCols * 16, 12); w.write(mbRows * 16, 12)
@@ -541,56 +929,186 @@ object Mpeg1 {
     w.write(frameRateCode, 4)
     w.write(0x3ffff, 18); w.write(1, 1) // variable bitrate + marker
     w.write(0, 10); w.write(0, 1) // vbv, constrained
-    intraMatrix match {
-      case Some(m) =>
-        require(m.length == 64 && m.forall(_ >= 1), "bad intra matrix")
+    def writeMatrix(m: Option[Array[Int]]): Unit = m match {
+      case Some(q) =>
+        require(q.length == 64 && q.forall(_ >= 1), "bad quantizer matrix")
         w.write(1, 1)
         var i = 0
-        while (i < 64) { w.write(m(Zigzag(i)), 8); i += 1 }
+        while (i < 64) { w.write(q(Zigzag(i)), 8); i += 1 }
       case None => w.write(0, 1)
     }
-    w.write(0, 1) // load_non_intra
-    frames.zipWithIndex.foreach { case (lumaDc, f) =>
-      require(lumaDc.length == 4 * mbCols * mbRows, "frame block count")
+    writeMatrix(intraMatrix)
+    writeMatrix(nonIntraMatrix)
+
+    def writeIntraBlocks(lumaDc: Int => Int, ac: Int => Seq[(Int, Int)],
+                         dcPred: Array[Int]): Unit = {
+      var blk = 0
+      while (blk < 6) {
+        val comp = if (blk < 4) 0 else blk - 3
+        val dc = if (blk < 4) lumaDc(blk) else 128
+        require(dc >= 0 && dc <= 255, "luma DC out of range")
+        writeDc(w, comp, dc - dcPred(comp))
+        dcPred(comp) = dc
+        var prev = 0
+        ac(blk).foreach { case (zz, level) =>
+          require(zz > prev && zz <= 63, "AC zigzag index")
+          require(level != 0 && level >= -255 && level <= 255, "AC level")
+          writeAc(w, zz - prev - 1, level)
+          prev = zz
+        }
+        w.write(2, 2) // EOB
+        blk += 1
+      }
+    }
+
+    frames.zipWithIndex.foreach { case (spec, f) =>
       w.startCode(0x00)
       w.write(f % 1024, 10) // temporal_reference
-      w.write(1, 3) // I-picture
-      w.write(0xffff, 16) // vbv_delay
-      w.write(0, 1) // extra_bit_picture
-      w.startCode(0x01) // one slice at vertical position 1
-      w.write(quantizerScale, 5)
-      w.write(0, 1) // extra_bit_slice
-      val dcPred = Array(128, 128, 128)
-      var mb = 0
-      while (mb < mbCols * mbRows) {
-        w.write(1, 1) // address increment +1
-        w.write(1, 1) // macroblock_type: intra
-        var blk = 0
-        while (blk < 6) {
-          val comp = if (blk < 4) 0 else blk - 3
-          val dc =
-            if (blk < 4) {
-              val mbRow = mb / mbCols; val mbCol = mb % mbCols
-              lumaDc((2 * mbRow + (blk >> 1)) * 2 * mbCols + 2 * mbCol + (blk & 1))
-            } else 128
-          require(dc >= 0 && dc <= 255, "luma DC out of range")
-          writeDc(w, comp, dc - dcPred(comp))
-          dcPred(comp) = dc
-          var prev = 0
-          ac(f, mb, blk).foreach { case (zz, level) =>
-            require(zz > prev && zz <= 63, "AC zigzag index")
-            require(level != 0 && level >= -255 && level <= 255, "AC level")
-            writeAc(w, zz - prev - 1, level)
-            prev = zz
+      spec match {
+        case IFrame(lumaDc, ac) =>
+          require(lumaDc.length == 4 * mbCols * mbRows, "frame block count")
+          w.write(1, 3) // I-picture
+          w.write(0xffff, 16) // vbv_delay
+          w.write(0, 1) // extra_bit_picture
+          w.startCode(0x01) // one slice at vertical position 1
+          w.write(quantizerScale, 5)
+          w.write(0, 1) // extra_bit_slice
+          val dcPred = Array(128, 128, 128)
+          var mb = 0
+          while (mb < mbCols * mbRows) {
+            w.write(1, 1) // address increment +1
+            w.write(1, 1) // macroblock_type: intra
+            val mbRow = mb / mbCols; val mbCol = mb % mbCols
+            writeIntraBlocks(
+              blk => lumaDc((2 * mbRow + (blk >> 1)) * 2 * mbCols + 2 * mbCol + (blk & 1)),
+              blk => ac(mb, blk), dcPred)
+            mb += 1
           }
-          w.write(2, 2) // EOB
-          blk += 1
-        }
-        mb += 1
+        case PFrame(mbs, fCode, fullPel) =>
+          require(mbs.length == mbCols * mbRows, "one PMb per macroblock")
+          require(fCode >= 1 && fCode <= 7, "bad forward_f_code")
+          require(mbs.head != SkipMb && mbs.last != SkipMb,
+            "first/last MB of a slice cannot be skipped")
+          val fwdF = 1 << (fCode - 1)
+          w.write(2, 3) // P-picture
+          w.write(0xffff, 16) // vbv_delay
+          w.write(if (fullPel) 1 else 0, 1)
+          w.write(fCode, 3)
+          w.write(0, 1) // extra_bit_picture
+          w.startCode(0x01)
+          var qsCur = quantizerScale
+          w.write(qsCur, 5)
+          w.write(0, 1) // extra_bit_slice
+          val dcPred = Array(128, 128, 128)
+          var mvPredR = 0; var mvPredD = 0
+          var pendingIncr = 1
+          def writeQs(q: Int): Unit = {
+            require(q >= 1 && q <= 31, "bad quantizer_scale")
+            qsCur = q; w.write(q, 5)
+          }
+          mbs.foreach {
+            case SkipMb =>
+              pendingIncr += 1
+              dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+              mvPredR = 0; mvPredD = 0
+            case IntraMb(dc, ac, newQs) =>
+              writeAddrIncrement(w, pendingIncr); pendingIncr = 1
+              newQs match {
+                case Some(q) => w.write(1, 6); writeQs(q) // "000001"
+                case None => w.write(3, 5) // "00011"
+              }
+              require(dc.length == 4, "IntraMb carries 4 luma DCs")
+              writeIntraBlocks(dc(_), ac, dcPred)
+              mvPredR = 0; mvPredD = 0
+            case PredMb(mvx, mvy, residual, noMv, newQs) =>
+              writeAddrIncrement(w, pendingIncr); pendingIncr = 1
+              val codedBlocks = (0 until 6).filter(b => residual(b).nonEmpty)
+              val coded = codedBlocks.nonEmpty
+              if (noMv) {
+                require(mvx == 0 && mvy == 0, "pred-c has a zero vector")
+                require(coded, "pred-c requires coded blocks")
+                newQs match {
+                  case Some(q) => w.write(1, 5); writeQs(q) // "00001"
+                  case None => w.write(1, 2) // "01"
+                }
+                mvPredR = 0; mvPredD = 0
+              } else {
+                if (coded) newQs match {
+                  case Some(q) => w.write(2, 5); writeQs(q) // "00010"
+                  case None => w.write(1, 1) // "1"
+                } else {
+                  require(newQs.isEmpty, "Table B.2b has no pred-m+quant type")
+                  w.write(1, 3) // "001"
+                }
+                writeMotionVec(w, fwdF, fCode - 1, mvx, mvPredR)
+                writeMotionVec(w, fwdF, fCode - 1, mvy, mvPredD)
+                mvPredR = mvx; mvPredD = mvy
+              }
+              // non-intra MB resets the intra DC predictors
+              dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+              if (coded) {
+                val cbp = codedBlocks.map(b => 1 << (5 - b)).sum
+                val code = CbpEnc(cbp)
+                w.write(Integer.parseInt(code, 2), code.length)
+                codedBlocks.foreach(b => writeNonIntraBlock(w, residual(b)))
+              }
+          }
       }
     }
     w.startCode(0xb7)
     w.toBytes
+  }
+
+  private def writeAddrIncrement(w: BitWriter, incr0: Int): Unit = {
+    var incr = incr0
+    while (incr > 33) {
+      w.write(Integer.parseInt(AddrEscape, 2), AddrEscape.length)
+      incr -= 33
+    }
+    val code = AddrIncr.find(_._2 == incr).get._1
+    w.write(Integer.parseInt(code, 2), code.length)
+  }
+
+  /** Emit one motion component: target recon value vs predictor →
+    * Table B.4 code + forward_f residual, using the little/big
+    * wraparound when the raw delta leaves [-16f, 16f-1]. */
+  private def writeMotionVec(w: BitWriter, f: Int, rSize: Int,
+                             target: Int, prev: Int): Unit = {
+    require(target >= -16 * f && target <= 16 * f - 1,
+      s"recon vector $target outside [-${16 * f}, ${16 * f - 1}] for f=$f")
+    var delta = target - prev
+    if (delta >= 16 * f) delta -= 32 * f
+    else if (delta < -16 * f) delta += 32 * f
+    if (delta == 0) w.write(1, 1)
+    else {
+      val mag = math.abs(delta)
+      val code = 1 + (mag - 1) / f
+      val resid = (mag - 1) % f
+      require(code <= 16, "motion code overflow")
+      val bits = MotionEnc(if (delta > 0) code else -code)
+      w.write(Integer.parseInt(bits, 2), bits.length)
+      if (f > 1) w.write(resid, rSize)
+    }
+  }
+
+  /** Emit one coded non-intra block: dct_coeff_first (the "1s"
+    * special form when the first pair is run-0/±1) then Table B.5
+    * pairs to EOB. `pairs`: strictly-increasing (zigzagIndex ≥ 0,
+    * level ∈ [-255, 255]∖{0}). */
+  private def writeNonIntraBlock(w: BitWriter, pairs: Seq[(Int, Int)]): Unit = {
+    require(pairs.nonEmpty, "coded block needs coefficients")
+    var prev = -1
+    var first = true
+    pairs.foreach { case (zz, level) =>
+      require(zz > prev && zz <= 63, "zigzag index")
+      require(level != 0 && level >= -255 && level <= 255, "level")
+      val run = zz - prev - 1
+      if (first && run == 0 && math.abs(level) == 1) {
+        w.write(1, 1); w.write(if (level < 0) 1 else 0, 1)
+      } else writeAc(w, run, level)
+      prev = zz; first = false
+    }
+    w.write(2, 2) // EOB
   }
 
   private def writeDc(w: BitWriter, comp: Int, diff: Int): Unit = {

@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * documented stand-in), and VIDEO via the RIFF/AVI container walk
   * ([[MediaCodecs.decodeAvi]] — uncompressed DIB frames by pure byte
   * math, MJPEG frames through ImageIO) and the from-scratch MPEG-1
-  * VIDEO intra-frame decoder ([[Mpeg1]] — full DC/AC VLC layer,
-  * §2.4.4.2 reconstruction, IDCT; I-picture elementary streams).
-  * Only inter-frame prediction (P/B pictures, H.264, …) and Layer
-  * III's hybrid filterbank still fall to the clearly-marked
-  * deterministic stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
+  * VIDEO decoder ([[Mpeg1]] — full DC/AC VLC layer, §2.4.4.2/.3
+  * reconstruction, IDCT, and motion-compensated P-pictures with
+  * half-pel interpolation; I/P elementary streams). Only
+  * bidirectional prediction (B-pictures, H.264, …) and Layer III's
+  * hybrid filterbank still fall to the clearly-marked deterministic
+  * stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
   * partitioning, operator signatures, frame-sampling arithmetic) is
   * identical either way, so swapping the stub for a JNI/codec
   * implementation changes no plan shape.
@@ -123,7 +124,7 @@ object Multimodal {
     StructField("mean_luma", DoubleType),
     StructField("bitrate_kbps", IntegerType),
     StructField("first_luma", DoubleType), // video: top-left px of frame 0
-    StructField("video_codec", StringType), // dib | mjpeg | intra (m1v)
+    StructField("video_codec", StringType), // dib | mjpeg | intra | ip (m1v)
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
@@ -161,13 +162,15 @@ object Multimodal {
             case None => stubRow("unknown") // AVI magic but undecodable body
           }
         } else if (Mpeg1.isM1v(bytes)) {
-          // REAL MPEG-1 video decode for intra-only elementary
-          // streams: the full I-picture macroblock layer ([[Mpeg1]]).
-          // P/B pictures decode to None and keep the stub's remit.
+          // REAL MPEG-1 video decode for I/P elementary streams: the
+          // full intra macroblock layer plus motion-compensated
+          // P-pictures ([[Mpeg1]]). B-pictures decode to None and
+          // keep the stub's remit.
           Mpeg1.decode(bytes) match {
             case Some(v) => Row(id, "m1v", null, 3.asInstanceOf[Integer], null,
               v.nFrames.toLong, v.durationMs, null, null,
-              v.width, v.height, v.meanLuma, null, v.firstLuma, "intra", null)
+              v.width, v.height, v.meanLuma, null, v.firstLuma,
+              if (v.frames.exists(_.picType == 2)) "ip" else "intra", null)
             case None => stubRow("unknown") // sequence header but out of scope
           }
         } else if (MediaCodecs.isWav(bytes)) {

@@ -169,6 +169,196 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(Mpeg1.isM1v(good) && !Mpeg1.isM1v(Array[Byte](0, 0, 1, 0)))
   }
 
+  // ─── P-pictures (motion compensation) ───
+
+  /** 16 distinct flat luma blocks (2×2 MBs = 32×32 px). */
+  private val RefDc = Array.tabulate(16)(i => (i * 15 + 11) % 256)
+
+  private def decodeIp(pMbs: Seq[Mpeg1.PMb], qs: Int = 8, fCode: Int = 3,
+                       fullPel: Boolean = false,
+                       keepCoeffs: Boolean = false): Mpeg1.M1vInfo =
+    Mpeg1.decode(Mpeg1.encodeFrames(
+      Seq(Mpeg1.IFrame(RefDc), Mpeg1.PFrame(pMbs, fCode, fullPel)),
+      mbCols = 2, mbRows = 2, quantizerScale = qs), keepCoeffs)
+      .getOrElse(fail("decode failed"))
+
+  test("VLC tables are prefix-free; CBP covers 1..63; spot codes match the standard") {
+    assert(Mpeg1.prefixFree(Mpeg1.cbpTableCodes))
+    assert(Mpeg1.cbpTableValues.sorted == (1 to 63).toList)
+    val cbp = Mpeg1.cbpTableCodes.zip(Mpeg1.cbpTableValues).toMap.map(_.swap)
+    assert(cbp(60) == "111" && cbp(1) == "01011" && cbp(63) == "001100" &&
+      cbp(32) == "1010" && cbp(59) == "000000010")
+    assert(Mpeg1.prefixFree(Mpeg1.motionTableCodes))
+    assert(Mpeg1.motionCodeOf(0) == "1" && Mpeg1.motionCodeOf(1) == "010" &&
+      Mpeg1.motionCodeOf(-1) == "011" && Mpeg1.motionCodeOf(4) == "0000110" &&
+      Mpeg1.motionCodeOf(-16) == "00000011001")
+  }
+
+  test("pred-m full-pel motion: every pixel is the reference shifted by the vector") {
+    // recon units are half-pels: (dx,dy) px = recon (2dx, 2dy).
+    // MB0 (8,4), MB1 (-16,0), MB2 (0,-8), MB3 (-8,-4): in-bounds per MB
+    val mvs = Seq((8, 4), (-16, 0), (0, -8), (-8, -4))
+    val info = decodeIp(mvs.map { case (dx, dy) => Mpeg1.PredMb(2 * dx, 2 * dy) })
+    assert(info.nFrames == 2 && info.frames(1).picType == 2)
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    for (my <- 0 until 2; mx <- 0 until 2; j <- 0 until 16; i <- 0 until 16) {
+      val (dx, dy) = mvs(my * 2 + mx)
+      val x = mx * 16 + i; val y = my * 16 + j
+      assert(p(y * 32 + x) == ref((y + dy) * 32 + x + dx), s"($x,$y)")
+    }
+    // neutral chroma survives any chroma vector
+    assert(info.frames(1).cb.forall(_ == 128) && info.frames(1).cr.forall(_ == 128))
+  }
+
+  test("half-pel motion averages with rounding away from zero") {
+    // MB0: recon (1, 0) = right half-pel; MB3: recon (1, 1) = both
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(1, 0), Mpeg1.PredMb(-2, 0),
+      Mpeg1.PredMb(0, -2), Mpeg1.PredMb(-1, -1)))
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    for (j <- 0 until 16; i <- 0 until 16) {
+      // MB0 at (0,0): pred = (ref[y][x] + ref[y][x+1] + 1) >> 1
+      assert(p(j * 32 + i) ==
+        ((ref(j * 32 + i) + ref(j * 32 + i + 1) + 1) >> 1), s"mb0 ($i,$j)")
+      // MB3 at (16,16): recon (-1,-1) -> full (-1,-1) + halves (1,1)
+      val x = 16 + i; val y = 16 + j
+      val s = ref((y - 1) * 32 + (x - 1)) + ref((y - 1) * 32 + x) +
+        ref(y * 32 + (x - 1)) + ref(y * 32 + x)
+      assert(p(y * 32 + x) == ((s + 2) >> 2), s"mb3 ($i,$j)")
+    }
+  }
+
+  test("pred-mc residuals: clamp(round(pred + IDCT)), coeff taps match reconstructNonIntra") {
+    val qs = 7 // odd: (2L+sign)*qs stays odd, no oddification
+    // DC-only residuals on luma blocks 0 and 3 of each MB (cbp 100100),
+    // level +/-1 exercises the dct_coeff_first "1s" special form
+    def res(b: Int): Seq[(Int, Int)] =
+      if (b == 0) Seq((0, 1)) else if (b == 3) Seq((0, -3)) else Nil
+    val info = decodeIp(
+      Seq.fill(4)(Mpeg1.PredMb(0, 0, residual = res)), qs = qs, keepCoeffs = true)
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    val v1 = Mpeg1.reconstructNonIntra(1, qs, 16)   // (2+1)*7 = 21
+    val v3 = Mpeg1.reconstructNonIntra(-3, qs, 16)  // (-6-1)*7 = -49
+    assert(v1 == 21 && v3 == -49)
+    val taps = info.frames(1).coeffs
+    assert(taps.size == 8 && taps.forall { case (_, b, f) =>
+      (b == 0 || b == 3) && f(0) == (if (b == 0) v1 else v3) &&
+        f.drop(1).forall(_ == 0)
+    })
+    for (my <- 0 until 2; mx <- 0 until 2; j <- 0 until 16; i <- 0 until 16) {
+      val x = mx * 16 + i; val y = my * 16 + j
+      val blkInMb = (j / 8) * 2 + i / 8
+      val want = blkInMb match {
+        case 0 => math.max(0, math.min(255, math.round(ref(y * 32 + x) + v1 / 8.0).toInt))
+        case 3 => math.max(0, math.min(255, math.round(ref(y * 32 + x) + v3 / 8.0).toInt))
+        case _ => ref(y * 32 + x)
+      }
+      assert(p(y * 32 + x) == want, s"($x,$y)")
+    }
+  }
+
+  test("skipped MBs copy co-located pixels and reset the motion predictor") {
+    // MB0 carries a nonzero vector; MB1/MB2 skip; MB3's delta-0 vector
+    // must decode to ZERO (predictor reset by the skips), not MB0's
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(16, 16), Mpeg1.SkipMb, Mpeg1.SkipMb, Mpeg1.PredMb(0, 0)))
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    for (j <- 0 until 16; i <- 0 until 16) {
+      assert(p(j * 32 + i) == ref((j + 8) * 32 + i + 8), s"mb0 ($i,$j)")
+      assert(p(j * 32 + 16 + i) == ref(j * 32 + 16 + i), s"mb1 ($i,$j)")
+      assert(p((16 + j) * 32 + i) == ref((16 + j) * 32 + i), s"mb2 ($i,$j)")
+      assert(p((16 + j) * 32 + 16 + i) == ref((16 + j) * 32 + 16 + i), s"mb3 ($i,$j)")
+    }
+  }
+
+  test("intra-in-P replaces the MB and chains DC prediction from a reset predictor") {
+    val newDc = Array(40, 80, 120, 160)
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(0, 0), Mpeg1.IntraMb(newDc),
+      Mpeg1.IntraMb(newDc.map(_ + 10)), Mpeg1.PredMb(0, 0)))
+    val p = info.frames(1).y
+    for (j <- 0 until 16; i <- 0 until 16) {
+      val b = (j / 8) * 2 + i / 8
+      assert(p(j * 32 + 16 + i) == newDc(b), s"mb1 ($i,$j)")
+      assert(p((16 + j) * 32 + i) == newDc(b) + 10, s"mb2 ($i,$j)")
+    }
+  }
+
+  test("pred-c and +quant types: zero vector, mid-slice quantizer switch persists") {
+    val qs2 = 11
+    def resA(b: Int): Seq[(Int, Int)] = if (b == 1) Seq((0, 5)) else Nil
+    def resB(b: Int): Seq[(Int, Int)] = if (b == 2) Seq((0, 5)) else Nil
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(0, 0, residual = resA, noMv = true, newQs = Some(qs2)),
+      Mpeg1.PredMb(0, 0, residual = resB), // inherits qs2, not the slice qs
+      Mpeg1.PredMb(0, 0), Mpeg1.PredMb(0, 0)), qs = 9, keepCoeffs = true)
+    val v = Mpeg1.reconstructNonIntra(5, qs2, 16) // 11*11 = 121
+    assert(v == 121)
+    assert(info.frames(1).coeffs.map { case (mb, b, f) => (mb, b, f(0)) } ==
+      Vector((0, 1, v), (1, 2, v)))
+  }
+
+  test("full_pel doubles the reconstructed vector at use time") {
+    // fullPel: recon value 4 displaces by 4 FULL pels (8 half-pels)
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(4, 0), Mpeg1.PredMb(-4, 0),
+      Mpeg1.PredMb(0, 0), Mpeg1.PredMb(0, 0)), fullPel = true)
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    for (j <- 0 until 16; i <- 0 until 16)
+      assert(p(j * 32 + i) == ref(j * 32 + i + 4), s"($i,$j)")
+  }
+
+  test("motion wraparound: the big path reconstructs targets the little delta cannot reach") {
+    // fCode 1 (f=1): recon range [-16, 15]. prev 15 -> target -16 has
+    // raw delta -31; the encoder wraps to +1 and the decoder's range
+    // check must take the big branch.
+    val info = decodeIp(Seq(
+      Mpeg1.PredMb(15, 0), Mpeg1.PredMb(0, 0), Mpeg1.PredMb(0, 0),
+      Mpeg1.PredMb(0, 0)), fCode = 1)
+    val ref = info.frames(0).y
+    val p = info.frames(1).y
+    // recon 15 -> full 7, half 1 at MB0 (x in 0..15: x+8 <= 23 in-bounds)
+    for (j <- 0 until 16; i <- 0 until 16) {
+      assert(p(j * 32 + i) ==
+        ((ref(j * 32 + i + 7) + ref(j * 32 + i + 8) + 1) >> 1), s"($i,$j)")
+    }
+    val info2 = decodeIp(Seq(
+      Mpeg1.PredMb(15, 0), Mpeg1.PredMb(-16, 0),
+      Mpeg1.PredMb(0, 0), Mpeg1.PredMb(0, 0)), fCode = 1)
+    val p2 = info2.frames(1).y
+    val ref2 = info2.frames(0).y
+    // MB1 at x in 16..31 with recon -16 = -8 px
+    for (j <- 0 until 16; i <- 0 until 16)
+      assert(p2(j * 32 + 16 + i) == ref2(j * 32 + 16 + i - 8), s"wrap ($i,$j)")
+  }
+
+  test("strictness: B-pictures and out-of-picture vectors return None") {
+    val good = Mpeg1.encodeFrames(
+      Seq(Mpeg1.IFrame(RefDc), Mpeg1.PFrame(Seq.fill(4)(Mpeg1.PredMb(0, 0)))),
+      mbCols = 2, mbRows = 2)
+    assert(Mpeg1.decode(good).isDefined)
+    // patch the SECOND picture header P -> B (type 3); its 10-bit
+    // temporal_reference is 1, so byte 5 is 01|010|111 = 0x57
+    val b = good.clone()
+    val pics = (0 until b.length - 3).filter(i =>
+      b(i) == 0 && b(i + 1) == 0 && b(i + 2) == 1 && b(i + 3) == 0)
+    assert(pics.size == 2 && b(pics(1) + 5) == 0x57.toByte)
+    b(pics(1) + 5) = 0x5f.toByte
+    assert(Mpeg1.decode(b) === None)
+    // a vector referencing outside the coded picture is rejected
+    val oob = Mpeg1.encodeFrames(
+      Seq(Mpeg1.IFrame(RefDc),
+        Mpeg1.PFrame(Seq(Mpeg1.PredMb(-2, 0), Mpeg1.PredMb(0, 0),
+          Mpeg1.PredMb(0, 0), Mpeg1.PredMb(0, 0)))),
+      mbCols = 2, mbRows = 2)
+    assert(Mpeg1.decode(oob) === None)
+  }
+
   test("decodeMedia routes MPEG-1 video through the real intra decoder") {
     import TestSpark.spark
     import spark.implicits._
