@@ -1808,6 +1808,67 @@ object SparkEntry {
         .orderBy($"media_id", $"br", $"bc")
     }),
 
+    // LLM-pipeline: BIDIRECTIONAL (B-picture) video decode — the
+    // final MPEG-1 prediction tier plus display-order reassembly.
+    // Coding order is I (tempref 0), P (tempref 2, four intra MBs
+    // with id-derived DCs — the backward anchor), then B (tempref 1)
+    // whose macroblocks sweep fwd-only / bwd-only / interpolated
+    // (away-rounded (f+b+1)>>1, plus DC-only residuals on an
+    // id-chosen cbp subset) / intra-in-B. Whole-block vectors keep
+    // every predicted 8×8 flat, so DuckDB replays each block pixel
+    // from the id arithmetic; grading frames(1) also pins the
+    // temporal_reference reordering (display index 1 = the B frame,
+    // decoded LAST).
+    "multimodal_m1v_bidir" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mpeg1
+      t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .flatMap { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          def byteAt(r: Int, c: Int): Int = {
+            val i = 4 * r + c
+            if (i < bytes.length) bytes(i) & 0xff else 32
+          }
+          val iDc = Array.tabulate(16)(i => byteAt(i / 4, i % 4))
+          val qs = 1 + 2 * (id % 16).toInt
+          val pMbs = (0 until 4).map { m =>
+            Mpeg1.IntraMb(
+              Array.tabulate(4)(b => ((id * 11 + m * 5 + b * 3) % 256).toInt))
+          }
+          val bMbs = (0 until 4).map { m =>
+            val sgx = if (m % 2 == 0) 1 else -1
+            val sgy = if (m < 2) 1 else -1
+            val fwd = (16 * ((id * 7 + m) % 3).toInt * sgx,
+              16 * ((id * 5 + m) % 3).toInt * sgy)
+            val bwd = (16 * ((id * 13 + m) % 3).toInt * sgx,
+              16 * ((id * 17 + m) % 3).toInt * sgy)
+            ((id + m) % 4).toInt match {
+              case 0 => Mpeg1.BPred(Some(fwd), None)
+              case 1 => Mpeg1.BPred(None, Some(bwd))
+              case 2 => Mpeg1.BPred(Some(fwd), Some(bwd), residual = b =>
+                if (b < 4 && (id + b) % 2 == 0) {
+                  val l0 = ((id * 3 + m + b) % 9).toInt - 4
+                  Seq((0, if (l0 == 0) 1 else l0))
+                } else Nil)
+              case _ => Mpeg1.BIntra(
+                Array.tabulate(4)(b => ((id * 13 + m * 7 + b * 5) % 256).toInt))
+            }
+          }
+          val stream = Mpeg1.encodeFrames(
+            Seq(Mpeg1.IFrame(iDc, tempRef = 0),
+              Mpeg1.PFrame(pMbs, tempRef = 2),
+              Mpeg1.BFrame(bMbs, tempRef = 1)),
+            mbCols = 2, mbRows = 2, quantizerScale = qs)
+          val bFrame = Mpeg1.decode(stream).get.frames(1) // display order
+          for (br <- 0 until 4; bc <- 0 until 4)
+            yield (id, br, bc, bFrame.y(br * 8 * 32 + bc * 8))
+        }
+        .toDF("media_id", "br", "bc", "luma")
+        .orderBy($"media_id", $"br", $"bc")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -3568,6 +3629,62 @@ object SparkEntry {
           |        (CASE WHEN lvl > 0 THEN 2*lvl + 1 ELSE 2*lvl - 1 END) * qs / 8.0)))
           |    ELSE base END AS INT) AS luma
           |FROM r
+          |ORDER BY media_id, br, bc""".stripMargin,
+
+      // term-by-term replay of the bidirectional B-frame: forward
+      // blocks read the I-frame's character codes at the shifted
+      // block position, backward blocks read the P-anchor's intra-DC
+      // id arithmetic at ITS shifted position, interpolated blocks
+      // away-round (f + b + 1) // 2 (both non-negative) and coded
+      // ones add clamp(round(+ (2L±1)·qs/8)). The grade rides on
+      // frames(1) being the B frame, so temporal_reference
+      // display-order reassembly is graded too.
+      "multimodal_m1v_bidir" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1), i -> ord(text[i])) AS v,
+          |    CAST(1 + 2 * (doc_id % 16) AS INT) AS qs
+          |  FROM documents),
+          |g AS (
+          |  SELECT media_id, n, v, qs, br, bc,
+          |    (br // 2) * 2 + (bc // 2) AS m,
+          |    (br % 2) * 2 + (bc % 2) AS bib
+          |  FROM s, (SELECT unnest(range(4)) AS br),
+          |       (SELECT unnest(range(4)) AS bc)),
+          |p AS (
+          |  SELECT media_id, n, v, qs, br, bc, m, bib,
+          |    CAST((media_id + m) % 4 AS INT) AS mode,
+          |    br + CAST((media_id * 5 + m) % 3 AS INT) *
+          |      (CASE WHEN m < 2 THEN 1 ELSE -1 END) AS rf,
+          |    bc + CAST((media_id * 7 + m) % 3 AS INT) *
+          |      (CASE WHEN m % 2 = 0 THEN 1 ELSE -1 END) AS cf,
+          |    br + CAST((media_id * 17 + m) % 3 AS INT) *
+          |      (CASE WHEN m < 2 THEN 1 ELSE -1 END) AS rb,
+          |    bc + CAST((media_id * 13 + m) % 3 AS INT) *
+          |      (CASE WHEN m % 2 = 0 THEN 1 ELSE -1 END) AS cb
+          |  FROM g),
+          |q AS (
+          |  SELECT media_id, br, bc, m, bib, qs, mode,
+          |    CASE WHEN 4 * rf + cf + 1 <= n
+          |         THEN v[CAST(4 * rf + cf + 1 AS INT)] ELSE 32 END AS fpx,
+          |    (media_id * 11 + ((rb // 2) * 2 + (cb // 2)) * 5
+          |       + ((rb % 2) * 2 + (cb % 2)) * 3) % 256 AS bpx,
+          |    CASE WHEN ((media_id * 3 + m + bib) % 9) - 4 = 0 THEN 1
+          |         ELSE CAST((media_id * 3 + m + bib) % 9 AS INT) - 4
+          |         END AS lvl
+          |  FROM p)
+          |SELECT media_id, CAST(br AS INT) AS br, CAST(bc AS INT) AS bc,
+          |  CAST(CASE mode
+          |    WHEN 0 THEN fpx
+          |    WHEN 1 THEN bpx
+          |    WHEN 2 THEN CASE WHEN (media_id + bib) % 2 = 0 THEN
+          |        GREATEST(0, LEAST(255, round((fpx + bpx + 1) // 2 +
+          |          (CASE WHEN lvl > 0 THEN 2*lvl + 1 ELSE 2*lvl - 1 END)
+          |            * qs / 8.0)))
+          |      ELSE (fpx + bpx + 1) // 2 END
+          |    ELSE (media_id * 13 + m * 7 + bib * 5) % 256
+          |    END AS INT) AS luma
+          |FROM q
           |ORDER BY media_id, br, bc""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP

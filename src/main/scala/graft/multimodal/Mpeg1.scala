@@ -12,8 +12,10 @@ package graft.multimodal
   * Scope (strict, like Mp2 — anything outside decodes to `None`
   * rather than silently skewing stats):
   *  - MPEG-1 video ELEMENTARY streams (sequence header first),
-  *    I- and P-pictures — B-pictures (bidirectional prediction) and
-  *    D-pictures are rejected, not approximated;
+  *    I-, P- and B-pictures — D-pictures are rejected, not
+  *    approximated. Frames return in DISPLAY order (B-pictures
+  *    arrive after their backward anchor in coding order;
+  *    temporal_reference per GOP segment recovers display order);
   *  - default or stream-loaded intra AND non-intra quantizer
   *    matrices; 4:2:0 chroma (the only MPEG-1 layout),
   *    nearest-neighbor upsample;
@@ -36,7 +38,13 @@ package graft.multimodal
   *    the standard's `//`), the Table B.3 coded_block_pattern VLC,
   *    the dct_coeff_first special form, and §2.4.4.3 non-intra
   *    reconstruction ((2·L + Sign L)·qs·W/16, oddify, saturate)
-  *    added to the prediction with per-pixel round + clamp.
+  *    added to the prediction with per-pixel round + clamp;
+  *  - all of the B-picture bidirectional layer: the eleven Table
+  *    B.2c macroblock types, independent forward/backward vector
+  *    parameter sets and predictors, away-rounded interpolation
+  *    ((fwd + bwd)//2) of the two predictions, and B-skip semantics
+  *    (repeat the previous MB's prediction directions and vectors —
+  *    predictors survive skips, unlike P).
   *
   * Decoded Y'CbCr converts to RGB with the full-range BT.601 inverse
   * (R = Y + 1.402·(Cr−128), …, rounded and clamped per channel), and
@@ -173,6 +181,21 @@ object Mpeg1 {
     "00001" -> ((true, false, true, false)),
     "000001" -> ((true, false, false, true)))
 
+  /** B-picture macroblock_type (Table B.2c):
+    * (quant, motion_forward, motion_backward, pattern, intra). */
+  private val BMbTypes: Seq[(String, (Boolean, Boolean, Boolean, Boolean, Boolean))] = Seq(
+    "10" -> ((false, true, true, false, false)),   // interp, not coded
+    "11" -> ((false, true, true, true, false)),    // interp, coded
+    "010" -> ((false, false, true, false, false)), // bwd, not coded
+    "011" -> ((false, false, true, true, false)),  // bwd, coded
+    "0010" -> ((false, true, false, false, false)),// fwd, not coded
+    "0011" -> ((false, true, false, true, false)), // fwd, coded
+    "00011" -> ((false, false, false, false, true)),
+    "00010" -> ((true, true, true, true, false)),
+    "000011" -> ((true, true, false, true, false)),
+    "000010" -> ((true, false, true, true, false)),
+    "000001" -> ((true, false, false, false, true)))
+
   /** coded_block_pattern (Table B.3, inherited verbatim from H.261's
     * CBP table): cbp bit 5 (MSB) = block 0 (luma TL) … bit 0 =
     * block 5 (Cr). Spot values and prefix-freeness are spec-pinned. */
@@ -259,6 +282,7 @@ object Mpeg1 {
   private val AcMap = vlcMap(AcCodes)
   private val MaxAcCodeLen = AcCodes.map(_._1.length).max
   private val PMbTypeMap = vlcMap(PMbTypes)
+  private val BMbTypeMap = vlcMap(BMbTypes)
   private val CbpMap = vlcMap(CbpCodes)
   private val MotionMap = vlcMap(MotionCodes)
 
@@ -335,12 +359,15 @@ object Mpeg1 {
     * resolution, plus (when requested) the §2.4.4.2/§2.4.4.3
     * reconstructed coefficient blocks (natural order) keyed by
     * (mbAddress, block#) — the integer tap the SQL oracle grades
-    * pre-IDCT (for P-pictures these are the residuals). `picType`
-    * is 1 = I, 2 = P. */
+    * pre-IDCT (for P/B-pictures these are the residuals). `picType`
+    * is 1 = I, 2 = P, 3 = B; frames are returned in DISPLAY order
+    * (sorted by temporal_reference within each GOP/sequence segment
+    * — B-pictures arrive before their backward anchor in coding
+    * order). */
   final case class M1vFrame(codedW: Int, codedH: Int,
                             y: Array[Int], cb: Array[Int], cr: Array[Int],
                             coeffs: Vector[(Int, Int, Array[Int])],
-                            picType: Int = 1)
+                            picType: Int = 1, temporalRef: Int = 0)
 
   /** Decoded stream facts; stats cover VISIBLE pixels only. */
   final case class M1vInfo(width: Int, height: Int, frameRateCode: Int,
@@ -382,26 +409,37 @@ object Mpeg1 {
       var mbW = 0; var mbH = 0
       var inPicture = false
       var picType = 1
-      var fullPel = false
-      var fwdF = 1 // forward_f = 1 << (forward_f_code - 1)
-      var fwdRSize = 0
-      val frames = Vector.newBuilder[M1vFrame]
+      var tempRef = 0
+      var seg = 0 // GOP/sequence segment index (temporal_reference scope)
+      var fullPelF = false
+      var fF = 1 // forward_f = 1 << (forward_f_code - 1)
+      var fRSize = 0
+      var fullPelB = false
+      var fB = 1
+      var bRSize = 0
+      val frames = Vector.newBuilder[(Int, M1vFrame)] // (segment, frame)
       var curY: Array[Int] = null
       var curCb: Array[Int] = null
       var curCr: Array[Int] = null
-      // forward reference = the previously DECODED picture (I/P-only
-      // streams have coding order = display order)
-      var refY: Array[Int] = null
-      var refCb: Array[Int] = null
-      var refCr: Array[Int] = null
+      // the two most recent decoded ANCHOR (I/P) pictures: P predicts
+      // forward from lastA; a B-picture predicts forward from prevA
+      // (the anchor before it in display order) and backward from
+      // lastA (the anchor after it — decoded first in coding order)
+      var prevAY: Array[Int] = null; var prevACb: Array[Int] = null
+      var prevACr: Array[Int] = null
+      var lastAY: Array[Int] = null; var lastACb: Array[Int] = null
+      var lastACr: Array[Int] = null
       var curCoeffs: scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])] = null
       var nFrames = 0
 
       def flushPicture(): Unit = if (inPicture) {
-        frames += M1vFrame(mbW * 16, mbH * 16, curY, curCb, curCr,
+        frames += ((seg, M1vFrame(mbW * 16, mbH * 16, curY, curCb, curCr,
           if (curCoeffs == null) Vector.empty else curCoeffs.toVector,
-          picType)
-        refY = curY; refCb = curCb; refCr = curCr
+          picType, tempRef)))
+        if (picType <= 2) { // only anchors advance the reference pair
+          prevAY = lastAY; prevACb = lastACb; prevACr = lastACr
+          lastAY = curY; lastACb = curCb; lastACr = curCr
+        }
         nFrames += 1
         inPicture = false
       }
@@ -431,21 +469,31 @@ object Mpeg1 {
               nonIntraQ = w
             }
             mbW = (width + 15) / 16; mbH = (height + 15) / 16
-          case 0xb8 => // GOP header — nothing the intra decoder needs
+            if (nFrames > 0 || inPicture) seg += 1
+          case 0xb8 => // GOP header: a new temporal_reference scope
+            if (nFrames > 0 || inPicture) seg += 1
           case 0x00 => // picture header
             if (mbW == 0) return None
             flushPicture()
-            r.read(10) // temporal_reference
+            tempRef = r.read(10)
             picType = r.read(3)
-            if (picType != 1 && picType != 2) return None // I/P only; B/D rejected
-            if (picType == 2 && refY == null) return None // P needs a reference
+            if (picType < 1 || picType > 3) return None // I/P/B; D rejected
+            if (picType == 2 && lastAY == null) return None // P needs an anchor
+            if (picType == 3 && prevAY == null) return None // B needs two anchors
             r.read(16) // vbv_delay
-            if (picType == 2) {
-              fullPel = r.read(1) == 1
+            if (picType >= 2) {
+              fullPelF = r.read(1) == 1
               val fc = r.read(3)
               if (fc == 0) return None
-              fwdRSize = fc - 1
-              fwdF = 1 << fwdRSize
+              fRSize = fc - 1
+              fF = 1 << fRSize
+            }
+            if (picType == 3) {
+              fullPelB = r.read(1) == 1
+              val bc = r.read(3)
+              if (bc == 0) return None
+              bRSize = bc - 1
+              fB = 1 << bRSize
             }
             while (r.bitsLeft >= 9 && r.read(1) == 1) r.read(8)
             curY = new Array[Int](mbW * 16 * mbH * 16)
@@ -457,9 +505,14 @@ object Mpeg1 {
             inPicture = true
           case s if s >= 0x01 && s <= 0xaf => // slice
             if (!inPicture) return None
+            // P: forward ref = last anchor. B: fwd = prevA, bwd = lastA.
+            val (fwY, fwCb, fwCr) =
+              if (picType == 3) (prevAY, prevACb, prevACr)
+              else (lastAY, lastACb, lastACr)
             decodeSlice(r, s, mbW, mbH, intraQ, nonIntraQ, picType,
-              fullPel, fwdF, fwdRSize, curY, curCb, curCr,
-              refY, refCb, refCr, curCoeffs)
+              fullPelF, fF, fRSize, fullPelB, fB, bRSize,
+              curY, curCb, curCr,
+              fwY, fwCb, fwCr, lastAY, lastACb, lastACr, curCoeffs)
           case 0xb7 => // sequence end
           case 0xb2 | 0xb5 => // user data / extension: skip
           case _ => return None
@@ -468,8 +521,12 @@ object Mpeg1 {
       flushPicture()
       if (nFrames == 0) return None
 
-      // visible-pixel stats through the BT.601 RGB round trip
+      // display-order reassembly: coding order puts B-pictures after
+      // their backward anchor; temporal_reference (per segment)
+      // recovers display order. Stats below are display-order too.
       val fs = frames.result()
+        .sortBy { case (sg, fr) => (sg, fr.temporalRef) }
+        .map(_._2)
       var lumaSum = 0.0
       var firstLuma = 0.0
       fs.zipWithIndex.foreach { case (f, fi) =>
@@ -514,10 +571,12 @@ object Mpeg1 {
 
   private def decodeSlice(r: BitReader, sliceCode: Int, mbW: Int, mbH: Int,
                           intraQ: Array[Int], nonIntraQ: Array[Int],
-                          picType: Int, fullPel: Boolean, fwdF: Int,
-                          fwdRSize: Int,
+                          picType: Int, fullPelF: Boolean, fF: Int,
+                          fRSize: Int, fullPelB: Boolean, fB: Int,
+                          bRSize: Int,
                           y: Array[Int], cb: Array[Int], cr: Array[Int],
-                          refY: Array[Int], refCb: Array[Int], refCr: Array[Int],
+                          fwdY: Array[Int], fwdCb: Array[Int], fwdCr: Array[Int],
+                          bwdY: Array[Int], bwdCb: Array[Int], bwdCr: Array[Int],
                           coeffs: scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])]): Unit = {
     var qs = r.read(5)
     if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
@@ -527,27 +586,90 @@ object Mpeg1 {
     // again after every non-intra or skipped macroblock
     val dcPred = Array(128, 128, 128)
     // motion predictors (half-pel recon domain, pre-full_pel-shift);
-    // reset at slice start, after intra MBs, after skipped MBs, and
-    // for pred-c MBs (no forward vector)
-    var mvPredR = 0; var mvPredD = 0
+    // reset at slice start, after intra MBs, for P MBs without a
+    // vector (pred-c), and — in P only — after skipped MBs. B-picture
+    // skips keep them (the skip repeats the previous prediction).
+    var mvFR = 0; var mvFD = 0
+    var mvBR = 0; var mvBD = 0
+    // B-skip state: the previous MB's prediction directions
+    var lastUsedF = false; var lastUsedB = false; var prevWasIntra = false
     var firstMb = true
+
+    /** One 8×8 predicted block: forward, backward, or the
+      * away-rounded interpolation of both (§2.4.4.4: (f + b)//2). */
+    def predictedBlock(blk: Int, mbRow: Int, mbCol: Int,
+                       useF: Boolean, useB: Boolean): Array[Int] = {
+      def side(ry: Array[Int], rc1: Array[Int], rc2: Array[Int],
+               recR: Int, recD: Int, fullPel: Boolean): Array[Int] = {
+        val eR = if (fullPel) recR << 1 else recR
+        val eD = if (fullPel) recD << 1 else recD
+        if (blk < 4)
+          predictBlock(ry, mbW * 16, mbH * 16,
+            mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8,
+            eR, eD, chroma = false)
+        else
+          predictBlock(if (blk == 4) rc1 else rc2, mbW * 8, mbH * 8,
+            mbCol * 8, mbRow * 8, eR, eD, chroma = true)
+      }
+      if (useF && useB) {
+        val a = side(fwdY, fwdCb, fwdCr, mvFR, mvFD, fullPelF)
+        val b = side(bwdY, bwdCb, bwdCr, mvBR, mvBD, fullPelB)
+        var i = 0
+        while (i < 64) { a(i) = (a(i) + b(i) + 1) >> 1; i += 1 }
+        a
+      } else if (useB) side(bwdY, bwdCb, bwdCr, mvBR, mvBD, fullPelB)
+      else side(fwdY, fwdCb, fwdCr, mvFR, mvFD, fullPelF)
+    }
+
+    def writePlaneBlock(blk: Int, mbRow: Int, mbCol: Int,
+                        data: Array[Int]): Unit = {
+      val (plane, stride, bx, by) =
+        if (blk < 4)
+          (y, mbW * 16, mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8)
+        else
+          (if (blk == 4) cb else cr, mbW * 8, mbCol * 8, mbRow * 8)
+      var j = 0
+      while (j < 8) {
+        var i = 0
+        while (i < 8) {
+          plane((by + j) * stride + bx + i) = data(j * 8 + i)
+          i += 1
+        }
+        j += 1
+      }
+    }
+
     while (r.bitsLeft > 0 && r.peekPadded(23) != 0) {
       val incr = decodeAddrIncrement(r)
       // I-pictures have no skipped macroblocks: after the slice's
       // first (which may seek forward), every increment must be 1
       if (picType == 1 && !firstMb && incr != 1)
         throw new IllegalStateException("skipped MB in I-picture")
-      if (picType == 2 && incr > 1) {
-        // skipped MBs: co-located copy (MV 0, no residual), reset
-        // both predictor families
+      if (picType >= 2 && incr > 1) {
         var k = mbAddr + 1
         while (k < mbAddr + incr) {
-          if (k >= 0 && k < mbW * mbH)
-            copyColocated(k, mbW, y, cb, cr, refY, refCb, refCr)
+          if (k >= 0 && k < mbW * mbH) {
+            if (picType == 2)
+              // P skip: co-located copy (MV 0, no residual)
+              copyColocated(k, mbW, y, cb, cr, fwdY, fwdCb, fwdCr)
+            else {
+              // B skip: repeat the previous MB's prediction (same
+              // directions, same vectors — §2.4.4.4); illegal after
+              // an intra MB or at slice start
+              if (prevWasIntra || (!lastUsedF && !lastUsedB))
+                throw new IllegalStateException("B skip without prior prediction")
+              var blk = 0
+              while (blk < 6) {
+                writePlaneBlock(blk, k / mbW, k % mbW,
+                  predictedBlock(blk, k / mbW, k % mbW, lastUsedF, lastUsedB))
+                blk += 1
+              }
+            }
+          }
           k += 1
         }
         dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
-        mvPredR = 0; mvPredD = 0
+        if (picType == 2) { mvFR = 0; mvFD = 0 } // B skips keep predictors
       }
       mbAddr += incr
       if (mbAddr < 0 || mbAddr >= mbW * mbH) throw new IllegalStateException("MB address")
@@ -556,6 +678,7 @@ object Mpeg1 {
 
       // macroblock_type
       var motionForward = false
+      var motionBackward = false
       var pattern = false
       var intra = true
       if (picType == 1) {
@@ -565,9 +688,16 @@ object Mpeg1 {
           qs = r.read(5)
           if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
         }
-      } else {
+      } else if (picType == 2) {
         val (quant, mf, pat, in) = readVlc(r, PMbTypeMap, 6)
         motionForward = mf; pattern = pat; intra = in
+        if (quant) {
+          qs = r.read(5)
+          if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
+        }
+      } else {
+        val (quant, mf, mb, pat, in) = readVlc(r, BMbTypeMap, 6)
+        motionForward = mf; motionBackward = mb; pattern = pat; intra = in
         if (quant) {
           qs = r.read(5)
           if (qs == 0) throw new IllegalStateException("quantizer_scale 0")
@@ -575,8 +705,9 @@ object Mpeg1 {
       }
 
       if (intra) {
-        // intra MBs carry no vector: motion predictors reset
-        mvPredR = 0; mvPredD = 0
+        // intra MBs carry no vector: ALL motion predictors reset
+        mvFR = 0; mvFD = 0; mvBR = 0; mvBD = 0
+        prevWasIntra = true; lastUsedF = false; lastUsedB = false
         var blk = 0
         while (blk < 6) {
           val comp = if (blk < 4) 0 else blk - 3 // 0=Y 1=Cb 2=Cr
@@ -594,31 +725,29 @@ object Mpeg1 {
           blk += 1
         }
       } else {
-        // predicted MB: reconstruct the forward vector (half-pel
+        // predicted MB: reconstruct transmitted vectors (half-pel
         // units), motion-compensate, then add coded residuals
-        var reconR = 0; var reconD = 0
         if (motionForward) {
-          reconR = decodeMotion(r, fwdF, fwdRSize, mvPredR)
-          reconD = decodeMotion(r, fwdF, fwdRSize, mvPredD)
-          mvPredR = reconR; mvPredD = reconD
-          if (fullPel) { reconR <<= 1; reconD <<= 1 }
-        } else {
-          // pred-c: vector is zero and predictors reset
-          mvPredR = 0; mvPredD = 0
+          mvFR = decodeMotion(r, fF, fRSize, mvFR)
+          mvFD = decodeMotion(r, fF, fRSize, mvFD)
+        } else if (picType == 2) {
+          // P pred-c: vector is zero and predictors reset
+          mvFR = 0; mvFD = 0
         }
+        if (motionBackward) {
+          mvBR = decodeMotion(r, fB, bRSize, mvBR)
+          mvBD = decodeMotion(r, fB, bRSize, mvBD)
+        }
+        // P prediction is always forward; B uses the coded directions
+        val useF = picType == 2 || motionForward
+        val useB = motionBackward
+        prevWasIntra = false; lastUsedF = useF; lastUsedB = useB
         // DC predictors reset by any non-intra MB
         dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
         val cbp = if (pattern) readVlc(r, CbpMap, 9) else 0
         var blk = 0
         while (blk < 6) {
-          val pred =
-            if (blk < 4)
-              predictBlock(refY, mbW * 16, mbH * 16,
-                mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8,
-                reconR, reconD, chroma = false)
-            else
-              predictBlock(if (blk == 4) refCb else refCr, mbW * 8, mbH * 8,
-                mbCol * 8, mbRow * 8, reconR, reconD, chroma = true)
+          val pred = predictedBlock(blk, mbRow, mbCol, useF, useB)
           val coded = (cbp & (1 << (5 - blk))) != 0
           if (coded) {
             val f = decodeNonIntraBlock(r, nonIntraQ, qs)
@@ -631,20 +760,7 @@ object Mpeg1 {
               i += 1
             }
           }
-          val (plane, stride, bx, by) =
-            if (blk < 4)
-              (y, mbW * 16, mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8)
-            else
-              (if (blk == 4) cb else cr, mbW * 8, mbCol * 8, mbRow * 8)
-          var j = 0
-          while (j < 8) {
-            var i = 0
-            while (i < 8) {
-              plane((by + j) * stride + bx + i) = pred(j * 8 + i)
-              i += 1
-            }
-            j += 1
-          }
+          writePlaneBlock(blk, mbRow, mbCol, pred)
           blk += 1
         }
       }
@@ -872,19 +988,50 @@ object Mpeg1 {
                            ac: Int => Seq[(Int, Int)] = _ => Nil,
                            newQs: Option[Int] = None) extends PMb
 
-  /** One synthesized picture. */
-  sealed trait FrameSpec
+  /** One B-picture macroblock. */
+  sealed trait BMb
+
+  /** Skipped B MB: repeats the previous MB's prediction directions
+    * and vectors (illegal after an intra MB or as the slice's
+    * first/last MB — the encoder enforces it). */
+  case object BSkip extends BMb
+
+  /** Predicted B MB: forward and/or backward vectors (half-pel recon
+    * units — at least one direction; both = away-rounded
+    * interpolation), plus optional per-block residuals. */
+  final case class BPred(fwd: Option[(Int, Int)], bwd: Option[(Int, Int)],
+                         residual: Int => Seq[(Int, Int)] = _ => Nil,
+                         newQs: Option[Int] = None) extends BMb
+
+  /** Intra MB inside a B-frame. */
+  final case class BIntra(lumaDc: Array[Int],
+                          ac: Int => Seq[(Int, Int)] = _ => Nil,
+                          newQs: Option[Int] = None) extends BMb
+
+  /** One synthesized picture. `tempRef` overrides the transmitted
+    * temporal_reference (display position; -1 = the coding index) —
+    * required for B streams, where coding order ≠ display order. */
+  sealed trait FrameSpec { def tempRef: Int }
 
   /** I-picture: per-block luma DC values (0..255), one per 8×8 block
     * in block-raster order — `2·mbCols` per block row. Chroma DC is
     * neutral 128. `ac`: (mbAddress, block#) → intra AC pairs. */
   final case class IFrame(lumaDc: Array[Int],
-                          ac: (Int, Int) => Seq[(Int, Int)] = (_, _) => Nil)
+                          ac: (Int, Int) => Seq[(Int, Int)] = (_, _) => Nil,
+                          tempRef: Int = -1)
     extends FrameSpec
 
   /** P-picture: one [[PMb]] per macroblock in address order. */
   final case class PFrame(mbs: Seq[PMb], fCode: Int = 3,
-                          fullPel: Boolean = false) extends FrameSpec
+                          fullPel: Boolean = false,
+                          tempRef: Int = -1) extends FrameSpec
+
+  /** B-picture: one [[BMb]] per macroblock; independent forward and
+    * backward f_codes / full_pel flags. Legal only after at least two
+    * anchor (I/P) pictures in coding order. */
+  final case class BFrame(mbs: Seq[BMb], fCodeF: Int = 3, fCodeB: Int = 3,
+                          fullPelF: Boolean = false, fullPelB: Boolean = false,
+                          tempRef: Int = -1) extends FrameSpec
 
   /** Synthesize a conforming intra-only stream (the original API;
     * [[encodeFrames]] is the I/P-general form).
@@ -961,12 +1108,14 @@ object Mpeg1 {
       }
     }
 
+    var anchorsSeen = 0
     frames.zipWithIndex.foreach { case (spec, f) =>
       w.startCode(0x00)
-      w.write(f % 1024, 10) // temporal_reference
+      w.write((if (spec.tempRef >= 0) spec.tempRef else f) % 1024, 10)
       spec match {
-        case IFrame(lumaDc, ac) =>
+        case IFrame(lumaDc, ac, _) =>
           require(lumaDc.length == 4 * mbCols * mbRows, "frame block count")
+          anchorsSeen += 1
           w.write(1, 3) // I-picture
           w.write(0xffff, 16) // vbv_delay
           w.write(0, 1) // extra_bit_picture
@@ -984,11 +1133,13 @@ object Mpeg1 {
               blk => ac(mb, blk), dcPred)
             mb += 1
           }
-        case PFrame(mbs, fCode, fullPel) =>
+        case PFrame(mbs, fCode, fullPel, _) =>
           require(mbs.length == mbCols * mbRows, "one PMb per macroblock")
           require(fCode >= 1 && fCode <= 7, "bad forward_f_code")
           require(mbs.head != SkipMb && mbs.last != SkipMb,
             "first/last MB of a slice cannot be skipped")
+          require(anchorsSeen >= 1, "P-picture needs a prior anchor")
+          anchorsSeen += 1
           val fwdF = 1 << (fCode - 1)
           w.write(2, 3) // P-picture
           w.write(0xffff, 16) // vbv_delay
@@ -1046,6 +1197,99 @@ object Mpeg1 {
               }
               // non-intra MB resets the intra DC predictors
               dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+              if (coded) {
+                val cbp = codedBlocks.map(b => 1 << (5 - b)).sum
+                val code = CbpEnc(cbp)
+                w.write(Integer.parseInt(code, 2), code.length)
+                codedBlocks.foreach(b => writeNonIntraBlock(w, residual(b)))
+              }
+          }
+        case BFrame(mbs, fCodeF, fCodeB, fullPelF, fullPelB, _) =>
+          require(mbs.length == mbCols * mbRows, "one BMb per macroblock")
+          require(fCodeF >= 1 && fCodeF <= 7 && fCodeB >= 1 && fCodeB <= 7,
+            "bad f_code")
+          require(mbs.head != BSkip && mbs.last != BSkip,
+            "first/last MB of a slice cannot be skipped")
+          require(anchorsSeen >= 2, "B-picture needs two prior anchors")
+          val fF = 1 << (fCodeF - 1)
+          val fB = 1 << (fCodeB - 1)
+          w.write(3, 3) // B-picture
+          w.write(0xffff, 16) // vbv_delay
+          w.write(if (fullPelF) 1 else 0, 1)
+          w.write(fCodeF, 3)
+          w.write(if (fullPelB) 1 else 0, 1)
+          w.write(fCodeB, 3)
+          w.write(0, 1) // extra_bit_picture
+          w.startCode(0x01)
+          var qsCur = quantizerScale
+          w.write(qsCur, 5)
+          w.write(0, 1) // extra_bit_slice
+          val dcPred = Array(128, 128, 128)
+          var mvFR = 0; var mvFD = 0; var mvBR = 0; var mvBD = 0
+          var pendingIncr = 1
+          var prevIntra = false
+          def writeQs(q: Int): Unit = {
+            require(q >= 1 && q <= 31, "bad quantizer_scale")
+            qsCur = q; w.write(q, 5)
+          }
+          mbs.foreach {
+            case BSkip =>
+              require(!prevIntra, "B skip cannot follow an intra MB")
+              pendingIncr += 1
+              dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+              // predictors unchanged: the skip repeats them
+            case BIntra(dc, ac, newQs) =>
+              writeAddrIncrement(w, pendingIncr); pendingIncr = 1
+              newQs match {
+                case Some(q) => w.write(1, 6); writeQs(q) // "000001"
+                case None => w.write(3, 5) // "00011"
+              }
+              require(dc.length == 4, "BIntra carries 4 luma DCs")
+              writeIntraBlocks(dc(_), ac, dcPred)
+              mvFR = 0; mvFD = 0; mvBR = 0; mvBD = 0
+              prevIntra = true
+            case BPred(fwd, bwd, residual, newQs) =>
+              writeAddrIncrement(w, pendingIncr); pendingIncr = 1
+              require(fwd.isDefined || bwd.isDefined,
+                "BPred needs at least one direction (use BSkip to repeat)")
+              val codedBlocks = (0 until 6).filter(b => residual(b).nonEmpty)
+              val coded = codedBlocks.nonEmpty
+              (fwd.isDefined, bwd.isDefined, coded) match {
+                case (true, true, false) =>
+                  require(newQs.isEmpty, "no quant type for uncoded B MBs")
+                  w.write(2, 2) // "10"
+                case (true, true, true) => newQs match {
+                  case Some(q) => w.write(2, 5); writeQs(q) // "00010"
+                  case None => w.write(3, 2) // "11"
+                }
+                case (false, true, false) =>
+                  require(newQs.isEmpty, "no quant type for uncoded B MBs")
+                  w.write(2, 3) // "010"
+                case (false, true, true) => newQs match {
+                  case Some(q) => w.write(2, 6); writeQs(q) // "000010"
+                  case None => w.write(3, 3) // "011"
+                }
+                case (true, false, false) =>
+                  require(newQs.isEmpty, "no quant type for uncoded B MBs")
+                  w.write(2, 4) // "0010"
+                case (true, false, true) => newQs match {
+                  case Some(q) => w.write(3, 6); writeQs(q) // "000011"
+                  case None => w.write(3, 4) // "0011"
+                }
+                case _ => throw new IllegalArgumentException("unreachable")
+              }
+              fwd.foreach { case (mvx, mvy) =>
+                writeMotionVec(w, fF, fCodeF - 1, mvx, mvFR)
+                writeMotionVec(w, fF, fCodeF - 1, mvy, mvFD)
+                mvFR = mvx; mvFD = mvy
+              }
+              bwd.foreach { case (mvx, mvy) =>
+                writeMotionVec(w, fB, fCodeB - 1, mvx, mvBR)
+                writeMotionVec(w, fB, fCodeB - 1, mvy, mvBD)
+                mvBR = mvx; mvBD = mvy
+              }
+              dcPred(0) = 128; dcPred(1) = 128; dcPred(2) = 128
+              prevIntra = false
               if (coded) {
                 val cbp = codedBlocks.map(b => 1 << (5 - b)).sum
                 val code = CbpEnc(cbp)

@@ -124,7 +124,7 @@ object Multimodal {
     StructField("mean_luma", DoubleType),
     StructField("bitrate_kbps", IntegerType),
     StructField("first_luma", DoubleType), // video: top-left px of frame 0
-    StructField("video_codec", StringType), // dib | mjpeg | intra | ip (m1v)
+    StructField("video_codec", StringType), // dib | mjpeg | intra | ip | ipb
     StructField("stub_feature", ArrayType(FloatType))))
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
@@ -162,15 +162,17 @@ object Multimodal {
             case None => stubRow("unknown") // AVI magic but undecodable body
           }
         } else if (Mpeg1.isM1v(bytes)) {
-          // REAL MPEG-1 video decode for I/P elementary streams: the
-          // full intra macroblock layer plus motion-compensated
-          // P-pictures ([[Mpeg1]]). B-pictures decode to None and
-          // keep the stub's remit.
+          // REAL MPEG-1 video decode for I/P/B elementary streams:
+          // the full intra macroblock layer, motion-compensated
+          // P-pictures, and bidirectional B-pictures with
+          // display-order reassembly ([[Mpeg1]]). D-pictures decode
+          // to None.
           Mpeg1.decode(bytes) match {
             case Some(v) => Row(id, "m1v", null, 3.asInstanceOf[Integer], null,
               v.nFrames.toLong, v.durationMs, null, null,
               v.width, v.height, v.meanLuma, null, v.firstLuma,
-              if (v.frames.exists(_.picType == 2)) "ip" else "intra", null)
+              if (v.frames.exists(_.picType == 3)) "ipb"
+              else if (v.frames.exists(_.picType == 2)) "ip" else "intra", null)
             case None => stubRow("unknown") // sequence header but out of scope
           }
         } else if (MediaCodecs.isWav(bytes)) {

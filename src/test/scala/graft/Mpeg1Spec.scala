@@ -337,12 +337,113 @@ class Mpeg1Spec extends AnyFunSuite {
       assert(p2(j * 32 + 16 + i) == ref2(j * 32 + 16 + i - 8), s"wrap ($i,$j)")
   }
 
-  test("strictness: B-pictures and out-of-picture vectors return None") {
+  // ─── B-pictures (bidirectional prediction) ───
+
+  /** P-frame of four intra MBs with distinct DCs — the backward
+    * anchor whose content differs from the I-frame. */
+  private def pAnchorDc(m: Int, b: Int): Int = (70 + m * 40 + b * 9) % 256
+  private def pAnchor: Mpeg1.PFrame = Mpeg1.PFrame(
+    (0 until 4).map(m => Mpeg1.IntraMb(Array.tabulate(4)(b => pAnchorDc(m, b)))),
+    tempRef = 2)
+
+  private def decodeIpb(bMbs: Seq[Mpeg1.BMb], qs: Int = 8,
+                        keepCoeffs: Boolean = false): Mpeg1.M1vInfo =
+    Mpeg1.decode(Mpeg1.encodeFrames(
+      Seq(Mpeg1.IFrame(RefDc, tempRef = 0), pAnchor,
+        Mpeg1.BFrame(bMbs, tempRef = 1)),
+      mbCols = 2, mbRows = 2, quantizerScale = qs), keepCoeffs)
+      .getOrElse(fail("decode failed"))
+
+  /** The backward anchor's flat value at pixel (x, y). */
+  private def pAnchorPx(x: Int, y: Int): Int = {
+    val m = (y / 16) * 2 + x / 16
+    pAnchorDc(m, ((y % 16) / 8) * 2 + (x % 16) / 8)
+  }
+
+  test("B-picture: fwd/bwd/interp/intra MBs, display-order reassembly") {
+    val info = decodeIpb(Seq(
+      Mpeg1.BPred(Some((16, 0)), None),            // fwd +8px right from I
+      Mpeg1.BPred(None, Some((0, 16))),            // bwd +8px down from P
+      Mpeg1.BPred(Some((0, 0)), Some((0, 0))),     // interp of co-located
+      Mpeg1.BIntra(Array(1, 2, 3, 4))))
+    // coding order I,P,B -> display order I,B,P via temporal_reference
+    assert(info.frames.map(_.picType) == Vector(1, 3, 2))
+    assert(info.frames.map(_.temporalRef) == Vector(0, 1, 2))
+    val iRef = info.frames(0).y
+    val b = info.frames(1).y
+    for (j <- 0 until 16; i <- 0 until 16) {
+      assert(b(j * 32 + i) == iRef(j * 32 + i + 8), s"fwd ($i,$j)")
+      val x1 = 16 + i
+      assert(b(j * 32 + x1) == pAnchorPx(x1, j + 8), s"bwd ($i,$j)")
+      val y2 = 16 + j
+      assert(b(y2 * 32 + i) ==
+        ((iRef(y2 * 32 + i) + pAnchorPx(i, y2) + 1) >> 1), s"interp ($i,$j)")
+      assert(b(y2 * 32 + x1) == Array(1, 2, 3, 4)((j / 8) * 2 + i / 8),
+        s"intra ($i,$j)")
+    }
+  }
+
+  test("B-skip repeats the previous MB's prediction directions and vectors") {
+    // 4×1 MBs (64×16 px) so the skipped MBs sit in the interior and
+    // the inherited +8px forward vector stays in-picture everywhere
+    val iDc = Array.tabulate(16)(i => (i * 13 + 7) % 256)
+    val pDc = (m: Int, b: Int) => (60 + m * 31 + b * 11) % 256
+    val info = Mpeg1.decode(Mpeg1.encodeFrames(
+      Seq(
+        Mpeg1.IFrame(iDc, tempRef = 0),
+        Mpeg1.PFrame((0 until 4).map(m =>
+          Mpeg1.IntraMb(Array.tabulate(4)(b => pDc(m, b)))), tempRef = 2),
+        Mpeg1.BFrame(Seq(
+          Mpeg1.BPred(Some((16, 0)), Some((0, 0))), // interp, fwd +8px right
+          Mpeg1.BSkip, Mpeg1.BSkip,
+          Mpeg1.BPred(Some((0, 0)), None)), tempRef = 1)),
+      mbCols = 4, mbRows = 1)).getOrElse(fail("decode failed"))
+    def iPx(x: Int, y: Int) = iDc((y / 8) * 8 + x / 8)
+    def pPx(x: Int, y: Int) = pDc(x / 16, (y / 8) * 2 + (x % 16) / 8)
+    val b = info.frames(1).y
+    assert(info.frames(1).picType == 3)
+    // skipped MB1 (x 16..31) and MB2 (x 32..47): same interp with fwd
+    // recon (16,0) and bwd (0,0) AT THEIR OWN positions — the
+    // predictors survive the skips
+    for (j <- 0 until 16; i <- 0 until 16) {
+      val x1 = 16 + i
+      assert(b(j * 64 + x1) ==
+        ((iPx(x1 + 8, j) + pPx(x1, j) + 1) >> 1), s"mb1 ($i,$j)")
+      val x2 = 32 + i
+      assert(b(j * 64 + x2) ==
+        ((iPx(x2 + 8, j) + pPx(x2, j) + 1) >> 1), s"mb2 ($i,$j)")
+    }
+  }
+
+  test("B residuals add to the interpolated prediction; +quant switches persist") {
+    val qs2 = 13
+    def res(b: Int): Seq[(Int, Int)] = if (b == 2) Seq((0, 3)) else Nil
+    val info = decodeIpb(Seq(
+      Mpeg1.BPred(Some((0, 0)), Some((0, 0)), residual = res, newQs = Some(qs2)),
+      Mpeg1.BPred(Some((0, 0)), Some((0, 0)), residual = res), // inherits qs2
+      Mpeg1.BPred(Some((0, 0)), None),
+      Mpeg1.BPred(None, Some((0, 0)))), qs = 9, keepCoeffs = true)
+    val v = Mpeg1.reconstructNonIntra(3, qs2, 16) // 7*13 = 91
+    assert(v == 91)
+    assert(info.frames(1).coeffs.map { case (mb, b, f) => (mb, b, f(0)) } ==
+      Vector((0, 2, v), (1, 2, v)))
+    val iRef = info.frames(0).y
+    val b = info.frames(1).y
+    // MB0 block 2 (x 0..7, y 8..15): clamp(round(interp + 91/8))
+    for (j <- 8 until 16; i <- 0 until 8) {
+      val interp = (iRef(j * 32 + i) + pAnchorPx(i, j) + 1) >> 1
+      assert(b(j * 32 + i) ==
+        math.max(0, math.min(255, math.round(interp + v / 8.0).toInt)), s"($i,$j)")
+    }
+  }
+
+  test("strictness: anchor-less B-pictures and out-of-picture vectors return None") {
     val good = Mpeg1.encodeFrames(
       Seq(Mpeg1.IFrame(RefDc), Mpeg1.PFrame(Seq.fill(4)(Mpeg1.PredMb(0, 0)))),
       mbCols = 2, mbRows = 2)
     assert(Mpeg1.decode(good).isDefined)
-    // patch the SECOND picture header P -> B (type 3); its 10-bit
+    // patch the SECOND picture header P -> B (type 3); a B-picture
+    // needs TWO prior anchors and only the I preceded it. The 10-bit
     // temporal_reference is 1, so byte 5 is 01|010|111 = 0x57
     val b = good.clone()
     val pics = (0 until b.length - 3).filter(i =>
