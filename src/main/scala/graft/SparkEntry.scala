@@ -1869,6 +1869,46 @@ object SparkEntry {
         .orderBy($"media_id", $"br", $"bc")
     }),
 
+    // LLM-pipeline: CONTAINER-LEVEL A/V decode — MPEG-1 PROGRAM
+    // streams (.mpg), the classic container tying both from-scratch
+    // sample decoders together. Each doc wraps (a) the same DC-only
+    // I-picture video the m1v entry grades and (b) a Layer II audio
+    // track (Mp2.encode: 48 kHz mono 192 kbps) into an interleaved
+    // pack/packet stream via MpegPs.mux; decodeMedia demuxes and
+    // decodes BOTH tracks into one combined row. The oracle replays
+    // the video pixels from character codes (same math as
+    // multimodal_decode_m1v — the demux must reassemble the
+    // elementary stream byte-exactly for them to hold) and the audio
+    // header facts from the Mp2 synthesis constants.
+    "multimodal_decode_mpg" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{Mp2, Mpeg1, MpegPs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, txt) =>
+          val bytes = txt.getBytes("UTF-8")
+          val nf = 1 + (id % 3).toInt
+          val frames = Array.tabulate(nf) { f =>
+            Array.tabulate(4) { b =>
+              val i = f * 4 + b
+              if (i < bytes.length) bytes(i) & 0xff else 32
+            }
+          }
+          val video = Mpeg1.encode(frames, mbCols = 1, mbRows = 1)
+          val audio = Mp2.encode(id, 1 + (id % 2).toInt)
+          (id, MpegPs.mux(video, audio, chunk = 256))
+        }
+        .toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"video_codec", $"width", $"height",
+          $"n_frames", round($"duration_ms", 6).as("duration_ms"),
+          round($"mean_luma" * $"n_frames" * lit(4), 6).as("luma_total"),
+          round($"first_luma", 6).as("first_luma"),
+          $"sample_rate", $"channels", $"bitrate_kbps")
+        .orderBy($"media_id")
+    }),
+
     // §2.8 streaming-shaped windowed aggregation: tumbling 1-hour
     // counts per event type via EventStreams.windowedEventCounts — the
     // SAME code serves the watermarked streaming path (StreamingSpec);
@@ -3686,6 +3726,38 @@ object SparkEntry {
           |    END AS INT) AS luma
           |FROM q
           |ORDER BY media_id, br, bc""".stripMargin,
+
+      // the m1v pixel replay (character codes -> flat DC blocks ->
+      // BT.601) plus the Mp2 synthesis constants (48 kHz mono
+      // 192 kbps) — valid only if the program-stream demux
+      // reassembles both elementary tracks byte-exactly
+      "multimodal_decode_mpg" ->
+        """WITH s AS (
+          |  SELECT doc_id AS media_id, len(text) AS n,
+          |    list_transform(range(1, len(text) + 1),
+          |      i -> CAST(ord(text[i]) AS DOUBLE)) AS v,
+          |    1 + doc_id % 3 AS nf
+          |  FROM documents),
+          |l AS (
+          |  SELECT media_id, nf,
+          |    list_transform(range(0, CAST(nf * 4 AS BIGINT)), i ->
+          |      0.299 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    + 0.587 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    + 0.114 * (CASE WHEN i + 1 <= n THEN v[CAST(i + 1 AS INT)] ELSE 32.0 END)
+          |    ) AS bl
+          |  FROM s)
+          |SELECT media_id, 'mpg' AS format, 'intra' AS video_codec,
+          |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(nf AS BIGINT) AS n_frames,
+          |  round(nf * 40.0, 6) AS duration_ms,
+          |  round(list_sum(list_transform(range(0, CAST(nf AS BIGINT)), f ->
+          |    ((bl[CAST(f*4+1 AS INT)] + bl[CAST(f*4+2 AS INT)])
+          |     + bl[CAST(f*4+3 AS INT)]) + bl[CAST(f*4+4 AS INT)]
+          |  )), 6) AS luma_total,
+          |  round(bl[1], 6) AS first_luma,
+          |  CAST(48000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+          |  CAST(192 AS INT) AS bitrate_kbps
+          |FROM l ORDER BY media_id""".stripMargin,
 
       // DuckDB reads the nanos parquet column natively as TIMESTAMP
       // (only Spark needs nanosAsLong), so truncate directly.

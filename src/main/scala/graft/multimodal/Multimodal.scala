@@ -15,13 +15,15 @@ import org.apache.spark.sql.types._
   * — bitstream + requantization standard-exact, synthesis window a
   * documented stand-in), and VIDEO via the RIFF/AVI container walk
   * ([[MediaCodecs.decodeAvi]] — uncompressed DIB frames by pure byte
-  * math, MJPEG frames through ImageIO) and the from-scratch MPEG-1
+  * math, MJPEG frames through ImageIO), the from-scratch MPEG-1
   * VIDEO decoder ([[Mpeg1]] — full DC/AC VLC layer, §2.4.4.2/.3
-  * reconstruction, IDCT, and motion-compensated P-pictures with
-  * half-pel interpolation; I/P elementary streams). Only
-  * bidirectional prediction (B-pictures, H.264, …) and Layer III's
-  * hybrid filterbank still fall to the clearly-marked deterministic
-  * stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
+  * reconstruction, IDCT, motion-compensated P-pictures with half-pel
+  * interpolation, and bidirectional B-pictures with display-order
+  * reassembly: full I/P/B GOP structures), and MPEG-1 PROGRAM
+  * streams (.mpg — [[MpegPs]] demuxes the pack/packet layer and the
+  * two sample decoders handle the tracks). Only H.264-class codecs
+  * and Layer III's hybrid filterbank still fall to the clearly-marked
+  * deterministic stub ([[StubDecoder]]); the Spark-side plumbing (schema, batching,
   * partitioning, operator signatures, frame-sampling arithmetic) is
   * identical either way, so swapping the stub for a JNI/codec
   * implementation changes no plan shape.
@@ -105,8 +107,9 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, mp2, mp3, avi, m1v, ppm, pgm, png, jpeg,
-    * gif, bmp, tiff, unknown, null-payload}; audio fields populated for
+    * media row, `format` ∈ {wav, mp2, mp3, avi, m1v, mpg, ppm, pgm,
+    * png, jpeg, gif, bmp, tiff, unknown, null-payload} (mpg: MPEG-1
+    * program streams, demuxed and decoded as one combined A/V row); audio fields populated for
     * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
     * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
     * needs no PCM decode), image fields for the image formats
@@ -160,6 +163,44 @@ object Multimodal {
               v.nFrames.toLong, v.durationMs, null, null,
               v.width, v.height, v.meanLuma, null, v.firstLuma, v.codec, null)
             case None => stubRow("unknown") // AVI magic but undecodable body
+          }
+        } else if (MpegPs.isPs(bytes)) {
+          // MPEG-1 PROGRAM STREAM (.mpg): demux the pack/packet layer
+          // ([[MpegPs]]), then decode the video track through Mpeg1
+          // and the audio track through Mp2 — one combined A/V row
+          // (audio fields from the MP2 track incl. real-PCM rms/peak,
+          // video fields + duration from the M1V track).
+          val av = MpegPs.demux(bytes).map { d =>
+            (if (Mpeg1.isM1v(d.video)) Mpeg1.decode(d.video) else None,
+              if (Mp2.isMp2(d.audio)) Mp2.decode(d.audio) else None)
+          }
+          av match {
+            case Some((v, a)) if v.isDefined || a.isDefined =>
+              var rms: Any = null; var peak: Any = null
+              a.foreach { m =>
+                var sumSq = 0.0; var pk = 0.0
+                m.pcm.foreach { x =>
+                  sumSq += x * x; val ab = math.abs(x); if (ab > pk) pk = ab
+                }
+                rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
+                peak = pk
+              }
+              Row(id, "mpg",
+                a.map(m => m.sampleRate: Any).orNull,
+                a.map(m => m.channels: Any).orNull, null,
+                v.map(x => x.nFrames.toLong: Any).orNull,
+                v.map(x => x.durationMs: Any).orNull,
+                rms, peak,
+                v.map(x => x.width: Any).orNull,
+                v.map(x => x.height: Any).orNull,
+                v.map(x => x.meanLuma: Any).orNull,
+                a.map(m => m.bitrateKbps: Any).orNull,
+                v.map(x => x.firstLuma: Any).orNull,
+                v.map(x => if (x.frames.exists(_.picType == 3)) "ipb"
+                  else if (x.frames.exists(_.picType == 2)) "ip"
+                  else "intra": Any).orNull,
+                null)
+            case _ => stubRow("unknown") // PS magic but no decodable track
           }
         } else if (Mpeg1.isM1v(bytes)) {
           // REAL MPEG-1 video decode for I/P/B elementary streams:
