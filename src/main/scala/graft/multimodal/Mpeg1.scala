@@ -11,11 +11,12 @@ package graft.multimodal
   *
   * Scope (strict, like Mp2 — anything outside decodes to `None`
   * rather than silently skewing stats):
-  *  - MPEG-1 video ELEMENTARY streams (sequence header first),
-  *    I-, P- and B-pictures — D-pictures are rejected, not
-  *    approximated. Frames return in DISPLAY order (B-pictures
-  *    arrive after their backward anchor in coding order;
-  *    temporal_reference per GOP segment recovers display order);
+  *  - MPEG-1 video ELEMENTARY streams (sequence header first), all
+  *    four picture types — I, P, B, and the DC-only D syntax
+  *    (§2.4.3.4: no AC, no EOB, end_of_macroblock bits). Frames
+  *    return in DISPLAY order (B-pictures arrive after their
+  *    backward anchor in coding order; temporal_reference per GOP
+  *    segment recovers display order);
   *  - default or stream-loaded intra AND non-intra quantizer
   *    matrices; 4:2:0 chroma (the only MPEG-1 layout),
   *    nearest-neighbor upsample;
@@ -398,7 +399,7 @@ object Mpeg1 {
   }
 
   /** Decode an MPEG-1 video elementary stream. `None` on anything
-    * outside the documented I/P scope or any bitstream error. */
+    * outside the documented I/P/B/D scope or any bitstream error. */
   def decode(bytes: Array[Byte], keepCoeffs: Boolean = false): Option[M1vInfo] = {
     if (!isM1v(bytes)) return None
     try {
@@ -477,11 +478,11 @@ object Mpeg1 {
             flushPicture()
             tempRef = r.read(10)
             picType = r.read(3)
-            if (picType < 1 || picType > 3) return None // I/P/B; D rejected
+            if (picType < 1 || picType > 4) return None // I/P/B/D
             if (picType == 2 && lastAY == null) return None // P needs an anchor
             if (picType == 3 && prevAY == null) return None // B needs two anchors
             r.read(16) // vbv_delay
-            if (picType >= 2) {
+            if (picType == 2 || picType == 3) {
               fullPelF = r.read(1) == 1
               val fc = r.read(3)
               if (fc == 0) return None
@@ -641,11 +642,11 @@ object Mpeg1 {
 
     while (r.bitsLeft > 0 && r.peekPadded(23) != 0) {
       val incr = decodeAddrIncrement(r)
-      // I-pictures have no skipped macroblocks: after the slice's
-      // first (which may seek forward), every increment must be 1
-      if (picType == 1 && !firstMb && incr != 1)
-        throw new IllegalStateException("skipped MB in I-picture")
-      if (picType >= 2 && incr > 1) {
+      // I- and D-pictures have no skipped macroblocks: after the
+      // slice's first (which may seek forward), every increment is 1
+      if ((picType == 1 || picType == 4) && !firstMb && incr != 1)
+        throw new IllegalStateException("skipped MB in I/D-picture")
+      if ((picType == 2 || picType == 3) && incr > 1) {
         var k = mbAddr + 1
         while (k < mbAddr + incr) {
           if (k >= 0 && k < mbW * mbH) {
@@ -681,7 +682,12 @@ object Mpeg1 {
       var motionBackward = false
       var pattern = false
       var intra = true
-      if (picType == 1) {
+      var dPicture = false
+      if (picType == 4) {
+        // Table B.2d: "1" is the only D-picture type (DC-only intra)
+        if (r.read(1) != 1) throw new IllegalStateException("macroblock_type")
+        dPicture = true
+      } else if (picType == 1) {
         // Table B.2a: 1 = intra, 01 = intra+quant
         if (r.read(1) == 0) {
           if (r.read(1) != 1) throw new IllegalStateException("macroblock_type")
@@ -704,7 +710,25 @@ object Mpeg1 {
         }
       }
 
-      if (intra) {
+      if (dPicture) {
+        // D-picture MB: six DC-only blocks (no AC, no EOB — the flat
+        // IDCT is exact), then the end_of_macroblock '1' (§2.4.3.4)
+        var blk = 0
+        while (blk < 6) {
+          val comp = if (blk < 4) 0 else blk - 3
+          val f = decodeDcOnlyBlock(r, comp, dcPred)
+          if (coeffs != null) coeffs += ((mbAddr, blk, f.clone()))
+          val px = idct(f)
+          if (blk < 4)
+            writeBlock(px, y, mbW * 16,
+              mbCol * 16 + (blk & 1) * 8, mbRow * 16 + (blk >> 1) * 8)
+          else
+            writeBlock(px, if (blk == 4) cb else cr, mbW * 8,
+              mbCol * 8, mbRow * 8)
+          blk += 1
+        }
+        if (r.read(1) != 1) throw new IllegalStateException("end_of_macroblock")
+      } else if (intra) {
         // intra MBs carry no vector: ALL motion predictors reset
         mvFR = 0; mvFD = 0; mvBR = 0; mvBD = 0
         prevWasIntra = true; lastUsedF = false; lastUsedB = false
@@ -910,18 +934,32 @@ object Mpeg1 {
     incr
   }
 
+  /** DC size VLC (Table B.12/B.13 by component) + differential. */
+  private def readDcDiff(r: BitReader, comp: Int): Int = {
+    val dcSize = readVlc(r, if (comp == 0) DcSizeLumMap else DcSizeChromMap, 8)
+    if (dcSize == 0) 0 else {
+      val b = r.read(dcSize)
+      if (((b >> (dcSize - 1)) & 1) == 1) b else b - (1 << dcSize) + 1
+    }
+  }
+
+  /** D-picture block: DC only — no AC coefficients and no EOB
+    * (§2.4.3.4). Returns the flat natural-order dct_recon. */
+  private def decodeDcOnlyBlock(r: BitReader, comp: Int,
+                                dcPred: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    dcPred(comp) += readDcDiff(r, comp)
+    out(0) = math.max(-2048, math.min(2047, dcPred(comp) * 8))
+    out
+  }
+
   /** Intra block: DC size VLC + differential with per-component
     * prediction, AC run/level loop to EOB, zigzag de-scan, §2.4.4.2
     * reconstruction. Returns natural-order dct_recon (pre-IDCT). */
   private def decodeIntraBlock(r: BitReader, comp: Int, dcPred: Array[Int],
                                intraQ: Array[Int], qs: Int): Array[Int] = {
     val out = new Array[Int](64)
-    val dcSize = readVlc(r, if (comp == 0) DcSizeLumMap else DcSizeChromMap, 8)
-    val diff = if (dcSize == 0) 0 else {
-      val b = r.read(dcSize)
-      if (((b >> (dcSize - 1)) & 1) == 1) b else b - (1 << dcSize) + 1
-    }
-    dcPred(comp) += diff
+    dcPred(comp) += readDcDiff(r, comp)
     // DC: fixed ×8 quantizer, no oddification (§2.4.4.2), saturate
     out(0) = math.max(-2048, math.min(2047, dcPred(comp) * 8))
     var idx = 0
@@ -1033,6 +1071,11 @@ object Mpeg1 {
                           fullPelF: Boolean = false, fullPelB: Boolean = false,
                           tempRef: Int = -1) extends FrameSpec
 
+  /** D-picture: per-block luma DCs like [[IFrame]], but transmitted
+    * in the DC-only syntax (no AC coefficients, no EOB, an
+    * end_of_macroblock bit per MB — §2.4.3.4). */
+  final case class DFrame(lumaDc: Array[Int], tempRef: Int = -1) extends FrameSpec
+
   /** Synthesize a conforming intra-only stream (the original API;
     * [[encodeFrames]] is the I/P-general form).
     *
@@ -1067,8 +1110,9 @@ object Mpeg1 {
                    nonIntraMatrix: Option[Array[Int]] = None): Array[Byte] = {
     require(FrameRates.contains(frameRateCode), "bad frame rate code")
     require(quantizerScale >= 1 && quantizerScale <= 31, "bad quantizer_scale")
-    require(frames.headOption.forall(_.isInstanceOf[IFrame]),
-      "stream must open with an I-picture")
+    require(frames.headOption.forall(f =>
+      f.isInstanceOf[IFrame] || f.isInstanceOf[DFrame]),
+      "stream must open with an I- or D-picture")
     val w = new BitWriter
     w.startCode(0xb3)
     w.write(mbCols * 16, 12); w.write(mbRows * 16, 12)
@@ -1203,6 +1247,34 @@ object Mpeg1 {
                 w.write(Integer.parseInt(code, 2), code.length)
                 codedBlocks.foreach(b => writeNonIntraBlock(w, residual(b)))
               }
+          }
+        case DFrame(lumaDc, _) =>
+          require(lumaDc.length == 4 * mbCols * mbRows, "frame block count")
+          w.write(4, 3) // D-picture
+          w.write(0xffff, 16) // vbv_delay
+          w.write(0, 1) // extra_bit_picture
+          w.startCode(0x01)
+          w.write(quantizerScale, 5)
+          w.write(0, 1) // extra_bit_slice
+          val dcPred = Array(128, 128, 128)
+          var mb = 0
+          while (mb < mbCols * mbRows) {
+            w.write(1, 1) // address increment +1
+            w.write(1, 1) // macroblock_type (Table B.2d: the only one)
+            val mbRow = mb / mbCols; val mbCol = mb % mbCols
+            var blk = 0
+            while (blk < 6) {
+              val comp = if (blk < 4) 0 else blk - 3
+              val dc = if (blk < 4)
+                lumaDc((2 * mbRow + (blk >> 1)) * 2 * mbCols + 2 * mbCol + (blk & 1))
+              else 128
+              require(dc >= 0 && dc <= 255, "luma DC out of range")
+              writeDc(w, comp, dc - dcPred(comp))
+              dcPred(comp) = dc
+              blk += 1
+            }
+            w.write(1, 1) // end_of_macroblock
+            mb += 1
           }
         case BFrame(mbs, fCodeF, fCodeB, fullPelF, fullPelB, _) =>
           require(mbs.length == mbCols * mbRows, "one BMb per macroblock")

@@ -127,8 +127,17 @@ object Multimodal {
     StructField("mean_luma", DoubleType),
     StructField("bitrate_kbps", IntegerType),
     StructField("first_luma", DoubleType), // video: top-left px of frame 0
-    StructField("video_codec", StringType), // dib | mjpeg | intra | ip | ipb
+    StructField("video_codec", StringType), // dib | mjpeg | intra | ip | ipb | dc
     StructField("stub_feature", ArrayType(FloatType))))
+
+  /** m1v/mpg codec tag from the picture types present: full GOPs →
+    * "ipb", forward prediction only → "ip", DC-only D streams →
+    * "dc", plain intra → "intra". */
+  private def codecTag(v: Mpeg1.M1vInfo): String =
+    if (v.frames.exists(_.picType == 3)) "ipb"
+    else if (v.frames.exists(_.picType == 2)) "ip"
+    else if (v.frames.exists(_.picType == 4)) "dc"
+    else "intra"
 
   /** REAL decode where the bytes allow it: magic-byte dispatch to
     * [[MediaCodecs]] (RIFF/WAVE PCM audio and binary netpbm by pure
@@ -196,9 +205,7 @@ object Multimodal {
                 v.map(x => x.meanLuma: Any).orNull,
                 a.map(m => m.bitrateKbps: Any).orNull,
                 v.map(x => x.firstLuma: Any).orNull,
-                v.map(x => if (x.frames.exists(_.picType == 3)) "ipb"
-                  else if (x.frames.exists(_.picType == 2)) "ip"
-                  else "intra": Any).orNull,
+                v.map(x => codecTag(x): Any).orNull,
                 null)
             case _ => stubRow("unknown") // PS magic but no decodable track
           }
@@ -212,8 +219,7 @@ object Multimodal {
             case Some(v) => Row(id, "m1v", null, 3.asInstanceOf[Integer], null,
               v.nFrames.toLong, v.durationMs, null, null,
               v.width, v.height, v.meanLuma, null, v.firstLuma,
-              if (v.frames.exists(_.picType == 3)) "ipb"
-              else if (v.frames.exists(_.picType == 2)) "ip" else "intra", null)
+              codecTag(v), null)
             case None => stubRow("unknown") // sequence header but out of scope
           }
         } else if (MediaCodecs.isWav(bytes)) {

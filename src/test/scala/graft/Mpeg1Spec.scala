@@ -437,6 +437,27 @@ class Mpeg1Spec extends AnyFunSuite {
     }
   }
 
+  test("D-pictures: DC-only syntax round-trips to exact flat pixels") {
+    val dcs = Seq(Array.tabulate(16)(i => (i * 17 + 3) % 256),
+      Array.tabulate(16)(i => (255 - i * 9) % 256))
+    val info = Mpeg1.decode(Mpeg1.encodeFrames(
+      dcs.map(Mpeg1.DFrame(_)), mbCols = 2, mbRows = 2))
+      .getOrElse(fail("decode failed"))
+    assert(info.nFrames == 2 && info.frames.forall(_.picType == 4))
+    for ((dc, f) <- dcs.zipWithIndex; y <- 0 until 32; x <- 0 until 32)
+      assert(info.frames(f).y(y * 32 + x) == dc((y / 8) * 4 + x / 8), s"f=$f ($x,$y)")
+    // DC prediction chains across MBs and frames are independent
+    // (slice reset), and chroma stays neutral
+    assert(info.frames(1).cb.forall(_ == 128))
+    // decodeMedia tags the DC-only syntax
+    import TestSpark.spark
+    import spark.implicits._
+    val media = Seq((1L, Mpeg1.encodeFrames(dcs.map(Mpeg1.DFrame(_)),
+      mbCols = 2, mbRows = 2))).toDF("media_id", "data")
+    val row = graft.multimodal.Multimodal.decodeMedia(media).collect()(0)
+    assert(row.getString(1) == "m1v" && row.getString(14) == "dc")
+  }
+
   test("strictness: anchor-less B-pictures and out-of-picture vectors return None") {
     val good = Mpeg1.encodeFrames(
       Seq(Mpeg1.IFrame(RefDc), Mpeg1.PFrame(Seq.fill(4)(Mpeg1.PredMb(0, 0)))),
