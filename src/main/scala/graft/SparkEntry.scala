@@ -1631,6 +1631,34 @@ object SparkEntry {
         .orderBy($"media_id", $"frame", $"granule", $"j", $"sb")
     }),
 
+    // LLM-pipeline: LAYER I audio sample decode — the simpler ISO
+    // 11172-3 sibling sharing Mp2's quantizer family (4-bit
+    // allocations select 2^nb − 1 level ungrouped quantizers, one
+    // 6-bit scalefactor per allocated subband per FRAME, 12
+    // filterbank steps). encode1 sweeps widths nb ∈ {2, 4, 8, 15}
+    // across subbands incl. ones past Layer II's sblimit; every
+    // requantized sample must be IEEE-bit-identical to the oracle's
+    // pure-SQL replay (scalefactors are exact powers of two by
+    // construction — same contract as multimodal_decode_mp2).
+    "multimodal_decode_mp1" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mp2
+      t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 64)
+        .as[Long]
+        .flatMap { id =>
+          val nf = 1 + (id % 3).toInt
+          val info = Mp2.decode(Mp2.encode1(id, nf)).get
+          for {
+            f <- 0 until nf
+            step <- 0 until 12
+            (sb, _) <- Mp2.Enc1Subbands
+          } yield (id, f, step, sb,
+            info.subbands(f)(step * 32 + sb), info.pcm.length)
+        }
+        .toDF("media_id", "frame", "step", "sb", "value", "n_pcm")
+        .orderBy($"media_id", $"frame", $"step", $"sb")
+    }),
+
     // LLM-pipeline: REAL video sample decode (the stub's last video
     // container slot, r12) — documents drive deterministic AVI files
     // with uncompressed 24-bit DIB frames (4×2 px, 1 + id%3 frames at
@@ -3505,6 +3533,37 @@ object SparkEntry {
           |  CAST(nf * 1152 AS INT) AS n_pcm
           |FROM qi
           |ORDER BY media_id, frame, granule, j, sb""".stripMargin,
+
+      // pure-SQL replay of the Layer I requantization for encode1's
+      // parameterization: value = sf · C · (c/2^(nb−1) − 1 + 2^(1−nb))
+      // with C = 2^nb/(2^nb − 1) and sf an exact power of two —
+      // IEEE-bit-identical to the decoder (same op order, exact
+      // power-of-two operands, one correctly-rounded divide for C)
+      "multimodal_decode_mp1" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS media_id, CAST(1 + doc_id % 3 AS INT) AS nf
+          |  FROM documents WHERE doc_id < 64),
+          |fr AS (SELECT media_id, nf, f FROM ids,
+          |       (SELECT unnest([0,1,2]) AS f) WHERE f < nf),
+          |ts AS (SELECT unnest(range(12)) AS step),
+          |sbs AS (SELECT * FROM (VALUES (1,2),(6,4),(13,8),(27,15))
+          |        AS v(sb, nb)),
+          |calc AS (
+          |  SELECT media_id, nf, f, step, sb, nb,
+          |    (1 << nb) - 1 AS levels,
+          |    CAST((media_id + 17*f + step + 7*sb) % ((1 << nb) - 1)
+          |      AS DOUBLE) AS code,
+          |    CAST((media_id + 5*sb + f) % 7 AS DOUBLE) AS m
+          |  FROM fr, ts, sbs)
+          |SELECT media_id, CAST(f AS INT) AS frame, CAST(step AS INT) AS step,
+          |  CAST(sb AS INT) AS sb,
+          |  (2.0 * power(2.0, -m)) *
+          |    ((power(2.0, nb) / levels) *
+          |     (code / power(2.0, nb - 1) - 1.0 + 1.0 / power(2.0, nb - 1)))
+          |    AS value,
+          |  CAST(nf * 384 AS INT) AS n_pcm
+          |FROM calc
+          |ORDER BY media_id, frame, step, sb""".stripMargin,
 
       // every field replayed from the character codes that drove the
       // AVI synthesis: frame f pixel p has RGB = text bytes

@@ -1,13 +1,17 @@
 package graft.multimodal
 
-/** MPEG-1 Audio Layer II (ISO/IEC 11172-3) SAMPLE decoder — the
-  * compressed-audio slot VERDICT r10 #4 asked to take off the stub:
-  * real bitstream parse (header walk, bit allocation, scfsi,
-  * scalefactors, sample codes), standard-exact requantization to
-  * subband samples, and the §2.4.3.2 polyphase synthesis filterbank to
-  * PCM. Pure JVM byte/float math, executor-safe, zero dependencies —
-  * the same `mapPartitions` operator shape as every [[MediaCodecs]]
-  * decoder.
+/** MPEG-1 Audio Layer I and Layer II (ISO/IEC 11172-3) SAMPLE
+  * decoder — the compressed-audio slot VERDICT r10 #4 asked to take
+  * off the stub: real bitstream parse (header walk, bit allocation,
+  * scfsi, scalefactors, sample codes), standard-exact requantization
+  * to subband samples, and the §2.4.3.2 polyphase synthesis
+  * filterbank to PCM. Layer I is the simpler sibling: 4-bit
+  * allocations selecting 2^nb − 1 level quantizers (the SAME
+  * ungrouped [[Quant]] family — C = 2^nb/(2^nb − 1), D = 2^(1−nb)),
+  * one 6-bit scalefactor per allocated subband per frame, 384
+  * samples/frame (12 filterbank steps). Pure JVM byte/float math,
+  * executor-safe, zero dependencies — the same `mapPartitions`
+  * operator shape as every [[MediaCodecs]] decoder.
   *
   * Exactness contract (what is standard, what is not):
   *  - **Bitstream + requantization are standard-exact.** Frame
@@ -31,10 +35,11 @@ package graft.multimodal
   *    subband synthesis with the standard's structure (spec-pinned
   *    against a direct-by-definition reference implementation).
   *
-  * Scope: MPEG-1, Layer II, mono, no CRC, sample rates the B.2a table
-  * serves (44.1/48 kHz at ≥ 56 kbps/channel — [[encode]] emits
-  * 48 kHz/192 kbps); anything else returns `None` (routes to the stub,
-  * same stance as `decodeWav`/`decodeMp3`).
+  * Scope: MPEG-1, Layers I/II, mono, no CRC, 44.1/48 kHz (Layer II
+  * additionally requires a B.2a-served bitrate; [[encode]] emits
+  * Layer II 48 kHz/192 kbps, [[encode1]] Layer I 48 kHz/192 kbps);
+  * anything else returns `None` (routes to the stub, same stance as
+  * `decodeWav`/`decodeMp3`).
   */
 object Mp2 extends Serializable {
 
@@ -159,20 +164,22 @@ object Mp2 extends Serializable {
 
   // ─── Decode ───
 
-  /** Decoded Layer II stream: header facts, every requantized subband
-    * sample (`subbands(frame)((granule·3 + j)·32 + sb)`, zeros where
-    * unallocated), and the synthesized PCM (1152 samples/frame). */
+  /** Decoded Layer I/II stream: header facts, every requantized
+    * subband sample (`subbands(frame)(t·32 + sb)` with t the
+    * filterbank step — 36/frame for Layer II (granule·3 + j),
+    * 12/frame for Layer I; zeros where unallocated), and the
+    * synthesized PCM (1152 or 384 samples/frame). */
   final case class Mp2Info(sampleRate: Int, channels: Int, bitrateKbps: Int,
                            nFrames: Int, subbands: Array[Array[Double]],
-                           pcm: Array[Double])
+                           pcm: Array[Double], layer: Int = 2)
 
-  /** Layer II sniff: a valid MPEG-1 Layer II mono no-CRC header at
-    * byte 0. */
+  /** Layer I/II sniff: a valid MPEG-1 Layer I or II mono no-CRC
+    * header at byte 0 (byte 1 is 0xFF for Layer I, 0xFD for II). */
   def isMp2(bytes: Array[Byte]): Boolean =
-    bytes != null && bytes.length >= 4 &&
-      (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xfd
+    bytes != null && bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      ((bytes(1) & 0xff) == 0xfd || (bytes(1) & 0xff) == 0xff)
 
-  /** Decode an MPEG-1 Layer II mono stream (strict, like
+  /** Decode an MPEG-1 Layer I or II mono stream (strict, like
     * [[MediaCodecs.decodeMp3]]: every byte must belong to a frame,
     * constant header facts across frames). */
   def decode(bytes: Array[Byte]): Option[Mp2Info] = {
@@ -182,23 +189,25 @@ object Mp2 extends Serializable {
       val pcm = scala.collection.mutable.ArrayBuffer.empty[Double]
       val synth = new Synthesizer()
       var pos = 0
-      var sr = -1; var kbps = -1
+      var sr = -1; var kbps = -1; var layer = -1
       while (pos < bytes.length) {
         val h = MediaCodecs.mp3FrameHeader(bytes, pos).getOrElse(return None)
-        // scope gate: MPEG-1 Layer II mono no-CRC, a B.2a sample rate
-        if (h.version != 3 || h.layer != 2 || h.channels != 1 ||
-            (bytes(pos + 1) & 1) != 1 ||
+        // scope gate: MPEG-1 Layer I/II mono no-CRC at 44.1/48 kHz
+        if (h.version != 3 || (h.layer != 1 && h.layer != 2) ||
+            h.channels != 1 || (bytes(pos + 1) & 1) != 1 ||
             (h.sampleRate != 44100 && h.sampleRate != 48000)) return None
-        if (sr < 0) { sr = h.sampleRate; kbps = h.bitrateKbps }
-        else if (h.sampleRate != sr) return None
+        if (sr < 0) { sr = h.sampleRate; kbps = h.bitrateKbps; layer = h.layer }
+        else if (h.sampleRate != sr || h.layer != layer) return None
         if (pos + h.frameLen > bytes.length) return None
-        val sb36 = decodeFrameBody(bytes, pos, h.frameLen)
-        frames += sb36
-        val out = new Array[Double](1152)
+        val steps = if (layer == 1) 12 else 36
+        val sbm = if (layer == 1) decodeFrameBody1(bytes, pos, h.frameLen)
+          else decodeFrameBody(bytes, pos, h.frameLen)
+        frames += sbm
+        val out = new Array[Double](steps * 32)
         val s = new Array[Double](32)
         var t = 0
-        while (t < 36) {
-          System.arraycopy(sb36, t * 32, s, 0, 32)
+        while (t < steps) {
+          System.arraycopy(sbm, t * 32, s, 0, 32)
           synth.step(s, out, t * 32)
           t += 1
         }
@@ -206,8 +215,45 @@ object Mp2 extends Serializable {
         pos += h.frameLen
       }
       if (frames.isEmpty) None
-      else Some(Mp2Info(sr, 1, kbps, frames.size, frames.toArray, pcm.toArray))
+      else Some(Mp2Info(sr, 1, kbps, frames.size, frames.toArray,
+        pcm.toArray, layer))
     } catch { case _: Exception => None }
+  }
+
+  /** Parse one LAYER I frame body (§2.4.2.5): 4-bit allocations
+    * (code a → a+1-bit samples, 2^(a+1) − 1 level quantizers — the
+    * same ungrouped [[Quant]] family as Layer II), one 6-bit
+    * scalefactor per allocated subband, then 12 steps of 32 samples.
+    * Returns the 12×32 requantized subband matrix. */
+  private def decodeFrameBody1(bytes: Array[Byte], frameOff: Int,
+                               frameLen: Int): Array[Double] = {
+    val r = new BitReader(bytes, frameOff * 8 + 32, (frameOff + frameLen) * 8)
+    val alloc = new Array[Quant](32)
+    var sb = 0
+    while (sb < 32) {
+      val a = r.read(4)
+      if (a == 15) throw new IllegalStateException("forbidden allocation 15")
+      alloc(sb) = if (a == 0) null else Quant((1 << (a + 1)) - 1, grouped = false)
+      sb += 1
+    }
+    val sf = new Array[Double](32)
+    sb = 0
+    while (sb < 32) {
+      if (alloc(sb) != null) sf(sb) = scaleFactor(r.read(6))
+      sb += 1
+    }
+    val out = new Array[Double](12 * 32)
+    var t = 0
+    while (t < 12) {
+      sb = 0
+      while (sb < 32) {
+        val qz = alloc(sb)
+        if (qz != null) out(t * 32 + sb) = qz.dequant(r.read(qz.k), sf(sb))
+        sb += 1
+      }
+      t += 1
+    }
+    out
   }
 
   /** Parse one frame body (past the 32-bit header) into the 36×32
@@ -299,6 +345,54 @@ object Mp2 extends Serializable {
     *  - sample codes c = (id + 17·frame + granule + 7·sb + 3·j) mod
     *    levels.
     * Frame size 576 bytes; unused sample bits stay zero (ancillary). */
+  /** The four subbands [[encode1]] allocates and their sample widths
+    * nb (quantizer = 2^nb − 1 levels): narrow to maximal widths, and
+    * subbands beyond Layer II's sblimit (Layer I allocates all 32). */
+  val Enc1Subbands: Array[(Int, Int)] =
+    Array((1, 2), (6, 4), (13, 8), (27, 15)) // (subband, nb)
+
+  /** Synthesize a deterministic MPEG-1 LAYER I mono 48 kHz/192 kbps
+    * stream from `id` — the oracle-replayable parameterization
+    * (mirrored in the `multimodal_decode_mp1` DuckDB oracle):
+    *  - scalefactor indexes 3·((id + 5·sb + f) mod 7) — exact powers
+    *    of two, varying per frame (Layer I transmits one per
+    *    allocated subband per frame);
+    *  - sample codes c = (id + 17·f + t + 7·sb) mod (2^nb − 1).
+    * Frame size 192 bytes ((12·192000/48000)·4); unused bits zero. */
+  def encode1(id: Long, nFrames: Int): Array[Byte] = {
+    require(nFrames > 0, "nFrames must be positive")
+    val frameLen = 12 * 192000 / 48000 * 4 // 192
+    val out = new Array[Byte](nFrames * frameLen)
+    val nbOf = Enc1Subbands.toMap
+    var f = 0
+    while (f < nFrames) {
+      val off = f * frameLen
+      out(off) = 0xff.toByte
+      out(off + 1) = 0xff.toByte // MPEG1, Layer I, no CRC
+      out(off + 2) = 0x64.toByte // bitrate idx 6 (192), 48 kHz, no pad
+      out(off + 3) = 0xc0.toByte // mono
+      val w = new BitWriter(out, off * 8 + 32)
+      var sb = 0
+      while (sb < 32) {
+        w.write(nbOf.get(sb).map(_ - 1).getOrElse(0), 4)
+        sb += 1
+      }
+      Enc1Subbands.foreach { case (s, _) =>
+        w.write((3 * ((id + 5 * s + f) % 7)).toInt, 6)
+      }
+      var t = 0
+      while (t < 12) {
+        Enc1Subbands.foreach { case (s, nb) =>
+          val levels = (1 << nb) - 1
+          w.write(((id + 17 * f + t + 7 * s) % levels).toInt, nb)
+        }
+        t += 1
+      }
+      f += 1
+    }
+    out
+  }
+
   def encode(id: Long, nFrames: Int): Array[Byte] = {
     require(nFrames > 0, "nFrames must be positive")
     val frameLen = 144 * 192000 / 48000 // 576

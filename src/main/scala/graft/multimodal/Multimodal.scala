@@ -107,9 +107,10 @@ object Multimodal {
         .otherwise(col(dataCol)))
 
   /** Typed per-modality decode output of [[decodeMedia]]: one row per
-    * media row, `format` ∈ {wav, mp2, mp3, avi, m1v, mpg, ppm, pgm,
-    * png, jpeg, gif, bmp, tiff, unknown, null-payload} (mpg: MPEG-1
-    * program streams, demuxed and decoded as one combined A/V row); audio fields populated for
+    * media row, `format` ∈ {wav, mp1, mp2, mp3, avi, m1v, mpg, ppm,
+    * pgm, png, jpeg, gif, bmp, tiff, unknown, null-payload} (mpg:
+    * MPEG-1 program streams, demuxed and decoded as one combined A/V
+    * row; mp1: Layer I through the same sample decoder as mp2); audio fields populated for
     * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
     * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
     * needs no PCM decode), image fields for the image formats
@@ -237,7 +238,7 @@ object Multimodal {
             case None => stubRow("unknown")
           }
         } else if (Mp2.isMp2(bytes) && { mp2Info = Mp2.decode(bytes); mp2Info.isDefined }) {
-          // Layer II: REAL sample decode (bitstream + requantization +
+          // Layer I/II: REAL sample decode (bitstream + requantization +
           // synthesis — Mp2 scaladoc), so rms/peak come from actual
           // PCM like the wav branch; streams outside Mp2's scope
           // (stereo, 32 kHz, CRC) fall through to header metadata.
@@ -249,8 +250,9 @@ object Multimodal {
             sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a
           }
           val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
-          Row(id, "mp2", m.sampleRate, m.channels, null,
-            m.nFrames.toLong * 1152, m.nFrames.toLong * 1152 * 1000.0 / m.sampleRate,
+          val spf = if (m.layer == 1) 384L else 1152L
+          Row(id, if (m.layer == 1) "mp1" else "mp2", m.sampleRate, m.channels,
+            null, m.nFrames * spf, m.nFrames * spf * 1000.0 / m.sampleRate,
             rms, peak, null, null, null, m.bitrateKbps, null, null, null)
         } else if (MediaCodecs.isMp3(bytes)) {
           // frame-header metadata only — Layer III PCM stays on the

@@ -136,6 +136,53 @@ class Mp2Spec extends AnyFunSuite {
     assert(rows(1).getString(1) == "mp3" && rows(1).isNullAt(4))
   }
 
+  /** Independent Layer I replay from encode1's documented formulas. */
+  private def expectedL1(id: Long, f: Int): Array[Double] = {
+    val out = new Array[Double](12 * 32)
+    for ((sb, nb) <- Mp2.Enc1Subbands) {
+      val levels = (1 << nb) - 1
+      val c2 = (1 << nb).toDouble / levels
+      val d = 1.0 / (1 << (nb - 1))
+      val half = 1 << (nb - 1)
+      val m = ((id + 5 * sb + f) % 7).toInt
+      val sf = 2.0 * math.pow(2.0, -m.toDouble)
+      for (t <- 0 until 12) {
+        val c = ((id + 17 * f + t + 7 * sb) % levels).toInt
+        out(t * 32 + sb) = sf * (c2 * (c.toDouble / half - 1.0 + d))
+      }
+    }
+    out
+  }
+
+  test("Layer I: encode1 -> decode matches the first-principles replay bit-exactly") {
+    for (id <- Seq(0L, 3L, 42L, 63L); nf <- Seq(1, 3)) {
+      val info = Mp2.decode(Mp2.encode1(id, nf)).getOrElse(fail(s"id=$id"))
+      assert(info.layer == 1 && info.sampleRate == 48000 &&
+        info.channels == 1 && info.bitrateKbps == 192 && info.nFrames == nf)
+      assert(info.pcm.length == nf * 384)
+      for (f <- 0 until nf)
+        assert(info.subbands(f).toSeq == expectedL1(id, f).toSeq, s"id=$id f=$f")
+    }
+  }
+
+  test("Layer I routing and strictness: mp1 rows, 384 samples/frame, no layer mixing") {
+    import TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val media = Seq((1L, Mp2.encode1(4L, 2))).toDF("media_id", "data")
+    val row = graft.multimodal.Multimodal.decodeMedia(media)
+      .select($"format", $"sample_rate", $"n_frames", $"rms").collect()(0)
+    assert(row.getString(0) == "mp1" && row.getInt(1) == 48000)
+    assert(row.getLong(2) == 2L * 384)
+    assert(row.getDouble(3) > 0.0)
+    val good = Mp2.encode1(5L, 1)
+    assert(Mp2.decode(good).isDefined)
+    assert(Mp2.decode(good.dropRight(1)) === None) // truncated frame
+    // a Layer I frame followed by a Layer II frame: layers must not mix
+    assert(Mp2.decode(good ++ Mp2.encode(5L, 1)) === None)
+    assert(Mp2.isMp2(good))
+  }
+
   test("strictness: wrong layer/mode/truncation and garbage all return None") {
     val good = Mp2.encode(3L, 1)
     assert(Mp2.decode(good.dropRight(1)) === None)     // truncated frame
