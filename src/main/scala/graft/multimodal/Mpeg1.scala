@@ -381,6 +381,14 @@ object Mpeg1 {
     bytes != null && bytes.length >= 4 &&
       bytes(0) == 0 && bytes(1) == 0 && bytes(2) == 1 && bytes(3) == 0xb3.toByte
 
+  /** Allocation guard for corrupt payloads: a forged 12-byte sequence
+    * header must not make a 100 TB `decodeMedia` pass allocate
+    * ~100 MB of planes per row (executor-OOM vector). 2^23 coded
+    * pixels (≈ 3500×2400) is far beyond MPEG-1's constrained-
+    * parameters bound (101 376 px) while keeping worst-case plane
+    * memory ~50 MB; larger declared dimensions decode to `None`. */
+  val MaxCodedPixels: Int = 1 << 23
+
   private final case class StartCode(code: Int, bodyStartByte: Int, bodyEndByte: Int)
 
   /** All byte-aligned 00 00 01 xx start codes with body extents. */
@@ -451,6 +459,7 @@ object Mpeg1 {
           case 0xb3 => // sequence header
             width = r.read(12); height = r.read(12)
             if (width == 0 || height == 0) return None
+            if (width.toLong * height > MaxCodedPixels) return None
             r.read(4) // pel aspect
             frc = r.read(4)
             if (!FrameRates.contains(frc)) return None
