@@ -3334,7 +3334,7 @@ object SparkEntry {
           |ranked AS (
           |  SELECT doc_id, label, tot_s,
           |    row_number() OVER (PARTITION BY doc_id
-          |      ORDER BY tot_s DESC, label) AS rn
+          |      ORDER BY round(tot_s, 4) DESC, label) AS rn
           |  FROM scored)
           |SELECT doc_id, label AS pred, round(tot_s, 4) AS nb_score
           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,

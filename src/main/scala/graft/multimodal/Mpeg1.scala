@@ -389,6 +389,15 @@ object Mpeg1 {
     * memory ~50 MB; larger declared dimensions decode to `None`. */
   val MaxCodedPixels: Int = 1 << 23
 
+  /** Cumulative companion to [[MaxCodedPixels]]: decode() retains every
+    * frame's planes for display-order stats, so a crafted stream of
+    * repeated ~9-byte picture headers at dims just under the per-picture
+    * cap must not allocate without bound (same executor-OOM vector, one
+    * level up). 2^25 luma pixels total (≈200 MB of Int planes worst
+    * case, and only under forged dims 80× beyond MPEG-1's constrained-
+    * parameters bound) fails closed to `None`. */
+  val MaxRetainedPixels: Long = 1L << 25
+
   private final case class StartCode(code: Int, bodyStartByte: Int, bodyEndByte: Int)
 
   /** All byte-aligned 00 00 01 xx start codes with body extents. */
@@ -401,8 +410,12 @@ object Mpeg1 {
       } else i += 1
     }
     val v = found.result()
-    v.zipAll(v.drop(1), null, (0, b.length)).collect {
-      case ((c, s), (_, n)) => StartCode(c, s, math.max(s, n - 3))
+    // interior codes end where the NEXT prefix begins (its bodyStart - 4);
+    // the final code's body runs unclipped to end-of-buffer (a stream
+    // without a sequence_end_code must not lose its last 3 real bytes)
+    v.zipWithIndex.map { case ((c, s), i) =>
+      val end = if (i + 1 < v.length) v(i + 1)._2 - 4 else b.length
+      StartCode(c, s, math.max(s, end))
     }
   }
 
@@ -440,6 +453,7 @@ object Mpeg1 {
       var lastACr: Array[Int] = null
       var curCoeffs: scala.collection.mutable.ArrayBuffer[(Int, Int, Array[Int])] = null
       var nFrames = 0
+      var retainedPx = 0L // cumulative luma pixels held in `frames`
 
       def flushPicture(): Unit = if (inPicture) {
         frames += ((seg, M1vFrame(mbW * 16, mbH * 16, curY, curCb, curCr,
@@ -506,6 +520,8 @@ object Mpeg1 {
               fB = 1 << bRSize
             }
             while (r.bitsLeft >= 9 && r.read(1) == 1) r.read(8)
+            retainedPx += mbW.toLong * 16 * mbH * 16
+            if (retainedPx > MaxRetainedPixels) return None
             curY = new Array[Int](mbW * 16 * mbH * 16)
             curCb = new Array[Int](mbW * 8 * mbH * 8)
             curCr = new Array[Int](mbW * 8 * mbH * 8)
@@ -996,7 +1012,11 @@ object Mpeg1 {
       val l0 = r.read(8)
       val level =
         if (l0 == 0) r.read(8) // 128..255
-        else if (l0 == 128) r.read(8) - 256 // -256..-129
+        else if (l0 == 128) { // -255..-129 (second byte 0 would be the
+          val l1 = r.read(8) //  forbidden -256 — reject like level 0)
+          if (l1 == 0) throw new IllegalStateException("escape level -256")
+          l1 - 256
+        }
         else if (l0 > 128) l0 - 256 // -127..-1
         else l0 // 1..127
       if (level == 0) throw new IllegalStateException("escape level 0")

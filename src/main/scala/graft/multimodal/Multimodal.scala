@@ -211,11 +211,10 @@ object Multimodal {
             case _ => stubRow("unknown") // PS magic but no decodable track
           }
         } else if (Mpeg1.isM1v(bytes)) {
-          // REAL MPEG-1 video decode for I/P/B elementary streams:
+          // REAL MPEG-1 video decode for all four picture types:
           // the full intra macroblock layer, motion-compensated
-          // P-pictures, and bidirectional B-pictures with
-          // display-order reassembly ([[Mpeg1]]). D-pictures decode
-          // to None.
+          // P-pictures, bidirectional B-pictures with display-order
+          // reassembly, and DC-only D-pictures ([[Mpeg1]]).
           Mpeg1.decode(bytes) match {
             case Some(v) => Row(id, "m1v", null, 3.asInstanceOf[Integer], null,
               v.nFrames.toLong, v.durationMs, null, null,

@@ -370,8 +370,12 @@ object TextAnalysis {
       .join(broadcast(pri), Seq("label"))
       .crossJoin(broadcast(nv.select($"n")))
       .withColumn("tot_s", $"s" + log($"n_c".cast("double") / $"n"))
+    // rank on the ROUNDED score: Spark and DuckDB sum the per-token log
+    // terms in different association orders, so two near-tied labels
+    // could rank differently on the raw double even though the emitted
+    // nb_score is rounded — round first, then tie-break on label
     val rn = row_number().over(
-      Window.partitionBy($"id").orderBy($"tot_s".desc, $"label".asc))
+      Window.partitionBy($"id").orderBy(round($"tot_s", 4).desc, $"label".asc))
     perClass.withColumn("rn", rn).filter($"rn" === 1)
       .select($"id", $"label".as("pred"), round($"tot_s", 4).as("nb_score"))
   }

@@ -90,4 +90,26 @@ class MediaFuzzSpec extends AnyFunSuite {
     assert(Mpeg1.decode(forged) === None)
     assert(4095L * 4095L > Mpeg1.MaxCodedPixels)
   }
+
+  test("repeated picture headers cannot accumulate unbounded retained planes") {
+    // dims just UNDER the per-picture cap (2880x2880 = 8.29M < 2^23)
+    // with many ~8-byte picture headers: each retained frame is ~50 MB
+    // of planes, so the CUMULATIVE budget must fail the stream closed.
+    def stream(nPics: Int): Array[Byte] = {
+      val w = new java.io.ByteArrayOutputStream()
+      w.write(Array[Byte](0, 0, 1, 0xb3.toByte))
+      // width=2880 height=2880 (0xB40B40), aspect=1 rate=1, bitrate
+      // 0x3ffff + marker, vbv=0, constrained=0, no quant matrices
+      w.write(Array[Byte](0xb4.toByte, 0x0b, 0x40, 0x11,
+        0xff.toByte, 0xff.toByte, 0xe0.toByte, 0x00))
+      for (_ <- 0 until nPics) // I-picture header, no slices (black frame)
+        w.write(Array[Byte](0, 0, 1, 0, 0x00, 0x08, 0x00, 0x00))
+      w.toByteArray
+    }
+    assert(2880L * 2880L < Mpeg1.MaxCodedPixels)
+    // 4 x 8.29M px fits the 2^25 budget; the guard must not over-fire
+    assert(Mpeg1.decode(stream(4)).exists(_.nFrames == 4))
+    // a ~200-byte payload demanding ~1.6 GB of planes fails closed
+    assert(Mpeg1.decode(stream(20)) === None)
+  }
 }

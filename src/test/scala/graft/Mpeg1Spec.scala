@@ -65,6 +65,20 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(math.abs(info.meanLuma - (mean0 + luma(128)) / 2) < 1e-9)
   }
 
+  test("a stream without a sequence_end_code keeps its last bytes") {
+    // the encoder terminates with 00 00 01 b7; stripping it leaves the
+    // final slice running to end-of-buffer — decode must not clip the
+    // last 3 real bytes (scanStartCodes end-extent regression)
+    val dcs = Seq(Array(0, 255, 7, 200), Array(128, 1, 254, 64))
+    val bytes = Mpeg1.encode(dcs, mbCols = 1, mbRows = 1, frameRateCode = 5)
+    assert(bytes.takeRight(4).sameElements(Array[Byte](0, 0, 1, 0xb7.toByte)))
+    val clipped = bytes.dropRight(4)
+    val a = Mpeg1.decode(bytes).getOrElse(fail("full decode failed"))
+    val b = Mpeg1.decode(clipped).getOrElse(fail("no-seq-end decode failed"))
+    assert(b.nFrames == a.nFrames && b.meanLuma == a.meanLuma &&
+      b.frames(1).y.sameElements(a.frames(1).y))
+  }
+
   test("multi-macroblock frames: address increments and per-slice DC prediction") {
     // 2x2 macroblocks = 32x32 px, 16 luma blocks in block-raster order
     val dc = Array.tabulate(16)(i => (i * 16 + 3) % 256)
@@ -163,7 +177,10 @@ class Mpeg1Spec extends AnyFunSuite {
     assert(p(pic + 5) == 0x0f.toByte)
     p(pic + 5) = 0x17.toByte
     assert(Mpeg1.decode(p) === None)
-    assert(Mpeg1.decode(good.dropRight(2)) === None) // truncated slice
+    // dropping just the 4-byte sequence_end_code is NOT an error (the
+    // final slice legally runs to end-of-buffer); cutting past it into
+    // real slice data is
+    assert(Mpeg1.decode(good.dropRight(6)) === None) // truncated slice
     assert(Mpeg1.decode(Array[Byte](1, 2, 3, 4)) === None)
     assert(Mpeg1.decode(null) === None)
     assert(Mpeg1.isM1v(good) && !Mpeg1.isM1v(Array[Byte](0, 0, 1, 0)))
