@@ -309,7 +309,8 @@ object Hnsw {
       * Candidates arrive best-first in primitive arrays (`cn` live
       * entries); `taken(i)` marks kept indices for the backfill. */
     private def selectHeuristic(candNodes: Array[Int], candScores: Array[Double],
-                                cn: Int, max: Int): Array[Int] = {
+                                cn: Int, max: Int,
+                                backfill: Boolean = true): Array[Int] = {
       val kept = new Array[Int](math.min(cn, max))
       val taken = new Array[Boolean](cn)
       var nk = 0
@@ -329,7 +330,13 @@ object Hnsw {
         ci += 1
       }
       // backfill with closest skipped if the heuristic kept too few
-      if (nk < math.min(cn, max)) {
+      // (keepPrunedConnections=true — dropping it for the new node's
+      // own links measured recall 0.930/0.775 vs 0.955/0.815 at iso
+      // 64/128-D). The SHRINK path passes backfill=false: a backfilled
+      // shrink pins the list at capacity forever, so every later
+      // arrival re-selects — leaving only the heuristic survivors
+      // keeps append headroom (measured 2.6->0.9s backlink phase)
+      if (backfill && nk < math.min(cn, max)) {
         ci = 0
         while (ci < cn && nk < max) {
           if (!taken(ci)) { kept(nk) = candNodes(ci); nk += 1 }
@@ -376,7 +383,11 @@ object Hnsw {
       var layer = plans.length - 1
       while (layer >= 0) {
         val found = plans(layer)
-        val sel = selectHeuristic(found.nodes, found.scores, found.size, maxM(layer))
+        // the new node selects M neighbors at EVERY layer (paper Alg. 1;
+        // maxM0 = 2M bounds only how long an EXISTING list may grow
+        // before the shrink re-selects) — selecting 2M at layer 0 was a
+        // deviation that doubled backlink arrivals for no recall gain
+        val sel = selectHeuristic(found.nodes, found.scores, found.size, m)
         links(node)(layer) = sel
         // bidirectional links, shrinking over-capacity lists by
         // re-running the selection from the neighbor's viewpoint
@@ -398,7 +409,7 @@ object Hnsw {
     private[Hnsw] def selectPhase(node: Int, plans: Array[Cand]): Array[Array[Int]] =
       Array.tabulate(plans.length) { layer =>
         val p = plans(layer)
-        selectHeuristic(p.nodes, p.scores, p.size, maxM(layer))
+        selectHeuristic(p.nodes, p.scores, p.size, m) // M at every layer, as applyPhase
       }
 
     /** One backlink arrival at `nb`: append when under capacity, else
@@ -438,20 +449,61 @@ object Hnsw {
           candScores(i) = dotNodes(candNodes(i) * dim, nbo)
           i += 1
         }
-        // insertion sort best-first (score desc, id asc) — cn ≤ 2M+1
-        i = 1
+        sortCandidates(candNodes, candScores, cn)
+        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap,
+          backfill = true)
+      }
+    }
+
+    /** Batched variant of [[addBacklink]] for the parallel build: ALL
+      * of a batch's arrivals at `(nb, layer)` fold into ONE append or
+      * ONE score-sort-select pass, instead of re-scoring the full list
+      * per arrival (a backfilled or at-capacity list made that
+      * O(arrivals × cap²) dots — the measured 60% of build time).
+      * Arrivals are distinct batch nodes, never already in `cur` (all
+      * pre-existing links point at pre-batch nodes). Deterministic:
+      * inputs fix the output; arrival order only affects the sort's
+      * stable tie order, which the (score desc, id asc) contract
+      * already pins. */
+    private[Hnsw] def addBacklinksBatch(nb: Int, layer: Int, arr: Array[Int]): Unit = {
+      val cur = links(nb)(layer)
+      val cap = maxM(layer)
+      if (cur.length + arr.length <= cap) {
+        val grown = java.util.Arrays.copyOf(cur, cur.length + arr.length)
+        System.arraycopy(arr, 0, grown, cur.length, arr.length)
+        links(nb)(layer) = grown
+      } else {
+        val nbo = nb * dim
+        val cn = cur.length + arr.length
+        val candNodes = java.util.Arrays.copyOf(cur, cn)
+        System.arraycopy(arr, 0, candNodes, cur.length, arr.length)
+        val candScores = new Array[Double](cn)
+        var i = 0
         while (i < cn) {
-          val vn = candNodes(i); val vs = candScores(i); val vid = nodeIds(vn)(0)
-          var b = i - 1
-          while (b >= 0 && (candScores(b) < vs ||
-              (candScores(b) == vs && nodeIds(candNodes(b))(0) > vid))) {
-            candNodes(b + 1) = candNodes(b); candScores(b + 1) = candScores(b)
-            b -= 1
-          }
-          candNodes(b + 1) = vn; candScores(b + 1) = vs
+          candScores(i) = dotNodes(candNodes(i) * dim, nbo)
           i += 1
         }
-        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap)
+        sortCandidates(candNodes, candScores, cn)
+        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap,
+          backfill = true)
+      }
+    }
+
+    /** Insertion sort best-first (score desc, id asc) — cn ≤ 2M + batch
+      * arrivals, small. Shared by the per-arrival and batched shrinks. */
+    @inline private def sortCandidates(candNodes: Array[Int],
+                                       candScores: Array[Double], cn: Int): Unit = {
+      var i = 1
+      while (i < cn) {
+        val vn = candNodes(i); val vs = candScores(i); val vid = nodeIds(vn)(0)
+        var b = i - 1
+        while (b >= 0 && (candScores(b) < vs ||
+            (candScores(b) == vs && nodeIds(candNodes(b))(0) > vid))) {
+          candNodes(b + 1) = candNodes(b); candScores(b + 1) = candScores(b)
+          b -= 1
+        }
+        candNodes(b + 1) = vn; candScores(b + 1) = vs
+        i += 1
       }
     }
 
@@ -460,6 +512,121 @@ object Hnsw {
       links(node) = Array.tabulate(l + 1)(_ => Array.empty[Int])
       if (entry < 0) { entry = node; maxLevel = l; return }
       applyPhase(node, l, searchPhase(node, l, sc))
+    }
+
+    /** Batch-insert nodes `[from, until)` (already materialized in the
+      * node arrays, levels given by `lvAt`): fixed sequential BATCHES —
+      * each batch's candidate searches run in parallel against the
+      * graph FROZEN at the batch boundary (each worker with its own
+      * visited scratch), then links apply in node order and backlinks
+      * fold into one shrink per (neighbor, layer) fanned across
+      * threads. The result depends only on (node order, levels,
+      * batchSize) — NOT on thread count or scheduling. Shared by
+      * [[Hnsw.buildParallel]] and [[addAll]]. */
+    private[Hnsw] def insertRange(from: Int, until: Int, lvAt: Int => Int,
+                                  batchSize: Int): Unit = {
+      val scratches = new java.lang.ThreadLocal[Scratch] {
+        override def initialValue(): Scratch = buildScratch()
+      }
+      var done = from
+      var searchNs = 0L; var linkNs = 0L; var backNs = 0L
+      val timing = java.lang.Boolean.getBoolean("graft.hnsw.timing")
+      while (done < until) {
+        val end = math.min(done + batchSize, until)
+        val sels = new Array[Array[Array[Int]]](end - done)
+        // frozen-graph searches + neighbor selection: both read-only
+        // against the frozen graph (selection reads only vecs + the
+        // plan), embarrassingly parallel; results land at fixed
+        // offsets, so scheduling can't reorder
+        val base = done
+        val t0 = System.nanoTime()
+        java.util.stream.IntStream.range(base, end).parallel().forEach { node =>
+          // level/links slots must exist before a CONCURRENT searcher
+          // of a later batch could see them — they don't yet; only
+          // this batch runs, and sels index by offset
+          val sc = scratches.get()
+          sels(node - base) =
+            selectPhase(node, searchPhase(node, math.min(lvAt(node), topLevel), sc))
+        }
+        val t1 = System.nanoTime()
+        // sequential, cheap: assign self-links and entry/maxLevel in
+        // node order (identical to the per-node apply), and gather
+        // each selected neighbor's backlink arrivals in that same
+        // iteration order — (node asc, layer top→0)
+        val backlinks = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+        var node = base
+        while (node < end) {
+          val l = lvAt(node)
+          levels(node) = l
+          val sel = sels(node - base)
+          val ls = new Array[Array[Int]](l + 1)
+          var layer = l
+          while (layer >= 0) {
+            ls(layer) = if (layer < sel.length) sel(layer) else Array.empty[Int]
+            layer -= 1
+          }
+          links(node) = ls
+          layer = sel.length - 1
+          while (layer >= 0) {
+            val s = sel(layer)
+            var i = 0
+            while (i < s.length) {
+              var buf = backlinks.get(s(i))
+              if (buf == null) {
+                buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                backlinks.put(s(i), buf)
+              }
+              buf += (layer.toLong << 32) | (node.toLong & 0xffffffffL)
+              i += 1
+            }
+            layer -= 1
+          }
+          if (l > topLevel) { maxLevel = l; entry = node }
+          node += 1
+        }
+        val t2 = System.nanoTime()
+        // backlink application: DISTINCT neighbors are independent
+        // (each shrink touches only links(nb)(layer) and reads
+        // immutable vecs — all selected neighbors are pre-batch nodes,
+        // invisible batch-mates can't appear), so neighbors fan across
+        // threads; per (nb, layer) the batch's arrivals fold into ONE
+        // append-or-shrink pass ([[addBacklinksBatch]])
+        val nbs = new Array[Int](backlinks.size())
+        val it = backlinks.keySet().iterator()
+        var ni = 0
+        while (it.hasNext) { nbs(ni) = it.next().intValue(); ni += 1 }
+        java.util.Arrays.sort(nbs)
+        java.util.stream.IntStream.range(0, nbs.length).parallel().forEach { k =>
+          val nb = nbs(k)
+          val buf = backlinks.get(nb)
+          var layer = 0
+          val topL = levels(nb)
+          while (layer <= topL) {
+            var cnt = 0
+            var i = 0
+            while (i < buf.length) {
+              if ((buf(i) >>> 32).toInt == layer) cnt += 1
+              i += 1
+            }
+            if (cnt > 0) {
+              val arr = new Array[Int](cnt)
+              var w = 0; i = 0
+              while (i < buf.length) {
+                if ((buf(i) >>> 32).toInt == layer) { arr(w) = buf(i).toInt; w += 1 }
+                i += 1
+              }
+              addBacklinksBatch(nb, layer, arr)
+            }
+            layer += 1
+          }
+        }
+        if (timing) {
+          searchNs += t1 - t0; linkNs += t2 - t1; backNs += System.nanoTime() - t2
+        }
+        done = end
+      }
+      if (timing) System.err.println(
+        f"[hnsw-timing] search+select=${searchNs / 1e9}%.1fs link=${linkNs / 1e9}%.1fs backlink=${backNs / 1e9}%.1fs")
     }
 
     /** Dynamic insert — the reference engine's primary operation
@@ -482,37 +649,91 @@ object Hnsw {
       val nv = l2normalize(vec)
       val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(nv)
       nodeOf.get(key) match {
-        case Some(node) =>
-          val ids = nodeIds(node)
-          val pos = java.util.Arrays.binarySearch(ids, id)
-          if (pos < 0) { // keep the id list sorted (rank tie contract)
-            val ins = -(pos + 1)
-            val grown = new Array[Long](ids.length + 1)
-            System.arraycopy(ids, 0, grown, 0, ins)
-            grown(ins) = id
-            System.arraycopy(ids, ins, grown, ins + 1, ids.length - ins)
-            nodeIds(node) = grown
-            idToNode.update(id, node)
-          }
+        case Some(node) => joinIds(node, id)
         case None =>
-          if (nNodes == nodeIds.length) { // double the node-indexed arrays
-            val cap = math.max(nNodes * 2, 16)
-            nodeIds = java.util.Arrays.copyOf(nodeIds, cap)
-            levels = java.util.Arrays.copyOf(levels, cap)
-            links = java.util.Arrays.copyOf(links, cap)
-            vecs = java.util.Arrays.copyOf(vecs, cap * dim)
-          }
-          val node = nNodes
-          System.arraycopy(nv, 0, vecs, node * dim, dim)
-          nodeIds(node) = Array(id)
-          nodeOf.put(key, node)
-          idToNode.update(id, node)
-          nNodes += 1
-          val l = math.floor(-math.log(math.max(levelRng.nextDouble(), 1e-300)) *
-            (1.0 / math.log(m))).toInt
-          insert(node, l, scratch)
+          val node = appendNode(id, nv, key)
+          insert(node, drawLevel(), scratch)
       }
     }
+
+    /** Bulk dynamic insert under ONE lock epoch — the batched
+      * counterpart of [[add]] for burst ingest. Duplicate vectors
+      * collapse exactly as in add; NEW nodes link via the same
+      * frozen-batch parallel machinery as [[Hnsw.buildParallel]]
+      * ([[insertRange]]): each batch's candidate searches fan across
+      * threads against the batch-boundary graph, so a burst of B
+      * vectors costs ~B/threads beam searches of wall clock instead
+      * of B. Deterministic: (prior graph, arrival order, batchSize)
+      * fix the result — thread count and scheduling cannot change it.
+      * NOT bit-identical to one-by-one [[add]]s of the same rows
+      * (batch-mates are invisible to each other's searches, the exact
+      * trade buildParallel documents); search-quality parity is
+      * spec-pinned. Returns the number of NEW graph nodes created. */
+    def addAll(rows: IterableOnce[(Long, Array[Float])],
+               batchSize: Int = 1024): Int = this.synchronized {
+      val start = nNodes
+      val lvBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      rows.iterator.foreach { case (id, vec) =>
+        require(vec.length == dim, s"vector dim ${vec.length} != $dim")
+        val nv = l2normalize(vec)
+        val key = scala.collection.immutable.ArraySeq.unsafeWrapArray(nv)
+        nodeOf.get(key) match {
+          case Some(node) => joinIds(node, id)
+          case None =>
+            appendNode(id, nv, key) // contiguous slots start, start+1, …
+            lvBuf += drawLevel()
+        }
+      }
+      val until = nNodes
+      var k = start
+      if (entry < 0) { // empty graph: seed sequentially (warmup stance)
+        val warm = math.min(start + 1024, until)
+        while (k < warm) { insert(k, lvBuf(k - start), scratch); k += 1 }
+      }
+      if (k < until) insertRange(k, until, node => lvBuf(node - start), batchSize)
+      until - start
+    }
+
+    /** Join `id` into an existing node's sorted id list (duplicate
+      * collapse); no-op when already present. */
+    private def joinIds(node: Int, id: Long): Unit = {
+      val ids = nodeIds(node)
+      val pos = java.util.Arrays.binarySearch(ids, id)
+      if (pos < 0) { // keep the id list sorted (rank tie contract)
+        val ins = -(pos + 1)
+        val grown = new Array[Long](ids.length + 1)
+        System.arraycopy(ids, 0, grown, 0, ins)
+        grown(ins) = id
+        System.arraycopy(ids, ins, grown, ins + 1, ids.length - ins)
+        nodeIds(node) = grown
+        idToNode.update(id, node)
+      }
+    }
+
+    /** Materialize a NEW node slot for unit vector `nv` carrying `id`
+      * (node-indexed arrays double on growth); does NOT link it. */
+    private def appendNode(id: Long, nv: Array[Float],
+                           key: scala.collection.immutable.ArraySeq[Float]): Int = {
+      if (nNodes == nodeIds.length) {
+        val cap = math.max(nNodes * 2, 16)
+        nodeIds = java.util.Arrays.copyOf(nodeIds, cap)
+        levels = java.util.Arrays.copyOf(levels, cap)
+        links = java.util.Arrays.copyOf(links, cap)
+        vecs = java.util.Arrays.copyOf(vecs, cap * dim)
+      }
+      val node = nNodes
+      System.arraycopy(nv, 0, vecs, node * dim, dim)
+      nodeIds(node) = Array(id)
+      nodeOf.put(key, node)
+      idToNode.update(id, node)
+      nNodes += 1
+      node
+    }
+
+    /** One draw of the build's seeded geometric level sequence. */
+    private def drawLevel(): Int =
+      math.floor(-math.log(math.max(levelRng.nextDouble(), 1e-300)) *
+        (1.0 / math.log(m))).toInt
 
     /** Dynamic delete — the reference's `delete()`
       * (`/root/reference/src/core/HNSWIndex.js:328`): drop the id; when
@@ -895,110 +1116,23 @@ object Hnsw {
     * frozen graph and applied in the same order. Batch-mates are
     * invisible to each other's searches (the quality cost of the
     * freeze); `batchSize` trades build speed against that visibility —
-    * at 100k×64d, 512/1024 both measure recall parity with sequential
-    * (isotropic 0.940, clustered 0.995) while 2048 drops clustered to
-    * 0.990; 1024 is the default (7.1→4.9 s clustered vs 512's
-    * 10.8 s — fewer frozen boundaries feed the parallel phases
-    * better). The first `warmup` nodes insert sequentially so early
-    * searches see a real graph. */
+    * under the r12 M-selection + folded-shrink scheme, 2048 measures
+    * recall parity with 1024 on BOTH corpora (isotropic 0.934,
+    * clustered 0.994 at ef=64, 50-query) and builds faster (128-D
+    * 5.6→5.1 s, clustered 2.8→2.3 s — fewer frozen boundaries feed
+    * the parallel phases better), so 2048 is the default. The first
+    * `warmup` nodes insert sequentially so early searches see a real
+    * graph. */
   def buildParallel(rows: Iterator[(Long, Array[Float])], dim: Int,
                     m: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
-                    batchSize: Int = 1024, warmup: Int = 1024): Index = {
+                    batchSize: Int = 2048, warmup: Int = 1024): Index = {
     val (idx, lv) = ingest(rows, dim, m, efConstruction, seed)
     val n = idx.n
     val sc0 = idx.buildScratch()
     val seqEnd = math.min(math.max(warmup, 1), n)
     var i = 0
     while (i < seqEnd) { idx.insert(i, lv(i), sc0); i += 1 }
-    val scratches = new java.lang.ThreadLocal[idx.Scratch] {
-      override def initialValue(): idx.Scratch = idx.buildScratch()
-    }
-    var done = seqEnd
-    var searchNs = 0L; var linkNs = 0L; var backNs = 0L
-    val timing = java.lang.Boolean.getBoolean("graft.hnsw.timing")
-    while (done < n) {
-      val end = math.min(done + batchSize, n)
-      val sels = new Array[Array[Array[Int]]](end - done)
-      // frozen-graph searches + neighbor selection: both read-only
-      // against the frozen graph (selection reads only vecs + the
-      // plan), embarrassingly parallel; results land at fixed offsets,
-      // so scheduling can't reorder
-      val from = done
-      val t0 = System.nanoTime()
-      java.util.stream.IntStream.range(from, end).parallel().forEach { node =>
-        // level/links slots must exist before a CONCURRENT searcher of
-        // a later batch could see them — they don't yet; only this
-        // batch runs, and sels index by offset
-        val sc = scratches.get()
-        sels(node - from) =
-          idx.selectPhase(node, idx.searchPhase(node, math.min(lv(node), idx.topLevel), sc))
-      }
-      val t1 = System.nanoTime()
-      // sequential, cheap: assign self-links and entry/maxLevel in
-      // node order (identical to the per-node apply), and gather each
-      // selected neighbor's backlink arrivals in that same iteration
-      // order — (node asc, layer top→0), the order the sequential
-      // apply would deliver them
-      val backlinks = new java.util.HashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]()
-      var node = from
-      while (node < end) {
-        val l = lv(node)
-        idx.levels(node) = l
-        val sel = sels(node - from)
-        val ls = new Array[Array[Int]](l + 1)
-        var layer = l
-        while (layer >= 0) {
-          ls(layer) = if (layer < sel.length) sel(layer) else Array.empty[Int]
-          layer -= 1
-        }
-        idx.links(node) = ls
-        layer = sel.length - 1
-        while (layer >= 0) {
-          val s = sel(layer)
-          var i = 0
-          while (i < s.length) {
-            var buf = backlinks.get(s(i))
-            if (buf == null) {
-              buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-              backlinks.put(s(i), buf)
-            }
-            buf += (layer.toLong << 32) | (node.toLong & 0xffffffffL)
-            i += 1
-          }
-          layer -= 1
-        }
-        if (l > idx.topLevel) { idx.maxLevel = l; idx.entry = node }
-        node += 1
-      }
-      val t2 = System.nanoTime()
-      // backlink application: every arrival at a given neighbor runs
-      // in the gathered order, but DISTINCT neighbors are independent
-      // (each shrink touches only links(nb)(layer) and reads immutable
-      // vecs — all selected neighbors are pre-batch nodes, invisible
-      // batch-mates can't appear), so neighbors fan across threads.
-      // The resulting graph is bit-identical to the sequential apply.
-      val nbs = new Array[Int](backlinks.size())
-      val it = backlinks.keySet().iterator()
-      var ni = 0
-      while (it.hasNext) { nbs(ni) = it.next().intValue(); ni += 1 }
-      java.util.Arrays.sort(nbs)
-      java.util.stream.IntStream.range(0, nbs.length).parallel().forEach { k =>
-        val nb = nbs(k)
-        val buf = backlinks.get(nb)
-        var i = 0
-        while (i < buf.length) {
-          val packed = buf(i)
-          idx.addBacklink(nb, (packed >>> 32).toInt, packed.toInt)
-          i += 1
-        }
-      }
-      if (timing) {
-        searchNs += t1 - t0; linkNs += t2 - t1; backNs += System.nanoTime() - t2
-      }
-      done = end
-    }
-    if (timing) System.err.println(
-      f"[hnsw-timing] search+select=${searchNs / 1e9}%.1fs link=${linkNs / 1e9}%.1fs backlink=${backNs / 1e9}%.1fs")
+    idx.insertRange(seqEnd, n, node => lv(node), batchSize)
     idx
   }
 

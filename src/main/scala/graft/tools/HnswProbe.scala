@@ -15,7 +15,7 @@ object HnswProbe {
     // hardest recall regime, the honest setting. No Spark needed.
     val clustered = args.length > 4 && args(4) == "clu"
     val batch = if (args.length > 5) args(5).toInt else 512
-    val dim = 64
+    val dim = if (args.length > 6) args(6).toInt else 64
     val rnd0 = new scala.util.Random(11)
     val rows =
       if (clustered) Array.tabulate(target) { i =>
@@ -47,16 +47,26 @@ object HnswProbe {
         s
       }.sorted(Ordering[Double].reverse).apply(9)
     }
-    val recall = queries.take(20).map { q =>
+    val recall = queries.take(50).map { q =>
       val kth = bruteKth(q)
       idx.searchOne(q.toSeq, 10, ef).count(_._2 >= kth - 1e-6) / 10.0
-    }.sum / 20
+    }.sum / 50
     idx.searchOne(queries(0).toSeq, 10, ef)
     var qi = 0
     val p50 = Timing.p50Ms(201) {
       idx.searchOne(queries(qi % queries.length).toSeq, 10, ef); qi += 1
     }
-    println(f"[probe] hnsw n=${rows.length} efC=$efC par=$par build=$buildSec%.1fs p50=$p50%.3fms " +
-      f"recall@10(ef=$ef)=$recall%.3f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
+    // dynamic trickle-add throughput (Bench's add_per_sec shape):
+    // 2000 NEW seeded vectors one-by-one into the live graph
+    val addPerSec = {
+      val rnd = new scala.util.Random(rows.length + 13)
+      val extra = Array.tabulate(2000)(i =>
+        (rows.length.toLong + i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val ta = System.nanoTime()
+      extra.foreach { case (id, v) => idx.add(id, v) }
+      extra.length / ((System.nanoTime() - ta) / 1e9)
+    }
+    println(f"[probe] hnsw n=${rows.length} dim=$dim efC=$efC par=$par build=$buildSec%.1fs p50=$p50%.3fms " +
+      f"recall@10(ef=$ef)=$recall%.3f add/s=$addPerSec%.0f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
   }
 }
