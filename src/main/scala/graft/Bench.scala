@@ -517,7 +517,14 @@ object Bench {
     // BASELINE-scale probes — one per row of the reference's README
     // table (10k: 0.3 ms p50 / ~3,300 QPS; 100k: 0.5 ms / ~2,000 QPS).
     // 8 probes of 16 cells: 4/16 capped IVF recall at 0.83 (r5) — the
-    // recall >= 0.9 bar binds before the scan-fraction economy at 10k
+    // recall >= 0.9 bar binds before the scan-fraction economy at 10k.
+    // Inter-block settle (r12): the 10k block is the suite's smallest
+    // and most latency-sensitive — in r11's driver artifact it read
+    // 209 QPS / p50 2.85 ms while the standalone probe and the LARGER
+    // 100k block in the same run were healthy (0.77 ms), i.e. pure
+    // suite pressure from the preceding blocks' dead caches; same fix
+    // engine_100k got in r11.
+    System.gc(); Thread.sleep(2000); System.gc()
     val qps10k = scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 8)
     val qps100k = scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8)
     // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
