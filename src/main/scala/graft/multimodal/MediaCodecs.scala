@@ -355,7 +355,7 @@ object MediaCodecs extends Serializable {
 
   /** ID3v2 tag length at stream start (0 when absent): 10-byte header,
     * 28-bit syncsafe size, optional 10-byte footer. */
-  private def id3v2Length(bytes: Array[Byte]): Int = {
+  private[multimodal] def id3v2Length(bytes: Array[Byte]): Int = {
     if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' || bytes(2) != '3')
       return 0
     val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |

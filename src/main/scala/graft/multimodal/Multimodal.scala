@@ -159,6 +159,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val bytes = if (r.isNullAt(dataIdx)) null else r.getAs[Array[Byte]](dataIdx)
         var mp2Info: Option[Mp2.Mp2Info] = None
+        var mp3Dec: Option[Mp3.Mp3DecInfo] = None
         def stubRow(fmt: String) = Row(id, fmt,
           null, null, null, null, null, null, null, null, null, null, null,
           null, null,
@@ -253,9 +254,27 @@ object Multimodal {
           Row(id, if (m.layer == 1) "mp1" else "mp2", m.sampleRate, m.channels,
             null, m.nFrames * spf, m.nFrames * spf * 1000.0 / m.sampleRate,
             rms, peak, null, null, null, m.bitrateKbps, null, null, null)
+        } else if (MediaCodecs.isMp3(bytes) &&
+            { mp3Dec = Mp3.decode(bytes); mp3Dec.isDefined }) {
+          // Layer III: REAL sample decode (side info, bit reservoir,
+          // Huffman, requantization, hybrid filterbank — Mp3 scaladoc),
+          // rms/peak from actual PCM like the mp1/mp2 branch. Streams
+          // outside Mp3's transcribed scope (stereo, untranscribed
+          // Huffman tables — i.e. real-world encoders, see the Mp3
+          // exactness contract — mixed blocks, CRC) fall through to
+          // frame-header metadata below.
+          val m = mp3Dec.get
+          var sumSq = 0.0; var peak = 0.0
+          m.pcm.foreach { x =>
+            sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a
+          }
+          val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
+          Row(id, "mp3", m.sampleRate, m.channels, null,
+            m.nFrames * 1152L, m.nFrames * 1152L * 1000.0 / m.sampleRate,
+            rms, peak, null, null, null, m.bitrateKbps, null, null, null)
         } else if (MediaCodecs.isMp3(bytes)) {
-          // frame-header metadata only — Layer III PCM stays on the
-          // stub's remit (MediaCodecs.decodeMp3 scaladoc)
+          // frame-header metadata — the remit for streams Mp3.decode
+          // strictly declines (the Huffman-table seam, stereo, CRC)
           MediaCodecs.decodeMp3(bytes) match {
             case Some(m) => Row(id, "mp3", m.sampleRate, m.channels, null,
               m.nFrames, m.durationMs, null, null, null, null, null,
