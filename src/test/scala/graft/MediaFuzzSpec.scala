@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.multimodal.{Mp2, Mpeg1, MpegPs}
+import graft.multimodal.{Mp2, Mp3, Mpeg1, MpegPs}
 
 /** Corruption-robustness fuzz for the from-scratch media decoders:
   * at 100 TB a `decodeMedia` pass sees corrupt, truncated and
@@ -24,6 +24,8 @@ class MediaFuzzSpec extends AnyFunSuite {
     catch { case e: Throwable => fail(s"MpegPs threw on $tag: $e") }
     try { Mp2.decode(b); () }
     catch { case e: Throwable => fail(s"Mp2 threw on $tag: $e") }
+    try { Mp3.decode(b); () }
+    catch { case e: Throwable => fail(s"Mp3 threw on $tag: $e") }
   }
 
   test("pure random payloads never escape an exception") {
@@ -41,6 +43,7 @@ class MediaFuzzSpec extends AnyFunSuite {
       Array(0, 0, 1, 0xb3.toByte), // MPEG-1 video sequence header
       Array(0, 0, 1, 0xba.toByte), // MPEG-1 program stream pack
       Array(0xff.toByte, 0xfd.toByte), // Layer II header sync
+      Array(0xff.toByte, 0xfb.toByte), // Layer III header sync
       Array(0xff.toByte, 0xff.toByte)) // Layer I header sync
     withSeed(23) { rnd =>
       for (m <- magics; i <- 0 until 100) {
@@ -64,10 +67,13 @@ class MediaFuzzSpec extends AnyFunSuite {
       mbCols = 2, mbRows = 2)
     val audio = Mp2.encode(9L, 2)
     val audio1 = Mp2.encode1(9L, 2)
+    val audio3 = Mp3.encode3(9L, 2)
+    val audio3s = Mp3.encode3(9L, 2, short = true)
     val ps = MpegPs.mux(video, audio)
     withSeed(37) { rnd =>
       for ((base, tag) <- Seq((video, "m1v"), (audio, "mp2"),
-          (audio1, "mp1"), (ps, "ps")); i <- 0 until 150) {
+          (audio1, "mp1"), (audio3, "mp3"), (audio3s, "mp3s"),
+          (ps, "ps")); i <- 0 until 150) {
         val b = base.clone()
         // flip 1-3 random bytes (may hit headers, VLC data, lengths)
         for (_ <- 0 to rnd.nextInt(3))

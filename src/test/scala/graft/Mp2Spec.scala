@@ -132,8 +132,15 @@ class Mp2Spec extends AnyFunSuite {
     assert(rows(0).getInt(2) == 48000)
     assert(rows(0).getLong(3) == 2L * 1152) // PCM frames, wav-branch units
     assert(rows(0).getDouble(4) > 0.0 && rows(0).getDouble(5) > rows(0).getDouble(4))
-    // Layer III still routes to header metadata: no rms/peak
-    assert(rows(1).getString(1) == "mp3" && rows(1).isNullAt(4))
+    // Layer III NOW routes through Mp3.decode for in-scope mono
+    // streams (r12+): rms/peak are REAL PCM stats (zero-filled frame
+    // bodies ⇒ silence ⇒ rms = peak = 0.0, non-null), and n_frames is
+    // the FRAME count (graded multimodal_mp3_meta contract), not PCM
+    // samples. Streams outside Mp3's scope (stereo, untranscribed
+    // tables) still take the header-metadata path — pinned in Mp3Spec.
+    assert(rows(1).getString(1) == "mp3" && !rows(1).isNullAt(4))
+    assert(rows(1).getLong(3) == 3L) // frame count, not samples
+    assert(rows(1).getDouble(4) == 0.0 && rows(1).getDouble(5) == 0.0)
   }
 
   /** Independent Layer I replay from encode1's documented formulas. */
