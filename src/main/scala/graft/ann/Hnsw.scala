@@ -38,6 +38,32 @@ import org.apache.spark.sql.functions.col
   */
 object Hnsw {
 
+  /** Dimensionality threshold for the dim-aware defaults below. */
+  val HighDim = 96
+
+  /** Dim-aware default graph degree: isotropic high-dim corpora are
+    * ANN's hardest recall regime (at 128-D, M=16/efC=100/ef=64
+    * measured score-recall@10 0.75-0.82 on 100k — below the engine's
+    * ≥0.9 approximate-regime contract, VERDICT r12 #5). Measured r13
+    * sweep at 100k 128-D isotropic (batch 2048, corpus-drawn queries):
+    * M=24/efC=150 → 0.892 (marginal), M=24/efC=200 → 0.934-0.936 at
+    * every ef ∈ {64, 80, 96} — graph quality, not beam width, is what
+    * pays at high dim — with ef=64 p50 0.72 ms. So the defaults scale
+    * M/efConstruction with dim (the DEFAULT config honors the
+    * contract at the reference's own 128-D with margin) while the
+    * search beam stays 64 at every dim; 64-D-and-below behavior is
+    * unchanged (16/100/64, the r11-r12 constants). Callers pinning
+    * the reference's exact configuration (e.g. the dim-matched
+    * build-time bench row) pass m/efConstruction explicitly. */
+  def defaultM(dim: Int): Int = if (dim >= HighDim) 24 else 16
+  /** Dim-aware default construction beam — see [[defaultM]]. */
+  def defaultEfConstruction(dim: Int): Int = if (dim >= HighDim) 200 else 100
+  /** Default search beam (dim-invariant — measured at 128-D the graph
+    * quality, not the beam, moves recall; see [[defaultM]]). Kept as
+    * a function of dim so a future regime that DOES need a dim-aware
+    * beam changes one place. */
+  def defaultEf(dim: Int): Int = 64
+
   /** One built graph. Nodes are UNIQUE (post-normalization) vectors —
     * exact duplicates collapse into one node carrying every duplicate
     * id (`nodeIds(i)`, ascending). Without the collapse a corpus with
@@ -309,8 +335,7 @@ object Hnsw {
       * Candidates arrive best-first in primitive arrays (`cn` live
       * entries); `taken(i)` marks kept indices for the backfill. */
     private def selectHeuristic(candNodes: Array[Int], candScores: Array[Double],
-                                cn: Int, max: Int,
-                                backfill: Boolean = true): Array[Int] = {
+                                cn: Int, max: Int): Array[Int] = {
       val kept = new Array[Int](math.min(cn, max))
       val taken = new Array[Boolean](cn)
       var nk = 0
@@ -332,11 +357,14 @@ object Hnsw {
       // backfill with closest skipped if the heuristic kept too few
       // (keepPrunedConnections=true — dropping it for the new node's
       // own links measured recall 0.930/0.775 vs 0.955/0.815 at iso
-      // 64/128-D). The SHRINK path passes backfill=false: a backfilled
-      // shrink pins the list at capacity forever, so every later
-      // arrival re-selects — leaving only the heuristic survivors
-      // keeps append headroom (measured 2.6->0.9s backlink phase)
-      if (backfill && nk < math.min(cn, max)) {
+      // 64/128-D). This applies on the SHRINK paths too: a backfilled
+      // shrink pins the list at capacity, so later arrivals re-select
+      // — that repeated re-scoring cost is what the r12 batched fold
+      // ([[addBacklinksBatch]]: one sort-select per (neighbor, layer)
+      // per batch instead of per arrival) removed, which is why the
+      // shipped design keeps full backfill everywhere (graph quality)
+      // without the O(arrivals × cap²) backlink phase.
+      if (nk < math.min(cn, max)) {
         ci = 0
         while (ci < cn && nk < max) {
           if (!taken(ci)) { kept(nk) = candNodes(ci); nk += 1 }
@@ -450,8 +478,7 @@ object Hnsw {
           i += 1
         }
         sortCandidates(candNodes, candScores, cn)
-        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap,
-          backfill = true)
+        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap)
       }
     }
 
@@ -484,8 +511,7 @@ object Hnsw {
           i += 1
         }
         sortCandidates(candNodes, candScores, cn)
-        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap,
-          backfill = true)
+        links(nb)(layer) = selectHeuristic(candNodes, candScores, cn, cap)
       }
     }
 
@@ -816,14 +842,16 @@ object Hnsw {
       * duplicated corpus match the exact paths. Returns
       * `(id, score, rank)`, rank 1-based, ties by id — the engine's
       * standard ordering. */
-    def searchOne(query: Seq[Double], k: Int, ef: Int = 64): Seq[(Long, Double, Int)] =
+    def searchOne(query: Seq[Double], k: Int, ef: Int = 0): Seq[(Long, Double, Int)] =
       this.synchronized {
         if (n == 0) return Seq.empty
+        // ef = 0 (the default) resolves dim-aware ([[Hnsw.defaultEf]])
+        val efR = if (ef > 0) ef else Hnsw.defaultEf(dim)
         val q = l2normalize(query.toArray.map(_.toFloat))
         var ep = entry
         var layer = maxLevel
         while (layer > 0) { ep = greedyStep(q, ep, layer); layer -= 1 }
-        val beam = searchLayer(q, ep, math.max(ef, k), 0, scratch)
+        val beam = searchLayer(q, ep, math.max(efR, k), 0, scratch)
         val out = Vector.newBuilder[(Long, Double, Int)]
         var r = 0
         var bi = 0
@@ -846,8 +874,9 @@ object Hnsw {
       * whatever the thread count. Returns `(qid, id, score, rank)` in
       * qid-then-rank order — the serving-session fleet shape. */
     def searchBatch(queries: Seq[(Long, Seq[Double])], k: Int,
-                    ef: Int = 64): Seq[(Long, Long, Double, Int)] = {
+                    ef: Int = 0): Seq[(Long, Long, Double, Int)] = {
       if (n == 0 || queries.isEmpty) return Seq.empty
+      val efR = if (ef > 0) ef else Hnsw.defaultEf(dim)
       val qArr = queries.toArray
       val out = new Array[Seq[(Long, Double, Int)]](qArr.length)
       val scratches = new java.lang.ThreadLocal[Scratch] {
@@ -859,7 +888,7 @@ object Hnsw {
         var ep = entry
         var layer = maxLevel
         while (layer > 0) { ep = greedyStep(q, ep, layer); layer -= 1 }
-        val beam = searchLayer(q, ep, math.max(ef, k), 0, sc)
+        val beam = searchLayer(q, ep, math.max(efR, k), 0, sc)
         val b = Vector.newBuilder[(Long, Double, Int)]
         var r = 0
         var bi = 0
@@ -1052,8 +1081,12 @@ object Hnsw {
     * [[Index]] scaladoc for why an uncollapsed graph fragments.
     * Deterministic for a fixed seed and order. */
   def build(rows: Iterator[(Long, Array[Float])], dim: Int,
-            m: Int = 16, efConstruction: Int = 100, seed: Long = 42L): Index = {
-    val (idx, lv) = ingest(rows, dim, m, efConstruction, seed)
+            m: Int = 0, efConstruction: Int = 0, seed: Long = 42L): Index = {
+    // m/efConstruction = 0 (the default) resolves dim-aware — see
+    // [[defaultM]]; explicit values pin the exact configuration
+    val mR = if (m > 0) m else defaultM(dim)
+    val efcR = if (efConstruction > 0) efConstruction else defaultEfConstruction(dim)
+    val (idx, lv) = ingest(rows, dim, mR, efcR, seed)
     val sc = idx.buildScratch()
     var i = 0
     while (i < idx.n) { idx.insert(i, lv(i), sc); i += 1 }
@@ -1124,9 +1157,11 @@ object Hnsw {
     * `warmup` nodes insert sequentially so early searches see a real
     * graph. */
   def buildParallel(rows: Iterator[(Long, Array[Float])], dim: Int,
-                    m: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
+                    m: Int = 0, efConstruction: Int = 0, seed: Long = 42L,
                     batchSize: Int = 2048, warmup: Int = 1024): Index = {
-    val (idx, lv) = ingest(rows, dim, m, efConstruction, seed)
+    val mR = if (m > 0) m else defaultM(dim)
+    val efcR = if (efConstruction > 0) efConstruction else defaultEfConstruction(dim)
+    val (idx, lv) = ingest(rows, dim, mR, efcR, seed)
     val n = idx.n
     val sc0 = idx.buildScratch()
     val seqEnd = math.min(math.max(warmup, 1), n)
@@ -1142,7 +1177,7 @@ object Hnsw {
     * DETERMINISTIC order (by id) so the seeded build is reproducible
     * whatever the physical partitioning. */
   def fromDataFrame(df: DataFrame, vecCol: String, idCol: String,
-                    m: Int = 16, efConstruction: Int = 100, seed: Long = 42L,
+                    m: Int = 0, efConstruction: Int = 0, seed: Long = 42L,
                     maxBytes: Long = 1L << 30,
                     parallel: Boolean = true): Option[Index] = {
     // ONE probe job for n + dim (the byte-cap guard must precede the
@@ -1156,7 +1191,8 @@ object Hnsw {
     if (n == 0)
       return Some(build(Iterator.empty, dim = 0, m, efConstruction, seed))
     val dim = probe.getInt(1)
-    if (n * (dim.toLong * 4 + 8 + m * 2 * 4 + 64) > maxBytes) return None
+    val mR = if (m > 0) m else defaultM(dim) // dim-aware, as in build
+    if (n * (dim.toLong * 4 + 8 + mR * 2 * 4 + 64) > maxBytes) return None
     val rows = df
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<float>").as("v"))
       .orderBy(col("id"))

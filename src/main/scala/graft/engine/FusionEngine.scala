@@ -518,9 +518,11 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     private[engine] def liveRows: Int = rowIds.length - deadSlots
     private[engine] def stale(ver: Long): Boolean =
       ver != version || System.currentTimeMillis() >= minExpiryMs
-    /** Approximate top-k: `(id, cosine, rank)`, ties by id. */
+    /** Approximate top-k: `(id, cosine, rank)`, ties by id. ef = 0
+      * (the default) resolves dim-aware ([[graft.ann.Hnsw.defaultEf]])
+      * so high-dim collections keep the recall contract by default. */
     def search(queryVec: Seq[Double], topK: Int = 10,
-               ef: Int = 64): Seq[(String, Double, Int)] = {
+               ef: Int = 0): Seq[(String, Double, Int)] = {
       val ids = rowIds // one volatile read; stays consistent below
       index.searchOne(queryVec, topK, ef).map { case (i, s, r) =>
         (ids(i.toInt), s, r)
@@ -537,13 +539,19 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     * it across many queries, exactly like the reference's in-process
     * index. */
   def servingHnsw(name: String, maxBytes: Long = FusionEngine.DefaultServingBytes,
-                  m: Int = 16, efConstruction: Int = 100): Option[HnswHandle] = {
+                  m: Int = 0, efConstruction: Int = 0): Option[HnswHandle] = {
     val cfg = getConfig(name)
     if (cfg.distanceMetric != "cosine") return None
+    // m/efConstruction = 0 (the default) resolves dim-aware — the
+    // engine's collection dim is known here, so the cache-key compare
+    // and the byte estimate below always see the RESOLVED values
+    val mR = if (m > 0) m else graft.ann.Hnsw.defaultM(cfg.dimensions)
+    val efcR = if (efConstruction > 0) efConstruction
+      else graft.ann.Hnsw.defaultEfConstruction(cfg.dimensions)
     val ver = dataVersion(name)
     val cached = hnswCache.get(name)
-    if (cached != null && cached.index.m == m &&
-        cached.index.efConstruction == efConstruction) {
+    if (cached != null && cached.index.m == mR &&
+        cached.index.efConstruction == efcR) {
       // the cache hit must honor THIS caller's graph parameters (r11
       // review: a hit keyed on name alone silently ignored m/efC).
       // A passed minExpiry means some TTL row lapsed WITHOUT a version
@@ -573,7 +581,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     // load + content-reconcile (delta-add/remove as needed) beats the
     // O(n) rebuild exactly as the reference's deserialize beats
     // re-insert; a lapsed sidecar expiry forces the content pass
-    loadHnswDisk(name, m, efConstruction, maxBytes) match {
+    loadHnswDisk(name, mR, efcR, maxBytes) match {
       case Some(h) if hnswReconcile(h, name, cfg, ver, maxBytes,
           force = System.currentTimeMillis() >= h.minExpiryMs) =>
         if (h.estBytes <= maxBytes) { cacheHnsw(name, h); return Some(h) }
@@ -588,7 +596,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       .collect()(0)
     val n = probe.getLong(0)
     val minExpiry = if (probe.isNullAt(1)) Long.MaxValue else probe.getLong(1)
-    val est = n * (cfg.dimensions.toLong * 4 + 8 + m * 2L * 4 + 96)
+    val est = n * (cfg.dimensions.toLong * 4 + 8 + mR * 2L * 4 + 96)
     if (n == 0 || est > maxBytes) return None
     val rows = src.select(col("id"), col("vector"),
       org.apache.spark.sql.functions.xxhash64(col("vector")).as("vh"))
@@ -601,7 +609,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       (i.toLong, r.getSeq[Float](1).toArray)
     }
     hnswFullBuilds.incrementAndGet()
-    val idx = graft.ann.Hnsw.buildParallel(packed, cfg.dimensions, m, efConstruction)
+    val idx = graft.ann.Hnsw.buildParallel(packed, cfg.dimensions, mR, efcR)
     val h = new HnswHandle(name, idx, ids, vhs, ver, minExpiry, est)
     persistHnsw(name, h)
     cacheHnsw(name, h)

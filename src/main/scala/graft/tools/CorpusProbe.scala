@@ -43,6 +43,10 @@ object CorpusProbe {
     println(s"[corpus-probe] tiled $total docs (${copies}x) from $sfDir")
 
     val probes: Map[String, () => Unit] = Map(
+      "curate" -> (() => graft.pipeline.CorpusOps.curate(
+          tiled, "text", "doc_id").count(): Unit),
+      "pii" -> (() => tiled.agg(sum(length(
+          graft.textanalysis.TextAnalysis.redactPii(col("text"))))).collect(): Unit),
       "pack" -> (() => graft.pipeline.CorpusOps.packSequences(
           tiled.select(col("doc_id"),
             size(split(col("text"), "\\s+")).cast("long").as("n_tokens")),

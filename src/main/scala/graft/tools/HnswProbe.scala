@@ -16,6 +16,7 @@ object HnswProbe {
     val clustered = args.length > 4 && args(4) == "clu"
     val batch = if (args.length > 5) args(5).toInt else 512
     val dim = if (args.length > 6) args(6).toInt else 64
+    val m = if (args.length > 7) args(7).toInt else 16
     val rnd0 = new scala.util.Random(11)
     val rows =
       if (clustered) Array.tabulate(target) { i =>
@@ -29,9 +30,9 @@ object HnswProbe {
         (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1)))
     val t0 = System.nanoTime()
     val idx =
-      if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, efConstruction = efC,
-        batchSize = batch)
-      else graft.ann.Hnsw.build(rows.iterator, dim, efConstruction = efC)
+      if (par) graft.ann.Hnsw.buildParallel(rows.iterator, dim, m = m,
+        efConstruction = efC, batchSize = batch)
+      else graft.ann.Hnsw.build(rows.iterator, dim, m = m, efConstruction = efC)
     val buildSec = (System.nanoTime() - t0) / 1e9
     // corpus-drawn queries (Bench protocol; isotropic queries against a
     // clustered corpus sit off-manifold — no workload looks like that)
@@ -56,8 +57,8 @@ object HnswProbe {
     val p50 = Timing.p50Ms(201) {
       idx.searchOne(queries(qi % queries.length).toSeq, 10, ef); qi += 1
     }
-    // dynamic trickle-add throughput (Bench's add_per_sec shape):
-    // 2000 NEW seeded vectors one-by-one into the live graph
+    // dynamic-insert throughput, both Bench shapes: trickle =
+    // one-by-one Index.add; burst = 250-row addAll epochs
     val addPerSec = {
       val rnd = new scala.util.Random(rows.length + 13)
       val extra = Array.tabulate(2000)(i =>
@@ -66,7 +67,15 @@ object HnswProbe {
       extra.foreach { case (id, v) => idx.add(id, v) }
       extra.length / ((System.nanoTime() - ta) / 1e9)
     }
-    println(f"[probe] hnsw n=${rows.length} dim=$dim efC=$efC par=$par build=$buildSec%.1fs p50=$p50%.3fms " +
-      f"recall@10(ef=$ef)=$recall%.3f add/s=$addPerSec%.0f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
+    val burstPerSec = {
+      val rnd = new scala.util.Random(rows.length + 17)
+      val extra = Array.tabulate(2000)(i =>
+        (rows.length.toLong + 2000 + i, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      val ta = System.nanoTime()
+      extra.grouped(250).foreach(g => idx.addAll(g.iterator))
+      extra.length / ((System.nanoTime() - ta) / 1e9)
+    }
+    println(f"[probe] hnsw n=${rows.length} dim=$dim m=$m efC=$efC par=$par build=$buildSec%.1fs p50=$p50%.3fms " +
+      f"recall@10(ef=$ef)=$recall%.3f add/s=$addPerSec%.0f burst/s=$burstPerSec%.0f bytes=${idx.bytes / 1048576}%dMB topLevel=${idx.topLevel}")
   }
 }

@@ -190,6 +190,38 @@ class HnswSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"score-recall@10 at ef=64 was $recall (contract: >= 0.9)")
   }
 
+  test("approximate-regime contract holds at 128-D under the DEFAULT config (dim-aware)") {
+    // VERDICT r12 #5: the r12 contract pin ran at 64-D only while the
+    // 128-D bench row read 0.775 at the then-default M=16/efC=100.
+    // The defaults are dim-aware since r13 (M=24/efC=200 at dim>=96 —
+    // measured 0.934 on 100k isotropic at ef=64); this pins the
+    // contract at the reference's own dimensionality ON the default
+    // config: build with NO m/efConstruction args, search with NO ef.
+    val dim = 128
+    assert(Hnsw.defaultM(dim) == 24 && Hnsw.defaultEfConstruction(dim) == 200)
+    assert(Hnsw.defaultM(64) == 16 && Hnsw.defaultEfConstruction(64) == 100,
+      "64-D defaults must stay the r11-r12 constants")
+    val vs = mkVecs(20000, dim, seed = 79)
+    val idx = Hnsw.buildParallel(vs.iterator.map(v => (v._1, v._2.clone())), dim)
+    assert(idx.m == 24 && idx.efConstruction == 200)
+    val norm = vs.map { case (_, v) => Hnsw.l2normalize(v) }
+    var total = 0.0
+    val nq = 40
+    (0 until nq).foreach { qi =>
+      val q = vs(qi * 97)._2
+      val qn = Hnsw.l2normalize(q)
+      val kth = norm.map { vn =>
+        var s = 0.0; var d = 0
+        while (d < dim) { s += vn(d).toDouble * qn(d); d += 1 }
+        s
+      }.sorted(Ordering[Double].reverse).apply(9)
+      total += idx.searchOne(q.map(_.toDouble).toSeq, k = 10) // default ef
+        .count(_._2 >= kth - 1e-6) / 10.0
+    }
+    val recall = total / nq
+    assert(recall >= 0.9, s"128-D default-config score-recall@10 was $recall (contract: >= 0.9)")
+  }
+
   test("addAll: one lock epoch batch ingest — deterministic, level sequence continues, collapse") {
     val all = mkVecs(3000, 16, seed = 61)
     val (a, b) = all.splitAt(2000)
