@@ -1132,6 +1132,12 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); "null"
       }
+    // Inter-block settle (r13): the engine100k block just churned a
+    // 100k-row engine (inserts + snapshot) right before the HNSW
+    // builds, and the builds' parallel link phase absorbed its cleanup
+    // backlog — r13 probe: 64-D build 3.5-3.8 s standalone ×3 vs 5.8 s
+    // in-suite, p50 0.25 ms vs 0.50 (docs/probes/hnsw64_r13.txt).
+    settle()
     // isotropic = the worst-case regime (nothing to exploit; same
     // honesty stance as the ann_ivf curves) and the baseline-shaped
     // 100k row; clustered = the ann block's 50-center Gaussian mixture

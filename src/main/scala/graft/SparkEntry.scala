@@ -82,6 +82,25 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** Augmentation shared VERBATIM by the `gopher_rules` entry and its
+    * DuckDB oracle (both parsers accept the same text, so the graded
+    * input is one definition): id-derived bullet lines (doc_id%5),
+    * ellipsis lines (doc_id%3), and a hash burst (doc_id%11=0)
+    * appended to the single-line word-soup docs so every Gopher
+    * line/symbol rule has signal. chr(10), not '\n': a backslash
+    * escape is a newline to Spark's parser but two literal chars to
+    * DuckDB's. */
+  private val GopherAugSql: String =
+    "concat(text, " +
+      "repeat(concat(chr(10), '• item 42'), CAST(doc_id % 5 AS INT)), " +
+      "repeat(concat(chr(10), 'wait for it...'), CAST(doc_id % 3 AS INT)), " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' ### ## #' ELSE '' END, " +
+      // the word-soup vocab contains NONE of the 8 Gopher stops, so
+      // the stop rule (>= 2 distinct) gets id-derived signal: %4=0 ->
+      // 3 stops (passes), %4=1 -> 1 stop (fails), else 0 (fails)
+      "CASE WHEN doc_id % 4 = 0 THEN ' the and of' " +
+      "WHEN doc_id % 4 = 1 THEN ' the' ELSE '' END)"
+
   /** CTE chain replaying [[graft.pipeline.Clustering.kmeansAssignQuantized]]
     * (k=4, iters=2, scale=1e6) in pure SQL over `embeddings`: quantize
     * to integers, assign to the 4 smallest-id seed vectors (exact
@@ -1144,6 +1163,39 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.nbClassifier(
           docs.filter($"doc_id" % 2 === 1), docs.filter($"doc_id" % 2 === 0),
           "text", "doc_id", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: Gopher quality rules (Rae et al. 2021, Table A1)
+    // — the canonical rule-based pre-training filter, evidence column
+    // per rule + composite pass. The single-line word-soup testdata
+    // can't exercise the line-shape rules, so docs are augmented with
+    // id-derived bullet lines (doc_id%5), ellipsis lines (doc_id%3)
+    // and a hash burst (doc_id%11=0) — the augmentation expression is
+    // shared SQL text with the oracle, like pii_redact's.
+    "gopher_rules" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text", expr(GopherAugSql))
+      graft.textanalysis.TextAnalysis.gopherRules(docs, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: DSIR importance resampling (Xie et al. 2023) —
+    // the data-SELECTION counterpart of the model-based filter above:
+    // every raw doc scored by the log-likelihood ratio of its
+    // unigram+bigram features under a target-corpus model (lang='en',
+    // the curated side) vs the raw-corpus model, keep = top-25% by
+    // weight. Grams travel as 8-byte FNV hashes through every
+    // exchange; the oracle replays the identical smoothed multinomial
+    // math in string space (hash is injective modulo the documented
+    // 2^-64 collision tolerance).
+    "dsir_weights" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      graft.textanalysis.TextAnalysis.dsirWeights(
+          docs, docs.filter($"lang" === "en"), "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")
     }),
@@ -3372,6 +3424,87 @@ object SparkEntry {
           |  FROM scored)
           |SELECT doc_id, label AS pred, round(tot_s, 4) AS nb_score
           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+      // Gopher Table-A1 rules replayed rule-for-rule: identical
+      // augmentation (GopherAugSql is the same SQL text both engines
+      // parse), tokenization, replace-length symbol counts, trimmed
+      // line prefixes/suffixes, and the composite pass over the SAME
+      // 6dp-rounded ratios.
+      "gopher_rules" ->
+        s"""WITH aug AS (
+          |  SELECT doc_id, $GopherAugSql AS t FROM documents),
+          |base AS (
+          |  SELECT doc_id, t,
+          |    list_filter(string_split_regex(lower(t), '\\s+'),
+          |      w -> len(w) > 0) AS ws,
+          |    string_split(t, chr(10)) AS ls
+          |  FROM aug),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(ws) AS BIGINT) AS n_words,
+          |    round(CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE)
+          |      / len(ws), 6) AS mean_word_len,
+          |    round(((len(t) - len(replace(t, '#', '')))
+          |         + (len(t) - len(replace(t, '...', ''))) / 3)
+          |      / len(ws), 6) AS symbol_ratio,
+          |    round(CAST(len(list_filter(ls, l ->
+          |        starts_with(trim(l), chr(8226) || ' ')
+          |        OR starts_with(trim(l), '- '))) AS DOUBLE)
+          |      / len(ls), 6) AS bullet_line_frac,
+          |    round(CAST(len(list_filter(ls, l -> ends_with(trim(l), '...')
+          |        OR ends_with(trim(l), chr(8230)))) AS DOUBLE)
+          |      / len(ls), 6) AS ellipsis_line_frac,
+          |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))
+          |      AS DOUBLE) / len(ws), 6) AS alpha_word_frac,
+          |    CAST(len(list_filter(
+          |      ['the','be','to','of','and','that','have','with'],
+          |      s -> list_contains(ws, s))) AS BIGINT) AS n_stop_hits
+          |  FROM base)
+          |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+          |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+          |  n_stop_hits,
+          |  (n_words >= 50 AND n_words <= 100000
+          |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+          |   AND symbol_ratio <= 0.1 AND bullet_line_frac < 0.9
+          |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
+          |   AND n_stop_hits >= 2) AS pass
+          |FROM m ORDER BY doc_id""".stripMargin,
+
+      // DSIR replayed end-to-end in string space (the Spark side keys
+      // every exchange on the FNV gram hash — injective modulo the
+      // documented 2^-64 tolerance): identical tokenization, unigram
+      // + chr(31)-joined bigram feature stream, add-one smoothing over
+      // the joint vocabulary, per-doc log-ratio sum rounded to 4
+      // decimals, keep = weight at or above the exact p75 of the
+      // rounded weights (quantile_cont interpolates between the same
+      // 4dp grid values as Spark's percentile).
+      "dsir_weights" ->
+        """WITH ws0 AS (
+          |  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'),
+          |    w -> len(w) > 0) AS ws
+          |  FROM documents),
+          |feats AS (
+          |  SELECT doc_id, lang, unnest(ws) AS g FROM ws0
+          |  UNION ALL
+          |  SELECT doc_id, lang, ws[i] || chr(31) || ws[i + 1] AS g
+          |  FROM ws0, unnest(range(1, len(ws))) AS t(i)),
+          |tgt AS (SELECT g, count(*) AS cp FROM feats WHERE lang = 'en' GROUP BY g),
+          |raw AS (SELECT g, count(*) AS cq FROM feats GROUP BY g),
+          |vocab AS (
+          |  SELECT coalesce(r.g, t.g) AS g, t.cp, r.cq
+          |  FROM raw r FULL OUTER JOIN tgt t ON r.g = t.g),
+          |nv AS (SELECT CAST(sum(coalesce(cp, 0)) AS DOUBLE) AS np,
+          |              CAST(sum(coalesce(cq, 0)) AS DOUBLE) AS nq,
+          |              CAST(count(*) AS DOUBLE) AS v FROM vocab),
+          |perdoc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+          |    round(sum(ln((coalesce(cp, 0) + 1) / (np + v))
+          |            - ln((coalesce(cq, 0) + 1) / (nq + v))), 4) AS log_w
+          |  FROM feats LEFT JOIN vocab USING (g) CROSS JOIN nv
+          |  GROUP BY doc_id),
+          |thr AS (SELECT quantile_cont(log_w, 0.75) AS thr FROM perdoc)
+          |SELECT doc_id, n_feats, log_w, (log_w >= thr) AS keep
+          |FROM perdoc, thr ORDER BY doc_id""".stripMargin,
 
       // chr(769) = U+0301 COMBINING ACUTE; DuckDB length() counts code
       // points like Spark's length(), and nfc_normalize implements the

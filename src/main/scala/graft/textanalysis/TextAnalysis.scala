@@ -380,6 +380,148 @@ object TextAnalysis {
       .select($"id", $"label".as("pred"), round($"tot_s", 4).as("nb_score"))
   }
 
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Table A1) —
+    * the most-cited rule-based pre-training filter set, distinct from
+    * the engine's heuristic [[qualityFlag]]:
+    *
+    *  - word count in [minWords, maxWords] (paper: 50..100,000)
+    *  - mean word length in [3, 10]
+    *  - symbol-to-word ratio ('#' or '...' occurrences / words) ≤ 0.1
+    *  - < 90% of lines start with a bullet ('• ' or '- ')
+    *  - < 30% of lines end with an ellipsis ('...' or '…')
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≥ 2 DISTINCT words from the paper's 8-word stop set
+    *    {the, be, to, of, and, that, have, with}
+    *
+    * Returns per-rule evidence columns + the composite `pass` so a
+    * pipeline can both filter and report per-rule rejection rates.
+    * Ratios are exact int/int divisions rounded to 6dp (engine-
+    * replayable); '...' occurrences are counted non-overlapping via
+    * the replace-length trick so Spark and the oracle share one
+    * definition. Narrow per-row projection, zero shuffle — scan speed
+    * at 100 TB (the higher-order array ops evaluate interpreted, but
+    * tokens/lines project once per row and everything stays inside
+    * the scan stage). */
+  def gopherRules(df: org.apache.spark.sql.DataFrame,
+                  textCol: String, idCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000)
+      : org.apache.spark.sql.DataFrame = {
+    // project tokens/lines ONCE (stacked Projects inside one
+    // WholeStageCodegen reuse the vars), so the eight metric
+    // expressions don't each re-tokenize the doc
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        filter(words(col("t")), w => length(w) > 0).as("ws"),
+        split(col("t"), "\n", -1).as("ls"))
+    val metrics = base.select(col("id"),
+      size(col("ws")).cast("long").as("n_words"),
+      round(aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / size(col("ws")), 6).as("mean_word_len"),
+      round(((length(col("t")) - length(regexp_replace(col("t"), "#", "")))
+          + (length(col("t"))
+             - length(regexp_replace(col("t"), "\\.\\.\\.", ""))) / 3)
+        .cast("double") / size(col("ws")), 6).as("symbol_ratio"),
+      round(size(filter(col("ls"), l => trim(l).startsWith("• ") ||
+          trim(l).startsWith("- "))).cast("double") / size(col("ls")), 6)
+        .as("bullet_line_frac"),
+      round(size(filter(col("ls"), l => trim(l).endsWith("...") ||
+          trim(l).endsWith("…"))).cast("double") / size(col("ls")), 6)
+        .as("ellipsis_line_frac"),
+      round(size(filter(col("ws"), w => w.rlike("[a-z]")))
+        .cast("double") / size(col("ws")), 6).as("alpha_word_frac"),
+      size(filter(array(GopherStops.map(lit): _*),
+        s => array_contains(col("ws"), s))).cast("long").as("n_stop_hits"))
+    metrics.withColumn("pass",
+      (col("n_words") >= minWords) && (col("n_words") <= maxWords) &&
+        (col("mean_word_len") >= 3.0) && (col("mean_word_len") <= 10.0) &&
+        (col("symbol_ratio") <= 0.1) && (col("bullet_line_frac") < 0.9) &&
+        (col("ellipsis_line_frac") < 0.3) &&
+        (col("alpha_word_frac") >= 0.8) && (col("n_stop_hits") >= 2L))
+  }
+
+  /** The Gopher paper's stop set (Table A1): a doc must contain ≥ 2. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling") — score every RAW doc
+    * by how much more likely its n-gram features are under a TARGET
+    * (curated) corpus model than under the raw-corpus model, then keep
+    * the top `keepFraction` by weight. The feature space is the
+    * paper's: unigram + bigram counts; both bag-of-ngrams models are
+    * multinomial with add-one smoothing over the JOINT vocabulary, so
+    *
+    *   log w(doc) = Σ_g  ln( (c_p(g)+1) / (N_p+V) )
+    *              − Σ_g  ln( (c_q(g)+1) / (N_q+V) )
+    *
+    * summed over the doc's gram INSTANCES (p = target model, q = raw
+    * model, V = |joint vocab|). Returns `(id, n_feats, log_w, keep)`
+    * with log_w rounded to 4 decimals (absorbs cross-engine double-sum
+    * association order, the nbClassifier precedent) and `keep` = log_w
+    * at or above the exact `1−keepFraction` percentile of the rounded
+    * weights (safe to compare unrounded for the quality_prune reason:
+    * both engines interpolate between identical 4dp grid values, so
+    * the threshold either equals a score exactly or sits ≫1 ulp from
+    * every score).
+    *
+    * 100 TB shape: grams travel as 8-byte FNV hashes
+    * ([[graft.pipeline.CorpusOps.gramHash]] — never a materialized
+    * gram string; a 2^-64 collision merges two vocab rows, same
+    * documented tolerance as the hashedGrams family). Two map-side-
+    * combinable count shuffles build the models (each output is
+    * vocab-sized, ≪ corpus); a full-outer merge aligns them; scoring
+    * is ONE sort-merge join of the raw gram-instance stream against
+    * that vocab table on the hash (AQE broadcasts it when the vocab
+    * fits — the paper's regime has target ≪ raw, but V is raw-vocab-
+    * sized, so plan for the shuffle) + one per-doc sum. The percentile
+    * is a single scalar aggregate over the per-DOC weight table
+    * (corpus-count-sized, tiny next to the gram stream) broadcast
+    * back. Nothing pairwise, nothing driver-side. */
+  def dsirWeights(raw: org.apache.spark.sql.DataFrame,
+                  target: org.apache.spark.sql.DataFrame,
+                  textCol: String, idCol: String,
+                  keepFraction: Double = 0.25): org.apache.spark.sql.DataFrame = {
+    val spark = raw.sparkSession
+    import spark.implicits._
+    import graft.pipeline.CorpusOps.gramHash
+    // (id, gramHash) instance stream: unigrams + bigrams over the
+    // lowered \s+ tokens, empties dropped. Scala-side sliding for the
+    // usual reason (SQL transform over a derived array is O(len²)/row).
+    def feats(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(idCol).cast("long").as("id"),
+          filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, ws) =>
+          val arr = ws.toIndexedSeq
+          val uni = arr.indices.iterator.map(i => (id, gramHash(arr, i, 1)))
+          val bi = (0 until math.max(arr.length - 1, 0)).iterator
+            .map(i => (id, gramHash(arr, i, 2)))
+          uni ++ bi
+        }.toDF("id", "g")
+    val rawFeats = feats(raw)
+    val tgtCnt = feats(target).groupBy($"g").agg(count(lit(1)).as("cp"))
+    val rawCnt = rawFeats.groupBy($"g").agg(count(lit(1)).as("cq"))
+    val vocab = rawCnt.join(tgtCnt, Seq("g"), "full_outer")
+    val nv = vocab.agg(
+      sum(coalesce($"cp", lit(0L))).cast("double").as("np"),
+      sum(coalesce($"cq", lit(0L))).cast("double").as("nq"),
+      count(lit(1)).cast("double").as("v"))
+    val perDoc = rawFeats
+      .join(vocab, Seq("g"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lr",
+        log((coalesce($"cp", lit(0L)) + lit(1L)).cast("double") / ($"np" + $"v"))
+          - log((coalesce($"cq", lit(0L)) + lit(1L)).cast("double") / ($"nq" + $"v")))
+      .groupBy($"id")
+      .agg(count(lit(1)).as("n_feats"), round(sum($"lr"), 4).as("log_w"))
+    val thr = perDoc.agg(
+      expr(s"percentile(log_w, ${1.0 - keepFraction})").as("thr"))
+    perDoc.crossJoin(broadcast(thr))
+      .select($"id", $"n_feats", $"log_w", ($"log_w" >= $"thr").as("keep"))
+  }
+
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
     * keep the min hash of every sliding window of size w — the standard
     * local document fingerprint (Schleimer et al., public algorithm).

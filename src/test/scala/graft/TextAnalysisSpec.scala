@@ -188,6 +188,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(12L)._2 == r4(math.log(0.5) + 2 * math.log(3.0 / 7) + math.log(2.0 / 7)))
   }
 
+  test("gopherRules: hand-computed metrics per rule; composite pass") {
+    // doc 1: 3 lines, 13 tokens [the be to of and that have with • x... - y z]
+    //   word lens 3+2+2+2+3+4+4+4+1+4+1+1+1 = 32; one '...'; 2 bullet
+    //   lines; 1 ellipsis line; 11/13 alphabetic; all 8 stops present
+    // doc 2: 60 words (58×"word" + the + and), single line, clean — passes
+    val docs = Seq(
+      (1L, "the be to of and that have with\n• x...\n- y z"),
+      (2L, (Seq.fill(58)("word") ++ Seq("the", "and")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = got(1L)
+    assert(d1.getLong(1) == 13L)                    // n_words
+    assert(d1.getDouble(2) == 2.461538)             // mean_word_len 32/13
+    assert(d1.getDouble(3) == 0.076923)             // symbol_ratio 1/13
+    assert(d1.getDouble(4) == 0.666667)             // bullet 2/3
+    assert(d1.getDouble(5) == 0.333333)             // ellipsis 1/3
+    assert(d1.getDouble(6) == 0.846154)             // alpha 11/13
+    assert(d1.getLong(7) == 8L)                     // all stops
+    assert(!d1.getBoolean(8))                       // <50 words -> fail
+    val d2 = got(2L)
+    assert(d2.getLong(1) == 60L)
+    assert(d2.getDouble(2) == 3.966667)             // (58*4+3+3)/60
+    assert(d2.getLong(7) == 2L)
+    assert(d2.getBoolean(8))                        // every rule green
+  }
+
+  test("dsirWeights: hand-computed log-ratios, joint-vocab smoothing, p75 keep") {
+    // raw = 4 docs, target = the two lang='en' docs. Gram instances
+    // (uni + bi): doc1/doc4 "a b" → {a, b, a␟b}; doc2 "a a" →
+    // {a, a, a␟a}; doc3 "c c" → {c, c, c␟c}.
+    // target counts: a:3 b:1 a␟b:1 a␟a:1 (N_p=6); raw counts: a:4 b:2
+    // a␟b:2 a␟a:1 c:2 c␟c:1 (N_q=12); joint V=6 → per-gram ratio
+    // ln((cp+1)/12) − ln((cq+1)/18).
+    val raw = Seq((1L, "a b", "en"), (2L, "a a", "en"),
+      (3L, "c c", "zh"), (4L, "a b", "zh")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(
+        raw, raw.filter($"lang" === "en"), "text", "doc_id")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def r4(d: Double) = math.round(d * 1e4) / 1e4
+    val lnA = math.log(4.0 / 12) - math.log(5.0 / 18)   // ln 1.2
+    val lnAA = math.log(2.0 / 12) - math.log(2.0 / 18)  // ln 1.5
+    val lnC = math.log(1.0 / 12) - math.log(3.0 / 18)   // ln 0.5
+    val lnCC = math.log(1.0 / 12) - math.log(2.0 / 18)  // ln 0.75
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.values.forall(_._1 == 3L)) // 2 uni + 1 bi each
+    assert(got(1L)._2 == r4(lnA)) // b and a␟b ratios are exactly 0
+    assert(got(2L)._2 == r4(2 * lnA + lnAA))
+    assert(got(3L)._2 == r4(2 * lnC + lnCC))
+    assert(got(4L)._2 == got(1L)._2)
+    // p75 of [-1.674, 0.1823, 0.1823, 0.7701] interpolates strictly
+    // between the tied middle and the top → only doc2 keeps
+    assert(got.view.mapValues(_._3).toMap ==
+      Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
