@@ -67,6 +67,12 @@ object CorpusProbe {
       "span_hashed" -> (() => graft.pipeline.CorpusOps.maskRepeatedNgrams(
           tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = true)
         .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit),
+      "dsir" -> (() => graft.textanalysis.TextAnalysis.dsirWeights(
+          tiled, tiled.filter(col("lang") === "en"), "text", "doc_id")
+        .agg(sum(col("log_w")), sum(col("n_feats"))).collect(): Unit),
+      "gopher" -> (() => graft.textanalysis.TextAnalysis.gopherRules(
+          tiled, "text", "doc_id")
+        .agg(sum(col("n_words"))).collect(): Unit),
       "contam" -> (() => graft.pipeline.CorpusOps.contaminationStats(
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit),
       "contam_hashed" -> (() => graft.pipeline.CorpusOps.contaminationStats(
