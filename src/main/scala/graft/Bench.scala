@@ -720,7 +720,7 @@ object Bench {
     // zorder-write) — the scrub/LM probes aggregate over their computed
     // columns so column pruning cannot optimize the work away under a
     // bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
       try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -822,17 +822,31 @@ object Bench {
             tiled, "text", "doc_id")
           .agg(sum(col("n_words")),
             sum(when(col("pass"), 1L).otherwise(0L))).collect(): Unit)
+        // r13: C4 cleaning heuristics at 500k — line+page rules,
+        // narrow scan-speed projection like the gopher row
+        val c4Sec = bestSec(2)(graft.textanalysis.TextAnalysis.c4Filters(
+            tiled, "text", "doc_id")
+          .agg(sum(col("n_kept_lines")),
+            sum(when(col("keep"), 1L).otherwise(0L))).collect(): Unit)
+        // r13: Gopher repetition rules at 500k — the heaviest of the
+        // three named filter sets (9 per-doc gram maps + coverage),
+        // still a narrow one-pass map
+        val gopherRepSec = bestSec(2)(graft.textanalysis.TextAnalysis
+          .gopherRepetition(tiled, "text", "doc_id")
+          .agg(sum(col("dup_5gram_char_frac")),
+            sum(col("dup_line_frac"))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
           surprisalSec, packSec, spanSec, spanHashedSec, normSec, bloomSec,
-          zorderSec, contamHashedSec, dsirSec, gopherSec))
+          zorderSec, contamHashedSec, dsirSec, gopherSec, c4Sec,
+          gopherRepSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
+      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new

@@ -82,6 +82,115 @@ object SparkEntry {
   private def dotSql(a: String, b: String): String =
     s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
 
+  /** Augmentation shared VERBATIM by the `c4_filters` entry and its
+    * oracle (same one-definition contract as [[GopherAugSql]]): the
+    * single-line word-soup docs get id-derived keepable sentences
+    * (doc_id%4), javascript boilerplate lines (doc_id%3), too-short
+    * lines (doc_id%2), and page-level lorem/brace/bad-word signal
+    * (doc_id%13/17/19) so every C4 rule fires both ways. */
+  private val C4AugSql: String =
+    "concat(text, " +
+      "repeat(concat(chr(10), 'the quick brown fox jumps over the lazy dog.'), CAST(doc_id % 4 AS INT)), " +
+      "repeat(concat(chr(10), 'click here to enable javascript support now.'), CAST(doc_id % 3 AS INT)), " +
+      "repeat(concat(chr(10), 'too short line.'), CAST(doc_id % 2 AS INT)), " +
+      "CASE WHEN doc_id % 13 = 0 THEN concat(chr(10), 'lorem ipsum dolor sit amet sed do eiusmod.') ELSE '' END, " +
+      "CASE WHEN doc_id % 17 = 0 THEN ' { var x = 1; }' ELSE '' END, " +
+      "CASE WHEN doc_id % 19 = 0 THEN ' verboten' ELSE '' END)"
+
+  /** Augmentation shared VERBATIM by the `gopher_repetition` entry and
+    * its oracle: id-derived repeated token runs (doc_id%4 — a 10-token
+    * run repeated r ≥ 2 times lights up every dup-n-gram metric for
+    * n ≤ 10), duplicated lines (doc_id%3) and duplicated paragraphs
+    * (doc_id%3); runs append BEFORE the line/para blocks so the last
+    * paragraph stays identical to its twins. */
+  private val GopherRepAugSql: String =
+    "concat(text, " +
+      "repeat(' run epsilon zeta eta theta iota kappa lambda mu nu xi', CAST(doc_id % 4 AS INT)), " +
+      "repeat(concat(chr(10), 'dup line alpha beta gamma'), CAST(doc_id % 3 AS INT)), " +
+      "repeat(concat(chr(10), chr(10), 'para delta epsilon'), CAST(doc_id % 3 AS INT)))"
+
+  /** DuckDB replay of [[graft.textanalysis.TextAnalysis.gopherRepetition]]
+    * over [[GopherRepAugSql]]-augmented documents: line/para dup
+    * fractions on the same space-trimmed non-empty parts, per-n gram
+    * CTEs (chr(31)-joined, so gram char length = len(g) − (n−1)),
+    * max char mass for the top-n metrics, start×offset coverage joins
+    * for the dup-n metrics, every ratio the same BIGINT/BIGINT double
+    * division, rounded 6dp, pass on the rounded values. */
+  private def gopherRepetitionOracleSql: String = {
+    val gramCtes = (2 to 10).map { n =>
+      s"""f$n AS (
+         |  SELECT doc_id, i, array_to_string(ws[i:i+${n - 1}], chr(31)) AS g
+         |  FROM base, unnest(range(1, len(ws) - ${n - 2})) AS u(i)),
+         |c$n AS (SELECT doc_id, g, count(*) AS cnt FROM f$n GROUP BY 1, 2)"""
+        .stripMargin
+    }
+    val topCtes = Seq(2, 3, 4).map { n =>
+      s"""t$n AS (SELECT doc_id, max(cnt * (len(g) - ${n - 1})) AS mass
+         |  FROM c$n WHERE cnt >= 2 GROUP BY doc_id)""".stripMargin
+    }
+    val covCtes = (5 to 10).map { n =>
+      s"""ds$n AS (SELECT f.doc_id, f.i FROM f$n f
+         |  JOIN c$n c USING (doc_id, g) WHERE c.cnt >= 2),
+         |cv$n AS (SELECT DISTINCT doc_id, i + k AS j
+         |  FROM ds$n, unnest(range(0, $n)) AS u(k)),
+         |cc$n AS (SELECT cv.doc_id, sum(len(b.ws[cv.j])) AS cchars
+         |  FROM cv$n cv JOIN base b USING (doc_id) GROUP BY cv.doc_id)"""
+        .stripMargin
+    }
+    def fracExpr(numer: String): String =
+      s"round(CASE WHEN wchars IS NULL OR wchars = 0 THEN 0.0 " +
+        s"ELSE coalesce($numer, 0) / wchars END, 6)"
+    val topCols = Seq(2, 3, 4).map(n =>
+      s"    ${fracExpr(s"t$n.mass")} AS top_${n}gram_char_frac")
+    val covCols = (5 to 10).map(n =>
+      s"    ${fracExpr(s"cc$n.cchars")} AS dup_${n}gram_char_frac")
+    val topJoins = Seq(2, 3, 4).map(n => s"  LEFT JOIN t$n USING (doc_id)")
+    val covJoins = (5 to 10).map(n => s"  LEFT JOIN cc$n USING (doc_id)")
+    val passCond = graft.textanalysis.TextAnalysis.GopherRepThresholds
+      .map { case (c, thr) => s"$c <= $thr" }.mkString(" AND ")
+    s"""WITH aug AS (
+       |  SELECT doc_id, $GopherRepAugSql AS t FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(t), '\\s+'),
+       |      w -> len(w) > 0) AS ws,
+       |    list_filter(list_transform(string_split(t, chr(10)),
+       |      x -> trim(x)), x -> len(x) > 0) AS lns,
+       |    list_filter(list_transform(string_split(t, chr(10) || chr(10)),
+       |      x -> trim(x)), x -> len(x) > 0) AS prs
+       |  FROM aug),
+       |lm AS (
+       |  SELECT doc_id,
+       |    CAST(len(lns) AS BIGINT) AS n_lines,
+       |    list_sum(list_transform(ws, w -> len(w))) AS wchars,
+       |    CASE WHEN len(lns) = 0 THEN 0.0
+       |      ELSE (len(lns) - len(list_distinct(lns))) / len(lns) END AS dlf,
+       |    CASE WHEN len(prs) = 0 THEN 0.0
+       |      ELSE (len(prs) - len(list_distinct(prs))) / len(prs) END AS dpf,
+       |    CASE WHEN coalesce(list_sum(list_transform(lns, x -> len(x))), 0) = 0 THEN 0.0
+       |      ELSE (list_sum(list_transform(lns, x -> len(x)))
+       |            - list_sum(list_transform(list_distinct(lns), x -> len(x))))
+       |           / list_sum(list_transform(lns, x -> len(x))) END AS dlcf,
+       |    CASE WHEN coalesce(list_sum(list_transform(prs, x -> len(x))), 0) = 0 THEN 0.0
+       |      ELSE (list_sum(list_transform(prs, x -> len(x)))
+       |            - list_sum(list_transform(list_distinct(prs), x -> len(x))))
+       |           / list_sum(list_transform(prs, x -> len(x))) END AS dpcf
+       |  FROM base),
+       |${gramCtes.mkString(",\n")},
+       |${topCtes.mkString(",\n")},
+       |${covCtes.mkString(",\n")},
+       |m AS (
+       |  SELECT lm.doc_id, lm.n_lines,
+       |    round(dlf, 6) AS dup_line_frac,
+       |    round(dpf, 6) AS dup_para_frac,
+       |    round(dlcf, 6) AS dup_line_char_frac,
+       |    round(dpcf, 6) AS dup_para_char_frac,
+       |${(topCols ++ covCols).mkString(",\n")}
+       |  FROM lm
+       |${(topJoins ++ covJoins).mkString("\n")})
+       |SELECT *, ($passCond) AS pass FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** Augmentation shared VERBATIM by the `gopher_rules` entry and its
     * DuckDB oracle (both parsers accept the same text, so the graded
     * input is one definition): id-derived bullet lines (doc_id%5),
@@ -1167,6 +1276,19 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: C4 cleaning heuristics (Raffel et al. 2020 §2.2)
+    // — line-level terminal-punct / ≥5-word / javascript rules, then
+    // the page-level ≥3-sentence + lorem/brace/bad-word gates; clean
+    // text graded by md5. Augmentation is one SQL string both engines
+    // parse (C4AugSql).
+    "c4_filters" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").withColumn("text", expr(C4AugSql))
+      graft.textanalysis.TextAnalysis.c4Filters(docs, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: Gopher quality rules (Rae et al. 2021, Table A1)
     // — the canonical rule-based pre-training filter, evidence column
     // per rule + composite pass. The single-line word-soup testdata
@@ -1180,6 +1302,26 @@ object SparkEntry {
       graft.textanalysis.TextAnalysis.gopherRules(docs, "text", "doc_id")
         .withColumnRenamed("id", "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: Gopher REPETITION rules (Rae et al. 2021, Table
+    // A1's second family) — dup line/para fractions, char fractions,
+    // top 2-4-gram char mass, dup 5-10-gram coverage; one narrow
+    // typed map per row. Augmented with id-derived repeated runs /
+    // lines / paragraphs (GopherRepAugSql — one SQL string both
+    // engines parse); rounding happens HERE via Column round so both
+    // engines share HALF_UP, and pass compares the rounded values.
+    "gopher_repetition" -> ((s, dir) => {
+      import s.implicits._
+      import graft.textanalysis.TextAnalysis
+      val docs = t(s, dir, "documents").withColumn("text", expr(GopherRepAugSql))
+      val m = TextAnalysis.gopherRepetition(docs, "text", "doc_id")
+      val fracCols = TextAnalysis.GopherRepThresholds.map(_._1)
+      val rounded = m.select(($"id".as("doc_id") +: $"n_lines" +:
+        fracCols.map(c => round(col(c), 6).as(c))): _*)
+      val pass = TextAnalysis.GopherRepThresholds
+        .map { case (c, thr) => col(c) <= thr }.reduce(_ && _)
+      rounded.withColumn("pass", pass).orderBy($"doc_id")
     }),
 
     // LLM-pipeline: DSIR importance resampling (Xie et al. 2023) —
@@ -3425,6 +3567,52 @@ object SparkEntry {
           |SELECT doc_id, label AS pred, round(tot_s, 4) AS nb_score
           |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
+      // C4 replayed line-for-line: identical augmentation (C4AugSql),
+      // trimmed terminal-punct endings, per-line ≥5-word count,
+      // javascript/lorem/brace/bad-word matches, sentence count via
+      // the [.!?] strip-length trick, clean text md5'd on the same
+      // chr(10) re-join.
+      "c4_filters" ->
+        s"""WITH aug AS (
+          |  SELECT doc_id, $C4AugSql AS t FROM documents),
+          |base AS (
+          |  SELECT doc_id, t, string_split(t, chr(10)) AS ls,
+          |    list_filter(string_split_regex(lower(t), '\\s+'),
+          |      w -> len(w) > 0) AS ws
+          |  FROM aug),
+          |k AS (
+          |  SELECT doc_id, t, ls, ws,
+          |    list_filter(ls, l ->
+          |      (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+          |       OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+          |      AND len(list_filter(string_split_regex(trim(l), '\\s+'),
+          |            w -> len(w) > 0)) >= 5
+          |      AND NOT contains(lower(l), 'javascript')) AS kept
+          |  FROM base),
+          |kc AS (
+          |  -- array_to_string on an EMPTY list is NULL in DuckDB while
+          |  -- Spark's array_join yields '' — coalesce to match
+          |  SELECT *, coalesce(array_to_string(kept, chr(10)), '') AS cln
+          |  FROM k),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(ls) AS BIGINT) AS n_lines,
+          |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+          |    CAST(len(cln)
+          |       - len(regexp_replace(cln,
+          |             '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+          |    contains(lower(t), 'lorem ipsum') AS has_lorem,
+          |    contains(t, '{') AS has_brace,
+          |    len(list_filter(['verboten'], b -> list_contains(ws, b))) > 0
+          |      AS has_badword,
+          |    md5(cln) AS clean_md5
+          |  FROM kc)
+          |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+          |  has_brace, has_badword, clean_md5,
+          |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+          |   AND NOT has_badword) AS keep
+          |FROM m ORDER BY doc_id""".stripMargin,
+
       // Gopher Table-A1 rules replayed rule-for-rule: identical
       // augmentation (GopherAugSql is the same SQL text both engines
       // parse), tokenization, replace-length symbol counts, trimmed
@@ -3469,6 +3657,8 @@ object SparkEntry {
           |   AND ellipsis_line_frac < 0.3 AND alpha_word_frac >= 0.8
           |   AND n_stop_hits >= 2) AS pass
           |FROM m ORDER BY doc_id""".stripMargin,
+
+      "gopher_repetition" -> gopherRepetitionOracleSql,
 
       // DSIR replayed end-to-end in string space (the Spark side keys
       // every exchange on the FNV gram hash — injective modulo the

@@ -445,6 +445,192 @@ object TextAnalysis {
   val GopherStops: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
+  /** Gopher REPETITION rules (Rae et al. 2021, Table A1's second
+    * family — the within-document repetition filter that complements
+    * [[gopherRules]]' quality family). Thirteen metrics, each an exact
+    * integer ratio over the doc's own lines / paragraphs / tokens:
+    *
+    *  - duplicate line / paragraph fraction (occurrences beyond the
+    *    first over total; lines = '\n'-split, paragraphs =
+    *    '\n\n'-split, both space-trimmed, empties dropped) — ≤ 0.30
+    *  - duplicate line / paragraph CHARACTER fraction (chars in
+    *    occurrences beyond the first over total part chars) — ≤ 0.20
+    *  - top n-gram character mass for n = 2, 3, 4: max over n-grams
+    *    occurring ≥ 2 times of count × gram char length, over total
+    *    token chars (the max-mass reading avoids a most-frequent
+    *    tie-break; 0 when nothing repeats) — ≤ 0.20 / 0.18 / 0.16
+    *  - duplicate n-gram character COVERAGE for n = 5..10: chars of
+    *    token positions covered by any n-gram occurring ≥ 2 times,
+    *    over total token chars (coverage, not double-counted overlap)
+    *    — ≤ 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10
+    *
+    * `pass` = all thirteen at or under threshold, compared on the SAME
+    * 6dp-rounded values the entry emits. One narrow typed map per row
+    * (tokens, two count maps per n, one boolean cover array — no
+    * state beyond the doc), zero shuffle — scan speed at 100 TB; the
+    * DuckDB oracle replays every metric relationally (per-n gram CTEs,
+    * start×offset coverage join). Rounding happens in the CALLER's
+    * plan via Column round (cross-engine HALF_UP), so this returns raw
+    * ratios. */
+  def gopherRepetition(df: org.apache.spark.sql.DataFrame,
+                       textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        coalesce(col(textCol), lit("")).as("t"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val ws = t.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").filter(_.nonEmpty)
+        val wchars = ws.foldLeft(0L)(_ + _.length)
+        // space-only trim (Java .trim strips tabs/newlines too; SQL
+        // trim() does not — match SQL)
+        def trimSp(s: String): String = {
+          var a = 0; var b = s.length
+          while (a < b && s.charAt(a) == ' ') a += 1
+          while (b > a && s.charAt(b - 1) == ' ') b -= 1
+          s.substring(a, b)
+        }
+        def dupFracs(parts: Array[String]): (Long, Double, Double) = {
+          val p = parts.map(trimSp).filter(_.nonEmpty)
+          if (p.isEmpty) (0L, 0.0, 0.0)
+          else {
+            val dist = p.distinct
+            val chars = p.foldLeft(0L)(_ + _.length)
+            val dchars = dist.foldLeft(0L)(_ + _.length)
+            (p.length.toLong,
+              (p.length - dist.length).toDouble / p.length,
+              if (chars == 0L) 0.0 else (chars - dchars).toDouble / chars)
+          }
+        }
+        val (nLines, dlf, dlcf) = dupFracs(t.split("\n", -1))
+        val (_, dpf, dpcf) = dupFracs(t.split("\n\n", -1))
+        def counts(n: Int): scala.collection.mutable.HashMap[String, Int] = {
+          val m = new scala.collection.mutable.HashMap[String, Int]()
+          var i = 0
+          while (i + n <= ws.length) {
+            val k = ws.slice(i, i + n).mkString("\u001f")
+            m.update(k, m.getOrElse(k, 0) + 1)
+            i += 1
+          }
+          m
+        }
+        def topFrac(n: Int): Double =
+          if (ws.length < n || wchars == 0L) 0.0
+          else {
+            var best = 0L
+            counts(n).foreach { case (k, c) =>
+              if (c >= 2) {
+                val mass = c.toLong * (k.length - (n - 1))
+                if (mass > best) best = mass
+              }
+            }
+            best.toDouble / wchars
+          }
+        def dupCovFrac(n: Int): Double =
+          if (ws.length < n || wchars == 0L) 0.0
+          else {
+            val m = counts(n)
+            val cov = new Array[Boolean](ws.length)
+            var i = 0
+            while (i + n <= ws.length) {
+              if (m(ws.slice(i, i + n).mkString("\u001f")) >= 2) {
+                var j = i; while (j < i + n) { cov(j) = true; j += 1 }
+              }
+              i += 1
+            }
+            var cchars = 0L; var j = 0
+            while (j < ws.length) { if (cov(j)) cchars += ws(j).length; j += 1 }
+            cchars.toDouble / wchars
+          }
+        (id, nLines, dlf, dpf, dlcf, dpcf,
+          topFrac(2), topFrac(3), topFrac(4),
+          dupCovFrac(5), dupCovFrac(6), dupCovFrac(7),
+          dupCovFrac(8), dupCovFrac(9), dupCovFrac(10))
+      }
+      .toDF("id", "n_lines", "dup_line_frac", "dup_para_frac",
+        "dup_line_char_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac", "dup_5gram_char_frac",
+        "dup_6gram_char_frac", "dup_7gram_char_frac",
+        "dup_8gram_char_frac", "dup_9gram_char_frac",
+        "dup_10gram_char_frac")
+  }
+
+  /** The Gopher repetition thresholds (Table A1), keyed by output
+    * column; [[gopherRepetition]] callers derive `pass` from these on
+    * the 6dp-rounded values. */
+  val GopherRepThresholds: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+
+  /** C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits
+    * of Transfer Learning with a Unified Text-to-Text Transformer",
+    * §2.2) — the other canonical named filter set, line-level then
+    * page-level:
+    *
+    * Line rule (a line survives iff ALL of):
+    *  - trimmed line ends in terminal punctuation ('.', '!', '?', '"')
+    *  - ≥ 5 words
+    *  - does not contain "javascript" (case-insensitive) — the
+    *    cookie/JS-warning boilerplate rule
+    *
+    * Page rule (`keep`):
+    *  - ≥ 3 sentences in the CLEANED text (sentence ≈ '.'/'!'/'?')
+    *  - no "lorem ipsum" (lowercased match)
+    *  - no '{' (code pages)
+    *  - no token from `badWords` — the paper uses the public
+    *    "List of Dirty, Naughty, Obscene..." blocklist; the list is a
+    *    parameter here, matched as whole lowercased tokens
+    *
+    * (C4's remaining step — corpus-wide three-sentence-span dedup — is
+    * the engine's existing span machinery: see `line_dedup` /
+    * `repeated_ngrams`.)
+    *
+    * Returns `(id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, has_badword, clean_md5, keep)` — clean text is graded
+    * by md5 (the text_normalize precedent). Narrow per-row projection,
+    * zero shuffle — scan speed at 100 TB. */
+  def c4Filters(df: org.apache.spark.sql.DataFrame,
+                textCol: String, idCol: String,
+                badWords: Seq[String] = Seq("verboten"))
+      : org.apache.spark.sql.DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("t"))
+      .select(col("id"), col("t"),
+        split(col("t"), "\n", -1).as("ls"),
+        filter(words(col("t")), w => length(w) > 0).as("ws"))
+    def lineKeep(l: Column): Column = {
+      val tl = trim(l)
+      (tl.endsWith(".") || tl.endsWith("!") || tl.endsWith("?") ||
+        tl.endsWith("\"")) &&
+        size(filter(split(tl, "\\s+"), w => length(w) > 0)) >= 5 &&
+        !lower(l).contains("javascript")
+    }
+    val staged = base.select(col("id"), col("t"), col("ls"), col("ws"),
+      array_join(filter(col("ls"), lineKeep _), "\n").as("clean"))
+    val metrics = staged.select(col("id"),
+      size(col("ls")).cast("long").as("n_lines"),
+      size(filter(col("ls"), lineKeep _)).cast("long").as("n_kept_lines"),
+      (length(col("clean")) -
+        length(regexp_replace(col("clean"), "[.!?]", "")))
+        .cast("long").as("n_sentences"),
+      lower(col("t")).contains("lorem ipsum").as("has_lorem"),
+      col("t").contains("{").as("has_brace"),
+      (size(filter(array(badWords.map(lit): _*),
+        b => array_contains(col("ws"), b))) > 0).as("has_badword"),
+      md5(col("clean")).as("clean_md5"))
+    metrics.withColumn("keep",
+      (col("n_sentences") >= 3L) && !col("has_lorem") &&
+        !col("has_brace") && !col("has_badword"))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling") — score every RAW doc
     * by how much more likely its n-gram features are under a TARGET

@@ -73,6 +73,12 @@ object CorpusProbe {
       "gopher" -> (() => graft.textanalysis.TextAnalysis.gopherRules(
           tiled, "text", "doc_id")
         .agg(sum(col("n_words"))).collect(): Unit),
+      "c4" -> (() => graft.textanalysis.TextAnalysis.c4Filters(
+          tiled, "text", "doc_id")
+        .agg(sum(col("n_kept_lines"))).collect(): Unit),
+      "gopher_rep" -> (() => graft.textanalysis.TextAnalysis.gopherRepetition(
+          tiled, "text", "doc_id")
+        .agg(sum(col("dup_5gram_char_frac"))).collect(): Unit),
       "contam" -> (() => graft.pipeline.CorpusOps.contaminationStats(
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0).count(): Unit),
       "contam_hashed" -> (() => graft.pipeline.CorpusOps.contaminationStats(

@@ -188,6 +188,72 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(12L)._2 == r4(math.log(0.5) + 2 * math.log(3.0 / 7) + math.log(2.0 / 7)))
   }
 
+  test("gopherRepetition: dup line/para, top-gram mass, coverage fractions") {
+    // doc 1: lines [a b c, a b c, x y] → dup_line 1/3, chars 13 vs 8
+    //   distinct → char frac 5/13; one paragraph → para metrics 0;
+    //   tokens a b c a b c x y (wchars 8): top2 mass 2×2=4 → 0.5,
+    //   top3 (abc ×2) 2×3=6 → 0.75, top4 0; no repeated 5-gram → 0
+    // doc 2: p..u twice (12 unit tokens): dup5/dup6 coverage = 1.0,
+    //   dup10 = 0 (no repeated 10-gram), top2 mass 4 → 1/3
+    val got = TextAnalysis.gopherRepetition(
+        Seq((1L, "a b c\na b c\nx y"),
+            (2L, "p q r s t u p q r s t u")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 3L)                      // n_lines
+    assert(r1.getDouble(2) == 1.0 / 3)               // dup_line_frac
+    assert(r1.getDouble(3) == 0.0)                   // dup_para_frac
+    assert(r1.getDouble(4) == 5.0 / 13)              // dup_line_char_frac
+    assert(r1.getDouble(5) == 0.0)
+    assert(r1.getDouble(6) == 0.5)                   // top2
+    assert(r1.getDouble(7) == 0.75)                  // top3
+    assert(r1.getDouble(8) == 0.0)                   // top4
+    assert((9 to 14).forall(i => r1.getDouble(i) == 0.0))
+    val r2 = got(2L)
+    assert(r2.getDouble(6) == 1.0 / 3)               // top2
+    assert(r2.getDouble(9) == 1.0)                   // dup5 coverage
+    assert(r2.getDouble(10) == 1.0)                  // dup6 coverage
+    assert(r2.getDouble(14) == 0.0)                  // dup10
+  }
+
+  test("c4Filters: line rules, sentence count, page flags, clean md5") {
+    // doc 1: 6 lines — soup (no punct), fox (keep), javascript (drop),
+    // 2-word (drop), '!' line (keep), '?' line (keep) → 3 sentences, keeps
+    val d1 = "no punct soup line" +
+      "\nthe quick brown fox jumps over the lazy dog." +
+      "\nclick here javascript now." +
+      "\nshort one." +
+      "\nreal sentence number two here it is!" +
+      "\nanother real sentence is right here ok?"
+    val d1clean = "the quick brown fox jumps over the lazy dog." +
+      "\nreal sentence number two here it is!" +
+      "\nanother real sentence is right here ok?"
+    // doc 2: both lines survive the LINE rules but the PAGE flags fire
+    val d2 = "lorem ipsum makes this page fail.\nthis has { braces } in it ok."
+    // doc 3: bad word token, and only 1 sentence
+    val d3 = "verboten appears here in this doc."
+    val got = TextAnalysis.c4Filters(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val r1 = got(1L)
+    assert(r1.getLong(1) == 6L && r1.getLong(2) == 3L) // n_lines, n_kept
+    assert(r1.getLong(3) == 3L)                        // n_sentences
+    assert(!r1.getBoolean(4) && !r1.getBoolean(5) && !r1.getBoolean(6))
+    assert(r1.getString(7) == md5hex(d1clean))
+    assert(r1.getBoolean(8))                           // keep
+    val r2 = got(2L)
+    assert(r2.getLong(2) == 2L && r2.getLong(3) == 2L)
+    assert(r2.getBoolean(4) && r2.getBoolean(5) && !r2.getBoolean(6))
+    assert(!r2.getBoolean(8))
+    val r3 = got(3L)
+    assert(r3.getLong(2) == 1L && r3.getBoolean(6) && !r3.getBoolean(8))
+  }
+
   test("gopherRules: hand-computed metrics per rule; composite pass") {
     // doc 1: 3 lines, 13 tokens [the be to of and that have with • x... - y z]
     //   word lens 3+2+2+2+3+4+4+4+1+4+1+1+1 = 32; one '...'; 2 bullet
