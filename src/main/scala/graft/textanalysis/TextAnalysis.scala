@@ -506,11 +506,30 @@ object TextAnalysis {
         }
         val (nLines, dlf, dlcf) = dupFracs(t.split("\n", -1))
         val (_, dpf, dpcf) = dupFracs(t.split("\n\n", -1))
-        def counts(n: Int): scala.collection.mutable.HashMap[String, Int] = {
-          val m = new scala.collection.mutable.HashMap[String, Int]()
+        // gram identity = incremental FNV over the window's tokens
+        // ([[graft.pipeline.CorpusOps.gramHash]], 0x1f-separated —
+        // bit-identical to hashing the separator-joined string, ZERO
+        // per-gram allocation; the first cut used string keys and its
+        // 9 maps x ~900 joined-gram strings per doc read 53.7 s
+        // in-suite at 500k vs 6.8 s standalone — the GC-pressure
+        // signature the hashedGrams family exists to kill). A 2^-64
+        // collision merges two gram identities — the documented
+        // tolerance shared with every hashed-gram operator. Window
+        // char length comes from a token-length prefix sum, not from
+        // the key.
+        val arr: IndexedSeq[String] =
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(ws)
+        val prefix = new Array[Long](ws.length + 1)
+        var pi = 0
+        while (pi < ws.length) {
+          prefix(pi + 1) = prefix(pi) + ws(pi).length; pi += 1
+        }
+        def counts(n: Int): scala.collection.mutable.LongMap[Int] = {
+          val m = new scala.collection.mutable.LongMap[Int](
+            math.max(16, ws.length * 2))
           var i = 0
           while (i + n <= ws.length) {
-            val k = ws.slice(i, i + n).mkString("\u001f")
+            val k = graft.pipeline.CorpusOps.gramHash(arr, i, n)
             m.update(k, m.getOrElse(k, 0) + 1)
             i += 1
           }
@@ -519,12 +538,17 @@ object TextAnalysis {
         def topFrac(n: Int): Double =
           if (ws.length < n || wchars == 0L) 0.0
           else {
+            val m = counts(n)
             var best = 0L
-            counts(n).foreach { case (k, c) =>
+            var i = 0
+            while (i + n <= ws.length) {
+              val c = m.getOrElse(
+                graft.pipeline.CorpusOps.gramHash(arr, i, n), 0)
               if (c >= 2) {
-                val mass = c.toLong * (k.length - (n - 1))
+                val mass = c.toLong * (prefix(i + n) - prefix(i))
                 if (mass > best) best = mass
               }
+              i += 1
             }
             best.toDouble / wchars
           }
@@ -535,7 +559,8 @@ object TextAnalysis {
             val cov = new Array[Boolean](ws.length)
             var i = 0
             while (i + n <= ws.length) {
-              if (m(ws.slice(i, i + n).mkString("\u001f")) >= 2) {
+              if (m.getOrElse(
+                  graft.pipeline.CorpusOps.gramHash(arr, i, n), 0) >= 2) {
                 var j = i; while (j < i + n) { cov(j) = true; j += 1 }
               }
               i += 1
