@@ -3693,8 +3693,11 @@ object SparkEntry {
           |  FROM feats LEFT JOIN vocab USING (g) CROSS JOIN nv
           |  GROUP BY doc_id),
           |thr AS (SELECT quantile_cont(log_w, 0.75) AS thr FROM perdoc)
-          |SELECT doc_id, n_feats, log_w, (log_w >= thr) AS keep
-          |FROM perdoc, thr ORDER BY doc_id""".stripMargin,
+          |SELECT d.doc_id, CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+          |  coalesce(p.log_w, 0.0) AS log_w,
+          |  coalesce(p.log_w >= thr, false) AS keep
+          |FROM documents d LEFT JOIN perdoc p USING (doc_id) CROSS JOIN thr
+          |ORDER BY d.doc_id""".stripMargin,
 
       // chr(769) = U+0301 COMBINING ACUTE; DuckDB length() counts code
       // points like Spark's length(), and nfc_normalize implements the

@@ -483,7 +483,12 @@ object TextAnalysis {
       .map { case (id, t) =>
         val ws = t.toLowerCase(java.util.Locale.ROOT)
           .split("\\s+").filter(_.nonEmpty)
-        val wchars = ws.foldLeft(0L)(_ + _.length)
+        // char masses count CODE POINTS, not UTF-16 units (ADVICE r13):
+        // DuckDB len() and the Column-based siblings' length() are
+        // code-point counts, and a String.length here would diverge on
+        // supplementary-plane text (emoji, rare CJK)
+        def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+        val wchars = ws.foldLeft(0L)(_ + cpLen(_))
         // space-only trim (Java .trim strips tabs/newlines too; SQL
         // trim() does not — match SQL)
         def trimSp(s: String): String = {
@@ -497,8 +502,8 @@ object TextAnalysis {
           if (p.isEmpty) (0L, 0.0, 0.0)
           else {
             val dist = p.distinct
-            val chars = p.foldLeft(0L)(_ + _.length)
-            val dchars = dist.foldLeft(0L)(_ + _.length)
+            val chars = p.foldLeft(0L)(_ + cpLen(_))
+            val dchars = dist.foldLeft(0L)(_ + cpLen(_))
             (p.length.toLong,
               (p.length - dist.length).toDouble / p.length,
               if (chars == 0L) 0.0 else (chars - dchars).toDouble / chars)
@@ -522,7 +527,7 @@ object TextAnalysis {
         val prefix = new Array[Long](ws.length + 1)
         var pi = 0
         while (pi < ws.length) {
-          prefix(pi + 1) = prefix(pi) + ws(pi).length; pi += 1
+          prefix(pi + 1) = prefix(pi) + cpLen(ws(pi)); pi += 1
         }
         def counts(n: Int): scala.collection.mutable.LongMap[Int] = {
           val m = new scala.collection.mutable.LongMap[Int](
@@ -566,7 +571,7 @@ object TextAnalysis {
               i += 1
             }
             var cchars = 0L; var j = 0
-            while (j < ws.length) { if (cov(j)) cchars += ws(j).length; j += 1 }
+            while (j < ws.length) { if (cov(j)) cchars += prefix(j + 1) - prefix(j); j += 1 }
             cchars.toDouble / wchars
           }
         (id, nLines, dlf, dpf, dlcf, dpcf,
@@ -675,7 +680,10 @@ object TextAnalysis {
     * weights (safe to compare unrounded for the quality_prune reason:
     * both engines interpolate between identical 4dp grid values, so
     * the threshold either equals a score exactly or sits ≫1 ulp from
-    * every score).
+    * every score). Every RAW input doc gets exactly one output row:
+    * featureless docs (null/empty/whitespace-only text) emit
+    * `(n_feats=0, log_w=0.0, keep=false)` and do not participate in
+    * the percentile (no evidence → never importance-kept).
     *
     * 100 TB shape: grams travel as 8-byte FNV hashes
     * ([[graft.pipeline.CorpusOps.gramHash]] — never a materialized
@@ -700,9 +708,13 @@ object TextAnalysis {
     // (id, gramHash) instance stream: unigrams + bigrams over the
     // lowered \s+ tokens, empties dropped. Scala-side sliding for the
     // usual reason (SQL transform over a derived array is O(len²)/row).
+    // coalesce BEFORE tokenizing (ADVICE r13): filter(words(null))
+    // null-propagates, the encoder yields a null Seq, and the flatMap
+    // NPEs — the gopherRepetition coalesce pattern applies here too
     def feats(df: org.apache.spark.sql.DataFrame) =
       df.select(col(idCol).cast("long").as("id"),
-          filter(words(col(textCol)), w => length(w) > 0).as("ws"))
+          filter(words(coalesce(col(textCol), lit(""))),
+            w => length(w) > 0).as("ws"))
         .as[(Long, Seq[String])]
         .flatMap { case (id, ws) =>
           val arr = ws.toIndexedSeq
@@ -729,8 +741,22 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_feats"), round(sum($"lr"), 4).as("log_w"))
     val thr = perDoc.agg(
       expr(s"percentile(log_w, ${1.0 - keepFraction})").as("thr"))
-    perDoc.crossJoin(broadcast(thr))
+    val scored = perDoc.crossJoin(broadcast(thr))
       .select($"id", $"n_feats", $"log_w", ($"log_w" >= $"thr").as("keep"))
+    // Featureless docs (empty/whitespace-only/null text) produce no
+    // gram instances, so the groupBy would silently drop them — a
+    // selection op must PARTITION the corpus, not lose rows (ADVICE
+    // r13). Left-join the weights back onto the input ids: such docs
+    // emit (n_feats=0, log_w=0.0, keep=false) and are excluded from
+    // the percentile (it ranks featured docs only — a doc with no
+    // evidence is never importance-kept). One extra doc-count-sized
+    // join, nothing corpus-gram-sized.
+    raw.select(col(idCol).cast("long").as("id"))
+      .join(scored, Seq("id"), "left")
+      .select($"id",
+        coalesce($"n_feats", lit(0L)).as("n_feats"),
+        coalesce($"log_w", lit(0.0)).as("log_w"),
+        coalesce($"keep", lit(false)).as("keep"))
   }
 
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,

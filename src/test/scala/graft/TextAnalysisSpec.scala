@@ -311,6 +311,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
   }
 
+  test("dsirWeights: null/empty-text docs survive as n_feats=0 keep=false rows") {
+    // ADVICE r13: a null text column used to NPE the whole job, and
+    // featureless docs vanished from the output — the op must
+    // PARTITION the corpus (one row per input doc), never lose rows
+    val raw = Seq((1L, "a b", "en"), (2L, null.asInstanceOf[String], "zh"),
+      (3L, "   ", "zh"), (4L, "a a", "en")).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.dsirWeights(
+        raw, raw.filter($"lang" === "en"), "text", "doc_id")
+      .as[(Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L) == ((0L, 0.0, false)))
+    assert(got(3L) == ((0L, 0.0, false)))
+    assert(got(1L)._1 == 3L && got(4L)._1 == 3L) // featured docs unchanged
+  }
+
+  test("gopherRepetition: char masses count code points, not UTF-16 units") {
+    // ADVICE r13: supplementary-plane text (emoji = 2 UTF-16 units,
+    // 1 code point) must produce the same fractions DuckDB len() gives.
+    // doc 1 lines [😀, 😀, xy]: dup chars (4-3)/4 = 0.25 in code
+    // points (UTF-16 would read 2/6 = 0.333…).
+    // doc 2 tokens [😀, 😀, 😀, ab]: top-2-gram mass 2×2/5 = 0.8 in
+    // code points (UTF-16: 2×4/8 = 1.0).
+    val got = TextAnalysis.gopherRepetition(
+        Seq((1L, "😀\n😀\nxy"),
+            (2L, "😀 😀 😀 ab"))
+          .toDF("doc_id", "text"), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getDouble(2) == 1.0 / 3)  // dup_line_frac (count-based)
+    assert(got(1L).getDouble(4) == 0.25)     // dup_line_char_frac
+    assert(got(2L).getDouble(6) == 0.8)      // top_2gram_char_frac
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
