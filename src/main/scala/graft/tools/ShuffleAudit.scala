@@ -115,7 +115,16 @@ object ShuffleAudit {
       if (a <= 0) "null" else f"${b.toDouble / a}%.2f"
     val rows = names.filter(n => small.contains(n) && big.contains(n)).map { n =>
       val s = small(n); val b = big(n)
-      s"""    "$n": {"shuffle_write_small":${s.shuffleWrite},"shuffle_write_big":${b.shuffleWrite},"shuffle_growth":${fmtRatio(s.shuffleWrite, b.shuffleWrite)},"shuffle_read_big":${b.shuffleRead},"input_small":${s.input},"input_big":${b.input},"input_growth":${fmtRatio(s.input, b.input)},"spill_big":${b.spill},"tasks_big":${b.tasks}}"""
+      // self-proving bound (VERDICT r13 #3): expected shuffle growth is
+      // the data ratio by default, or the entry's own MEASURED input
+      // growth when its inputs legitimately grow faster (incremental
+      // entries re-read history + stored indexes, so input_growth ≈ 30×
+      // at 10× data is by design, and their shuffles may track it).
+      // tools/update_coverage.py --check enforces
+      // shuffle_growth <= expected_growth × 1.2 over every entry.
+      val inputGrowth = if (s.input <= 0) 10.0 else b.input.toDouble / s.input
+      val expected = math.max(10.0, inputGrowth)
+      s"""    "$n": {"shuffle_write_small":${s.shuffleWrite},"shuffle_write_big":${b.shuffleWrite},"shuffle_growth":${fmtRatio(s.shuffleWrite, b.shuffleWrite)},"expected_growth":${f"$expected%.2f"},"shuffle_read_big":${b.shuffleRead},"input_small":${s.input},"input_big":${b.input},"input_growth":${fmtRatio(s.input, b.input)},"spill_big":${b.spill},"tasks_big":${b.tasks}}"""
     }
     val json =
       s"""{
@@ -123,6 +132,8 @@ object ShuffleAudit {
          |  "sf_big": "$bigDir",
          |  "data_ratio_hint": 10.0,
          |  "note": "per-query task-metric totals; shuffle_growth ~= data ratio means the exchange is linear in corpus size, ~1 means size-independent (broadcast), >> data ratio is superlinear and a scale bug",
+         |  "growth_rule": "expected_growth = max(data_ratio_hint, input_growth); tools/update_coverage.py --check FAILS when shuffle_growth > expected_growth * 1.2 for any non-waived entry (VERDICT r13 #3)",
+         |  "waivers": {},
          |  "queries": {
          |${rows.mkString(",\n")}
          |  }
