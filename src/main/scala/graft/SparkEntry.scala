@@ -1794,6 +1794,38 @@ object SparkEntry {
         .orderBy($"media_id")
     }),
 
+    // LLM-pipeline: VBR MP3 metadata via Xing/Info/VBRI headers
+    // (VERDICT r13 #4) — real-world VBR files carry their frame count /
+    // stream size in a first-frame header, and the nominal CBR math is
+    // wrong for them. Streams are synthesized STEREO (outside
+    // Mp3.decode's mono remit, pinning the header route) with a header
+    // kind, sample rate, nominal bitrate, CLAIMED frame count, and
+    // bytes-field presence all functions of doc_id; the payload holds
+    // only 2 physical frames, so a correct answer can only come from
+    // parsing the header. The oracle recomputes every field from the
+    // same id arithmetic (frame-size and average-bitrate math are
+    // integer-floor throughout — no decoder on the oracle side).
+    "multimodal_mp3_vbr" -> ((s, dir) => {
+      import s.implicits._
+      import graft.multimodal.{MediaCodecs, Multimodal}
+      val media = t(s, dir, "documents")
+        .select($"doc_id".as("media_id"))
+        .as[Long]
+        .map { id =>
+          (id, MediaCodecs.encodeMp3Vbr(
+            kind = (id % 3).toInt,
+            sampleRateIdx = ((id / 3) % 3).toInt,
+            bitrateIdx = 1 + (id % 14).toInt,
+            claimFrames = 7 + (id % 93).toInt,
+            withBytes = id % 4 != 1))
+        }.toDF("media_id", "data")
+      Multimodal.decodeMedia(media)
+        .select($"media_id", $"format", $"sample_rate", $"channels",
+          $"bitrate_kbps", $"n_frames",
+          round($"duration_ms", 6).as("duration_ms"))
+        .orderBy($"media_id")
+    }),
+
     // LLM-pipeline: COMPRESSED AUDIO SAMPLE DECODE (VERDICT r10 #4 —
     // the stub's last audio slot). Deterministic MPEG-1 Layer II
     // streams (48 kHz mono, one frame per id%3+1) synthesized per id,
@@ -3857,6 +3889,34 @@ object SparkEntry {
           |  CAST(nf AS BIGINT) AS n_frames,
           |  round(nf * 1152 * 1000.0 / sr, 6) AS duration_ms
           |FROM p ORDER BY media_id""".stripMargin,
+
+      // VBR lane: every field recomputed from the id arithmetic that
+      // drove encodeMp3Vbr. The header kind (Xing/VBRI/Info) does not
+      // appear — all three parse to the same (frames, bytes) payload,
+      // which is itself part of the contract. Integer-floor frame-size
+      // and average-bitrate math mirrors the Scala Long division.
+      "multimodal_mp3_vbr" ->
+        """WITH p AS (
+          |  SELECT doc_id AS media_id,
+          |    CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+          |      ELSE 32000 END AS sr,
+          |    list_value(32,40,48,56,64,80,96,112,128,160,192,224,256,320)
+          |      [CAST(doc_id % 14 AS INT) + 1] AS br,
+          |    7 + doc_id % 93 AS claim,
+          |    doc_id % 4 <> 1 AS with_bytes
+          |  FROM documents),
+          |q AS (
+          |  SELECT *, (claim * ((144 * br * 1000) // sr) * 3) // 4 AS nbytes
+          |  FROM p)
+          |SELECT media_id, 'mp3' AS format,
+          |  CAST(sr AS INT) AS sample_rate,
+          |  CAST(2 AS INT) AS channels,
+          |  CAST(CASE WHEN with_bytes
+          |    THEN ((nbytes * 8 * sr) // (claim * 1152)) // 1000
+          |    ELSE br END AS INT) AS bitrate_kbps,
+          |  CAST(claim AS BIGINT) AS n_frames,
+          |  round(claim * 1152 * 1000.0 / sr, 6) AS duration_ms
+          |FROM q ORDER BY media_id""".stripMargin,
 
       // pure-SQL replay of the Layer II requantization for Mp2.encode's
       // parameterization: codes/scfsi/scalefactor exponents from the

@@ -192,6 +192,63 @@ class MediaCodecsSpec extends AnyFunSuite {
       m2.sampleRate == 22050 && m2.bitrateKbps == 32 && m2.nFrames == 1)
   }
 
+  test("decodeMp3: Xing/Info/VBRI headers are authoritative for frames, duration, avg bitrate") {
+    // Xing with BYTES: 44.1k, nominal 128 kbps, claims 40 frames over a
+    // 2-physical-frame payload — the count can only come from the header
+    val xing = MediaCodecs.encodeMp3Vbr(kind = 0, sampleRateIdx = 0,
+      bitrateIdx = 9, claimFrames = 40)
+    val mx = MediaCodecs.decodeMp3(xing).get
+    assert(mx.nFrames == 40 && mx.sampleRate == 44100 && mx.channels == 2)
+    assert(math.abs(mx.durationMs - 40 * 1152 * 1000.0 / 44100) < 1e-9)
+    // average bitrate from the BYTES field, integer-floor math
+    val frameLen = 144 * 128000 / 44100
+    val bytesF = 40L * frameLen * 3 / 4
+    val kbps = (bytesF * 8 * 44100 / (40L * 1152) / 1000).toInt
+    assert(mx.bitrateKbps == kbps && kbps < 128) // visibly NOT the nominal
+    // Xing without BYTES falls back to the nominal first-frame bitrate
+    assert(MediaCodecs.decodeMp3(MediaCodecs.encodeMp3Vbr(0, 0, 9, 40,
+      withBytes = false)).get.bitrateKbps == 128)
+    // Info (CBR LAME) parses identically; VBRI (Fraunhofer) too
+    val mi = MediaCodecs.decodeMp3(MediaCodecs.encodeMp3Vbr(2, 1, 5, 25)).get
+    assert(mi.nFrames == 25 && mi.sampleRate == 48000)
+    val mv = MediaCodecs.decodeMp3(MediaCodecs.encodeMp3Vbr(1, 2, 14, 99)).get
+    assert(mv.nFrames == 99 && mv.sampleRate == 32000)
+    assert(mv.bitrateKbps ==
+      ((99L * (144 * 320000 / 32000) * 3 / 4) * 8 * 32000 / (99L * 1152) / 1000).toInt)
+    // the real-world win: a TRUNCATED VBR stream (dead strict-walk
+    // territory) still yields full metadata from the header
+    assert(MediaCodecs.decodeMp3(xing.take(500)).get.nFrames == 40)
+    // ID3v2-fronted VBR stream: tag skipped, header still found
+    val id3 = new Array[Byte](10 + 16)
+    id3(0) = 'I'; id3(1) = 'D'; id3(2) = '3'; id3(3) = 4; id3(9) = 16
+    assert(MediaCodecs.decodeMp3(id3 ++ xing).get.nFrames == 40)
+    // CRC-protected frame: protection bit 0 shifts the tag by 2
+    val crc = new Array[Byte](417)
+    crc(0) = 0xff.toByte; crc(1) = 0xfa.toByte // MPEG1 L3, CRC present
+    crc(2) = (9 << 4).toByte; crc(3) = 0x00
+    val cp = 4 + 2 + 32
+    "Xing".zipWithIndex.foreach { case (c, i) => crc(cp + i) = c.toByte }
+    crc(cp + 7) = 1 // flags = FRAMES
+    crc(cp + 11) = 7 // frames = 7
+    assert(MediaCodecs.decodeMp3(crc).get.nFrames == 7)
+    // MONO MPEG1: side info is 17 bytes, tag at 21
+    val mono = new Array[Byte](417)
+    mono(0) = 0xff.toByte; mono(1) = 0xfb.toByte
+    mono(2) = (9 << 4).toByte; mono(3) = 0xc0.toByte
+    "Xing".zipWithIndex.foreach { case (c, i) => mono(4 + 17 + i) = c.toByte }
+    mono(4 + 17 + 7) = 1; mono(4 + 17 + 11) = 9
+    assert(MediaCodecs.decodeMp3(mono).get.nFrames == 9)
+    // Layer II never VBR-parses: plant a plausible tag, walk stays physical
+    val l2 = Array[Byte](0xff.toByte, 0xf4.toByte, 0x40.toByte, 0xc0.toByte) ++
+      new Array[Byte](1152 / 8 * 32000 / 22050 - 4)
+    "Xing".zipWithIndex.foreach { case (c, i) => l2(4 + 9 + i) = c.toByte }
+    l2(4 + 9 + 7) = 1; l2(4 + 9 + 11) = 50
+    assert(MediaCodecs.decodeMp3(l2).get.nFrames == 1)
+    // CBR streams without a tag keep the physical-walk contract
+    assert(MediaCodecs.decodeMp3(
+      MediaCodecs.encodeMp3Frames(0, 9, mono = false, nFrames = 3)).get.nFrames == 3)
+  }
+
   test("decodeMedia: magic dispatch wav/ppm/stub, null payloads kept, resizeMedia real+stub") {
     val wav = wavPcm16(16000, 1, Array.tabulate[Short](160)(i =>
       (math.sin(i * 0.1) * 16384).toShort))
