@@ -746,6 +746,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: CCNet per-LANGUAGE perplexity bucketing (Wenzek
+    // et al. 2020) — the canonical head/middle/tail split at each
+    // language's own 33rd/67th score percentiles (absolute LM scores
+    // are not comparable across languages, which is the whole point of
+    // the per-lang thresholds). keep = head ∪ middle. Thresholds are
+    // exact interpolated percentiles over the 6dp-rounded surprisal
+    // grid (the dsir precedent); featureless docs survive as
+    // tail/keep=false rows. One vocab shuffle + a one-row-per-language
+    // broadcast — scan-class at 100 TB.
+    "ccnet_buckets" -> ((s, dir) => {
+      import s.implicits._
+      graft.textanalysis.TextAnalysis.ccnetBuckets(
+          t(s, dir, "documents"), "text", "doc_id", "lang")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: quantile-based quality PRUNE — the output half of
     // the surprisal report (CCNet shape): keep the 90% of docs at or
     // below the corpus's p90 LM surprisal, drop the gibberish tail.
@@ -3009,6 +3026,37 @@ object SparkEntry {
           |  round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
           |FROM ww JOIN vocab USING (w), tot
           |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // same surprisal CTEs as text_surprisal, then per-language
+      // quantile_cont thresholds over the rounded grid and the
+      // row-preserving left join (featureless docs → tail/keep=false)
+      "ccnet_buckets" ->
+        """WITH w AS (SELECT doc_id, unnest(string_split_regex(lower(coalesce(text, '')), '\s+')) AS w
+          |  FROM documents),
+          |ww AS (SELECT doc_id, w FROM w WHERE len(w) > 0),
+          |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM ww GROUP BY w),
+          |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+          |sc AS (
+          |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+          |    round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
+          |  FROM ww JOIN vocab USING (w), tot GROUP BY doc_id),
+          |scl AS (SELECT s.doc_id, s.n_words, s.surprisal, d.lang
+          |  FROM sc s JOIN documents d USING (doc_id)),
+          |thr AS (SELECT lang, quantile_cont(surprisal, 0.33) AS t1,
+          |               quantile_cont(surprisal, 0.67) AS t2
+          |        FROM scl GROUP BY lang)
+          |SELECT d.doc_id, d.lang,
+          |  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
+          |  coalesce(s.surprisal, 0.0) AS surprisal,
+          |  CASE WHEN s.surprisal IS NULL THEN 'tail'
+          |       WHEN s.surprisal <= t.t1 THEN 'head'
+          |       WHEN s.surprisal <= t.t2 THEN 'middle'
+          |       ELSE 'tail' END AS bucket,
+          |  coalesce(s.surprisal <= t.t2, false) AS keep
+          |FROM documents d
+          |LEFT JOIN scl s USING (doc_id)
+          |LEFT JOIN thr t ON d.lang = t.lang
+          |ORDER BY d.doc_id""".stripMargin,
 
       "text_tfidf" ->
         """WITH aug AS (SELECT doc_id,

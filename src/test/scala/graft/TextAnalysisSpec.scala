@@ -344,6 +344,54 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L).getDouble(6) == 0.8)      // top_2gram_char_frac
   }
 
+  test("ccnetBuckets: per-language terciles, row preservation, featureless tail") {
+    val docs = Seq(
+      (1L, "a a a", "x"), (2L, "a b", "x"), (3L, "b c", "x"), (4L, "c c c c", "x"),
+      (5L, "z z", "y"), (6L, "z q", "y"), (7L, "q q q", "y"),
+      (8L, null.asInstanceOf[String], "y"), (9L, "   ", "x"))
+    // reference: corpus-wide unigram LM, 6dp-rounded mean NLL,
+    // per-language interpolated terciles, featureless docs -> tail
+    val toks = docs.map { case (id, t, _) =>
+      id -> Option(t).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+        .split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = counts.values.sum.toDouble
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = toks.collect { case (id, ws) if ws.nonEmpty =>
+      id -> r6(ws.map(w => -math.log(counts(w) / total)).sum / ws.length) }
+    def pct(v: Seq[Double], p: Double): Double = {
+      val s = v.sorted; val rank = (s.length - 1) * p
+      val lo = s(rank.toInt); val hi = s(math.min(rank.toInt + 1, s.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    val langOf = docs.map(d => d._1 -> d._3).toMap
+    val thr = docs.map(_._3).distinct.map { l =>
+      val vs = score.collect { case (id, s) if langOf(id) == l => s }.toSeq
+      l -> ((pct(vs, 0.33), pct(vs, 0.67)))
+    }.toMap
+    val expected = docs.map { case (id, _, l) =>
+      score.get(id) match {
+        case None => (id, l, 0L, 0.0, "tail", false)
+        case Some(s) =>
+          val (t1, t2) = thr(l)
+          val b = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+          (id, l, toks(id).size.toLong, s, b, b != "tail")
+      }
+    }.sortBy(_._1)
+    val got = TextAnalysis.ccnetBuckets(
+        docs.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+      .as[(Long, String, Long, Double, String, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == expected)
+    // the per-language property the op exists for: each language's own
+    // tercile split, so every lang with >= 3 featured docs has a head
+    Seq("x", "y").foreach { l =>
+      assert(got.exists(r => r._2 == l && r._5 == "head"), s"lang $l has no head")
+      assert(got.exists(r => r._2 == l && r._5 == "tail"), s"lang $l has no tail")
+    }
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
