@@ -1103,7 +1103,11 @@ object Bench {
         val t1 = System.nanoTime()
         var firstBuild = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
         val build1 = (System.nanoTime() - t1) / 1e9
-        require(firstBuild.n == rows.length, "build sanity")
+        // nVectors, not n: exact duplicates collapse into one node by
+        // design (the clustered generator yields 5 duplicate pairs in
+        // 100k draws — the r14 first run tripped an n == length require
+        // and nulled the whole clustered block)
+        require(firstBuild.nVectors == rows.length, "build sanity")
         firstBuild = null
         settle()
         val t2 = System.nanoTime()

@@ -666,21 +666,26 @@ object SparkEntry {
     // bm25 top-20 — a one-row scalar from an aggregation.
     "quality_estimate" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val terms = kwTerms
       val top20 = t(s, dir, "documents")
         .withColumn("score", round(bm25ish($"text", terms), 6))
         .filter($"score" > 0)
         .select($"doc_id", $"score", lower($"text").as("lt"))
         .orderBy(desc("score"), asc("doc_id")).limit(20)
-      val rn = row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
       val termHits = terms.map(tm => when($"lt".contains(tm), 1).otherwise(0))
         .reduce((a, b) => a + b)
-      top20.withColumn("rn", rn)
-        .withColumn("hits", when($"rn" <= 3, termHits).otherwise(0))
-        .agg(max(when($"rn" === 1, $"score")).as("top"),
-          sum($"hits").cast("double").as("overlap"),
-          count(lit(1)).as("n"))
+      // top-3 as a second TakeOrderedAndProject branch instead of a
+      // global row_number window (r14): the window was bounded by the
+      // limit(20) upstream but still planned a no-partition WindowExec
+      // — the one warning in an otherwise window-clean suite. Both
+      // branches are TakeOrdered with the id tie-break, so the split
+      // is deterministic and value-identical (top = max over the
+      // top-3 = the global max; overlap = term hits over the top-3).
+      val top3 = top20.orderBy(desc("score"), asc("doc_id")).limit(3)
+        .agg(max($"score").as("top"),
+          sum(termHits).cast("double").as("overlap"))
+      top20.agg(count(lit(1)).as("n"))
+        .crossJoin(top3)
         .select(round(
           least(lit(1.0), greatest(lit(0.0),
             $"top" * 0.4 +
