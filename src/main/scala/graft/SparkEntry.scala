@@ -3046,12 +3046,13 @@ object SparkEntry {
           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
           |    round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 6) AS surprisal
           |  FROM ww JOIN vocab USING (w), tot GROUP BY doc_id),
-          |scl AS (SELECT s.doc_id, s.n_words, s.surprisal, d.lang
+          |scl AS (SELECT s.doc_id, s.n_words, s.surprisal,
+          |    coalesce(d.lang, '') AS lang
           |  FROM sc s JOIN documents d USING (doc_id)),
           |thr AS (SELECT lang, quantile_cont(surprisal, 0.33) AS t1,
           |               quantile_cont(surprisal, 0.67) AS t2
           |        FROM scl GROUP BY lang)
-          |SELECT d.doc_id, d.lang,
+          |SELECT d.doc_id, coalesce(d.lang, '') AS lang,
           |  CAST(coalesce(s.n_words, 0) AS BIGINT) AS n_words,
           |  coalesce(s.surprisal, 0.0) AS surprisal,
           |  CASE WHEN s.surprisal IS NULL THEN 'tail'
@@ -3061,7 +3062,7 @@ object SparkEntry {
           |  coalesce(s.surprisal <= t.t2, false) AS keep
           |FROM documents d
           |LEFT JOIN scl s USING (doc_id)
-          |LEFT JOIN thr t ON d.lang = t.lang
+          |LEFT JOIN thr t ON coalesce(d.lang, '') = t.lang
           |ORDER BY d.doc_id""".stripMargin,
 
       "text_tfidf" ->

@@ -780,7 +780,10 @@ object TextAnalysis {
     * middle: t1 < s ≤ t2; tail: s > t2). Featureless docs
     * (null/empty/whitespace-only) emit `(n_words=0, surprisal=0.0,
     * bucket='tail', keep=false)` and do not participate in the
-    * percentiles — the dsirWeights row-preservation contract.
+    * percentiles — the dsirWeights row-preservation contract. A NULL
+    * language coalesces to '' (its own language, own terciles) so the
+    * per-lang equi-joins never null-drop a scored doc; the output
+    * `lang` column carries the coalesced value.
     *
     * 100 TB shape: the scorer is one map-side-combinable vocab count
     * + a broadcast scalar; the threshold table is ONE ROW PER LANGUAGE
@@ -793,8 +796,13 @@ object TextAnalysis {
                    idCol: String, langCol: String): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // NULL lang coalesces to '' on BOTH the threshold and restore
+    // sides: an equi-join on a null key silently drops the row, which
+    // would strip a scored doc's values down to the featureless
+    // defaults. Null-lang docs form their own '' language with their
+    // own terciles (the oracle replays the same coalesce).
     val ids = df.select(col(idCol).cast("long").as("id"),
-      col(langCol).as("lang"))
+      coalesce(col(langCol), lit("")).as("lang"))
     val scored = unigramSurprisal(
         df.select(col(idCol), coalesce(col(textCol), lit("")).as(textCol)),
         textCol, idCol)

@@ -348,7 +348,11 @@ class TextAnalysisSpec extends AnyFunSuite {
     val docs = Seq(
       (1L, "a a a", "x"), (2L, "a b", "x"), (3L, "b c", "x"), (4L, "c c c c", "x"),
       (5L, "z z", "y"), (6L, "z q", "y"), (7L, "q q q", "y"),
-      (8L, null.asInstanceOf[String], "y"), (9L, "   ", "x"))
+      (8L, null.asInstanceOf[String], "y"), (9L, "   ", "x"),
+      // null lang: its own '' language (the equi-joins must not
+      // null-drop a scored doc) — one featured doc, so its tercile
+      // thresholds equal its own score and it buckets head/keep
+      (10L, "a b c", null.asInstanceOf[String]))
     // reference: corpus-wide unigram LM, 6dp-rounded mean NLL,
     // per-language interpolated terciles, featureless docs -> tail
     val toks = docs.map { case (id, t, _) =>
@@ -365,12 +369,13 @@ class TextAnalysisSpec extends AnyFunSuite {
       val lo = s(rank.toInt); val hi = s(math.min(rank.toInt + 1, s.length - 1))
       lo + (rank - rank.toInt) * (hi - lo)
     }
-    val langOf = docs.map(d => d._1 -> d._3).toMap
-    val thr = docs.map(_._3).distinct.map { l =>
+    val langOf = docs.map(d => d._1 -> Option(d._3).getOrElse("")).toMap
+    val thr = langOf.values.toSeq.distinct.map { l =>
       val vs = score.collect { case (id, s) if langOf(id) == l => s }.toSeq
       l -> ((pct(vs, 0.33), pct(vs, 0.67)))
     }.toMap
-    val expected = docs.map { case (id, _, l) =>
+    val expected = docs.map { case (id, _, _) =>
+      val l = langOf(id)
       score.get(id) match {
         case None => (id, l, 0L, 0.0, "tail", false)
         case Some(s) =>
