@@ -1268,6 +1268,26 @@ object SparkEntry {
         .orderBy($"id_a", $"id_b")
     }),
 
+    // LLM-pipeline: chunk→doc embedding pooling (r14) — the weighted
+    // mean of a doc's chunk embeddings, L2-normalized: how a
+    // chunk-indexed corpus gets DOC-level vectors for SemDeDup /
+    // clustering without re-embedding. Embeddings rows group 10-to-a-
+    // doc (vec_id DIV 10), weight = vec_id%7+1; per-doc sums and the
+    // norm reduce as in-order left folds over the chunk-id-sorted list
+    // (aggregate/list_reduce fold left in both engines — bit-identical
+    // IEEE doubles, no decimal casts, no rounding slack beyond the
+    // output 6dp). Graded on dims 0-7; the norm spans all 64.
+    "doc_embedding_pool" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 10").as("doc"), $"vec_id",
+          ($"vec_id" % 7 + 1).as("w"), $"embedding")
+      graft.pipeline.Clustering.poolEmbeddings(
+          chunks, "doc", "vec_id", "embedding", "w", dim = 64)
+        .filter($"dim" < 8)
+        .orderBy($"doc_id", $"dim")
+    }),
+
     // LLM-pipeline: stupid-backoff bigram LM quality score (Brants
     // 2007 / CCNet shape) — the LM trains on HALF the corpus (even
     // doc_ids) and scores ALL of it, so the backoff branch genuinely
@@ -3580,6 +3600,43 @@ object SparkEntry {
            |       JOIN e eb ON eb.vec_id = cb.vec_id AND ea.vec_id < eb.vec_id)
            |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.3
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // per-doc in-order left folds over the chunk-id-sorted list
+      // (list_reduce folds left like Spark's aggregate; the prepended
+      // 0.0 mirrors Spark's zero element) — bit-identical IEEE doubles
+      // for the weighted sums, the weight total, and the 64-dim
+      // squared-norm reduction
+      "doc_embedding_pool" ->
+        """WITH ch AS (
+          |  SELECT vec_id // 10 AS doc_id, vec_id,
+          |    CAST(vec_id % 7 + 1 AS DOUBLE) AS w,
+          |    CAST(embedding AS DOUBLE[]) AS v
+          |  FROM embeddings),
+          |g AS (
+          |  SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+          |    list(struct_pack(cid := vec_id, w := w, v := v) ORDER BY vec_id) AS chs
+          |  FROM ch GROUP BY doc_id),
+          |p AS (
+          |  SELECT doc_id, n_chunks, chs,
+          |    list_reduce(list_prepend(0.0, list_transform(chs, c -> c.w)),
+          |      (a, b) -> a + b) AS wsum
+          |  FROM g),
+          |m AS (
+          |  SELECT doc_id, n_chunks,
+          |    list_transform(range(64), d ->
+          |      list_reduce(list_prepend(0.0,
+          |          list_transform(chs, c -> c.w * c.v[d + 1])),
+          |        (a, b) -> a + b) / wsum) AS mean
+          |  FROM p),
+          |n AS (
+          |  SELECT doc_id, n_chunks, mean,
+          |    sqrt(list_reduce(list_prepend(0.0,
+          |        list_transform(mean, x -> x * x)), (a, b) -> a + b)) AS nrm
+          |  FROM m)
+          |SELECT doc_id, n_chunks, CAST(d AS INT) AS dim,
+          |  round(CASE WHEN nrm > 0 THEN mean[d + 1] / nrm ELSE 0.0 END, 6) AS value
+          |FROM n, unnest(range(8)) AS t(d)
+          |ORDER BY doc_id, dim""".stripMargin,
 
       "bigram_lm" ->
         """WITH ws0 AS (

@@ -135,4 +135,60 @@ object Clustering {
       .join(asg, Seq("id"))
     graft.dedup.Dedup.embeddingNearDupPairs(withCluster, "v", "id", "cluster", tau)
   }
+
+  /** Chunk→document embedding pooling: the weighted mean of a doc's
+    * chunk embeddings, L2-normalized — how a chunk-indexed corpus gets
+    * DOC-level vectors for document dedup ([[semdedupPairs]] input),
+    * clustering, and mixture analysis without re-embedding. Weights
+    * are the caller's (chunk token counts in the standard recipe).
+    *
+    * DETERMINISM (the auditable-curation stance of this file): float
+    * accumulation order must not change the output, so per doc the
+    * chunks are collected and SORTED by chunk id, and both the
+    * per-dimension weighted sums and the squared-norm reduce as
+    * in-order left folds over that sorted list (`aggregate` /
+    * `list_reduce` fold left in both engines → bit-identical IEEE
+    * results; same contract as the quantized k-means above). Returns
+    * one row per (doc, dim): `(doc_id, n_chunks, dim, value)` with
+    * value rounded to 6dp.
+    *
+    * Scale shape (100 TB): ONE groupBy(doc) shuffle whose payload is
+    * the input chunk vectors (linear — collect_list is bounded by
+    * chunks-per-doc, a per-document quantity, never corpus-sized), then
+    * a narrow per-doc fold of dim × n_chunks multiply-adds and the
+    * posexplode projection. A (doc, dim) partial-agg shape would
+    * map-side combine but reintroduce order-dependent float sums — the
+    * fold keeps the replay exact, and the per-doc work (≤ a few
+    * hundred chunks × dim) is cache-resident. */
+  def poolEmbeddings(chunks: DataFrame, docCol: String, chunkIdCol: String,
+                     vecCol: String, weightCol: String,
+                     dim: Int): DataFrame = {
+    val chs = chunks.select(col(docCol).cast("long").as("doc_id"),
+        struct(col(chunkIdCol).cast("long").as("cid"),
+          col(weightCol).cast("double").as("w"),
+          col(vecCol).cast("array<double>").as("v")).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("c"))).as("chs"))
+    val pooled = chs
+      .select(col("doc_id"), size(col("chs")).as("n_chunks"), col("chs"),
+        aggregate(col("chs"), lit(0.0),
+          (acc, c) => acc + c.getField("w")).as("wsum"))
+      .select(col("doc_id"), col("n_chunks"),
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          aggregate(col("chs"), lit(0.0), (acc, c) =>
+            acc + c.getField("w") * element_at(c.getField("v"), d + 1)) /
+            col("wsum"))
+          .as("mean"))
+    // L2 norm as an in-order fold over the pooled vector (64 adds —
+    // same order both engines), then per-dim normalize + 6dp round
+    val normed = pooled.select(col("doc_id"), col("n_chunks"),
+      col("mean"),
+      sqrt(aggregate(col("mean"), lit(0.0), (acc, x) => acc + x * x)).as("nrm"))
+    normed.select(col("doc_id"), col("n_chunks"),
+        posexplode(col("mean")).as(Seq("dim", "x")),
+        col("nrm"))
+      .select(col("doc_id"), col("n_chunks"), col("dim"),
+        round(when(col("nrm") > 0.0, col("x") / col("nrm")).otherwise(0.0), 6)
+          .as("value"))
+  }
 }

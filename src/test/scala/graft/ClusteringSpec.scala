@@ -80,4 +80,31 @@ class ClusteringSpec extends AnyFunSuite {
     // seeds: c0=0.0 (vec0), c1=0.0 (vec1), c2=1.0 (vec2); ties -> lowest cid
     assert(got == Map(0L -> 0, 1L -> 0, 2L -> 2))
   }
+
+  test("poolEmbeddings: weighted-mean + L2 normalize matches a hand fold; partition-invariant") {
+    // doc 7: chunks (id 70, w 1, [1, 0, 3]), (id 71, w 3, [0, 2, 1])
+    //   weighted mean = [(1·1+3·0)/4, (1·0+3·2)/4, (1·3+3·1)/4]
+    //                 = [0.25, 1.5, 1.5]; |·| = sqrt(0.0625+2.25+2.25)
+    // doc 8: one chunk -> its own unit vector
+    val chunks = Seq(
+      (7L, 70L, 1, Seq(1.0f, 0.0f, 3.0f)),
+      (7L, 71L, 3, Seq(0.0f, 2.0f, 1.0f)),
+      (8L, 80L, 5, Seq(0.0f, 4.0f, 3.0f))
+    ).toDF("doc", "cid", "w", "vec")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Clustering.poolEmbeddings(df, "doc", "cid", "vec", "w", dim = 3)
+        .as[(Long, Int, Int, Double)].collect().sortBy(r => (r._1, r._3)).toSeq
+    val got = run(chunks)
+    def r6(d: Double) = BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val m7 = Seq(0.25, 1.5, 1.5)
+    val n7 = math.sqrt(m7.foldLeft(0.0)((a, x) => a + x * x))
+    val n8 = 5.0 // sqrt(16+9)
+    val expected = Seq(
+      (7L, 2, 0, r6(m7(0) / n7)), (7L, 2, 1, r6(m7(1) / n7)), (7L, 2, 2, r6(m7(2) / n7)),
+      (8L, 1, 0, 0.0), (8L, 1, 1, r6(4.0 / n8)), (8L, 1, 2, r6(3.0 / n8)))
+    assert(got == expected)
+    // accumulation-order determinism: a different physical partitioning
+    // must produce bit-identical values (the sorted-fold contract)
+    assert(run(chunks.repartition(7)) == got)
+  }
 }
