@@ -163,7 +163,13 @@ object Clustering {
   def poolEmbeddings(chunks: DataFrame, docCol: String, chunkIdCol: String,
                      vecCol: String, weightCol: String,
                      dim: Int): DataFrame = {
-    val chs = chunks.select(col(docCol).cast("long").as("doc_id"),
+    // null / dimension-mismatched chunk vectors are SKIPPED (the
+    // cleaning-engine stance shared with the float kernels and
+    // Pq.encodeCells) — element_at past a short array returns null and
+    // a single bad chunk would otherwise null-poison its whole doc's
+    // folds; a doc with no valid chunks emits nothing
+    val valid = chunks.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    val chs = valid.select(col(docCol).cast("long").as("doc_id"),
         struct(col(chunkIdCol).cast("long").as("cid"),
           col(weightCol).cast("double").as("w"),
           col(vecCol).cast("array<double>").as("v")).as("c"))

@@ -106,5 +106,10 @@ class ClusteringSpec extends AnyFunSuite {
     // accumulation-order determinism: a different physical partitioning
     // must produce bit-identical values (the sorted-fold contract)
     assert(run(chunks.repartition(7)) == got)
+    // null / wrong-dim chunks are skipped, not poisoning the doc
+    val dirty = chunks.union(Seq(
+      (7L, 72L, 9, null.asInstanceOf[Seq[Float]]),
+      (8L, 81L, 9, Seq(1.0f, 2.0f))).toDF("doc", "cid", "w", "vec"))
+    assert(run(dirty) == got)
   }
 }
