@@ -1288,6 +1288,22 @@ object SparkEntry {
         .orderBy($"doc_id", $"dim")
     }),
 
+    // LLM-pipeline: SQ8 scalar quantization (r14) — symmetric
+    // per-vector int8 codes + one float scale (the no-codebook
+    // compression path next to IVF-PQ; 4x smaller than float32).
+    // floor(x/scale + 0.5) spells out ONE rounding rule both engines
+    // share; the per-vector max fold is order-free (max is exact), so
+    // codes AND 6dp reconstruction residuals replay bit-identically.
+    // Graded on dims 0-7 per vector.
+    "embedding_sq8" -> ((s, dir) => {
+      import s.implicits._
+      graft.ann.ScalarQuant.quantizeInt8(
+          t(s, dir, "embeddings"), "embedding", "vec_id")
+        .filter($"dim" < 8)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy($"vec_id", $"dim")
+    }),
+
     // LLM-pipeline: stupid-backoff bigram LM quality score (Brants
     // 2007 / CCNet shape) — the LM trains on HALF the corpus (even
     // doc_ids) and scores ALL of it, so the backoff branch genuinely
@@ -3637,6 +3653,27 @@ object SparkEntry {
           |  round(CASE WHEN nrm > 0 THEN mean[d + 1] / nrm ELSE 0.0 END, 6) AS value
           |FROM n, unnest(range(8)) AS t(d)
           |ORDER BY doc_id, dim""".stripMargin,
+
+      // the same floor(x/scale + 0.5) rule and order-free max fold;
+      // err uses the RAW scale (the output qscale is 9dp-rounded
+      // display, exactly as the Spark side)
+      "embedding_sq8" ->
+        """WITH v AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |s AS (
+          |  SELECT vec_id, v,
+          |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+          |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS sc
+          |  FROM v),
+          |q AS (
+          |  SELECT vec_id, CAST(d AS INT) AS dim, sc, v[d + 1] AS x,
+          |    CAST(CASE WHEN sc > 0 THEN
+          |        greatest(-127.0, least(127.0, floor(v[d + 1] / sc + 0.5)))
+          |      ELSE 0.0 END AS INT) AS q
+          |  FROM s, unnest(range(8)) AS t(d))
+          |SELECT vec_id, dim, q, round(sc, 9) AS qscale,
+          |  round(x - CAST(q AS DOUBLE) * sc, 6) + 0.0 AS err
+          |FROM q ORDER BY vec_id, dim""".stripMargin,
 
       "bigram_lm" ->
         """WITH ws0 AS (

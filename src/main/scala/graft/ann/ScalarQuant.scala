@@ -1,0 +1,54 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Symmetric per-vector int8 scalar quantization — the OTHER standard
+  * embedding-compression path next to [[Pq]]: 4× smaller than float32
+  * with no codebook training, the format ANN systems ship as "SQ8"
+  * (public FAISS `ScalarQuantizer` semantics). Per vector:
+  *
+  *   scale = max_d |x_d| / 127        (zero vector → scale 0, q = 0)
+  *   q_d   = clamp(floor(x_d / scale + 0.5), −127, 127)
+  *
+  * `floor(x + 0.5)` is written out instead of a `round()` so both
+  * engines share ONE rounding rule (SQL `round` is HALF-AWAY-FROM-ZERO
+  * on negatives; `floor(x + 0.5)` is Java `Math.round` semantics —
+  * replayable verbatim in DuckDB).
+  *
+  * Determinism: the per-vector max is an in-order fold but max is
+  * associative/commutative and exact on doubles, so the result is
+  * order-free; everything downstream is one division, one multiply —
+  * identical IEEE doubles in any engine. Narrow per-row work, zero
+  * shuffle — scan speed at 100 TB (quantize on ingest, store the
+  * int8 codes + one float scale per vector: 68 B vs 256 B at 64-D).
+  *
+  * Returns long format `(id, dim, q, qscale, err)` — `err` is the
+  * per-dimension reconstruction residual `x − q·scale` rounded to 6dp
+  * (the quality evidence a quantized serving tier is judged on). */
+object ScalarQuant {
+
+  def quantizeInt8(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val withScale = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("qscale",
+        aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))) / 127.0)
+    withScale
+      .select(col("id"), col("qscale"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("q",
+        when(col("qscale") > 0.0,
+          greatest(lit(-127.0), least(lit(127.0),
+            floor(col("x") / col("qscale") + 0.5))))
+          .otherwise(0.0).cast("int"))
+      .select(col("id"), col("dim"), col("q"),
+        round(col("qscale"), 9).as("qscale"),
+        // + 0.0 normalizes IEEE zero sign: the residual at the max
+        // dimension is a guaranteed ~±1e-16 that rounds to a zero
+        // whose SIGN would otherwise differ between engines (Spark's
+        // BigDecimal round drops it; a C-library round keeps it)
+        (round(col("x") - col("q").cast("double") * col("qscale"), 6) + lit(0.0))
+          .as("err"))
+  }
+}
