@@ -423,19 +423,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     val all = hand ++ gen
     val n = 3
     // string-keyed reference: corpus-wide gram counts, hot = >= 2,
-    // cover every position reached by a hot gram start
+    // cover every position reached by a hot gram start. Grams join
+    // with the same unit-separator gramHash uses (ADVICE r14): a
+    // no-separator join would collide distinct grams with ambiguous
+    // token boundaries, weakening the parity pin under future vocabs
     val toks = all.map { case (id, t) =>
       id -> t.toLowerCase.trim.split("\\s+").toVector }.toMap
     val counts = scala.collection.mutable.Map.empty[String, Int]
     toks.values.foreach { ts =>
       ts.sliding(n).filter(_.size == n)
-        .foreach(g => counts.updateWith(g.mkString(""))(c => Some(c.getOrElse(0) + 1)))
+        .foreach(g => counts.updateWith(g.mkString("\u001f"))(c => Some(c.getOrElse(0) + 1)))
     }
     val expected = all.map { case (id, _) =>
       val ts = toks(id)
       val mask = new Array[Boolean](ts.length)
       (0 to ts.length - n).foreach { i =>
-        if (counts(ts.slice(i, i + n).mkString("")) >= 2)
+        if (counts(ts.slice(i, i + n).mkString("\u001f")) >= 2)
           (i until i + n).foreach(mask(_) = true)
       }
       (id, ts.length, mask.count(identity),

@@ -397,6 +397,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("ccnetBuckets: weighted-histogram terciles match the expanded-rows percentile under heavy score ties") {
+    // VERDICT r14 #3 pin: thresholds now come from per-language
+    // (surprisal, count) pairs via percentile(s, p, cnt). With heavy
+    // ties the cumulative-count interpolation is where a weighted
+    // implementation could diverge from the naive expanded-rows form —
+    // this corpus makes most docs share one of two scores, so the
+    // tercile ranks land INSIDE tied runs.
+    val docs =
+      (1L to 40L).map(i => (i, "a a a", "en")) ++    // 40 identical scores
+      (41L to 70L).map(i => (i, "a b", "en")) ++     // 30 identical scores
+      (71L to 75L).map(i => (i, "b c d", "en"))      // 5 rarer-word docs
+    val got = TextAnalysis.ccnetBuckets(
+        docs.toDF("doc_id", "text", "lang"), "text", "doc_id", "lang")
+      .as[(Long, String, Long, Double, String, Boolean)]
+      .collect().sortBy(_._1)
+    // expanded-rows reference: same LM scoring, naive percentile
+    val toks = docs.map { case (id, t, _) =>
+      id -> t.split("\\s+").toSeq }.toMap
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val total = counts.values.sum.toDouble
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val score = toks.view.mapValues(ws =>
+      r6(ws.map(w => -math.log(counts(w) / total)).sum / ws.length)).toMap
+    def pct(v: Seq[Double], p: Double): Double = {
+      val s = v.sorted; val rank = (s.length - 1) * p
+      val lo = s(rank.toInt); val hi = s(math.min(rank.toInt + 1, s.length - 1))
+      lo + (rank - rank.toInt) * (hi - lo)
+    }
+    val all = docs.map(d => score(d._1))
+    val (t1, t2) = (pct(all, 0.33), pct(all, 0.67))
+    docs.foreach { case (id, _, _) =>
+      val s = score(id)
+      val b = if (s <= t1) "head" else if (s <= t2) "middle" else "tail"
+      val row = got(id.toInt - 1)
+      assert(row._4 == s && row._5 == b, s"doc $id: got $row want ($s, $b)")
+    }
+  }
+
   test("winnowing: identical text -> identical fingerprints; shared run -> shared hashes") {
     val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
     val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
