@@ -265,6 +265,77 @@ object Kernels {
     }
   }
 
+  /** Score `nRows` SQ8-coded rows against the fleet (cosine) — the
+    * int8 twin of [[scoreTile]]: same transposed-query SAXPY layout,
+    * but the row values are int8 codes widened in the inner loop and
+    * the dot is rescaled ONCE per (row, query) by the row's scale
+    * (dot is linear: `dot(q, scale·code) = scale · dot(q, code)`).
+    * `norm2` is the squared norm of the RECONSTRUCTED row (computed at
+    * pack time), so the cosine denominator prices the quantized vector
+    * the scan actually holds. Scores are approximate by the
+    * quantization step (~scale/2 per dimension); the serving recall
+    * contract is pinned in ServingRecallSpec. */
+  def scoreSq8Tile(qp: QueryPack, codes: Array[Byte], scales: Array[Double],
+                   ids: Array[Long], nRows: Int, heaps: Array[TopKHeap],
+                   out: Array[Float], norm2: Array[Double]): Unit = {
+    val nq = qp.nq
+    val dim = qp.dim
+    val qT = qp.qT
+    var r = 0
+    while (r < nRows) {
+      val off = r * dim
+      java.util.Arrays.fill(out, 0, nq, 0f)
+      var d = 0
+      while (d < dim) {
+        val vd = codes(off + d).toFloat
+        val qrow = d * nq
+        var qi = 0
+        while (qi < nq) { out(qi) += vd * qT(qrow + qi); qi += 1 }
+        d += 1
+      }
+      val id = ids(r)
+      val vn2 = norm2(r)
+      val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+      var qi = 0
+      while (qi < nq) {
+        heaps(qi).offer(out(qi) * inv * qp.invNorm(qi), id)
+        qi += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Single-query cosine top-k over SQ8 codes — the int8 twin of
+    * [[scoreSingle]]'s four-lane float loop (codes widen to float in
+    * the lanes; HotSpot SLP-vectorizes the same pattern). One rescale
+    * by the row scale before the heap offer. */
+  def scoreSq8Single(q: Array[Float], invNormQ: Double,
+                     codes: Array[Byte], scales: Array[Double],
+                     ids: Array[Long], n: Int, norm2: Array[Double],
+                     heap: TopKHeap): Unit = {
+    val dim = q.length
+    var r = 0
+    while (r < n) {
+      val off = r * dim
+      var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+      var d = 0
+      val lim = dim - 3
+      while (d < lim) {
+        s0 += codes(off + d).toFloat * q(d)
+        s1 += codes(off + d + 1).toFloat * q(d + 1)
+        s2 += codes(off + d + 2).toFloat * q(d + 2)
+        s3 += codes(off + d + 3).toFloat * q(d + 3)
+        d += 4
+      }
+      while (d < dim) { s0 += codes(off + d).toFloat * q(d); d += 1 }
+      val dot = ((s0 + s1) + (s2 + s3)).toDouble
+      val vn2 = norm2(r)
+      val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+      heap.offer(dot * inv * invNormQ, ids(r))
+      r += 1
+    }
+  }
+
   /** Rows per scoring tile — sized so tile floats (tile × dim × 4 B) stay
     * L2-resident at typical dims. */
   val TileRows = 1024

@@ -209,6 +209,102 @@ object ServingSession {
     }
   }
 
+  /** Driver-local SQ8 index: every code block of the collection,
+    * scored in-process — the 4×-compressed rung between the float
+    * [[Exact]] session and the PQ-8B [[IvfPq]] one (VERDICT r14 #4:
+    * the FAISS-SQ8 serving point). Every row is visited (exact scan),
+    * scores carry only the quantization error; recall contract pinned
+    * in ServingRecallSpec. Cosine-only, like the other compressed
+    * sessions. */
+  final class Sq8 private[ServingSession] (
+      val blocks: Array[PackedIndex.Sq8Block], val dim: Int, val n: Long) {
+
+    def search(queries: Seq[(Long, Array[Double])],
+               k: Int): Seq[(Long, Long, Double, Int)] = {
+      val qids = queries.map(_._1).toArray
+      val qVecs = queries.map(_._2.map(_.toFloat)).toArray
+      if (qids.isEmpty || blocks.isEmpty) return Seq.empty
+      if (qids.length == 1) return searchSingle(qids(0), qVecs(0), k)
+      val nThreads = workersFor(n * qids.length, blocks.length)
+      val heaps =
+        if (n * qids.length < ParallelWorkThreshold || nThreads <= 1) {
+          val qp = Kernels.packQueries(qVecs)
+          val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
+          val out = new Array[Float](qids.length)
+          var b = 0
+          while (b < blocks.length) {
+            val blk = blocks(b)
+            Kernels.scoreSq8Tile(qp, blk.codes, blk.scales, blk.ids,
+              blk.ids.length, hs, out, blk.norm2)
+            b += 1
+          }
+          hs
+        } else {
+          val qp = Kernels.packQueries(qVecs)
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
+              val out = new Array[Float](qids.length)
+              var b = t
+              while (b < blocks.length) {
+                val blk = blocks(b)
+                Kernels.scoreSq8Tile(qp, blk.codes, blk.scales, blk.ids,
+                  blk.ids.length, hs, out, blk.norm2)
+                b += nThreads
+              }
+              hs
+            }
+            .collect(java.util.stream.Collectors.toList[Array[Kernels.TopKHeap]])
+          val merged = Array.fill(qids.length)(new Kernels.TopKHeap(k))
+          workers.forEach(w => mergeInto(merged, w))
+          merged
+        }
+      rank(heaps, qids, k)
+    }
+
+    def searchOne(q: Array[Double], k: Int): Seq[(Long, Double, Int)] =
+      search(Seq((0L, q)), k).map { case (_, id, s, r) => (id, s, r) }
+
+    private def searchSingle(qid: Long, qv: Array[Float],
+                             k: Int): Seq[(Long, Long, Double, Int)] = {
+      var n2 = 0.0
+      var d = 0
+      while (d < qv.length) { n2 += qv(d).toDouble * qv(d); d += 1 }
+      val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+      val nThreads = workersFor(n, blocks.length)
+      val heaps =
+        if (n < ParallelWorkThreshold || nThreads <= 1) {
+          val h = new Kernels.TopKHeap(k)
+          var b = 0
+          while (b < blocks.length) {
+            val blk = blocks(b)
+            Kernels.scoreSq8Single(qv, invNorm, blk.codes, blk.scales,
+              blk.ids, blk.ids.length, blk.norm2, h)
+            b += 1
+          }
+          Array(h)
+        } else {
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val h = new Kernels.TopKHeap(k)
+              var b = t
+              while (b < blocks.length) {
+                val blk = blocks(b)
+                Kernels.scoreSq8Single(qv, invNorm, blk.codes, blk.scales,
+                  blk.ids, blk.ids.length, blk.norm2, h)
+                b += nThreads
+              }
+              h
+            }
+            .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
+          val merged = new Kernels.TopKHeap(k)
+          workers.forEach(w => w.foreachEntry((s, id) => merged.offer(s, id)))
+          Array(merged)
+        }
+      rank(heaps, Array(qid), k)
+    }
+  }
+
   /** Driver-local IVF index: per-cell blocks, probe-pruned scoring. */
   final class Ivf private[ServingSession] (val model: IvfModel,
                                            val cellBlocks: Array[Array[CellBlock]],
@@ -464,12 +560,49 @@ object ServingSession {
   def routedIvf(idx: PackedIndex.Ivf, maxBytes: Long = DefaultMaxBytes): RoutedIvf =
     new RoutedIvf(idx, fromIvf(idx, maxBytes))
 
+  /** The SQ8 twin of [[RoutedIvf]]: one handle over both SQ8 paths,
+    * dispatch byte-cap only (the resident scan visits every row, so
+    * no probe/crossover subtlety — leave the driver only when the
+    * snapshot doesn't fit `maxBytes`). Results are APPROXIMATE by the
+    * quantization step — callers hold this handle only when they
+    * accept that contract (same explicit-opt-in stance as
+    * [[routedIvf]]); both paths run the same blocks and kernel, so a
+    * dispatch flip never changes the rows. */
+  final class RoutedSq8 private[ServingSession] (
+      val idx: PackedIndex.Sq8,
+      val resident: Option[Sq8]) {
+    @volatile private var _lastPath: String = ""
+    /** "resident" | "distributed" — which path answered the latest
+      * search (bench/test observability). */
+    def lastPath: String = _lastPath
+
+    def search(queries: Seq[(Long, Array[Double])],
+               k: Int): Seq[(Long, Long, Double, Int)] =
+      resident match {
+        case Some(s) =>
+          _lastPath = "resident"
+          s.search(queries, k)
+        case None =>
+          _lastPath = "distributed"
+          collectRanked(idx.search(queries, k), queries.map(_._1))
+      }
+  }
+
+  /** Routed quantized serving over a packed SQ8 index — see
+    * [[RoutedSq8]] for the contract. */
+  def routedSq8(idx: PackedIndex.Sq8, maxBytes: Long = DefaultMaxBytes): RoutedSq8 =
+    new RoutedSq8(idx, fromSq8(idx, maxBytes))
+
   /** Estimated driver bytes for a packed collection: floats + ids +
     * norms per row. */
   private def exactBytes(n: Long, dim: Int): Long = n * (dim.toLong * 4 + 8 + 8)
 
   /** Driver bytes for a PQ-coded collection: codes + ids per row. */
   private def pqBytes(n: Long, m: Int): Long = n * (m.toLong + 8)
+
+  /** Driver bytes for an SQ8 collection: codes + id + scale + norm
+    * per row — ~4× under [[exactBytes]] at serving dims. */
+  private def sq8Bytes(n: Long, dim: Int): Long = n * (dim.toLong + 8 + 8 + 8)
 
   /** Pack driver-resident rows into an [[Exact]] session directly — the
     * engine's serving-cache path, no RDD round-trip. Rows with null or
@@ -531,6 +664,14 @@ object ServingSession {
   def fromExact(idx: PackedIndex.Exact, maxBytes: Long = DefaultMaxBytes): Option[Exact] =
     if (idx.n <= 0 || exactBytes(idx.n, idx.dim) > maxBytes) None
     else Some(new Exact(repack(idx.blocks.collect(), idx.dim), idx.dim, idx.n))
+
+  /** Pull a distributed SQ8 index's code blocks to the driver when
+    * they fit `maxBytes` — the same budget knob admits ~4× the rows
+    * of [[fromExact]] (VERDICT r14 #4: the ladder rung between float32
+    * and PQ-8B). None = stay on the cluster path. */
+  def fromSq8(idx: PackedIndex.Sq8, maxBytes: Long = DefaultMaxBytes): Option[Sq8] =
+    if (idx.n <= 0 || sq8Bytes(idx.n, idx.dim) > maxBytes) None
+    else Some(new Sq8(idx.blocks.collect(), idx.dim, idx.n))
 
   /** Driver-resident PQ serving: collect the CODE blocks (tiny — the
     * whole point) and group by cell. Same budget knob as the float

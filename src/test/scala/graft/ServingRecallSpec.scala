@@ -129,4 +129,28 @@ class ServingRecallSpec extends AnyFunSuite {
       assert(base >= 0.90, s"PQ refined anchor (8,32) regressed: $base < 0.90")
     } finally { pqIdx.unpersist(); cells.unpersist(); () }
   }
+
+  test("SQ8 default config holds score-recall@10 >= 0.95 at 100k clustered") {
+    // VERDICT r14 #4: the SQ8 rung gets the same spec-pinned recall
+    // floor as IVF/PQ. SQ8 visits every row (exact scan, quantized
+    // scores), so its only recall loss is the int8 step reordering
+    // near-ties at the top-k boundary. Score-recall rescores each
+    // returned id EXACTLY (driver dot over the source rows) and counts
+    // it a hit when that true score reaches the exact kth — the same
+    // protocol the bench's sq8 row uses.
+    val idx = graft.search.PackedIndex.buildSq8(corpus, "embedding", "vec_id")
+    try {
+      val hits = idx.search(
+          queries.map { case (q, v) => (q, v.toArray) }, k = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val recall = hits.count { case (qid, id) =>
+        val v = rows(id.toInt)._2
+        val qa = queries.find(_._1 == qid).get._2.toArray
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d).toDouble * qa(d); d += 1 }
+        s >= exactKth(qid) - 1e-9 // exact rescore vs exact kth: strict slack
+      }.toDouble / (nQueries * k)
+      assert(recall >= 0.95, s"SQ8 default-config recall regressed: $recall < 0.95")
+    } finally idx.unpersist()
+  }
 }
