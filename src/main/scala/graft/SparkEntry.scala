@@ -215,12 +215,20 @@ object SparkEntry {
     * to integers, assign to the 4 smallest-id seed vectors (exact
     * integer argmin, ties to lowest cid), floor-mean update (empty
     * cells keep their centroid), assign again — `a1` holds the final
-    * `(vec_id, cluster)`. Shared by `kmeans_assign` / `semdedup_pairs`. */
-  private val kmeansSqlCtes: String =
+    * `(vec_id, cluster)`. Shared by `kmeans_assign` / `semdedup_pairs`
+    * (over `embeddings`) and `semdedup_pooled` (over pooled doc
+    * vectors — [[kmeansSqlCtesOver]] parameterizes the `q` source). */
+  private val kmeansSqlCtes: String = kmeansSqlCtesOver(
     """q AS (
       |  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
-      |  FROM embeddings),
+      |  FROM embeddings)""".stripMargin)
+
+  /** [[kmeansSqlCtes]] with the quantized source CTE supplied by the
+    * caller: `qCte` must define `q(vec_id, qv)` (qv = 1e6-quantized
+    * BIGINT list). The Lloyd replay below is source-agnostic. */
+  private def kmeansSqlCtesOver(qCte: String): String =
+    s"""$qCte,
       |c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, qv AS c
       |  FROM q ORDER BY vec_id LIMIT 4),
@@ -1286,6 +1294,31 @@ object SparkEntry {
           chunks, "doc", "vec_id", "embedding", "w", dim = 64)
         .filter($"dim" < 8)
         .orderBy($"doc_id", $"dim")
+    }),
+
+    // LLM-pipeline: the ADVERTISED pipeline end-to-end (r15, VERDICT
+    // r14 #5): chunk corpus in → pooled doc vectors (weighted mean +
+    // L2 normalize, 6dp) → deterministic k-means → cluster-local
+    // cosine pairs out. Composes doc_embedding_pool with
+    // semdedup_pairs the way corpus_curate composes the filter chain;
+    // the oracle replays pool + cluster + cosine from scratch in SQL.
+    // tau 0.2: pooled means of 10 near-isotropic chunks have pairwise
+    // cosines ~N(0, 1/64), so 0.2 keeps a real pair set at every SF.
+    "semdedup_pooled" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = t(s, dir, "embeddings")
+        .select(expr("vec_id DIV 10").as("doc"), $"vec_id",
+          ($"vec_id" % 7 + 1).as("w"), $"embedding")
+      // wide doc vectors back from the pool's long format: the 6dp
+      // values ARE the replay contract, so the pairs below are exact
+      val docVecs = graft.pipeline.Clustering.poolEmbeddings(
+          chunks, "doc", "vec_id", "embedding", "w", dim = 64)
+        .groupBy($"doc_id")
+        .agg(array_sort(collect_list(struct($"dim", $"value"))).as("sv"))
+        .select($"doc_id", expr("transform(sv, s -> s.value)").as("v"))
+      graft.pipeline.Clustering.semdedupPairs(docVecs, "v", "doc_id",
+          k = 4, iters = 2, tau = 0.2)
+        .orderBy($"id_a", $"id_b")
     }),
 
     // LLM-pipeline: SQ8 scalar quantization (r14) — symmetric
@@ -3653,6 +3686,63 @@ object SparkEntry {
           |  round(CASE WHEN nrm > 0 THEN mean[d + 1] / nrm ELSE 0.0 END, 6) AS value
           |FROM n, unnest(range(8)) AS t(d)
           |ORDER BY doc_id, dim""".stripMargin,
+
+      // pool replayed over ALL 64 dims (the graded pool entry grades
+      // dims 0-7 but the pipeline consumes whole vectors), then the
+      // SAME Lloyd replay as kmeans_assign over the quantized pooled
+      // vectors, then within-cluster cosine — in-order double folds
+      // and the shared 6dp HALF_UP round end to end
+      "semdedup_pooled" -> {
+        val poolCtes =
+          """ch AS (
+            |  SELECT vec_id // 10 AS doc_id, vec_id,
+            |    CAST(vec_id % 7 + 1 AS DOUBLE) AS w,
+            |    CAST(embedding AS DOUBLE[]) AS v
+            |  FROM embeddings),
+            |g AS (
+            |  SELECT doc_id,
+            |    list(struct_pack(cid := vec_id, w := w, v := v) ORDER BY vec_id) AS chs
+            |  FROM ch GROUP BY doc_id),
+            |p AS (
+            |  SELECT doc_id, chs,
+            |    list_reduce(list_prepend(0.0, list_transform(chs, c -> c.w)),
+            |      (a, b) -> a + b) AS wsum
+            |  FROM g),
+            |m AS (
+            |  SELECT doc_id,
+            |    list_transform(range(64), d ->
+            |      list_reduce(list_prepend(0.0,
+            |          list_transform(chs, c -> c.w * c.v[d + 1])),
+            |        (a, b) -> a + b) / wsum) AS mean
+            |  FROM p),
+            |nn AS (
+            |  SELECT doc_id, mean,
+            |    sqrt(list_reduce(list_prepend(0.0,
+            |        list_transform(mean, x -> x * x)), (a, b) -> a + b)) AS nrm
+            |  FROM m),
+            |pv AS (
+            |  SELECT doc_id AS vec_id,
+            |    list_transform(mean,
+            |      x -> round(CASE WHEN nrm > 0 THEN x / nrm ELSE 0.0 END, 6)) AS v
+            |  FROM nn)""".stripMargin
+        val kmeans = kmeansSqlCtesOver(
+          """q AS (
+            |  SELECT vec_id,
+            |    list_transform(v, x -> CAST(round(x * 1000000) AS BIGINT)) AS qv
+            |  FROM pv)""".stripMargin)
+        s"""WITH $poolCtes,
+           |$kmeans,
+           |scored AS (
+           |  SELECT ea.vec_id AS id_a, eb.vec_id AS id_b,
+           |    round(${dotSql("ea.v", "eb.v")} /
+           |      (sqrt(${dotSql("ea.v", "ea.v")}) *
+           |       sqrt(${dotSql("eb.v", "eb.v")})), 6) AS cos
+           |  FROM pv ea JOIN a1 ca ON ea.vec_id = ca.vec_id
+           |       JOIN a1 cb ON ca.cluster = cb.cluster
+           |       JOIN pv eb ON eb.vec_id = cb.vec_id AND ea.vec_id < eb.vec_id)
+           |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       // the same floor(x/scale + 0.5) rule and order-free max fold;
       // err uses the RAW scale (the output qscale is 9dp-rounded

@@ -39,21 +39,40 @@ def shuffle_audit_violations(path="SHUFFLE_AUDIT.json"):
     d = json.load(open(path))
     ratio = float(d.get("data_ratio_hint", 10.0))
     waivers = d.get("waivers", {}) or {}
+    # a zero-shuffle-at-small-SF plan has effectively infinite growth
+    # the moment the big SF starts shuffling (ADVICE r14): bound the
+    # big side ABSOLUTELY — above this many bytes the plan is no
+    # longer "broadcast/zero-shuffle", whatever the ratio says.
+    ZERO_SMALL_BIG_FLOOR = 64 * 1024
     viol = []
     for name, q in sorted(d.get("queries", {}).items()):
         g = q.get("shuffle_growth")
-        if g is None:
-            continue  # zero-shuffle at small SF — nothing to bound
         ig = q.get("input_growth")
-        exp = q.get("expected_growth")
-        if exp is None:
-            exp = max(ratio, float(ig)) if ig is not None else ratio
-        if float(g) > float(exp) * 1.2:
-            if name in waivers:
-                continue  # documented adjudication, allowed
-            viol.append(f"{name}: shuffle_growth {g} > expected {exp} * 1.2 "
-                        f"(input_growth {ig}) — superlinear exchange, or add a "
-                        f"documented waiver to SHUFFLE_AUDIT.json")
+        if g is None:
+            # shuffle_write_small == 0 — exactly the case the ratio
+            # rule cannot see; enforce the absolute bound instead
+            big = q.get("shuffle_write_big")
+            if big is not None and float(big) > ZERO_SMALL_BIG_FLOOR \
+                    and name not in waivers:
+                viol.append(f"{name}: zero-shuffle at small SF but "
+                            f"shuffle_write_big {big} B > {ZERO_SMALL_BIG_FLOOR} B "
+                            f"floor — the plan started shuffling at scale "
+                            f"(infinite growth), or add a documented waiver")
+        else:
+            exp = q.get("expected_growth")
+            if exp is None:
+                exp = max(ratio, float(ig)) if ig is not None else ratio
+            if float(g) > float(exp) * 1.2 and name not in waivers:
+                viol.append(f"{name}: shuffle_growth {g} > expected {exp} * 1.2 "
+                            f"(input_growth {ig}) — superlinear exchange, or add a "
+                            f"documented waiver to SHUFFLE_AUDIT.json")
+        # input-side superlinearity must not self-justify via
+        # expected_growth = max(ratio, input_growth) (ADVICE r14): the
+        # input reads themselves are bounded against the data ratio
+        if ig is not None and float(ig) > ratio * 1.2 and name not in waivers:
+            viol.append(f"{name}: input_growth {ig} > data ratio {ratio} * 1.2 "
+                        f"— superlinear re-read pattern, or add a documented "
+                        f"waiver to SHUFFLE_AUDIT.json")
     return viol
 
 def main():
@@ -104,6 +123,17 @@ def main():
         new_text = pat.sub(lambda _: block, text)
     else:
         sys.exit("COVERAGE.md has no COVERAGE-TOTALS markers")
+    # README gate numbers ride the same artifacts (ADVICE r14: the
+    # README drifted to stale counts because only COVERAGE.md was
+    # gated) — rewrite/verify its "N tests across M suites" and
+    # "K oracle-graded correctness entries" phrases
+    readme_path = "README.md"
+    readme = open(readme_path, encoding="utf-8").read()
+    new_readme = re.sub(r"\d+ tests across \d+ suites",
+                        f"{n_tests} tests across {n_suites} suites", readme)
+    new_readme = re.sub(r"\d+ oracle-graded correctness entries",
+                        f"{len(oracle)} oracle-graded correctness entries",
+                        new_readme)
     # shuffle-scale gate (VERDICT r13 #3) — enforced in BOTH modes so a
     # regeneration can never paper over a superlinear exchange
     shuffle_viol = shuffle_audit_violations()
@@ -112,6 +142,9 @@ def main():
         # totals do not match what the artifacts say
         if new_text != text:
             sys.exit("COVERAGE.md totals DRIFTED from artifacts — "
+                     "run tools/update_coverage.py (without --check)")
+        if new_readme != readme:
+            sys.exit("README.md gate numbers DRIFTED from artifacts — "
                      "run tools/update_coverage.py (without --check)")
         if shuffle_viol:
             sys.exit("SHUFFLE_AUDIT growth rule violated:\n  " +
@@ -124,6 +157,9 @@ def main():
               "before --check):\n  " + "\n  ".join(shuffle_viol),
               file=sys.stderr)
     open(path, "w", encoding="utf-8").write(new_text)
+    if new_readme != readme:
+        open(readme_path, "w", encoding="utf-8").write(new_readme)
+        print("README.md gate numbers refreshed")
     print(block)
 
 if __name__ == "__main__":
