@@ -131,6 +131,60 @@ object Bench {
       }
     }
 
+    // ── Per-block drift sentinels (VERDICT r14 #1) ──
+    // The r14 drift mode was CANARY-BLIND: 35 rows 1.5-10× slower than
+    // a same-HEAD run while the start/end canaries matched — the
+    // frozen kernel sampled the machine at two instants and the drift
+    // was episodic between them. So the canary now runs BEFORE AND
+    // AFTER every bench block (a ~0.1 s measure(60) of the same frozen
+    // kernel): a block whose sentinel reads > DriftRatio × the run's
+    // start canary is non-evidentiary, auto-rerun ONCE after a settle
+    // (bounded by a global rerun budget so a permanently-degraded box
+    // cannot double the whole run), and stamped drift=true in the
+    // artifact if the rerun is still flagged — the artifact self-flags
+    // instead of leaving the adjudication to the judge.
+    val DriftRatio = 1.3
+    final case class BlockSentinel(before: Double, after: Double,
+                                   reran: Boolean, drift: Boolean)
+    val blockSentinels = scala.collection.mutable.LinkedHashMap.empty[String, BlockSentinel]
+    // BEST across three SPACED windows, not p50 of one: a sentinel
+    // sampled right after a heavy Spark block sees that block's own
+    // GC/cleaner tail — the p50 of a 0.3 ms kernel inflates 1.5-2x for
+    // a second or two (the first smoke run false-flagged a third of
+    // all blocks), and even one window's MIN can sit entirely inside a
+    // single long pause (second smoke: before 0.233 / after 0.413 ms
+    // across one 18 ms window). Three 50-rep windows 30 ms apart
+    // cannot all lie inside one pause — their min is immune to in-JVM
+    // pause pollution but still rises under the sustained external
+    // slowdowns the r14 drift mode showed (1.5-10x over minutes),
+    // exactly the signal this gate wants.
+    def sentinel(): Double = (0 until 3).map { i =>
+      if (i > 0) Thread.sleep(30)
+      graft.tools.MachineCanary.measure(50)._2
+    }.min
+    val sentinelRef = sentinel() // best-vs-best reference at run start
+    var rerunBudget = 8
+    def block[T](name: String, rerunOnDrift: Boolean = true)(body: => T): T = {
+      val driftRef = sentinelRef * DriftRatio
+      def once(): (T, Double, Double) = {
+        val b = sentinel(); val r = body; val a = sentinel(); (r, b, a)
+      }
+      var (r, b, a) = once()
+      var reran = false
+      if ((b > driftRef || a > driftRef) && rerunOnDrift && rerunBudget > 0) {
+        rerunBudget -= 1
+        reran = true
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] block %s sentinel drift (%.3f/%.3f ms vs start %.3f) — settling + rerunning once",
+          name, Double.box(b), Double.box(a), Double.box(sentinelRef)))
+        settle()
+        val t = once()
+        r = t._1; b = t._2; a = t._3
+      }
+      blockSentinels(name) = BlockSentinel(b, a, reran, b > driftRef || a > driftRef)
+      r
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val failed = scala.collection.mutable.ListBuffer.empty[String]
 
@@ -151,15 +205,19 @@ object Bench {
     // neighbors left (r13 driver artifact 1.03 s vs 0.46 s same-HEAD).
     // A settle before its timed pair costs ~1-3 s when clean.
     val settleBefore = Set("hnsw_search")
+    // every graded entry is its own sentinel block (r14's 35 drifted
+    // rows were graded entries — whole-loop sentinels could not have
+    // attributed which rows to discount)
     val results = names.map { name =>
       if (settleBefore(name)) settle()
-      val secs = (0 until 2).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = runOnce(name)
-        if (!ok) failed += name
-        (System.nanoTime() - t0) / 1e9
+      name -> block(name) {
+        (0 until 2).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = runOnce(name)
+          if (!ok) failed += name
+          (System.nanoTime() - t0) / 1e9
+        }.min
       }
-      name -> secs.min
     }
     // The query suite leaks RDD caches by design: dedup/LSH persist
     // intermediates that auto-unpersist only when the ContextCleaner
@@ -194,7 +252,7 @@ object Bench {
     // fleet (build untimed, like the reference's build); the
     // parquet-scan path is reported as batch_knn_scan_qps.
     val (qps, scanQps1k, servingQps1k, servingP50Small) =
-      try {
+      block("batch_knn") { try {
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val queries = e.filter(col("vec_id") < 1000)
@@ -225,7 +283,7 @@ object Bench {
         (q1, q2, servingQps, servingP50)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] batch_knn failed: ${e.getMessage}"); (-1.0, -1.0, -1.0, -1.0)
-      }
+      } }
 
     // ANN scale path: the full recall / scanned-fraction tradeoff
     // (VERDICT r2 #3) over {8,16,32,64} cells × {1,2,4,8,16} probes,
@@ -254,7 +312,7 @@ object Bench {
       (headline, curveJson)
     }
     val (ann, annCurves, annClustered, annClusteredCurves, pqClustered) =
-      try {
+      block("ann_ivf", rerunOnDrift = false) { try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val (h1, c1) = annGrid(e)
         // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5.
@@ -324,7 +382,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ann_ivf failed: ${e.getMessage}")
         ("null", "[]", "null", "[]", "null")
-      }
+      } }
 
     // BASELINE-scale probe: the reference's headline row is 100k vectors
     // (README.md:435 — 0.5 ms p50, ~2,000 QPS single-node HNSW, measured
@@ -349,7 +407,9 @@ object Bench {
         servingP50: Double, jobP50: Double,
         pqQps: Double = -1.0, pqRefinedRecall: Double = -1.0,
         pqServingP50: Double = -1.0, servingFleetPath: String = "resident",
-        ivfFleetQps: Double = -1.0) {
+        ivfFleetQps: Double = -1.0,
+        sq8FleetQps: Double = -1.0, sq8P50: Double = -1.0,
+        sq8Recall: Double = -1.0) {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -404,7 +464,11 @@ object Bench {
         val servingP50 = serving.map { s =>
           var w = 0
           while (w < 200) { s.searchOne(queries(w % queries.size)._2, k = 10); w += 1 }
-          (1 to 2).map { _ =>
+          // best-of-3 windows since r15 (VERDICT r14 #2): the r14
+          // committed knn_100k exact runs read [729, 721, 1005] QPS —
+          // the third rep recovered, so two windows still reported
+          // the backlog on the DRAM-bound exact rows
+          (1 to 3).map { _ =>
             var i = 0
             p50Ms(201) {
               s.searchOne(queries(i % queries.size)._2, k = 10)
@@ -437,6 +501,47 @@ object Bench {
           .agg(min("score").as("kth")).collect()
           .map(r => r.getLong(0) -> r.getDouble(1)).toMap
         idx.unpersist()
+
+        // SQ8 at the same scale (VERDICT r14 #4): the 4x-compressed
+        // serving rung — int8 codes + per-row scale, every row still
+        // visited. Fleet QPS + p50 from the resident session (the
+        // serving protocol above); recall is the REFINED form (exact
+        // rescore of the sq8 top-10 from the source table — the
+        // PQ-refine protocol), vs the exact kth floor.
+        val (sq8FleetQps, sq8P50, sq8Recall) =
+          try {
+            val sq8Idx = graft.search.PackedIndex.buildSq8(tiled, "embedding", "vec_id")
+            cleanups += (() => sq8Idx.unpersist())
+            val sq8Serving = graft.search.ServingSession.fromSq8(sq8Idx)
+            val p50 = sq8Serving.map { sv =>
+              var w = 0
+              while (w < 200) { sv.searchOne(queries(w % queries.size)._2, k = 10); w += 1 }
+              (1 to 3).map { _ =>
+                var i = 0
+                p50Ms(201) {
+                  sv.searchOne(queries(i % queries.size)._2, k = 10)
+                  i += 1
+                }
+              }.min
+            }.getOrElse(-1.0)
+            val fleet = sq8Serving.map { sv =>
+              sv.search(queries.take(4), k = 10) // warm
+              queries.size / timedRuns(3)(sv.search(queries, k = 10): Unit).min
+            }.getOrElse(-1.0)
+            val cand = sq8Idx.search(queries, k = 10)
+            val rescored = graft.ann.Pq.refine(tiled, "embedding", "vec_id",
+                cand, queries, k = 10)
+              .collect().map(r => (r.getLong(0), r.getDouble(2)))
+            // double rescore vs float-kernel kth (FloatScoreTolerance)
+            val rec = rescored.count { case (q, sc) =>
+              sc >= exactKth(q) - graft.search.Kernels.FloatScoreTolerance }.toDouble /
+              (queries.size * 10)
+            sq8Idx.unpersist()
+            (fleet, p50, rec)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] sq8 probe failed: ${e.getMessage}")
+            (-1.0, -1.0, -1.0)
+          }
 
         // exact, no index: straight scan over the cached DataFrame
         val scanRuns = timedRuns(2)(graft.search.VectorSearch.knnBatchFast(
@@ -540,7 +645,7 @@ object Bench {
         Some(Probe(total, queries.size, exactRuns, servingFleetQps, ivfRuns,
           ivfCells, ivfProbes, ivfRecall, ivfServingP50, scanRuns, ivfScanQps,
           ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50,
-          servingFleetPath, ivfFleetQps))
+          servingFleetPath, ivfFleetQps, sq8FleetQps, sq8P50, sq8Recall))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -549,7 +654,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_fleet_qps":${p.ivfFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_fleet_qps":${p.ivfFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8,"sq8_fleet_qps":${p.sq8FleetQps},"sq8_serving_p50_ms":${p.sq8P50},"sq8_refined_score_recall_at_10":${p.sq8Recall},"sq8_bytes_per_vector":88}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -560,7 +665,7 @@ object Bench {
     // blocks, and the recall curves live in the full JSON only — the
     // 46-query map outgrew the ~2 KB driver tail with them inline.
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_fleet_qps":${fmt(p.ivfFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)}}"""
+      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_fleet_qps":${fmt(p.ivfFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)},"sq8_p50":${fmt(p.sq8P50, 2)},"sq8_rec":${fmt(p.sq8Recall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -574,17 +679,22 @@ object Bench {
     // suite pressure from the preceding blocks' dead caches; same fix
     // engine_100k got in r11.
     settle()
-    val qps10k = scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 8)
+    val qps10k = block("knn_10k") {
+      scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 8) }
     // settle BETWEEN the scale probes too (VERDICT r13 #1): the 100k
     // probe's weak rows in the r13 driver artifact (exact p50 2.22×
     // baseline, QPS ramping) carried the 10k probe's retired caches —
     // the same cc_10m signature, same fix
     settle()
-    val qps100k = scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8)
+    val qps100k = block("knn_100k") {
+      scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8) }
     settle()
     // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
     // 64 cells / 8 probes ≈ 12.5% scanned.
-    val qps1m = scaleProbe(1000000L, nFleet = 256, ivfCells = 64, ivfProbes = 8)
+    // 1M probe: rerun-on-drift disabled (a second full probe is
+    // minutes; the sentinel stamp alone adjudicates)
+    val qps1m = block("knn_1m", rerunOnDrift = false) {
+      scaleProbe(1000000L, nFleet = 256, ivfCells = 64, ivfProbes = 8) }
 
     // 1000×-scale MEMORY proof: 10M × 64-D is 2.5 GB of float32 —
     // past the 100k-row reference's regime and heavy even packed — but
@@ -609,7 +719,7 @@ object Bench {
         probes: Int, rf: Int, qps: Double, refQps: Double, rec: Double,
         regret: Double, p50: Double, frontier: Seq[PqFrontierPt])
     val pq10m: Option[Pq10m] =
-      try {
+      block("knn_10m_pq", rerunOnDrift = false) { try {
         import org.apache.spark.sql.functions._
         val target = 10000000L
         val dim = 64
@@ -722,7 +832,7 @@ object Bench {
           chosen.rec, chosen.regret, p50, frontier))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] pq 10m probe failed: ${e.getMessage}"); None
-      } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () })
+      } finally pq10mCleanups.foreach(c => try c() catch { case _: Throwable => () }) }
     def pq10mJson: String = pq10m.map { p =>
       val fr = p.frontier.map(f =>
         s"""{"n_probe":${f.probes},"refine_factor":${f.rf},"adc_qps":${fmt(f.adcQps, 0)},"refined_qps":${fmt(f.refQps, 0)},"recall":${fmt(f.rec, 3)},"regret":${fmt(f.regret, 4)}}""").mkString("[", ",", "]")
@@ -753,7 +863,7 @@ object Bench {
     // columns so column pruning cannot optimize the work away under a
     // bare count()
     val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
-      try {
+      block("corpus_500k") { try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
         val n = d.count()
@@ -873,9 +983,9 @@ object Bench {
           gopherRepSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
-      } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () })
+      } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () }) }
     def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)}}"""
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)}}"""
     }.getOrElse("null")
     def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
       s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)}}"""
@@ -888,7 +998,7 @@ object Bench {
     // aggregate over carried columns so pruning can't elide the work.
     val eventsCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val events5m: Option[(Long, Double, Double)] =
-      try {
+      block("events_5m") { try {
         import org.apache.spark.sql.functions._
         val e0 = spark.read.parquet(s"$sfDir/events.parquet")
         val e = e0
@@ -918,7 +1028,7 @@ object Bench {
         Some((total, asofSec, rangeSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] events 5m probe failed: ${e.getMessage}"); None
-      } finally eventsCleanups.foreach(c => try c() catch { case _: Throwable => () })
+      } finally eventsCleanups.foreach(c => try c() catch { case _: Throwable => () }) }
     def eventsJson: String = events5m.map { case (n, ao, ra) =>
       s"""{"n_events":$n,"asof_join_sec":${fmt(ao, 2)},"asof_events_per_sec":${fmt(n / ao, 0)},"range_join_sec":${fmt(ra, 2)},"range_events_per_sec":${fmt(n / ra, 0)}}"""
     }.getOrElse("null")
@@ -933,7 +1043,7 @@ object Bench {
     // vs load + incremental pair query (the per-batch operational
     // cost).
     val dedupStored: Option[(Double, Double)] =
-      try {
+      block("dedup_stored") { try {
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -961,7 +1071,7 @@ object Bench {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] dedup_stored split failed: ${e.getMessage}"); None
-      }
+      } }
     // Inter-block settle (r11): the dedup_stored block just churned a
     // banded index build + load; drain before timing the 10M-edge
     // propagation loop (CcProbe standalone best 19.5 s vs 53.7 s
@@ -977,7 +1087,7 @@ object Bench {
     // covers the full propagation loop + the final aggregate; the
     // component count doubles as a correctness check (must be 100k).
     val cc10m: Option[(Long, Double, Long)] =
-      try {
+      block("cc_10m") { try {
         import org.apache.spark.sql.functions._
         val nEdges = 10000000L
         def edges = spark.range(nEdges).select(
@@ -995,7 +1105,7 @@ object Bench {
         Some((nEdges, sec, comps))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cc_10m failed: ${e.getMessage}"); None
-      }
+      } }
     def cc10mJson: String = cc10m.map { case (n, s, c) =>
       s"""{"edges":$n,"sec":${fmt(s, 2)},"components":$c}"""
     }.getOrElse("null")
@@ -1015,7 +1125,7 @@ object Bench {
     // corpus block's settle fixed in r10).
     settle()
     val engine100k: Option[(Double, Double, Double)] =
-      try {
+      block("engine_100k") { try {
         import org.apache.spark.sql.functions._
         val root = java.nio.file.Files.createTempDirectory("graft_bench_rest").toString
         val g = graft.Graft.create(spark, root)
@@ -1066,7 +1176,7 @@ object Bench {
         } finally rest.stop()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] rest_p50 failed: ${e.getMessage}"); None
-      }
+      } }
     def engineJson(dec: Int): String = engine100k.map { case (p, ins, snap) =>
       s"""{"rest_search_p50_ms":${fmt(p, dec)},"insert_100k_sec":${fmt(ins, dec)},"serving_build_100k_sec":${fmt(snap, dec)}}"""
     }.getOrElse("null")
@@ -1082,8 +1192,13 @@ object Bench {
     // honest setting. Build is the deterministic batch-parallel one
     // (timed without the generation); recall@10 is score-recall vs a
     // driver brute force.
+    // returns (full JSON, compact JSON): the full block (frontier,
+    // add/save/load rows) goes to bench_latest.json; the compact block
+    // carries only the headline build/p50/recall/QPS numbers — r12-r14
+    // all came back parsed:null because the three full hnsw blocks
+    // alone pushed the stdout line past the driver's capture window.
     def hnswProbeOn(rows: Array[(Long, Array[Float])], dim: Int,
-                    refBuildCfg: Boolean = false): String =
+                    refBuildCfg: Boolean = false): (String, String) =
       try {
         // DEFAULT config build — dim-aware since r13 (Hnsw.defaultM:
         // M=24/efC=200 at dim >= 96, unchanged 16/100 below; ef
@@ -1155,7 +1270,7 @@ object Bench {
           }.sorted(Ordering[Double].reverse).apply(9)
         }
         val kths = queries.take(20).map(bruteKth)
-        val frontier = (Seq(64, defaultEf, 128, 256).distinct.sorted).map { ef =>
+        val frontierPts = (Seq(64, defaultEf, 128, 256).distinct.sorted).map { ef =>
           val recall = queries.take(20).zip(kths).map { case (q, kth) =>
             idx.searchOne(q.toSeq, k = 10, ef = ef).count(_._2 >= kth - 1e-6) / 10.0
           }.sum / 20
@@ -1165,8 +1280,14 @@ object Bench {
             idx.searchOne(queries(qi % queries.length).toSeq, k = 10, ef = ef)
             qi += 1
           }
+          (ef, p50, recall)
+        }
+        val frontier = frontierPts.map { case (ef, p50, recall) =>
           s"""{"ef":$ef,"p50_ms":${fmt(p50, 3)},"recall":${fmt(recall, 3)}}"""
         }.mkString("[", ",", "]")
+        // headline point for the compact line: the default-ef row
+        val (_, defP50, defRecall) = frontierPts
+          .find(_._1 == defaultEf).getOrElse(frontierPts.head)
         val qps = {
           val t = timedRuns(3) {
             var i = 0
@@ -1216,9 +1337,13 @@ object Bench {
         val refBuild = if (refBuildSec >= 0)
           s""","build_ref_m16_sec":${fmt(refBuildSec, 1)},"build_ref_cfg":"m=16/efC=100 (the reference's config; the dim-matched baseline build comparison)""""
         else ""
-        s"""{"n":${rows.length},"dim":$dim,"m":${idx.m},"ef_construction":${idx.efConstruction},"default_ef":$defaultEf,"build_sec":${fmt(buildSec, 1)}$refBuild,"qps_ef64":${fmt(qps, 0)},"add_per_sec":${fmt(addTricklePerSec, 0)},"add_mode":"one-by-one Index.add (historical key, r12 artifact briefly reported bursts here)","add_burst_per_sec":${fmt(addBurstPerSec, 0)},"add_burst_mode":"addAll bursts of 250 (one lock epoch each)","save_sec":${fmt(saveSec, 2)},"load_sec":${fmt(loadSec, 2)},"ef_frontier":$frontier}"""
+        val refCompact = if (refBuildSec >= 0)
+          s""","ref_build_s":${fmt(refBuildSec, 1)}""" else ""
+        val full = s"""{"n":${rows.length},"dim":$dim,"m":${idx.m},"ef_construction":${idx.efConstruction},"default_ef":$defaultEf,"build_sec":${fmt(buildSec, 1)}$refBuild,"qps_ef64":${fmt(qps, 0)},"add_per_sec":${fmt(addTricklePerSec, 0)},"add_mode":"one-by-one Index.add (historical key, r12 artifact briefly reported bursts here)","add_burst_per_sec":${fmt(addBurstPerSec, 0)},"add_burst_mode":"addAll bursts of 250 (one lock epoch each)","save_sec":${fmt(saveSec, 2)},"load_sec":${fmt(loadSec, 2)},"ef_frontier":$frontier}"""
+        val compact = s"""{"build_s":${fmt(buildSec, 1)}$refCompact,"p50":${fmt(defP50, 2)},"rec":${fmt(defRecall, 2)},"qps":${fmt(qps, 0)}}"""
+        (full, compact)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); "null"
+        System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); ("null", "null")
       }
     // Inter-block settle (r13): the engine100k block just churned a
     // 100k-row engine (inserts + snapshot) right before the HNSW
@@ -1231,13 +1356,13 @@ object Bench {
     // 100k row; clustered = the ann block's 50-center Gaussian mixture
     // at 100k, the shape of real embedding corpora, where the graph's
     // sub-linear hops pay off
-    val hnswJson: String = {
+    val (hnswJson, hnswCompact) = block("hnsw_100k") {
       val dim = 64
       val rnd0 = new scala.util.Random(11)
       hnswProbeOn(Array.tabulate(100000)(i =>
         (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1))), dim)
     }
-    val hnswClusteredJson: String = {
+    val (hnswClusteredJson, hnswClusteredCompact) = block("hnsw_100k_clustered") {
       val dim = 64
       val nClusters = 50
       hnswProbeOn(Array.tabulate(100000) { i =>
@@ -1257,7 +1382,7 @@ object Bench {
     // M=24/efC=200) config so the graded row honors the >= 0.9 recall
     // contract; build_ref_m16_sec is the like-for-like build-time
     // comparison at the reference's own M=16 config.
-    val hnswD128Json: String = {
+    val (hnswD128Json, hnswD128Compact) = block("hnsw_100k_d128") {
       val dim = 128
       val rnd0 = new scala.util.Random(19)
       hnswProbeOn(Array.tabulate(100000)(i =>
@@ -1282,6 +1407,43 @@ object Bench {
     // recall published alongside) are the honest latency comparison;
     // exact rows stay published as the brute-force upper bound, and
     // the canary normalizes machine drift across rounds.
+    // A/A drift sentinel (VERDICT r14 #6): span_mask and
+    // span_mask_hashed run the IDENTICAL kernel since r14, so their
+    // ratio — two best-of-2 measurements minutes apart inside the
+    // corpus block — is a pure environment probe (the official r14 run
+    // read 2.2x on identical code). A ratio past DriftRatio in either
+    // direction flags the corpus block as drifted in the artifact.
+    val spanAA: Option[(Double, Double, Double)] = corpus500k.map { t =>
+      val sm = t._9; val sh = t._10
+      (sm, sh, if (sm > 0) sh / sm else -1.0)
+    }
+    val spanAADrift = spanAA.exists { case (_, _, r) =>
+      r > DriftRatio || (r > 0 && r < 1.0 / DriftRatio) }
+    def spanAAJson: String = spanAA.map { case (sm, sh, r) =>
+      s"""{"span_s":${fmt(sm, 2)},"span_hashed_s":${fmt(sh, 2)},"ratio":${fmt(r, 2)},"drift":$spanAADrift,"note":"A/A pair — identical kernel since r14; the ratio is a pure environment probe"}"""
+    }.getOrElse("null")
+
+    // per-block sentinel ledger -> JSON (full artifact) + the compact
+    // drift list (block names whose sentinel stayed past DriftRatio
+    // after the one allowed rerun, plus span_aa when the A/A pair
+    // split). An empty drift list = every number in this artifact ran
+    // on a machine within 1.3x of the run's start canary.
+    def sentinelsJson: String = blockSentinels.map { case (n, bs) =>
+      s""""$n":{"before":${fmt(bs.before, 3)},"after":${fmt(bs.after, 3)},"reran":${bs.reran},"drift":${bs.drift}}"""
+    }.mkString("{", ",", "}")
+    val driftBlocks: Seq[String] =
+      blockSentinels.collect { case (n, bs) if bs.drift => n }.toSeq ++
+        (if (spanAADrift) Seq("span_aa") else Nil)
+    val driftJson = driftBlocks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // compact sentinel summary: the run-start reference and the
+    // min/max block sentinel observed — full per-block values live in
+    // bench_latest.json's block_sentinels
+    val sentCompact = {
+      val vals = blockSentinels.values.flatMap(b => Seq(b.before, b.after))
+      if (vals.isEmpty) "null"
+      else s"""{"ref":${fmt(sentinelRef, 3)},"min":${fmt(vals.min, 3)},"max":${fmt(vals.max, 3)}}"""
+    }
+
     def baselineJson: String = {
       def row(p: Option[Probe], refP50: Double, refQps: Double) = p.map { pr =>
         s"""{"reference_hnsw_p50_ms":$refP50,"reference_hnsw_qps":${fmt(refQps, 0)},"exact_p50_ms":${fmt(pr.servingP50, 2)},"ann_ivf_p50_ms":${fmt(pr.ivfServingP50, 2)},"ann_ivf_recall":${fmt(pr.ivfRecall, 3)},"pq_p50_ms":${fmt(pr.pqServingP50, 2)},"serving_fleet_qps":${fmt(pr.servingFleetQps, 0)}}"""
@@ -1316,7 +1478,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > 1.3x the run-start sentinel; flagged blocks settle + rerun once (global budget 8), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
@@ -1330,12 +1492,14 @@ object Bench {
     // line therefore carries only the headline blocks plus the 6
     // slowest queries; the full per-query map and curves are in
     // bench_latest.json (committed every round).
-    // take(4) since r10: the corpus block grew 3 keys (nfc/bloom/zord)
-    // and the line crossed 1500 B at take(6)
-    val slowest = results.sortBy(-_._2).take(4)
+    // r15: the three hnsw blocks print their COMPACT form here (the
+    // full blocks pushed r12-r14 lines past the driver's ~4 KB line
+    // truncation + 2 KB tail and all three rounds came back
+    // parsed:null); slowest take(3); budget asserted below
+    val slowest = results.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"drift":$driftJson,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
     if (compact.length > 1500)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)

@@ -265,29 +265,87 @@ object Kernels {
     }
   }
 
-  /** Score `nRows` SQ8-coded rows against the fleet (cosine) — the
-    * int8 twin of [[scoreTile]]: same transposed-query SAXPY layout,
-    * but the row values are int8 codes widened in the inner loop and
-    * the dot is rescaled ONCE per (row, query) by the row's scale
-    * (dot is linear: `dot(q, scale·code) = scale · dot(q, code)`).
-    * `norm2` is the squared norm of the RECONSTRUCTED row (computed at
-    * pack time), so the cosine denominator prices the quantized vector
-    * the scan actually holds. Scores are approximate by the
-    * quantization step (~scale/2 per dimension); the serving recall
-    * contract is pinned in ServingRecallSpec. */
-  def scoreSq8Tile(qp: QueryPack, codes: Array[Byte], scales: Array[Double],
+  /** SQ8 scoring is SYMMETRIC (r15): the query is quantized once per
+    * search with the same ScalarQuant rule as the rows, and the score
+    * is the INTEGER cosine of the two code vectors —
+    *
+    *   score = Σ qc_d·vc_d / (√Σqc²  · √Σvc²)
+    *
+    * because cos(q̂, v̂) with q̂ = qscale·qc, v̂ = vscale·vc cancels BOTH
+    * scales. The int8×int8 multiply-add lanes are the SDOT shape
+    * HotSpot vectorizes; measured (tools/Sq8Probe, 64-D): 0.8× the
+    * float kernel's time at 100k rows and 0.5× at 1M (bandwidth-bound
+    * — the scan reads 4× fewer bytes), where the first-cut asymmetric
+    * form (per-element byte→float widening inside the lanes) ran
+    * 1.5-2× SLOWER than float at every scale. Scores carry both
+    * quantization errors (~1e-3 on unit 64-D vectors); the serving
+    * recall contract is pinned in ServingRecallSpec. */
+  final class Sq8Query(val codes: Array[Byte], val invNorm: Double)
+
+  /** Quantize a float query with the ScalarQuant rule; `invNorm` is
+    * the CODE-space inverse norm 1/√Σcode² (scales cancel — scaladoc
+    * above). Zero query → invNorm 0 → every score 0. */
+  def quantizeSq8Query(q: Array[Float]): Sq8Query = {
+    val dim = q.length
+    var mx = 0.0
+    var d = 0
+    while (d < dim) { val a = math.abs(q(d).toDouble); if (a > mx) mx = a; d += 1 }
+    val sc = mx / 127.0
+    val qc = new Array[Byte](dim)
+    var ss = 0L
+    d = 0
+    while (d < dim) {
+      val v =
+        if (sc > 0.0) {
+          val f = math.floor(q(d).toDouble / sc + 0.5)
+          (if (f < -127.0) -127.0 else if (f > 127.0) 127.0 else f).toInt
+        } else 0
+      qc(d) = v.toByte
+      ss += v.toLong * v
+      d += 1
+    }
+    new Sq8Query(qc, if (ss > 0) 1.0 / math.sqrt(ss.toDouble) else 0.0)
+  }
+
+  /** Fleet of SQ8-quantized queries packed TRANSPOSED for the tile
+    * kernel (the byte analog of [[QueryPack]]). */
+  final class Sq8QueryPack(val nq: Int, val dim: Int, val qT: Array[Byte],
+                           val invNorm: Array[Double])
+
+  def packSq8Queries(qVecs: Array[Array[Float]]): Sq8QueryPack = {
+    val nq = qVecs.length
+    val dim = if (nq == 0) 0 else qVecs(0).length
+    val qT = new Array[Byte](nq * dim)
+    val invNorm = new Array[Double](nq)
+    var qi = 0
+    while (qi < nq) {
+      val sq = quantizeSq8Query(qVecs(qi))
+      var d = 0
+      while (d < dim) { qT(d * nq + qi) = sq.codes(d); d += 1 }
+      invNorm(qi) = sq.invNorm
+      qi += 1
+    }
+    new Sq8QueryPack(nq, dim, qT, invNorm)
+  }
+
+  /** Score `nRows` SQ8-coded rows against a quantized fleet — the int8
+    * twin of [[scoreTile]]: same transposed-query SAXPY layout with
+    * int accumulators (`out`, caller-owned scratch ≥ nq ints). The
+    * row-side inverse code norm is `scales(r)/√norm2(r)` (= 1/√Σvc² —
+    * the stored block fields are unchanged from the asymmetric cut). */
+  def scoreSq8Tile(qp: Sq8QueryPack, codes: Array[Byte], scales: Array[Double],
                    ids: Array[Long], nRows: Int, heaps: Array[TopKHeap],
-                   out: Array[Float], norm2: Array[Double]): Unit = {
+                   out: Array[Int], norm2: Array[Double]): Unit = {
     val nq = qp.nq
     val dim = qp.dim
     val qT = qp.qT
     var r = 0
     while (r < nRows) {
       val off = r * dim
-      java.util.Arrays.fill(out, 0, nq, 0f)
+      java.util.Arrays.fill(out, 0, nq, 0)
       var d = 0
       while (d < dim) {
-        val vd = codes(off + d).toFloat
+        val vd: Int = codes(off + d)
         val qrow = d * nq
         var qi = 0
         while (qi < nq) { out(qi) += vd * qT(qrow + qi); qi += 1 }
@@ -305,33 +363,32 @@ object Kernels {
     }
   }
 
-  /** Single-query cosine top-k over SQ8 codes — the int8 twin of
-    * [[scoreSingle]]'s four-lane float loop (codes widen to float in
-    * the lanes; HotSpot SLP-vectorizes the same pattern). One rescale
-    * by the row scale before the heap offer. */
-  def scoreSq8Single(q: Array[Float], invNormQ: Double,
-                     codes: Array[Byte], scales: Array[Double],
+  /** Single-query integer-cosine top-k over SQ8 codes: four int
+    * multiply-add lanes (the SDOT shape). */
+  def scoreSq8Single(q: Sq8Query, codes: Array[Byte], scales: Array[Double],
                      ids: Array[Long], n: Int, norm2: Array[Double],
                      heap: TopKHeap): Unit = {
-    val dim = q.length
+    val qc = q.codes
+    val invQ = q.invNorm
+    val dim = qc.length
     var r = 0
     while (r < n) {
       val off = r * dim
-      var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+      var s0 = 0; var s1 = 0; var s2 = 0; var s3 = 0
       var d = 0
       val lim = dim - 3
       while (d < lim) {
-        s0 += codes(off + d).toFloat * q(d)
-        s1 += codes(off + d + 1).toFloat * q(d + 1)
-        s2 += codes(off + d + 2).toFloat * q(d + 2)
-        s3 += codes(off + d + 3).toFloat * q(d + 3)
+        s0 += codes(off + d) * qc(d)
+        s1 += codes(off + d + 1) * qc(d + 1)
+        s2 += codes(off + d + 2) * qc(d + 2)
+        s3 += codes(off + d + 3) * qc(d + 3)
         d += 4
       }
-      while (d < dim) { s0 += codes(off + d).toFloat * q(d); d += 1 }
+      while (d < dim) { s0 += codes(off + d) * qc(d); d += 1 }
       val dot = ((s0 + s1) + (s2 + s3)).toDouble
       val vn2 = norm2(r)
       val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
-      heap.offer(dot * inv * invNormQ, ids(r))
+      heap.offer(dot * inv * invQ, ids(r))
       r += 1
     }
   }

@@ -178,7 +178,9 @@ object PackedIndex {
       @transient val spark: SparkSession,
       val blocks: RDD[Sq8Block], val dim: Int, val n: Long) {
 
-    /** Quantized-cosine top-k per query: `(qid, id, score, rank)`. */
+    /** Quantized-cosine top-k per query (`(qid, id, score, rank)`) —
+      * symmetric: queries quantize once per search, scores are the
+      * integer cosine of the code vectors ([[Kernels.scoreSq8Tile]]). */
     def search(queries: Seq[(Long, Array[Double])], k: Int): DataFrame = {
       val qids = queries.map(_._1).toArray
       val qVecs = queries.map(_._2.map(_.toFloat)).toArray
@@ -188,9 +190,9 @@ object PackedIndex {
         val nq = ids.length
         if (nq == 0 || bit.isEmpty) Iterator.empty
         else {
-          val qp = Kernels.packQueries(vecs)
+          val qp = Kernels.packSq8Queries(vecs)
           val heaps = Array.fill(nq)(new Kernels.TopKHeap(k))
-          val out = new Array[Float](nq)
+          val out = new Array[Int](nq)
           bit.foreach(b => Kernels.scoreSq8Tile(qp, b.codes, b.scales, b.ids,
             b.ids.length, heaps, out, b.norm2))
           Kernels.drain(heaps, ids)

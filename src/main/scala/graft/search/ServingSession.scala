@@ -212,9 +212,11 @@ object ServingSession {
   /** Driver-local SQ8 index: every code block of the collection,
     * scored in-process — the 4×-compressed rung between the float
     * [[Exact]] session and the PQ-8B [[IvfPq]] one (VERDICT r14 #4:
-    * the FAISS-SQ8 serving point). Every row is visited (exact scan),
-    * scores carry only the quantization error; recall contract pinned
-    * in ServingRecallSpec. Cosine-only, like the other compressed
+    * the FAISS-SQ8 serving point). Every row is visited (exact scan);
+    * scoring is the SYMMETRIC integer cosine ([[Kernels.scoreSq8Tile]]
+    * — query quantized once per search, scales cancel), so scores
+    * carry both quantization errors; recall contract pinned in
+    * ServingRecallSpec. Cosine-only, like the other compressed
     * sessions. */
   final class Sq8 private[ServingSession] (
       val blocks: Array[PackedIndex.Sq8Block], val dim: Int, val n: Long) {
@@ -228,9 +230,9 @@ object ServingSession {
       val nThreads = workersFor(n * qids.length, blocks.length)
       val heaps =
         if (n * qids.length < ParallelWorkThreshold || nThreads <= 1) {
-          val qp = Kernels.packQueries(qVecs)
+          val qp = Kernels.packSq8Queries(qVecs)
           val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
-          val out = new Array[Float](qids.length)
+          val out = new Array[Int](qids.length)
           var b = 0
           while (b < blocks.length) {
             val blk = blocks(b)
@@ -240,11 +242,11 @@ object ServingSession {
           }
           hs
         } else {
-          val qp = Kernels.packQueries(qVecs)
+          val qp = Kernels.packSq8Queries(qVecs)
           val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
             .mapToObj { t =>
               val hs = Array.fill(qids.length)(new Kernels.TopKHeap(k))
-              val out = new Array[Float](qids.length)
+              val out = new Array[Int](qids.length)
               var b = t
               while (b < blocks.length) {
                 val blk = blocks(b)
@@ -267,10 +269,7 @@ object ServingSession {
 
     private def searchSingle(qid: Long, qv: Array[Float],
                              k: Int): Seq[(Long, Long, Double, Int)] = {
-      var n2 = 0.0
-      var d = 0
-      while (d < qv.length) { n2 += qv(d).toDouble * qv(d); d += 1 }
-      val invNorm = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+      val sq = Kernels.quantizeSq8Query(qv)
       val nThreads = workersFor(n, blocks.length)
       val heaps =
         if (n < ParallelWorkThreshold || nThreads <= 1) {
@@ -278,7 +277,7 @@ object ServingSession {
           var b = 0
           while (b < blocks.length) {
             val blk = blocks(b)
-            Kernels.scoreSq8Single(qv, invNorm, blk.codes, blk.scales,
+            Kernels.scoreSq8Single(sq, blk.codes, blk.scales,
               blk.ids, blk.ids.length, blk.norm2, h)
             b += 1
           }
@@ -290,7 +289,7 @@ object ServingSession {
               var b = t
               while (b < blocks.length) {
                 val blk = blocks(b)
-                Kernels.scoreSq8Single(qv, invNorm, blk.codes, blk.scales,
+                Kernels.scoreSq8Single(sq, blk.codes, blk.scales,
                   blk.ids, blk.ids.length, blk.norm2, h)
                 b += nThreads
               }

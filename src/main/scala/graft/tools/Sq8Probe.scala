@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.search.Kernels
+
+/** Micro-probe for the SQ8 single-query kernel variants (r15): the
+  * first cut (fused per-element byte→float widening inside the 4-lane
+  * dot) measured 1.5-2× SLOWER than the float kernel at every scale —
+  * the b2f conversion in the multiply-add chain defeats HotSpot's SLP
+  * vectorizer. Candidates:
+  *
+  *   fused    — current scoreSq8Single (b2f inside the lanes)
+  *   decoded  — decode a whole tile to a reusable float buffer (pure
+  *              b2f load-convert-store pass, which vectorizes), then
+  *              run the proven float scoreSingle over the buffer
+  *
+  * Run: sbt 'runMain graft.tools.Sq8Probe [n] [dim]' */
+object Sq8Probe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(100000)
+    val dim = args.drop(1).headOption.map(_.toInt).getOrElse(64)
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(n * dim)(rnd.nextFloat() * 2 - 1)
+    val ids = Array.tabulate(n)(_.toLong)
+    // quantize (the ScalarQuant rule)
+    val codes = new Array[Byte](n * dim)
+    val scales = new Array[Double](n)
+    val norm2 = new Array[Double](n)
+    val fnorm2 = new Array[Double](n)
+    for (r <- 0 until n) {
+      var mx = 0.0
+      for (d <- 0 until dim) mx = math.max(mx, math.abs(xs(r * dim + d).toDouble))
+      val sc = mx / 127.0
+      scales(r) = sc
+      var ss = 0L
+      var fn = 0.0
+      for (d <- 0 until dim) {
+        val q = if (sc > 0) math.max(-127, math.min(127,
+          math.floor(xs(r * dim + d) / sc + 0.5).toInt)) else 0
+        codes(r * dim + d) = q.toByte
+        ss += q.toLong * q
+        val x = xs(r * dim + d).toDouble
+        fn += x * x
+      }
+      norm2(r) = sc * sc * ss
+      fnorm2(r) = fn
+    }
+    val q = Array.fill(dim)(rnd.nextFloat() * 2 - 1)
+    var qn2 = 0.0
+    for (d <- 0 until dim) qn2 += q(d).toDouble * q(d)
+    val qInv = 1.0 / math.sqrt(qn2)
+
+    def time(label: String)(body: => Unit): Unit = {
+      (0 until 30).foreach(_ => body) // JIT warm
+      val p50 = Timing.p50Ms(101)(body)
+      println(f"$label%-10s p50 $p50%8.3f ms")
+    }
+
+    // float baseline
+    time("float") {
+      val h = new Kernels.TopKHeap(10)
+      Kernels.scoreSingle(Kernels.MetricCosine, q, qInv, qn2, xs, ids, n, fnorm2, h)
+    }
+    // the shipped kernel (symmetric int8 since r15)
+    time("symmetric") {
+      val h = new Kernels.TopKHeap(10)
+      Kernels.scoreSq8Single(Kernels.quantizeSq8Query(q), codes, scales,
+        ids, n, norm2, h)
+    }
+    // decoded: tile-buffered b2f then the float kernel per tile
+    val TileR = 1024
+    val buf = new Array[Float](TileR * dim)
+    time("decoded") {
+      val h = new Kernels.TopKHeap(10)
+      var base = 0
+      while (base < n) {
+        val rows = math.min(TileR, n - base)
+        val m = rows * dim
+        val off0 = base * dim
+        var i = 0
+        while (i < m) { buf(i) = codes(off0 + i).toFloat; i += 1 }
+        // cosine over codes: scale cancels in the norm, so feed the
+        // reconstructed norm2/scale² = Σcode² … cheaper: use CosineUnit
+        // with post-division — here just score raw dot then adjust
+        var r = 0
+        while (r < rows) {
+          var s0 = 0f; var s1 = 0f; var s2 = 0f; var s3 = 0f
+          val off = r * dim
+          var d = 0
+          val lim = dim - 3
+          while (d < lim) {
+            s0 += buf(off + d) * q(d)
+            s1 += buf(off + d + 1) * q(d + 1)
+            s2 += buf(off + d + 2) * q(d + 2)
+            s3 += buf(off + d + 3) * q(d + 3)
+            d += 4
+          }
+          while (d < dim) { s0 += buf(off + d) * q(d); d += 1 }
+          val dot = ((s0 + s1) + (s2 + s3)).toDouble
+          val gr = base + r
+          val vn2 = norm2(gr)
+          val inv = if (vn2 > 0) scales(gr) / math.sqrt(vn2) else 0.0
+          h.offer(dot * inv * qInv, ids(gr))
+          r += 1
+        }
+        base += rows
+      }
+    }
+    // symmetric: query quantized to int8 once per search, dot in int
+    // lanes (byte×byte→int multiply-add — the SDOT shape)
+    val qmax = q.map(x => math.abs(x.toDouble)).max
+    val qsc = qmax / 127.0
+    val qc = q.map(x => math.max(-127, math.min(127,
+      math.floor(x / qsc + 0.5).toInt)).toByte)
+    time("intdot") {
+      val h = new Kernels.TopKHeap(10)
+      var r = 0
+      while (r < n) {
+        var s0 = 0; var s1 = 0; var s2 = 0; var s3 = 0
+        val off = r * dim
+        var d = 0
+        val lim = dim - 3
+        while (d < lim) {
+          s0 += codes(off + d) * qc(d)
+          s1 += codes(off + d + 1) * qc(d + 1)
+          s2 += codes(off + d + 2) * qc(d + 2)
+          s3 += codes(off + d + 3) * qc(d + 3)
+          d += 4
+        }
+        while (d < dim) { s0 += codes(off + d) * qc(d); d += 1 }
+        val dot = ((s0 + s1) + (s2 + s3)).toDouble * qsc
+        val vn2 = norm2(r)
+        val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+        h.offer(dot * inv * qInv, ids(r))
+        r += 1
+      }
+    }
+  }
+}
