@@ -67,6 +67,12 @@ object PlanDump {
       "language threshold table BROADCAST back (both explicit), one " +
       "doc-count-sized left join restoring featureless rows — no " +
       "corpus-sized exchange after the vocab count."),
+    "semdedup_pooled" -> ("Composed pool→semdedup pipeline: ONE " +
+      "groupBy(doc) shuffle carries the chunk vectors into the " +
+      "in-order pooling folds, the k-means assign passes are " +
+      "broadcast-closure maps (k·dim centroid rows to the driver per " +
+      "iteration), and the cosine pass repartitions by cluster only — " +
+      "pair work bounded by the largest cell, never all-pairs."),
     "zorder_key" -> ("Morton key is pure per-row bit math — scan → " +
       "project, nothing else."))
 
