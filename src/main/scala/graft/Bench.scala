@@ -143,7 +143,14 @@ object Bench {
     // cannot double the whole run), and stamped drift=true in the
     // artifact if the rerun is still flagged — the artifact self-flags
     // instead of leaving the adjudication to the judge.
-    val DriftRatio = 1.3
+    // 1.5, not 1.3 (r15 run-1 calibration): this box's healthy
+    // sentinel band is 0.23-0.37 ms — ±30% around its median on
+    // IDLE hardware — so a 1.3x gate off one instant false-flagged 8
+    // blocks in 10 minutes and drained the rerun budget. The r14 drift
+    // mode this gate exists for moved rows 1.5-10x; 1.5x of a MEDIAN
+    // reference clears the noise band and still catches every r14-class
+    // episode.
+    val DriftRatio = 1.5
     final case class BlockSentinel(before: Double, after: Double,
                                    reran: Boolean, drift: Boolean)
     val blockSentinels = scala.collection.mutable.LinkedHashMap.empty[String, BlockSentinel]
@@ -162,7 +169,17 @@ object Bench {
       if (i > 0) Thread.sleep(30)
       graft.tools.MachineCanary.measure(50)._2
     }.min
-    val sentinelRef = sentinel() // best-vs-best reference at run start
+    // reference = MEDIAN of five spaced sentinels, not one minimum: a
+    // single sample can land on an unusually fast instant (run-1 read
+    // 0.231 ms where the box's session median is ~0.28) and turn the
+    // ratio gate into a noise detector
+    val sentinelRef = {
+      val xs = (0 until 5).map { i =>
+        if (i > 0) Thread.sleep(150)
+        sentinel()
+      }.sorted
+      xs(xs.length / 2)
+    }
     var rerunBudget = 8
     def block[T](name: String, rerunOnDrift: Boolean = true)(body: => T): T = {
       val driftRef = sentinelRef * DriftRatio
@@ -1478,7 +1495,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > 1.3x the run-start sentinel; flagged blocks settle + rerun once (global budget 8), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > 1.5x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); flagged blocks settle + rerun once (global budget 8), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
