@@ -180,7 +180,17 @@ object Bench {
       }.sorted
       xs(xs.length / 2)
     }
-    var rerunBudget = 8
+    // 24, not 8 (r15 run-2 calibration): a busy bench JVM's own
+    // daemon/cleaner threads occasionally push one sentinel window
+    // past the gate even on an idle box (~3 flags/12 min observed);
+    // each such flag recovers on the settle+rerun and stamps
+    // drift=false, which is the designed behavior — but the budget
+    // must not drain on those recoveries before the headline knn
+    // blocks, whose rerun-on-drift is the whole point of VERDICT r14
+    // #2. Rerun-enabled blocks are all cheap (seconds to ~2 min); the
+    // expensive probes are rerunOnDrift=false, so the worst case is
+    // bounded either way.
+    var rerunBudget = 24
     def block[T](name: String, rerunOnDrift: Boolean = true)(body: => T): T = {
       val driftRef = sentinelRef * DriftRatio
       def once(): (T, Double, Double) = {
