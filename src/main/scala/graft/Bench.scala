@@ -152,7 +152,8 @@ object Bench {
     // episode.
     val DriftRatio = 1.5
     final case class BlockSentinel(before: Double, after: Double,
-                                   reran: Boolean, drift: Boolean)
+                                   reran: Boolean, drift: Boolean,
+                                   jfBefore: Double = -1.0, jfAfter: Double = -1.0)
     val blockSentinels = scala.collection.mutable.LinkedHashMap.empty[String, BlockSentinel]
     // BEST across three SPACED windows, not p50 of one: a sentinel
     // sampled right after a heavy Spark block sees that block's own
@@ -169,6 +170,27 @@ object Bench {
       if (i > 0) Thread.sleep(30)
       graft.tools.MachineCanary.measure(50)._2
     }.min
+    // JOB-FLOOR sentinel (r15, probed after run 2): the r14-class
+    // drift was invisible to the CPU-kernel canary because it lives in
+    // the JOB path — docs/probes/asof_r15_env.txt shows identical code
+    // at two HEADs measuring events_asof 0.39 s on today's box vs the
+    // r14 artifact's 0.13 s with EQUAL CPU canaries; the scheduler/
+    // dispatch/result-fetch floor of a small Spark job is the missing
+    // dimension. Median wall-ms of spark.range(1).count() — measured
+    // at run start and around every MAJOR block (not per graded entry;
+    // a graded entry IS a job, so its own elevated time against a
+    // healthy CPU sentinel + an elevated job floor bracket is the
+    // attribution).
+    def jobFloor(): Double = {
+      (0 until 3).foreach(_ => spark.range(1).count())
+      val xs = (0 until 7).map { _ =>
+        val t0 = System.nanoTime()
+        spark.range(1).count()
+        (System.nanoTime() - t0) / 1e6
+      }.sorted
+      xs(xs.length / 2)
+    }
+    val jobFloorRef = jobFloor()
     // reference = MEDIAN of five spaced sentinels, not one minimum: a
     // single sample can land on an unusually fast instant (run-1 read
     // 0.231 ms where the box's session median is ~0.28) and turn the
@@ -191,12 +213,18 @@ object Bench {
     // expensive probes are rerunOnDrift=false, so the worst case is
     // bounded either way.
     var rerunBudget = 24
-    def block[T](name: String, rerunOnDrift: Boolean = true)(body: => T): T = {
+    def block[T](name: String, rerunOnDrift: Boolean = true,
+                 withJobFloor: Boolean = false)(body: => T): T = {
       val driftRef = sentinelRef * DriftRatio
-      def once(): (T, Double, Double) = {
-        val b = sentinel(); val r = body; val a = sentinel(); (r, b, a)
+      def once(): (T, Double, Double, Double, Double) = {
+        val jb = if (withJobFloor) jobFloor() else -1.0
+        val b = sentinel()
+        val r = body
+        val a = sentinel()
+        val ja = if (withJobFloor) jobFloor() else -1.0
+        (r, b, a, jb, ja)
       }
-      var (r, b, a) = once()
+      var (r, b, a, jb, ja) = once()
       var reran = false
       if ((b > driftRef || a > driftRef) && rerunOnDrift && rerunBudget > 0) {
         rerunBudget -= 1
@@ -206,9 +234,9 @@ object Bench {
           name, Double.box(b), Double.box(a), Double.box(sentinelRef)))
         settle()
         val t = once()
-        r = t._1; b = t._2; a = t._3
+        r = t._1; b = t._2; a = t._3; jb = t._4; ja = t._5
       }
-      blockSentinels(name) = BlockSentinel(b, a, reran, b > driftRef || a > driftRef)
+      blockSentinels(name) = BlockSentinel(b, a, reran, b > driftRef || a > driftRef, jb, ja)
       r
     }
 
@@ -235,6 +263,7 @@ object Bench {
     // every graded entry is its own sentinel block (r14's 35 drifted
     // rows were graded entries — whole-loop sentinels could not have
     // attributed which rows to discount)
+    val gradedJfBefore = jobFloor()
     val results = names.map { name =>
       if (settleBefore(name)) settle()
       name -> block(name) {
@@ -246,6 +275,7 @@ object Bench {
         }.min
       }
     }
+    val gradedJfAfter = jobFloor()
     // The query suite leaks RDD caches by design: dedup/LSH persist
     // intermediates that auto-unpersist only when the ContextCleaner
     // sees their plans garbage-collected. Force that collection NOW so
@@ -279,7 +309,7 @@ object Bench {
     // fleet (build untimed, like the reference's build); the
     // parquet-scan path is reported as batch_knn_scan_qps.
     val (qps, scanQps1k, servingQps1k, servingP50Small) =
-      block("batch_knn") { try {
+      block("batch_knn", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val queries = e.filter(col("vec_id") < 1000)
@@ -339,7 +369,7 @@ object Bench {
       (headline, curveJson)
     }
     val (ann, annCurves, annClustered, annClusteredCurves, pqClustered) =
-      block("ann_ivf", rerunOnDrift = false) { try {
+      block("ann_ivf", rerunOnDrift = false, withJobFloor = true) { try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val (h1, c1) = annGrid(e)
         // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5.
@@ -706,21 +736,21 @@ object Bench {
     // suite pressure from the preceding blocks' dead caches; same fix
     // engine_100k got in r11.
     settle()
-    val qps10k = block("knn_10k") {
+    val qps10k = block("knn_10k", withJobFloor = true) {
       scaleProbe(10000L, nFleet = 256, ivfCells = 16, ivfProbes = 8) }
     // settle BETWEEN the scale probes too (VERDICT r13 #1): the 100k
     // probe's weak rows in the r13 driver artifact (exact p50 2.22×
     // baseline, QPS ramping) carried the 10k probe's retired caches —
     // the same cc_10m signature, same fix
     settle()
-    val qps100k = block("knn_100k") {
+    val qps100k = block("knn_100k", withJobFloor = true) {
       scaleProbe(100000L, nFleet = 256, ivfCells = 32, ivfProbes = 8) }
     settle()
     // 100×-scale proof point (VERDICT r3 #6): 1M vectors, same protocol.
     // 64 cells / 8 probes ≈ 12.5% scanned.
     // 1M probe: rerun-on-drift disabled (a second full probe is
     // minutes; the sentinel stamp alone adjudicates)
-    val qps1m = block("knn_1m", rerunOnDrift = false) {
+    val qps1m = block("knn_1m", rerunOnDrift = false, withJobFloor = true) {
       scaleProbe(1000000L, nFleet = 256, ivfCells = 64, ivfProbes = 8) }
 
     // 1000×-scale MEMORY proof: 10M × 64-D is 2.5 GB of float32 —
@@ -746,7 +776,7 @@ object Bench {
         probes: Int, rf: Int, qps: Double, refQps: Double, rec: Double,
         regret: Double, p50: Double, frontier: Seq[PqFrontierPt])
     val pq10m: Option[Pq10m] =
-      block("knn_10m_pq", rerunOnDrift = false) { try {
+      block("knn_10m_pq", rerunOnDrift = false, withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val target = 10000000L
         val dim = 64
@@ -890,7 +920,7 @@ object Bench {
     // columns so column pruning cannot optimize the work away under a
     // bare count()
     val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
-      block("corpus_500k") { try {
+      block("corpus_500k", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val d = spark.read.parquet(s"$sfDir/documents.parquet")
         val n = d.count()
@@ -1025,7 +1055,7 @@ object Bench {
     // aggregate over carried columns so pruning can't elide the work.
     val eventsCleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     val events5m: Option[(Long, Double, Double)] =
-      block("events_5m") { try {
+      block("events_5m", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val e0 = spark.read.parquet(s"$sfDir/events.parquet")
         val e = e0
@@ -1070,7 +1100,7 @@ object Bench {
     // vs load + incremental pair query (the per-batch operational
     // cost).
     val dedupStored: Option[(Double, Double)] =
-      block("dedup_stored") { try {
+      block("dedup_stored", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -1114,7 +1144,7 @@ object Bench {
     // covers the full propagation loop + the final aggregate; the
     // component count doubles as a correctness check (must be 100k).
     val cc10m: Option[(Long, Double, Long)] =
-      block("cc_10m") { try {
+      block("cc_10m", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val nEdges = 10000000L
         def edges = spark.range(nEdges).select(
@@ -1152,7 +1182,7 @@ object Bench {
     // corpus block's settle fixed in r10).
     settle()
     val engine100k: Option[(Double, Double, Double)] =
-      block("engine_100k") { try {
+      block("engine_100k", withJobFloor = true) { try {
         import org.apache.spark.sql.functions._
         val root = java.nio.file.Files.createTempDirectory("graft_bench_rest").toString
         val g = graft.Graft.create(spark, root)
@@ -1456,7 +1486,9 @@ object Bench {
     // split). An empty drift list = every number in this artifact ran
     // on a machine within 1.3x of the run's start canary.
     def sentinelsJson: String = blockSentinels.map { case (n, bs) =>
-      s""""$n":{"before":${fmt(bs.before, 3)},"after":${fmt(bs.after, 3)},"reran":${bs.reran},"drift":${bs.drift}}"""
+      val jf = if (bs.jfBefore >= 0)
+        s""","job_floor_ms":[${fmt(bs.jfBefore, 1)},${fmt(bs.jfAfter, 1)}]""" else ""
+      s""""$n":{"before":${fmt(bs.before, 3)},"after":${fmt(bs.after, 3)},"reran":${bs.reran},"drift":${bs.drift}$jf}"""
     }.mkString("{", ",", "}")
     val driftBlocks: Seq[String] =
       blockSentinels.collect { case (n, bs) if bs.drift => n }.toSeq ++
@@ -1468,7 +1500,7 @@ object Bench {
     val sentCompact = {
       val vals = blockSentinels.values.flatMap(b => Seq(b.before, b.after))
       if (vals.isEmpty) "null"
-      else s"""{"ref":${fmt(sentinelRef, 3)},"min":${fmt(vals.min, 3)},"max":${fmt(vals.max, 3)}}"""
+      else s"""{"ref":${fmt(sentinelRef, 3)},"min":${fmt(vals.min, 3)},"max":${fmt(vals.max, 3)},"jf_ref":${fmt(jobFloorRef, 1)}}"""
     }
 
     def baselineJson: String = {
@@ -1505,7 +1537,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > 1.5x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); flagged blocks settle + rerun once (global budget 8), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > 1.5x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); flagged blocks settle + rerun once (global budget 8), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
