@@ -1558,8 +1558,11 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(3)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"canary_par8_ms":[${fmt(canaryParStart, 3)},${fmt(canaryParEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"batch_knn_serving_qps":${fmt(servingQps1k, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"drift":$driftJson,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"detail":"bench_latest.json","sf":"${sfDir.split('/').last}"}"""
-    if (compact.length > 1500)
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"drift":$driftJson,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"sf":"${sfDir.split('/').last}"}"""
+    // hard budget 1900: the driver truncates lines at ~4096 B and
+    // keeps a 2000 B tail — r12-r14 all came back parsed:null over
+    // this; r15 run-3 measured 1974 B before this trim
+    if (compact.length > 1900)
       System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
     println(compact)
     System.out.flush()
