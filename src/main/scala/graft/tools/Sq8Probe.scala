@@ -2,16 +2,23 @@ package graft.tools
 
 import graft.search.Kernels
 
-/** Micro-probe for the SQ8 single-query kernel variants (r15): the
-  * first cut (fused per-element byte→float widening inside the 4-lane
-  * dot) measured 1.5-2× SLOWER than the float kernel at every scale —
-  * the b2f conversion in the multiply-add chain defeats HotSpot's SLP
-  * vectorizer. Candidates:
+/** Micro-probe that selected the SHIPPED SQ8 single-query kernel
+  * (r15). Variants, 100k/1M × 64-D measured:
   *
-  *   fused    — current scoreSq8Single (b2f inside the lanes)
-  *   decoded  — decode a whole tile to a reusable float buffer (pure
-  *              b2f load-convert-store pass, which vectorizes), then
-  *              run the proven float scoreSingle over the buffer
+  *   float     — Kernels.scoreSingle over float rows (the baseline)
+  *   symmetric — the SHIPPED kernel: query quantized to int8 once per
+  *               search, int8×int8 multiply-add lanes (SDOT shape) —
+  *               0.8× float's time at 100k, 0.5× at 1M (4× fewer
+  *               bytes scanned)
+  *   decoded   — rejected: tile-decode to a float buffer then the
+  *               float kernel (1.2-1.5× slower than float)
+  *   intdot    — the raw loop the symmetric kernel ships (kept here
+  *               as the reference measurement)
+  *
+  * The rejected first cut (asymmetric: per-element byte→float
+  * widening inside the float lanes) ran 1.5-2× SLOWER than float at
+  * every scale — b2f conversion in the multiply-add chain defeats
+  * HotSpot's SLP vectorizer.
   *
   * Run: sbt 'runMain graft.tools.Sq8Probe [n] [dim]' */
 object Sq8Probe {
