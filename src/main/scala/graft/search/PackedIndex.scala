@@ -45,6 +45,13 @@ object PackedIndex {
   final case class Sq8Block(ids: Array[Long], codes: Array[Byte],
                             scales: Array[Double], norm2: Array[Double])
 
+  /** A packed SQ8 tile of a single IVF cell — the FAISS `IVF,SQ8`
+    * composition point (VERDICT r15 #5): cell-pruned like [[CellBlock]],
+    * int8-compressed like [[Sq8Block]], so the same byte budget holds
+    * ~4× IVF's rows while a probe still touches only its cells. */
+  final case class Sq8CellBlock(cell: Int, ids: Array[Long], codes: Array[Byte],
+                                scales: Array[Double], norm2: Array[Double])
+
   /** Pack `(id, vector)` rows of a partition into [[VecBlock]]s of at
     * most [[Kernels.TileRows]] rows. Also the driver-local pack path
     * ([[ServingSession]]). */
@@ -86,32 +93,42 @@ object PackedIndex {
         var i = 0
         g.foreach { case (id, v) =>
           ids(i) = id
-          var mx = 0.0
-          var d = 0
-          while (d < dim) {
-            val a = math.abs(v(d).toDouble)
-            if (a > mx) mx = a
-            d += 1
-          }
-          val scale = mx / 127.0
-          var sumSq = 0L // Σcode² — exact in a long (≤ dim·127²)
-          d = 0
-          while (d < dim) {
-            val q =
-              if (scale > 0.0) {
-                val f = math.floor(v(d).toDouble / scale + 0.5)
-                (if (f < -127.0) -127.0 else if (f > 127.0) 127.0 else f).toInt
-              } else 0
-            codes(i * dim + d) = q.toByte
-            sumSq += q.toLong * q
-            d += 1
-          }
+          val (scale, n2) = quantizeSq8Row(v, dim, codes, i * dim)
           scales(i) = scale
-          norm2(i) = scale * scale * sumSq.toDouble
+          norm2(i) = n2
           i += 1
         }
         Sq8Block(ids, codes, scales, norm2)
       }
+
+  /** Quantize one row into `codes[off, off+dim)` with the exact SQ8
+    * rule above; returns `(scale, norm2-of-reconstruction)`. Shared by
+    * the exact-scan and per-cell pack paths so their bytes are
+    * bit-identical. */
+  private[search] def quantizeSq8Row(v: Array[Float], dim: Int,
+                                     codes: Array[Byte], off: Int): (Double, Double) = {
+    var mx = 0.0
+    var d = 0
+    while (d < dim) {
+      val a = math.abs(v(d).toDouble)
+      if (a > mx) mx = a
+      d += 1
+    }
+    val scale = mx / 127.0
+    var sumSq = 0L // Σcode² — exact in a long (≤ dim·127²)
+    d = 0
+    while (d < dim) {
+      val q =
+        if (scale > 0.0) {
+          val f = math.floor(v(d).toDouble / scale + 0.5)
+          (if (f < -127.0) -127.0 else if (f > 127.0) 127.0 else f).toInt
+        } else 0
+      codes(off + d) = q.toByte
+      sumSq += q.toLong * q
+      d += 1
+    }
+    (scale, scale * scale * sumSq.toDouble)
+  }
 
   /** `dot(q, centroid)` — the residual-ADC per-probe constant. */
   private[search] def qDotCentroid(q: Array[Float], c: Array[Double]): Double = {
@@ -249,6 +266,73 @@ object PackedIndex {
                 cellHeaps(cb.cell) = probing.map(heaps(_))
               }
               Kernels.scoreTile(Kernels.MetricCosine, packs(cb.cell), cb.xs, cb.ids,
+                cb.ids.length, cellHeaps(cb.cell), out, cb.norm2)
+            }
+          }
+          Kernels.drain(heaps, ids)
+        }
+      }
+      rank(spark, pairs, k)
+    }
+
+    def unpersist(): Unit = { blocks.unpersist(); () }
+  }
+
+  /** IVF×SQ8 index: per-cell SQ8 code blocks — cell-pruned scans over
+    * int8 codes (the FAISS `IVF,SQ8` point; VERDICT r15 #5). A probe
+    * visits only its cells' rows (IVF's pruning) and each visited row
+    * costs a dim-byte integer dot ([[Kernels.scoreSq8Tile]] — SQ8's
+    * compression), so recall composes the two losses: cell-miss (bounded
+    * by nProbe, same as [[Ivf]]) and quantization reorder (same as
+    * [[Sq8]]); the default-config floor is pinned in ServingRecallSpec.
+    * Resident footprint is `n × (dim + 24)` bytes — ~4× more rows than
+    * [[Ivf]] under the same cap, 8× fewer than [[IvfPq]] holds but with
+    * no codebook training and near-SQ8 recall. */
+  final class IvfSq8 private[PackedIndex] (
+      @transient val spark: SparkSession,
+      val model: IvfModel, val blocks: RDD[Sq8CellBlock], val dim: Int,
+      val n: Long) {
+
+    /** Quantized-cosine top-k per query over the probed cells only —
+      * the per-cell fleet protocol of [[Ivf.search]] with
+      * [[Kernels.scoreSq8Tile]] as the kernel (queries quantized once
+      * per probed cell's pack, symmetric integer scoring). */
+    def search(queries: Seq[(Long, Seq[Double])], k: Int, nProbe: Int): DataFrame = {
+      val qArr = queries.toArray
+      val qids = qArr.map(_._1)
+      val qVecs = qArr.map(_._2.toArray.map(_.toFloat))
+      val c2q: Array[Array[Int]] = {
+        val m = Array.fill(model.nCells)(scala.collection.mutable.ArrayBuffer.empty[Int])
+        qArr.zipWithIndex.foreach { case ((_, qv), qi) =>
+          model.nearestCells(qv, nProbe).foreach(c => m(c) += qi)
+        }
+        m.map(_.toArray)
+      }
+      val bc = blocks.sparkContext.broadcast((qids, qVecs, c2q))
+      val pairs = blocks.mapPartitions { bit =>
+        val (ids, vecs, cq) = bc.value
+        val nqAll = ids.length
+        if (nqAll == 0 || bit.isEmpty) Iterator.empty
+        else {
+          val nCells = cq.length
+          val heaps = Array.fill(nqAll)(new Kernels.TopKHeap(k))
+          val packs = new Array[Kernels.Sq8QueryPack](nCells)
+          val cellHeaps = new Array[Array[Kernels.TopKHeap]](nCells)
+          var maxNq = 0
+          var c = 0
+          while (c < nCells) {
+            if (cq(c).length > maxNq) maxNq = cq(c).length
+            c += 1
+          }
+          val out = new Array[Int](maxNq)
+          bit.foreach { cb =>
+            val probing = cq(cb.cell)
+            if (probing.nonEmpty) {
+              if (packs(cb.cell) == null) {
+                packs(cb.cell) = Kernels.packSq8Queries(probing.map(vecs(_)))
+                cellHeaps(cb.cell) = probing.map(heaps(_))
+              }
+              Kernels.scoreSq8Tile(packs(cb.cell), cb.codes, cb.scales, cb.ids,
                 cb.ids.length, cellHeaps(cb.cell), out, cb.norm2)
             }
           }
@@ -430,6 +514,55 @@ object PackedIndex {
     }.cache()
     val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize + row count
     new Ivf(spark, model, blocks, dim, n)
+  }
+
+  /** Build the IVF×SQ8 index from an assigned cell table `(id, v,
+    * cell)` ([[graft.ann.Ann.assignCells]]): repartition by cell, pack
+    * each cell's rows into SQ8 code blocks with the EXACT quantization
+    * rule of [[buildSq8]] (shared [[quantizeSq8Row]] — bit-parity
+    * pinned in PackedIndexSpec). One narrow pack pass after the cell
+    * shuffle; cached footprint `n × (dim + 24)` bytes. */
+  def buildIvfSq8(cells: DataFrame, model: IvfModel): IvfSq8 = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val src = cells.select(col("id").cast("long"),
+        col("v").cast("array<float>"), col("cell").cast("int"))
+      .filter(col("v").isNotNull)
+      .repartition(col("cell"))
+      .as[(Long, Array[Float], Int)]
+    val dim = src.take(1).headOption.map(_._2.length).getOrElse(0)
+    val blocks = src.rdd.mapPartitions { it =>
+      // per-cell accumulation, as in buildIvf, but rows quantize to
+      // int8 codes at pack time (quantize-on-ingest)
+      val bufs = scala.collection.mutable.LongMap.empty[(scala.collection.mutable.ArrayBuffer[Long], scala.collection.mutable.ArrayBuilder.ofByte, scala.collection.mutable.ArrayBuilder.ofDouble, scala.collection.mutable.ArrayBuilder.ofDouble)]
+      val done = scala.collection.mutable.ArrayBuffer.empty[Sq8CellBlock]
+      val rowCodes = new Array[Byte](dim)
+      it.foreach { case (id, v, cell) =>
+        if (v != null && v.length == dim) { // skip malformed rows
+          val (ids, cs, sc, n2) = bufs.getOrElseUpdate(cell.toLong,
+            (new scala.collection.mutable.ArrayBuffer[Long],
+              new scala.collection.mutable.ArrayBuilder.ofByte,
+              new scala.collection.mutable.ArrayBuilder.ofDouble,
+              new scala.collection.mutable.ArrayBuilder.ofDouble))
+          val (scale, norm2) = quantizeSq8Row(v, dim, rowCodes, 0)
+          ids += id
+          cs ++= rowCodes
+          sc += scale
+          n2 += norm2
+          if (ids.length == Kernels.TileRows) {
+            done += Sq8CellBlock(cell, ids.toArray, cs.result(), sc.result(), n2.result())
+            bufs.remove(cell.toLong)
+          }
+        }
+      }
+      bufs.foreach { case (cell, (ids, cs, sc, n2)) =>
+        if (ids.nonEmpty)
+          done += Sq8CellBlock(cell.toInt, ids.toArray, cs.result(), sc.result(), n2.result())
+      }
+      done.iterator
+    }.cache()
+    val n = blocks.map(_.ids.length.toLong).fold(0L)(_ + _) // materialize
+    new IvfSq8(spark, model, blocks, dim, n)
   }
 
   /** Build the IVF-PQ index from an encoded `(id, cell, code)` dataset

@@ -365,6 +365,63 @@ object ServingSession {
       search(Seq((0L, q)), k, nProbe).map { case (_, id, s, r) => (id, s, r) }
   }
 
+  /** Driver-local IVF×SQ8 index: per-cell SQ8 code blocks, probe-pruned
+    * int8 scoring — the FAISS `IVF,SQ8` serving point (VERDICT r15 #5).
+    * Per-query [[Kernels.scoreSq8Single]] (the probe set differs per
+    * query, so the fleet tile shape does not apply — same stance as
+    * [[Ivf]]); the query quantizes ONCE and is reused across its probed
+    * blocks. Recall composes the cell-miss and quantization losses;
+    * floor pinned in ServingRecallSpec. */
+  final class IvfSq8 private[ServingSession] (
+      val model: IvfModel,
+      val cellBlocks: Array[Array[PackedIndex.Sq8CellBlock]], val dim: Int) {
+
+    def search(queries: Seq[(Long, Seq[Double])], k: Int,
+               nProbe: Int): Seq[(Long, Long, Double, Int)] = {
+      val qArr = queries.toArray
+      val qids = qArr.map(_._1)
+      if (qids.isEmpty) return Seq.empty
+      val heaps = Array.fill(qids.length)(new Kernels.TopKHeap(k))
+      var qi = 0
+      while (qi < qArr.length) {
+        val qv = qArr(qi)._2.toArray
+        val sq = Kernels.quantizeSq8Query(qv.map(_.toFloat))
+        val h = heaps(qi)
+        val probed = scala.collection.mutable.ArrayBuffer.empty[PackedIndex.Sq8CellBlock]
+        var probedRows = 0L
+        model.nearestCells(qv, nProbe).foreach { c =>
+          if (c >= 0 && c < cellBlocks.length)
+            cellBlocks(c).foreach { b => probed += b; probedRows += b.ids.length }
+        }
+        val nThreads = workersFor(probedRows, probed.length)
+        if (probedRows < ParallelWorkThreshold || nThreads <= 1) {
+          probed.foreach(blk => Kernels.scoreSq8Single(sq, blk.codes, blk.scales,
+            blk.ids, blk.ids.length, blk.norm2, h))
+        } else {
+          val workers = java.util.stream.IntStream.range(0, nThreads).parallel()
+            .mapToObj { t =>
+              val wh = new Kernels.TopKHeap(k)
+              var b = t
+              while (b < probed.length) {
+                val blk = probed(b)
+                Kernels.scoreSq8Single(sq, blk.codes, blk.scales,
+                  blk.ids, blk.ids.length, blk.norm2, wh)
+                b += nThreads
+              }
+              wh
+            }
+            .collect(java.util.stream.Collectors.toList[Kernels.TopKHeap])
+          workers.forEach(w => w.foreachEntry((s, id) => h.offer(s, id)))
+        }
+        qi += 1
+      }
+      rank(heaps, qids, k)
+    }
+
+    def searchOne(q: Seq[Double], k: Int, nProbe: Int): Seq[(Long, Double, Int)] =
+      search(Seq((0L, q)), k, nProbe).map { case (_, id, s, r) => (id, s, r) }
+  }
+
   /** Driver-local IVF-PQ index: per-cell CODE blocks scored by ADC —
     * `m` bytes/vector instead of `4·dim`, so the same [[DefaultMaxBytes]]
     * budget holds ~32× more rows (64-D, m=8) than the float sessions.
@@ -592,6 +649,38 @@ object ServingSession {
   def routedSq8(idx: PackedIndex.Sq8, maxBytes: Long = DefaultMaxBytes): RoutedSq8 =
     new RoutedSq8(idx, fromSq8(idx, maxBytes))
 
+  /** The composed twin: one handle over both IVF×SQ8 paths. Dispatch is
+    * byte-cap only (same reasoning as [[RoutedIvf]] — the resident scan
+    * touches probed cells only and never loses to the cluster path at
+    * resident sizes); results are APPROXIMATE both by nProbe and by the
+    * int8 step — callers hold this handle only when they accept that
+    * composed contract. Both paths run the same probes, blocks and
+    * kernel, so a dispatch flip never changes the rows. */
+  final class RoutedIvfSq8 private[ServingSession] (
+      val idx: PackedIndex.IvfSq8,
+      val resident: Option[IvfSq8]) {
+    @volatile private var _lastPath: String = ""
+    /** "resident" | "distributed" — which path answered the latest
+      * search (bench/test observability). */
+    def lastPath: String = _lastPath
+
+    def search(queries: Seq[(Long, Seq[Double])], k: Int,
+               nProbe: Int): Seq[(Long, Long, Double, Int)] =
+      resident match {
+        case Some(s) =>
+          _lastPath = "resident"
+          s.search(queries, k, nProbe)
+        case None =>
+          _lastPath = "distributed"
+          collectRanked(idx.search(queries, k, nProbe), queries.map(_._1))
+      }
+  }
+
+  /** Routed cell-pruned-quantized serving over a packed IVF×SQ8 index —
+    * see [[RoutedIvfSq8]] for the contract. */
+  def routedIvfSq8(idx: PackedIndex.IvfSq8, maxBytes: Long = DefaultMaxBytes): RoutedIvfSq8 =
+    new RoutedIvfSq8(idx, fromIvfSq8(idx, maxBytes))
+
   /** Estimated driver bytes for a packed collection: floats + ids +
     * norms per row. */
   private def exactBytes(n: Long, dim: Int): Long = n * (dim.toLong * 4 + 8 + 8)
@@ -692,6 +781,21 @@ object ServingSession {
       val grouped = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[PackedIndex.PqCellBlock])
       all.foreach(b => if (b.cell >= 0 && b.cell < nCells) grouped(b.cell) += b)
       Some(new IvfPq(idx.ivf, idx.pq, grouped.map(_.toArray), idx.residual))
+    }
+  }
+
+  /** Pull a distributed IVF×SQ8 index's code blocks to the driver when
+    * they fit `maxBytes` — [[sq8Bytes]] sizing, so the same budget knob
+    * admits ~4× the rows of [[fromIvf]]. None = stay on the cluster
+    * path. */
+  def fromIvfSq8(idx: PackedIndex.IvfSq8, maxBytes: Long = DefaultMaxBytes): Option[IvfSq8] = {
+    if (idx.n <= 0 || sq8Bytes(idx.n, idx.dim) > maxBytes) None
+    else {
+      val all = idx.blocks.collect()
+      val nCells = idx.model.nCells
+      val grouped = Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[PackedIndex.Sq8CellBlock])
+      all.foreach(b => if (b.cell >= 0 && b.cell < nCells) grouped(b.cell) += b)
+      Some(new IvfSq8(idx.model, grouped.map(_.toArray), idx.dim))
     }
   }
 

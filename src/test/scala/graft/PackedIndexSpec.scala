@@ -254,6 +254,72 @@ class PackedIndexSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("IVF×SQ8 at full probing == exact-scan SQ8 (shared quantization rule)") {
+    // VERDICT r15 #5: the composed index must quantize with the SAME
+    // rule as buildSq8 (shared quantizeSq8Row). With every cell probed
+    // it visits exactly the rows the exact SQ8 scan visits, and the
+    // integer kernel's per-row arithmetic is independent of tile
+    // grouping — so ids AND scores must match exactly, proving both
+    // the quantization parity and that pruning is the only difference
+    // between the two indexes.
+    val model = Ann.trainIvf(e, "embedding", nCells = 4)
+    val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val composed = PackedIndex.buildIvfSq8(cells, model)
+    val flat = PackedIndex.buildSq8(e, "embedding", "vec_id")
+    try {
+      assert(composed.n == flat.n, "both packs must count every row")
+      val full = composed.search(queries, k = 10, nProbe = model.nCells)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      val exact = flat.search(queries.map { case (q, v) => (q, v.toArray) }, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(full == exact)
+      // pruned probing returns a subset drawn only from probed cells —
+      // every pruned hit must also be scored identically (same codes)
+      val pruned = composed.search(queries, k = 10, nProbe = 2)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      val exactScores = exact.map(t => ((t._1, t._2), t._3)).toMap
+      pruned.filter { case (key, _) => exactScores.contains(key) }
+        .foreach { case (key, s) =>
+          assert(s == exactScores(key), s"pruned score differs at $key") }
+    } finally { composed.unpersist(); flat.unpersist(); cells.unpersist() }
+  }
+
+  test("IVF×SQ8 serving session == distributed; routedIvfSq8 dispatch + byte cap") {
+    val model = Ann.trainIvf(e, "embedding", nCells = 4)
+    val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val idx = PackedIndex.buildIvfSq8(cells, model)
+    try {
+      val local = ServingSession.fromIvfSq8(idx)
+        .getOrElse(fail("sf0.001 embeddings must fit the serving cap"))
+      val dist = idx.search(queries, k = 5, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      // serving scores come from scoreSq8Single (per-query integer dot,
+      // different accumulation shape than the fleet tile): same
+      // ids/ranks, scores within the float tolerance
+      val loc = local.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      assert(loc.map(t => (t._1, t._2, t._4)) == dist.map(t => (t._1, t._2, t._4)).toSeq)
+      loc.zip(dist).foreach { case (l, d) => assert(math.abs(l._3 - d._3) < 1e-5) }
+      // routed handle: resident when it fits, distributed past the cap
+      val fits = ServingSession.routedIvfSq8(idx)
+      assert(fits.resident.isDefined)
+      val res = fits.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      assert(fits.lastPath == "resident")
+      val capped = ServingSession.routedIvfSq8(idx, maxBytes = 16L)
+      assert(capped.resident.isEmpty)
+      val dRes = capped.search(queries, k = 5, nProbe = 2).sortBy(t => (t._1, t._4))
+      assert(capped.lastPath == "distributed")
+      assert(res.map(t => (t._1, t._2, t._4)) == dRes.map(t => (t._1, t._2, t._4)))
+      res.zip(dRes).foreach { case (l, d) => assert(math.abs(l._3 - d._3) < 1e-5) }
+    } finally { idx.unpersist(); cells.unpersist() }
+  }
+
   test("SQ8 scores sit within the quantization tolerance of the exact scan") {
     // every row is visited (exact scan, approximate scores): the SQ8
     // top-k ids must score — exactly rescored — within the per-dim

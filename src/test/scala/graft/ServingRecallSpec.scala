@@ -154,6 +154,34 @@ class ServingRecallSpec extends AnyFunSuite {
     } finally idx.unpersist()
   }
 
+  test("IVF×SQ8 default config (32 cells / 8 probes) holds score-recall@10 >= 0.95 at 100k clustered") {
+    // VERDICT r15 #5: the composed FAISS `IVF,SQ8` point gets the same
+    // spec-pinned floor as its parents. Recall composes two losses —
+    // cell-miss (IVF alone pins ≥0.93 at this config) and int8 reorder
+    // (SQ8 alone pins ≥0.95) — tools/IvfSq8Probe measured the product
+    // at 0.976 on this corpus, FLAT across nProbe 4..32 (queries drawn
+    // from the corpus land in their own cluster's cell, so the int8
+    // step is the entire loss here). Deterministic seeds → no flake.
+    // Protocol = the SQ8 test's: exact driver rescore of every
+    // returned id vs the exact kth.
+    val model = graft.ann.Ann.trainIvf(corpus, "embedding", nCells = 32, maxIter = 5)
+    val cells = graft.ann.Ann.assignCells(corpus, "embedding", "vec_id", model).cache()
+    cells.count()
+    val idx = graft.search.PackedIndex.buildIvfSq8(cells, model)
+    try {
+      val hits = idx.search(queries, k = k, nProbe = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val recall = hits.count { case (qid, id) =>
+        val v = rows(id.toInt)._2
+        val qa = queries.find(_._1 == qid).get._2.toArray
+        var s = 0.0; var d = 0
+        while (d < dim) { s += v(d).toDouble * qa(d); d += 1 }
+        s >= exactKth(qid) - 1e-9
+      }.toDouble / (nQueries * k)
+      assert(recall >= 0.95, s"IVF×SQ8 default-config recall regressed: $recall < 0.95")
+    } finally { idx.unpersist(); cells.unpersist(); () }
+  }
+
   test("SQ8 holds score-recall@10 >= 0.95 at 100k x 128-D isotropic (the hardest regime)") {
     // r15 extension of the 64-D clustered contract: isotropic 128-D is
     // the harshest near-tie regime and the symmetric int8 noise grows
