@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes STRAIGHT to this process's stdout:
+// sbt's default LoggedOutput prefixes every forked-stdout line with
+// "[info] ", which made the driver's tail-parse of the bench compact
+// JSON line fail every round (BENCH_r12-r15 all carry parsed:null; the
+// r15 line fit the 2,000 B tail at 1,884 B and STILL failed on the
+// 7-byte prefix). StdoutOutput removes the prefix for forked run output
+// only — sbt's own [info]/[success] progress lines are unaffected.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -78,6 +78,43 @@ object MachineCanary {
     Timing.p50BestMs(reps)(batch())._1
   }
 
+  /** Memory-BANDWIDTH canary (VERDICT r15 #3): best-of-reps GB/s of a
+    * STREAM-style triad `a(i) = b(i) + s·c(i)` over three ~22 MB double
+    * arrays (~67 MB working set — past any L3 on this box class, so the
+    * sweep is DRAM-bound). The exact-scan serving rows are bandwidth-bound, not
+    * compute-bound (docs/probes/serving100k_r15.txt: the 100k exact p50
+    * floor tracks ~28 vs ~50 GB/s across boxes while the CPU canary
+    * reads equal), so the artifact needs the bandwidth axis measured
+    * in-band the way `measure()` pins the compute axis. STREAM's triad
+    * byte convention: 24 B moved per element (read b, read c, write a —
+    * write-allocate traffic not counted, matching published STREAM
+    * numbers).
+    *
+    * @return (best sweep ms, best GB/s) */
+  def measureBandwidth(reps: Int = 7): (Double, Double) = {
+    val n = 2800000 // 2.8M doubles per array = 22.4 MB; ~67 MB total
+    val a = new Array[Double](n)
+    val b = Array.tabulate(n)(i => (i % 1024) * 0.5)
+    val c = Array.tabulate(n)(i => (i % 512) * 0.25)
+    val s = 3.0
+    def sweep(): Unit = {
+      var i = 0
+      while (i < n) { a(i) = b(i) + s * c(i); i += 1 }
+    }
+    (0 until 3).foreach(_ => sweep()) // JIT + page warm
+    var bestMs = Double.MaxValue
+    (0 until reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      sweep()
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (ms < bestMs) bestMs = ms
+    }
+    val gbps = (24.0 * n) / (bestMs * 1e6) // bytes / (ms * 1e6) = GB/s
+    // keep `a` observable so the JIT cannot dead-code the store loop
+    if (a(n / 2).isNaN) throw new IllegalStateException("unreachable")
+    (bestMs, gbps)
+  }
+
   /** Sustained par8 run WITH OS attribution (round 9): the par8/single
     * ratio alone cannot distinguish an external tenant holding cores
     * from this box's own idle-state parallel-wake cost — measured here
