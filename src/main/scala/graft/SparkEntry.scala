@@ -1372,6 +1372,36 @@ object SparkEntry {
         .orderBy($"vec_id", $"dim")
     }),
 
+    // Serving tier, oracle-graded (r16): the IVF×SQ8 composed SEARCH —
+    // deterministic Lloyd cells (the kmeans_assign k-means, so the
+    // oracle can replay WHICH cells exist), centroid-pruned probing
+    // (nProbe=2 of 4 — half the corpus genuinely skipped), symmetric
+    // int8 scoring (the scoreSq8Tile formula: integer code dot ×
+    // scale/√norm2 × query inverse code norm). DuckDB replays the
+    // ENTIRE chain — quantize rows AND queries, Lloyd assign, double
+    // sqDist prune with (d, cid) ties, integer dot, the exact IEEE
+    // association order of the score product — so the green row
+    // certifies the composed index end-to-end, not just its parts
+    // (PackedIndexSpec covers parity; this covers VALUES).
+    "knn_ivf_sq8" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val (labels, cents) = graft.pipeline.Clustering.kmeansAssignWithCentroids(
+        e, "embedding", "vec_id", k = 4, iters = 2)
+      val cells = labels.withColumnRenamed("id", "vec_id").join(e, "vec_id")
+        .select($"vec_id".as("id"), $"embedding".as("v"), $"cluster".as("cell"))
+      val model = graft.ann.Ann.IvfModel(cents.map(_.map(_ / 1e6)))
+      val idx = graft.search.PackedIndex.buildIvfSq8(cells, model)
+      try {
+        val queries = e.filter($"vec_id" < 4).select($"vec_id", $"embedding")
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        idx.search(queries, k = 10, nProbe = 2)
+          .select($"qid", $"id".as("vec_id"), round($"score", 6).as("score"), $"rank")
+          .orderBy($"qid", $"rank")
+      } finally idx.unpersist()
+    }),
+
     // LLM-pipeline: stupid-backoff bigram LM quality score (Brants
     // 2007 / CCNet shape) — the LM trains on HALF the corpus (even
     // doc_ids) and scores ALL of it, so the backoff branch genuinely
@@ -3805,6 +3835,75 @@ object SparkEntry {
           |SELECT vec_id, dim, q, round(sc, 9) AS qscale,
           |  round(x - CAST(q AS DOUBLE) * sc, 6) + 0.0 AS err
           |FROM q ORDER BY vec_id, dim""".stripMargin,
+
+      // full-chain replay of the composed IVF×SQ8 search: the Lloyd
+      // CTEs give the cells (a1) + final centroids (c1); rows and
+      // queries quantize with the embedding_sq8 rule; the prune is the
+      // exact IvfModel.nearestCells double fold with (d, cid) ties;
+      // scores replay scoreSq8Tile's IEEE association order
+      // ((dot × scale/√norm2) × invQ) so ranks match bit-for-bit
+      "knn_ivf_sq8" ->
+        s"""WITH $kmeansSqlCtes,
+           |ve AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |rsc AS (
+           |  SELECT vec_id, v,
+           |    list_reduce(list_prepend(0.0, list_transform(v, x -> abs(x))),
+           |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS sc
+           |  FROM ve),
+           |rcode AS (
+           |  SELECT vec_id, sc,
+           |    list_transform(range(1, len(v) + 1), i -> CAST(CASE WHEN sc > 0 THEN
+           |        greatest(-127.0, least(127.0, floor(v[i] / sc + 0.5)))
+           |      ELSE 0.0 END AS BIGINT)) AS c
+           |  FROM rsc),
+           |rnorm AS (
+           |  SELECT vec_id, sc, c,
+           |    (sc * sc) * CAST(list_sum(list_transform(c, x -> x * x)) AS DOUBLE) AS n2
+           |  FROM rcode),
+           |qv0 AS (SELECT vec_id AS qid, v AS qv FROM ve WHERE vec_id < 4),
+           |qsc AS (
+           |  SELECT qid, qv,
+           |    list_reduce(list_prepend(0.0, list_transform(qv, x -> abs(x))),
+           |      (a, b) -> CASE WHEN b > a THEN b ELSE a END) / 127.0 AS sc
+           |  FROM qv0),
+           |qcode AS (
+           |  SELECT qid, qv,
+           |    list_transform(range(1, len(qv) + 1), i -> CAST(CASE WHEN sc > 0 THEN
+           |        greatest(-127.0, least(127.0, floor(qv[i] / sc + 0.5)))
+           |      ELSE 0.0 END AS BIGINT)) AS qc
+           |  FROM qsc),
+           |qinv AS (
+           |  SELECT qid, qv, qc,
+           |    CASE WHEN list_sum(list_transform(qc, x -> x * x)) > 0
+           |      THEN 1.0 / sqrt(CAST(list_sum(list_transform(qc, x -> x * x)) AS DOUBLE))
+           |      ELSE 0.0 END AS invq
+           |  FROM qcode),
+           |cd AS (SELECT cid, list_transform(c, x -> x / 1000000.0) AS cv FROM c1),
+           |qdist AS (
+           |  SELECT qid, cid,
+           |    list_reduce(list_prepend(0.0, list_transform(range(1, len(qv) + 1),
+           |      i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))), (a, b) -> a + b) AS d
+           |  FROM qinv, cd),
+           |probed AS (
+           |  SELECT qid, cid FROM (
+           |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY d, cid) AS rn
+           |    FROM qdist) WHERE rn <= 2),
+           |cand AS (
+           |  SELECT p.qid, r.vec_id,
+           |    (CAST(list_sum(list_transform(range(1, len(r.c) + 1),
+           |        i -> r.c[i] * qi.qc[i])) AS DOUBLE)
+           |      * (CASE WHEN r.n2 > 0 THEN r.sc / sqrt(r.n2) ELSE 0.0 END)) * qi.invq AS score
+           |  FROM probed p
+           |  JOIN a1 ON a1.cluster = p.cid
+           |  JOIN rnorm r ON r.vec_id = a1.vec_id
+           |  JOIN qinv qi ON qi.qid = p.qid),
+           |ranked AS (
+           |  SELECT qid, vec_id, score,
+           |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+           |  FROM cand)
+           |SELECT qid, vec_id, round(score, 6) AS score, CAST(rn AS INT) AS rank
+           |FROM ranked WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
 
       "bigram_lm" ->
         """WITH ws0 AS (

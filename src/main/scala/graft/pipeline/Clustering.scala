@@ -49,7 +49,18 @@ object Clustering {
     */
   def kmeansAssignQuantized(df: DataFrame, vecCol: String, idCol: String,
                             k: Int, iters: Int,
-                            scale: Double = 1e6): DataFrame = {
+                            scale: Double = 1e6): DataFrame =
+    kmeansAssignWithCentroids(df, vecCol, idCol, k, iters, scale)._1
+
+  /** [[kmeansAssignQuantized]] that ALSO returns the FINAL quantized
+    * centroids (the ones the returned labels were assigned against) —
+    * k·dim driver longs, already resident in the Lloyd loop. Callers
+    * that build a replayable coarse quantizer on top of the
+    * deterministic cells (the oracle-graded IVF×SQ8 entry) need the
+    * centroids to replay the PRUNE, not just the assignment. */
+  def kmeansAssignWithCentroids(df: DataFrame, vecCol: String, idCol: String,
+                                k: Int, iters: Int,
+                                scale: Double = 1e6): (DataFrame, Array[Array[Long]]) = {
     require(k >= 1 && iters >= 1, "k and iters must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -88,7 +99,7 @@ object Clustering {
     val labels = assignQuantized(q, cents).select($"id", $"cluster")
       .localCheckpoint(eager = true) // cut the lineage over q…
     qRdd.unpersist()                 // …so its blocks can go now
-    labels
+    (labels, cents)
   }
 
   /** One argmin pass over the quantized table, centroids broadcast in
