@@ -61,7 +61,19 @@ final class RagPipeline(
              now: Option[Timestamp] = None,
              extraMeta: Map[String, String] = Map.empty): Long = {
     init()
-    val chunked = chunkDocs(docs)
+    // Spread a narrow source before the chunk→embed chain: a
+    // single-file corpus (or one streaming micro-batch file) arrives as
+    // ONE partition, and the whole embarrassingly-parallel pipeline
+    // would run on one task — measured 12.5 s vs 1.5 s at 5k docs/29k
+    // chunks with the mock embedder (r16), and far worse with a real
+    // HTTP embedder where per-chunk latency dominates. At corpus scale
+    // the source already carries >= cores partitions and this is a
+    // no-op; the guard keeps the shuffle off the 100 TB path.
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (docs.rdd.getNumPartitions * 2 <= target) docs.repartition(target)
+      else docs
+    val chunked = chunkDocs(spread)
     val baseMeta = map(
       lit("_chunk_index"), col("chunk_index").cast("string"),
       lit("_total_chunks"), col("total_chunks").cast("string"),
