@@ -287,6 +287,35 @@ class PackedIndexSpec extends AnyFunSuite {
     } finally { composed.unpersist(); flat.unpersist(); cells.unpersist() }
   }
 
+  test("IVF×SQ8 searchRefined re-ranks candidates at full precision") {
+    // the IvfPq.searchRefined contract on the composed index: refined
+    // results at full probing must equal the float exact top-k (the
+    // candidate pool covers it and the rescore is exact), with scores
+    // from the double rescore
+    val model = Ann.trainIvf(e, "embedding", nCells = 4)
+    val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 8)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val composed = PackedIndex.buildIvfSq8(cells, model)
+    val exact = PackedIndex.buildExact(e, "embedding", "vec_id")
+    try {
+      val refined = composed.searchRefined(e, "embedding", "vec_id",
+          queries, k = 5, nProbe = model.nCells)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val truth = exact.search(queries.map { case (q, v) => (q, v.toArray) }, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      // same ids/ranks; scores within the double-rescore-vs-float-kernel
+      // tolerance (the refine path's documented comparison slack)
+      assert(refined.map(t => (t._1, t._2, t._4)).toSeq ==
+        truth.map(t => (t._1, t._2, t._4)).toSeq)
+      refined.zip(truth).foreach { case (a, b) =>
+        assert(math.abs(a._3 - b._3) < 1e-5) }
+    } finally { composed.unpersist(); exact.unpersist(); cells.unpersist() }
+  }
+
   test("IVF×SQ8 serving session == distributed; routedIvfSq8 dispatch + byte cap") {
     val model = Ann.trainIvf(e, "embedding", nCells = 4)
     val cells = Ann.assignCells(e, "embedding", "vec_id", model).cache()
