@@ -1290,7 +1290,26 @@ object Bench {
         // best-of-2 (r13): the r12 artifact's 131.6 s single sample vs
         // 12.4 s standalone (docs/probes/cc10m_r13.txt) — one stalled
         // run must not own the row
-        val sec = bestSec(2)(run(): Unit)
+        val sec0 = bestSec(2)(run(): Unit)
+        // r16 block-specific re-pair: this row's healthy value (11-15 s
+        // on every same-HEAD probe this round) is already over the
+        // corpus rows' 3 s re-pair bound, so it gets its own. An r16
+        // run-3 measured 33.7 s with CLEAN before/after CPU, job-floor
+        // AND shuffle brackets — a drift episode that fits entirely
+        // inside the ~70 s block is invisible to bracket sampling, and
+        // only a settle+re-pair can re-measure it. Flags
+        // cc_10m:episodic when the pairs split past DriftRatio.
+        val sec = if (sec0 <= 20.0) sec0 else {
+          settle()
+          val second = bestSec(2)(run(): Unit)
+          if (math.max(sec0, second) / math.min(sec0, second) > DriftRatio) {
+            corpusRowDrift += "cc_10m:episodic"
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] cc_10m pairs split %.1f s vs %.1f s — flagged",
+              Double.box(sec0), Double.box(second)))
+          }
+          math.min(sec0, second)
+        }
         Some((nEdges, sec, comps))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] cc_10m failed: ${e.getMessage}"); None
@@ -1711,7 +1730,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family blocks also bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels) and corpus rows > 3 s settle+re-pair, flagging as corpus_500k:<row> when the pairs split; flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family blocks also bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels) and corpus rows > 3 s (cc_10m > 20 s — its healthy value is ~13 s) settle+re-pair, flagging as corpus_500k:<row> / cc_10m:episodic when the pairs split; flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(
