@@ -448,6 +448,75 @@ object SparkEntry {
           $"content".as("chunk_text"))
         .orderBy($"doc_id", $"chunk_index")
     }),
+    "ingest_stream_dedup" -> ((s, dir) => {
+      // The DEDUPED streaming sink graded end-to-end (extends the r15
+      // #6 directive past the plain sink): every document is streamed
+      // TWICE (planted exact duplicates under fresh ids, same text),
+      // StreamingIngest.startDeduped must drop the copies via the
+      // watermarked digest state, and the collection read-back counts
+      // DISTINCT sources per chunk tuple — if the dedup breaks and
+      // both copies ingest, every n_docs doubles and the hash fails
+      // (a bare DISTINCT over chunks would hide exactly that). The
+      // oracle chunks the distinct-TEXT survivors only; which planted
+      // id survives is batch-order-dependent by design, so ids never
+      // appear in the output.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_sdedup")
+      val engine = new graft.engine.FusionEngine(s, tmp.resolve("engine").toString)
+      val rag = new graft.rag.RagPipeline(engine,
+        new graft.providers.MockEmbedderProvider(64), chunkSize = 64, chunkOverlap = 10)
+      val docSchema = t(s, dir, "documents").schema
+      val staged = java.nio.file.Files.createDirectory(tmp.resolve("docs"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val stream = s.readStream.schema(docSchema).parquet(staged.toString)
+        .select($"doc_id".cast("string"), $"text").as[(String, String)]
+        .flatMap { case (id, text) => Seq((id, text, ts0), ("dup_" + id, text, ts0)) }
+      val q = graft.streaming.StreamingIngest.startDeduped(stream, rag,
+        tmp.resolve("ckpt").toString)
+      q.awaitTermination(600000)
+      engine.table(rag.collection)
+        .groupBy(
+          element_at($"metadata", "_chunk_index").cast("int").as("chunk_index"),
+          element_at($"metadata", "_total_chunks").cast("int").as("total_chunks"),
+          $"content".as("chunk_text"))
+        .agg(countDistinct(element_at($"metadata", "source")).as("n_docs"))
+        .orderBy($"chunk_index", $"total_chunks", $"chunk_text")
+    }),
+    "ingest_stream_curated" -> ((s, dir) => {
+      // The CURATED streaming sink (quality gates BEFORE the stateful
+      // dedup — the firehose shape where the state bound matters):
+      // same planted-duplicate protocol as ingest_stream_dedup, but
+      // through startCurated, so the oracle additionally replays the
+      // row gates (length >= 50 chars; 3-gram repetition < 0.5 with
+      // the engine's exact shingle/total definition). A doc wrongly
+      // gated in either direction changes the chunk tuple set; a
+      // leaked duplicate doubles n_docs.
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_scur")
+      val engine = new graft.engine.FusionEngine(s, tmp.resolve("engine").toString)
+      val rag = new graft.rag.RagPipeline(engine,
+        new graft.providers.MockEmbedderProvider(64), chunkSize = 64, chunkOverlap = 10)
+      val docSchema = t(s, dir, "documents").schema
+      val staged = java.nio.file.Files.createDirectory(tmp.resolve("docs"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        staged.resolve("documents.parquet"))
+      val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      val stream = s.readStream.schema(docSchema).parquet(staged.toString)
+        .select($"doc_id".cast("string"), $"text").as[(String, String)]
+        .flatMap { case (id, text) => Seq((id, text, ts0), ("dup_" + id, text, ts0)) }
+      val q = graft.streaming.StreamingIngest.startCurated(stream, rag,
+        tmp.resolve("ckpt").toString)
+      q.awaitTermination(600000)
+      engine.table(rag.collection)
+        .groupBy(
+          element_at($"metadata", "_chunk_index").cast("int").as("chunk_index"),
+          element_at($"metadata", "_total_chunks").cast("int").as("total_chunks"),
+          $"content".as("chunk_text"))
+        .agg(countDistinct(element_at($"metadata", "source")).as("n_docs"))
+        .orderBy($"chunk_index", $"total_chunks", $"chunk_text")
+    }),
 
     // §2.4 token-budget context packing (RAGPipeline.js:215-233,
     // HybridRetriever.js:235-254): running ceil(len/4) token sum in score
@@ -2593,7 +2662,13 @@ object SparkEntry {
     * pack words greedily to `size` chars, carrying the last `overlap`
     * chars + the overflowing word into the next chunk. Expressed as a
     * recursive CTE with one row per (doc, chunk). */
-  private def ragChunksOracleSql(size: Int, overlap: Int): String = {
+  private def ragChunksOracleSql(size: Int, overlap: Int): String =
+    ragChunksOracleSqlFrom(size, overlap, "documents")
+
+  /** [[ragChunksOracleSql]] over a caller-supplied doc source —
+    * `src` must expose `(doc_id, text)`. Used by the streaming-dedup
+    * entry to chunk only the DISTINCT-text survivors. */
+  private def ragChunksOracleSqlFrom(size: Int, overlap: Int, src: String): String = {
     val whole = (size * 1.5).toInt
     // candidate length of appending words p..j to the carry
     val fit = s"len(list_filter(range(p, nw+1), j -> (CASE WHEN carry = '' THEN 0 ELSE len(carry)+1 END) + cum[j] - (CASE WHEN p = 1 THEN 0 ELSE cum[p-1]+1 END) <= $size))"
@@ -2603,7 +2678,7 @@ object SparkEntry {
        |cums AS (
        |  SELECT doc_id, words, len(words) AS nw,
        |         list_transform(range(1, len(words)+1), j -> len(array_to_string(words[1:j], ' '))) AS cum
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE len(text) > $whole)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM $src WHERE len(text) > $whole)
        |),
        |rec AS (
        |  SELECT doc_id, words, nw, cum, 0 AS idx, 1 AS p, '' AS carry FROM cums
@@ -2619,7 +2694,7 @@ object SparkEntry {
        |),
        |singles AS (
        |  SELECT doc_id, 0 AS chunk_index, text AS chunk_text
-       |  FROM documents WHERE len(text) <= $whole
+       |  FROM $src WHERE len(text) <= $whole
        |),
        |allc AS (SELECT * FROM packed UNION ALL SELECT * FROM singles)
        |SELECT doc_id, chunk_index,
@@ -2943,6 +3018,34 @@ object SparkEntry {
       // reads the collection back — the oracle predicts what that
       // round-trip must preserve (VERDICT r15 #6)
       "ingest_stream" -> ragChunksOracleSql(64, 10),
+
+      // chunk the DISTINCT-text survivors (the planted duplicates must
+      // be gone), then count docs per chunk tuple — n_docs doubles if
+      // the streaming dedup leaks the copies
+      "ingest_stream_dedup" ->
+        s"""SELECT chunk_index, total_chunks, chunk_text,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM (${ragChunksOracleSqlFrom(64, 10,
+                "(SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text) AS docs_src")})
+           |GROUP BY chunk_index, total_chunks, chunk_text
+           |ORDER BY chunk_index, total_chunks, chunk_text""".stripMargin,
+
+      // the curated sink's gates replayed (length + the engine's exact
+      // 3-gram repetition with split(' ', -1) semantics), then the
+      // dedup entry's distinct-text chunk/count protocol
+      "ingest_stream_curated" ->
+        s"""SELECT chunk_index, total_chunks, chunk_text,
+           |  CAST(count(*) AS BIGINT) AS n_docs
+           |FROM (${ragChunksOracleSqlFrom(64, 10,
+                """(SELECT min(doc_id) AS doc_id, text FROM (
+                  |    SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents
+                  |  ) WHERE len(text) >= 50 AND len(ts) >= 3
+                  |    AND 1.0 - CAST(len(list_distinct([array_to_string(ts[i:i+2], ' ')
+                  |      FOR i IN range(1, greatest(len(ts)-1, 1))])) AS DOUBLE)
+                  |      / (len(ts) - 2) < 0.5
+                  |  GROUP BY text) AS docs_src""".stripMargin)})
+           |GROUP BY chunk_index, total_chunks, chunk_text
+           |ORDER BY chunk_index, total_chunks, chunk_text""".stripMargin,
 
       "rag_context_pack" ->
         s"""WITH scored AS (
