@@ -514,7 +514,8 @@ object Bench {
         sq8FleetQps: Double = -1.0, sq8P50: Double = -1.0,
         sq8Recall: Double = -1.0,
         ivfSq8FleetQps: Double = -1.0, ivfSq8P50: Double = -1.0,
-        ivfSq8Recall: Double = -1.0, dim: Int = 64) {
+        ivfSq8Recall: Double = -1.0, dim: Int = 64,
+        blockGbps: Double = -1.0) {
       def ivfQps: Double = if (ivfRuns.isEmpty) -1.0 else nq / ivfRuns.min
     }
     def scaleProbe(target: Long, nFleet: Int, ivfCells: Int, ivfProbes: Int): Option[Probe] = {
@@ -525,6 +526,12 @@ object Bench {
       val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       try {
         System.gc() // drop the previous probe's dead caches first
+        // per-block bandwidth sample (r16): the box's DRAM throughput
+        // swings ~20% within a run (23-28 GB/s observed same-day), and
+        // the exact-scan rows this probe measures are bandwidth-bound —
+        // normalizing them against the RUN-START triad misattributes
+        // that swing. ~30 ms per probe.
+        val blockGbps = graft.tools.MachineCanary.measureBandwidth()._2
         import org.apache.spark.sql.functions._
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val n = e.count()
@@ -794,7 +801,7 @@ object Bench {
           ivfScanRuns, servingP50, jobP50, pqQps, pqRecall, pqServP50,
           servingFleetPath, ivfFleetQps, sq8FleetQps, sq8P50, sq8Recall,
           ivfSq8FleetQps, ivfSq8P50, ivfSq8Recall,
-          queries.headOption.map(_._2.length).getOrElse(64)))
+          queries.headOption.map(_._2.length).getOrElse(64), blockGbps))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale probe $target failed: ${e.getMessage}"); None
       } finally cleanups.foreach(c => try c() catch { case _: Throwable => () })
@@ -803,7 +810,7 @@ object Bench {
     // driver keeps only a ~2 KB tail of console output, so the printed
     // line must stay small; BENCH_r03/r04 lost their parse to this).
     def probeJson(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_fleet_qps":${p.ivfFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8,"sq8_fleet_qps":${p.sq8FleetQps},"sq8_serving_p50_ms":${p.sq8P50},"sq8_refined_score_recall_at_10":${p.sq8Recall},"sq8_bytes_per_vector":${p.dim + 24},"ivf_sq8_fleet_qps":${p.ivfSq8FleetQps},"ivf_sq8_serving_p50_ms":${p.ivfSq8P50},"ivf_sq8_refined_score_recall_at_10":${p.ivfSq8Recall},"ivf_sq8_bytes_per_vector":${p.dim + 24}}"""
+      s"""{"n_vectors":${p.total},"n_queries":${p.nq},"exact_qps":${p.nq / p.exactRuns.min},"exact_qps_runs":${runsJson(p.exactRuns, p.nq)},"serving_fleet_qps":${p.servingFleetQps},"serving_fleet_path":"${p.servingFleetPath}","ivf_fleet_qps":${p.ivfFleetQps},"ivf_qps":${p.ivfQps},"ivf_qps_runs":${runsJson(p.ivfRuns, p.nq)},"ivf_cells":${p.ivfCells},"ivf_probes":${p.ivfProbes},"ivf_score_recall_at_10":${p.ivfRecall},"ivf_serving_p50_ms":${p.ivfServingP50},"exact_scan_qps":${p.nq / p.scanRuns.min},"ivf_scan_qps":${p.ivfScanQps},"ivf_scan_qps_runs":${runsJson(p.ivfScanRuns, p.nq)},"single_query_p50_ms":${p.servingP50},"single_query_job_p50_ms":${p.jobP50},"pq_adc_qps":${p.pqQps},"pq_refined_score_recall_at_10":${p.pqRefinedRecall},"pq_serving_p50_ms":${p.pqServingP50},"pq_bytes_per_vector":8,"sq8_fleet_qps":${p.sq8FleetQps},"sq8_serving_p50_ms":${p.sq8P50},"sq8_refined_score_recall_at_10":${p.sq8Recall},"sq8_bytes_per_vector":${p.dim + 24},"ivf_sq8_fleet_qps":${p.ivfSq8FleetQps},"ivf_sq8_serving_p50_ms":${p.ivfSq8P50},"ivf_sq8_refined_score_recall_at_10":${p.ivfSq8Recall},"ivf_sq8_bytes_per_vector":${p.dim + 24},"bw_gbps_at_block":${fmt(p.blockGbps, 1)}}"""
     }.getOrElse("null")
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
@@ -1177,7 +1184,7 @@ object Bench {
       s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)}}"""
     }.getOrElse("null")
     def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
-      s"""{"n":$n,"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)}}"""
+      s"""{"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
@@ -1222,7 +1229,7 @@ object Bench {
       s"""{"n_events":$n,"asof_join_sec":${fmt(ao, 2)},"asof_events_per_sec":${fmt(n / ao, 0)},"range_join_sec":${fmt(ra, 2)},"range_events_per_sec":${fmt(n / ra, 0)}}"""
     }.getOrElse("null")
     def eventsCompact: String = events5m.map { case (n, ao, ra) =>
-      s"""{"n":$n,"asof_s":${fmt(ao, 1)},"range_s":${fmt(ra, 1)}}"""
+      s"""{"asof_s":${fmt(ao, 1)},"range_s":${fmt(ra, 1)}}"""
     }.getOrElse("null")
 
     // Stored banded-index economics, split (VERDICT r6 #7): the
@@ -1696,8 +1703,9 @@ object Bench {
         // row on the ~50 GB/s box the ratio history was calibrated on
         // (docs/probes/serving100k_r15.txt: this box ~28 GB/s effective,
         // 0.9 ms measured ≈ 0.5 ms calibrated)
-        val bwNorm = if (pr.servingP50 >= 0 && triadGbps > 0)
-          pr.servingP50 * triadGbps / 50.0 else -1.0
+        val gbps = if (pr.blockGbps > 0) pr.blockGbps else triadGbps
+        val bwNorm = if (pr.servingP50 >= 0 && gbps > 0)
+          pr.servingP50 * gbps / 50.0 else -1.0
         s"""{"reference_hnsw_p50_ms":$refP50,"reference_hnsw_qps":${fmt(refQps, 0)},"exact_p50_ms":${fmt(pr.servingP50, 2)},"exact_p50_bw_norm_ms":${fmt(bwNorm, 2)},"ann_ivf_p50_ms":${fmt(pr.ivfServingP50, 2)},"ann_ivf_recall":${fmt(pr.ivfRecall, 3)},"pq_p50_ms":${fmt(pr.pqServingP50, 2)},"serving_fleet_qps":${fmt(pr.servingFleetQps, 0)}}"""
       }.getOrElse("null")
       // insert row vs BASELINE.md's 2.8 s, raw AND canary-normalized:
@@ -1709,7 +1717,7 @@ object Bench {
         val norm = (ins / 2.8) * (0.31 / math.max(canaryStart, 1e-9))
         s"""{"reference_sec":2.8,"insert_sec":${fmt(ins, 3)},"ratio":${fmt(ins / 2.8, 2)},"canary_norm_ratio":${fmt(norm, 2)},"runs":3}"""
       }.getOrElse("null")
-      s"""{"note":"reference p50/QPS rows are HNSW (approximate, prebuilt in-RAM); the ann rows are the like-for-like comparison, exact rows the brute-force upper bound","bw_norm_note":"exact_p50_bw_norm_ms = exact_p50_ms x (triad_gbps/50) — the DRAM-bound exact rows restated on the ~50 GB/s box the ratio history was calibrated on; judge exact rows on the normalized value","at_10k":${row(qps10k, 0.3, 3300)},"at_100k":${row(qps100k, 0.5, 2000)},"insert_100k":$insertRow}"""
+      s"""{"note":"reference p50/QPS rows are HNSW (approximate, prebuilt in-RAM); the ann rows are the like-for-like comparison, exact rows the brute-force upper bound","bw_norm_note":"exact_p50_bw_norm_ms = exact_p50_ms x (gbps/50), gbps = the triad sampled AT THE BLOCK (bw_gbps_at_block — this box swings 23-28 GB/s within a run; run-start fallback) — the DRAM-bound exact rows restated on the ~50 GB/s box the ratio history was calibrated on; judge exact rows on the normalized value","at_10k":${row(qps10k, 0.3, 3300)},"at_100k":${row(qps100k, 0.5, 2000)},"insert_100k":$insertRow}"""
     }
     def canaryJson: String =
       s"""{"kernel_p50_ms_start":${fmt(canaryStart, 4)},"kernel_p50_ms_end":${fmt(canaryEnd, 4)},"parallel8_p50_ms_start":${fmt(canaryParStart, 4)},"parallel8_p50_ms_end":${fmt(canaryParEnd, 4)},"contended":$contended,"attribution_start":"$attributionStart","attribution_end":"$attributionEnd","steal_pct":[${fmt(stealStart, 1)},${fmt(stealEnd, 1)}],"external_busy_pct":[${fmt(extBusyStart, 1)},${fmt(extBusyEnd, 1)}],"note":"frozen kernel; moves only with the machine. Single-thread ~0.31 ms on the r6-r9 sandbox, ~0.1 ms implied for the r5-class machine. Since r9 the gate ATTRIBUTES a high par8/single ratio by sampling /proc/stat steal + other-process busy DURING a sustained par8 window: contended=true (non-evidentiary, discard timings) only when the ratio is high AND the guest shows external load (steal > 2% or external busy > 5%) or /proc is unavailable; attribution=idle-degraded-parallel means the ratio is the idle box's own scheduling/SMT characteristic (r9 measured ratio 2.3-2.9 at steal 0.0%, external 0.0%) and the run IS evidentiary"}"""
@@ -1754,11 +1762,21 @@ object Bench {
     // abbreviated compact twins for the two verbose sub-blocks (full
     // key names stay in bench_latest.json) — the r16 hnsw_1m + bw_gbps
     // additions had to come from somewhere inside the 1,900 B budget
+    // compact drift list is CAPPED at 4 names + an overflow count —
+    // r16 run-6 proved a single self-flag entry pushes the line past
+    // the 1,900 B budget, and a heavily-flagged official run must
+    // still parse (the full list is always in bench_latest.json)
+    val driftCompact = {
+      val shown = driftBlocks.take(4).map("\"" + _ + "\"")
+      val extra = if (driftBlocks.length > 4)
+        Seq("\"+" + (driftBlocks.length - 4) + " more\"") else Nil
+      (shown ++ extra).mkString("[", ",", "]")
+    }
     val cc10mCompact = cc10m.map { case (n, s, _) =>
       s"""{"n":$n,"s":${fmt(s, 1)}}""" }.getOrElse("null")
     val dedupStoredCompact = dedupStored.map { case (b, q) =>
       s"""{"b":${fmt(b, 1)},"q":${fmt(q, 1)}}""" }.getOrElse("null")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","bw_gbps":${fmt(triadGbps, 0)},"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"hnsw_1m":$hnsw1mCompact,"drift":$driftJson,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredCompact,"cc_10m":$cc10mCompact,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"sf":"${sfDir.split('/').last}"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","bw_gbps":${fmt(triadGbps, 0)},"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"hnsw_1m":$hnsw1mCompact,"drift":$driftCompact,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredCompact,"cc_10m":$cc10mCompact,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"sf":"${sfDir.split('/').last}"}"""
     // hard budget 1900: the driver truncates lines at ~4096 B and
     // keeps a 2000 B tail — r12-r14 all came back parsed:null over
     // this; r15 run-3 measured 1974 B before this trim
