@@ -221,7 +221,19 @@ object Bench {
         (System.nanoTime() - t0) / 1e6
       }.min
     }
-    val shuffleRef = { shuffleFloor(); shuffleFloor() } // first run warms codegen
+    // reference = MEDIAN of five spaced samples after a codegen warm
+    // run, mirroring sentinelRef below (ADVICE r16): a single best-of-2
+    // sample at run start can land on a transient stall or an unusually
+    // fast instant and mis-calibrate the 1.5x shuffle drift gate for
+    // the entire run
+    val shuffleRef = {
+      shuffleFloor() // warm codegen
+      val xs = (0 until 5).map { i =>
+        if (i > 0) Thread.sleep(150)
+        shuffleFloor()
+      }.sorted
+      xs(xs.length / 2)
+    }
     // reference = MEDIAN of five spaced sentinels, not one minimum: a
     // single sample can land on an unusually fast instant (run-1 read
     // 0.231 ms where the box's session median is ~0.28) and turn the
@@ -245,6 +257,14 @@ object Bench {
     // bounded either way.
     val RerunBudget0 = 24
     var rerunBudget = RerunBudget0
+    // row-level drift flags ("<block>:<row>") from the settle+re-pair
+    // protocol: expensive corpus rows (r16) and — since r17 (VERDICT
+    // r16 #1) — the hnsw/ann BUILD measurements, the one family whose
+    // drift the block-bracket sentinels alone could not attribute
+    // (r16's 18.9 s d128 build on a box whose builds swung 1.7→6.3 s
+    // same-code same-day had no self-flag path). Joined into
+    // drift_blocks alongside the sentinel flags.
+    val rowDrift = scala.collection.mutable.ListBuffer.empty[String]
     def block[T](name: String, rerunOnDrift: Boolean = true,
                  withJobFloor: Boolean = false,
                  withShuffleFloor: Boolean = false)(body: => T): T = {
@@ -415,7 +435,7 @@ object Bench {
       (headline, curveJson)
     }
     val (ann, annCurves, annClustered, annClusteredCurves, pqClustered) =
-      block("ann_ivf", rerunOnDrift = false, withJobFloor = true) { try {
+      block("ann_ivf", rerunOnDrift = false, withJobFloor = true, withShuffleFloor = true) { try {
         val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val (h1, c1) = annGrid(e)
         // seeded Gaussian mixture: 50 centers, within-cluster cos ≈ 0.5.
@@ -875,7 +895,7 @@ object Bench {
         probes: Int, rf: Int, qps: Double, refQps: Double, rec: Double,
         regret: Double, p50: Double, frontier: Seq[PqFrontierPt])
     val pq10m: Option[Pq10m] =
-      block("knn_10m_pq", rerunOnDrift = false, withJobFloor = true) { try {
+      block("knn_10m_pq", rerunOnDrift = false, withJobFloor = true, withShuffleFloor = true) { try {
         import org.apache.spark.sql.functions._
         val target = 10000000L
         val dim = 64
@@ -1022,7 +1042,6 @@ object Bench {
     // equally slow and the shuffle-floor bracket flags the block; a
     // transient one splits the pairs and self-flags HERE. Flagged rows
     // land in drift_blocks as "corpus_500k:<row>".
-    val corpusRowDrift = scala.collection.mutable.ListBuffer.empty[String]
     // (n, curate, contamination, quality-gate, pii-scrub, line-dedup,
     // surprisal, sequence-packing, span-mask ×2, nfc-clean, bloom-dedup,
     // zorder-write) — the scrub/LM probes aggregate over their computed
@@ -1038,7 +1057,7 @@ object Bench {
             settle()
             val second = bestSec(2)(body)
             if (math.max(first, second) / math.min(first, second) > DriftRatio) {
-              corpusRowDrift += s"corpus_500k:$rowName"
+              rowDrift += s"corpus_500k:$rowName"
               System.err.println(String.format(java.util.Locale.ROOT,
                 "[bench] corpus row %s pairs split %.1f s vs %.1f s — flagged",
                 rowName, Double.box(first), Double.box(second)))
@@ -1310,7 +1329,7 @@ object Bench {
           settle()
           val second = bestSec(2)(run(): Unit)
           if (math.max(sec0, second) / math.min(sec0, second) > DriftRatio) {
-            corpusRowDrift += "cc_10m:episodic"
+            rowDrift += "cc_10m:episodic"
             System.err.println(String.format(java.util.Locale.ROOT,
               "[bench] cc_10m pairs split %.1f s vs %.1f s — flagged",
               Double.box(sec0), Double.box(second)))
@@ -1412,8 +1431,31 @@ object Bench {
     // carries only the headline build/p50/recall/QPS numbers — r12-r14
     // all came back parsed:null because the three full hnsw blocks
     // alone pushed the stdout line past the driver's capture window.
-    def hnswProbeOn(rows: Array[(Long, Array[Float])], dim: Int,
-                    refBuildCfg: Boolean = false): (String, String, Double) =
+    def hnswProbeOn(name: String, rows: Array[(Long, Array[Float])], dim: Int,
+                    refBuildCfg: Boolean = false): (String, String, Double) = {
+      // settle+re-pair for BUILD measurements (VERDICT r16 #1): the
+      // build pair below already takes a min-of-2; when the pair SPLITS
+      // past DriftRatio (r16's box swung same-code builds 1.7→6.3 s),
+      // run one more settled build and keep the overall min — and if
+      // the best two still disagree past DriftRatio, flag
+      // "<block>:<row>" into drift_blocks so the artifact can't publish
+      // an unattributed build regression (the d128 2.95x mode).
+      def rePairBuild(row: String, s1: Double, s2: Double)(again: => Double): Double = {
+        val lo = math.min(s1, s2); val hi = math.max(s1, s2)
+        if (hi / lo <= DriftRatio) lo
+        else {
+          settle()
+          val s3 = again
+          val sorted = Array(s1, s2, s3).sorted
+          if (sorted(1) / sorted(0) > DriftRatio) {
+            rowDrift += s"$name:$row"
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] %s %s builds split %.1f/%.1f/%.1f s — flagged",
+              name, row, Double.box(s1), Double.box(s2), Double.box(s3)))
+          }
+          sorted(0)
+        }
+      }
       try {
         // DEFAULT config build — dim-aware since r13 (Hnsw.defaultM:
         // M=24/efC=200 at dim >= 96, unchanged 16/100 below; ef
@@ -1441,8 +1483,14 @@ object Bench {
         firstBuild = null
         settle()
         val t2 = System.nanoTime()
-        val idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
-        val buildSec = math.min(build1, (System.nanoTime() - t2) / 1e9)
+        var idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
+        val build2 = (System.nanoTime() - t2) / 1e9
+        val buildSec = rePairBuild("build", build1, build2) {
+          idx = null // keep peak residency at one graph during the retry
+          val t3 = System.nanoTime()
+          idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
+          (System.nanoTime() - t3) / 1e9
+        }
         val defaultEf = graft.ann.Hnsw.defaultEf(dim)
         // dim-matched build-time comparison against BASELINE.md's own
         // configuration (the reference builds at M=16): timed at the
@@ -1455,7 +1503,7 @@ object Bench {
         // breached it (6.9 s) purely on suite pressure the committed
         // same-HEAD artifact (4.3 s) didn't carry
         val refBuildSec = if (refBuildCfg) {
-          (1 to 2).map { _ =>
+          def one(): Double = {
             settle()
             val t0 = System.nanoTime()
             val refIdx = graft.ann.Hnsw.buildParallel(rows.iterator, dim,
@@ -1463,7 +1511,11 @@ object Bench {
             val s = (System.nanoTime() - t0) / 1e9
             require(refIdx.n > 0, "ref-config build sanity")
             s
-          }.min
+          }
+          // same settle+re-pair as the default build: this row IS the
+          // like-for-like baseline ratio (≤ 2x of 2.8 s), so a split
+          // pair must either recover or self-flag (VERDICT r16 #1)
+          rePairBuild("build_ref", one(), one())(one())
         } else -1.0
         // queries drawn FROM the corpus (every other ann/pq block's
         // protocol: vec_id < 100 as the query fleet) — an isotropic
@@ -1560,6 +1612,7 @@ object Bench {
       } catch { case e: Throwable =>
         System.err.println(s"[bench] hnsw failed: ${e.getMessage}"); ("null", "null", -1.0)
       }
+    }
     // Inter-block settle (r13): the engine100k block just churned a
     // 100k-row engine (inserts + snapshot) right before the HNSW
     // builds, and the builds' parallel link phase absorbed its cleanup
@@ -1571,16 +1624,23 @@ object Bench {
     // 100k row; clustered = the ann block's 50-center Gaussian mixture
     // at 100k, the shape of real embedding corpora, where the graph's
     // sub-linear hops pay off
-    val (hnswJson, hnswCompact, _) = block("hnsw_100k") {
+    // withShuffleFloor on every hnsw block (VERDICT r16 #1): the
+    // shuffle-shaped kernel is the one sentinel that SAW the r15/r16
+    // drift mode (sustained executor/memory throughput — a DRAM
+    // antagonist reads 1.95x here while the CPU sentinel reads 1.03x,
+    // docs/probes/shuffle_sentinel_r16.txt), and the multithreaded
+    // allocation-heavy build path lives on exactly that axis.
+    val (hnswJson, hnswCompact, _) = block("hnsw_100k", withShuffleFloor = true) {
       val dim = 64
       val rnd0 = new scala.util.Random(11)
-      hnswProbeOn(Array.tabulate(100000)(i =>
+      hnswProbeOn("hnsw_100k", Array.tabulate(100000)(i =>
         (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1))), dim)
     }
-    val (hnswClusteredJson, hnswClusteredCompact, _) = block("hnsw_100k_clustered") {
+    val (hnswClusteredJson, hnswClusteredCompact, _) =
+      block("hnsw_100k_clustered", withShuffleFloor = true) {
       val dim = 64
       val nClusters = 50
-      hnswProbeOn(Array.tabulate(100000) { i =>
+      hnswProbeOn("hnsw_100k_clustered", Array.tabulate(100000) { i =>
         val cl = i % nClusters
         val rc = new scala.util.Random(cl * 1009 + 7)
         val center = Array.fill(dim)(rc.nextGaussian())
@@ -1597,10 +1657,11 @@ object Bench {
     // M=24/efC=200) config so the graded row honors the >= 0.9 recall
     // contract; build_ref_m16_sec is the like-for-like build-time
     // comparison at the reference's own M=16 config.
-    val (hnswD128Json, hnswD128Compact, _) = block("hnsw_100k_d128") {
+    val (hnswD128Json, hnswD128Compact, _) =
+      block("hnsw_100k_d128", withShuffleFloor = true) {
       val dim = 128
       val rnd0 = new scala.util.Random(19)
-      hnswProbeOn(Array.tabulate(100000)(i =>
+      hnswProbeOn("hnsw_100k_d128", Array.tabulate(100000)(i =>
         (i.toLong, Array.fill(dim)(rnd0.nextFloat() * 2 - 1))), dim,
         refBuildCfg = true)
     }
@@ -1616,10 +1677,10 @@ object Bench {
     // JSON row), which is the bench-side twin of the HnswSpec pins.
     settle()
     val (hnsw1mJson, hnsw1mCompact, hnsw1mRecall) =
-      block("hnsw_1m", rerunOnDrift = false) {
+      block("hnsw_1m", rerunOnDrift = false, withShuffleFloor = true) {
         val dim = 64
         val nClusters = 500
-        hnswProbeOn(Array.tabulate(1000000) { i =>
+        hnswProbeOn("hnsw_1m", Array.tabulate(1000000) { i =>
           val cl = i % nClusters
           val rc = new scala.util.Random(cl * 1009 + 7)
           val center = Array.fill(dim)(rc.nextGaussian())
@@ -1684,7 +1745,7 @@ object Bench {
     val driftBlocks: Seq[String] =
       blockSentinels.collect { case (n, bs) if bs.drift => n }.toSeq ++
         (if (spanAADrift) Seq("span_aa") else Nil) ++
-        corpusRowDrift
+        rowDrift
     val driftJson = driftBlocks.map("\"" + _ + "\"").mkString("[", ",", "]")
     // compact sentinel summary: the run-start reference and the
     // min/max block sentinel observed — full per-block values live in
@@ -1738,7 +1799,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family blocks also bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels) and corpus rows > 3 s (cc_10m > 20 s — its healthy value is ~13 s) settle+re-pair, flagging as corpus_500k:<row> / cc_10m:episodic when the pairs split; flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family AND hnsw/ann blocks bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels; the shuffle reference is itself a median of 5 spaced samples since r17), corpus rows > 3 s (cc_10m > 20 s — its healthy value is ~13 s) settle+re-pair, flagging as corpus_500k:<row> / cc_10m:episodic when the pairs split, and hnsw/ann BUILD pairs that split past ${DriftRatio}x re-pair once more and flag <block>:build / <block>:build_ref (VERDICT r16 #1 — the one family the r16 brackets skipped); flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(

@@ -33,6 +33,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Streaming-entry temp root: registered for recursive deletion at
+    * JVM exit rather than eagerly — the entry RETURNS a lazy DataFrame
+    * over the engine's parquet under this root, so the caller's
+    * materialization still needs the files; the shutdown hook bounds
+    * /tmp growth to one process's lifetime instead of accumulating
+    * engine data across Verify/Bench invocations (ADVICE r16). */
+  private def tempRootOnExit(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  /** AvailableNow ingest barrier: a timeout here means the graded
+    * collection is PARTIAL — fail loudly instead of letting the hash
+    * mismatch masquerade as a sink bug (ADVICE r16). */
+  private def awaitIngest(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    require(q.awaitTermination(600000),
+      "streaming ingest did not terminate within 600 s — partial collection, aborting the entry")
+
   /** Banded LSH history index, built once per (JVM, sfDir) and removed
     * at exit — `dedup_incremental_stored`'s steady-state shape (see the
     * entry's comment). */
@@ -426,7 +450,7 @@ object SparkEntry {
       // mangled at write, or a content mutation in storage all fail the
       // hash.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_stream")
+      val tmp = tempRootOnExit("graft_ingest_stream")
       val engine = new graft.engine.FusionEngine(s, tmp.resolve("engine").toString)
       val rag = new graft.rag.RagPipeline(engine,
         new graft.providers.MockEmbedderProvider(64), chunkSize = 64, chunkOverlap = 10)
@@ -440,7 +464,7 @@ object SparkEntry {
         .select($"doc_id".cast("string"), $"text").as[(String, String)]
       val q = graft.streaming.StreamingIngest.start(stream, rag,
         tmp.resolve("ckpt").toString)
-      q.awaitTermination(600000)
+      awaitIngest(q)
       engine.table(rag.collection).select(
           element_at($"metadata", "source").cast("long").as("doc_id"),
           element_at($"metadata", "_chunk_index").cast("int").as("chunk_index"),
@@ -461,7 +485,7 @@ object SparkEntry {
       // id survives is batch-order-dependent by design, so ids never
       // appear in the output.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_sdedup")
+      val tmp = tempRootOnExit("graft_ingest_sdedup")
       val engine = new graft.engine.FusionEngine(s, tmp.resolve("engine").toString)
       val rag = new graft.rag.RagPipeline(engine,
         new graft.providers.MockEmbedderProvider(64), chunkSize = 64, chunkOverlap = 10)
@@ -475,7 +499,7 @@ object SparkEntry {
         .flatMap { case (id, text) => Seq((id, text, ts0), ("dup_" + id, text, ts0)) }
       val q = graft.streaming.StreamingIngest.startDeduped(stream, rag,
         tmp.resolve("ckpt").toString)
-      q.awaitTermination(600000)
+      awaitIngest(q)
       engine.table(rag.collection)
         .groupBy(
           element_at($"metadata", "_chunk_index").cast("int").as("chunk_index"),
@@ -494,7 +518,7 @@ object SparkEntry {
       // gated in either direction changes the chunk tuple set; a
       // leaked duplicate doubles n_docs.
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_scur")
+      val tmp = tempRootOnExit("graft_ingest_scur")
       val engine = new graft.engine.FusionEngine(s, tmp.resolve("engine").toString)
       val rag = new graft.rag.RagPipeline(engine,
         new graft.providers.MockEmbedderProvider(64), chunkSize = 64, chunkOverlap = 10)
@@ -508,7 +532,7 @@ object SparkEntry {
         .flatMap { case (id, text) => Seq((id, text, ts0), ("dup_" + id, text, ts0)) }
       val q = graft.streaming.StreamingIngest.startCurated(stream, rag,
         tmp.resolve("ckpt").toString)
-      q.awaitTermination(600000)
+      awaitIngest(q)
       engine.table(rag.collection)
         .groupBy(
           element_at($"metadata", "_chunk_index").cast("int").as("chunk_index"),
@@ -1691,6 +1715,37 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: EXACT-SUBSTRING dedup (Lee et al. 2022 ExactSubstr,
+    // VERDICT r16 #4) — the maximal-SPAN report: arbitrary-length
+    // repeated spans ≥ 8 tokens at ≥ 2 corpus-wide occurrences, found
+    // by duplicated anchor 8-grams merged into islands (coverage-
+    // identical to the paper's suffix-array removal; one hashed
+    // gram-count shuffle, no suffix array). Duplicates are PLANTED so
+    // long spans provably exist at known boundaries: 32 full-document
+    // copies (whole doc = one maximal span, in copy AND original) and
+    // 64 composites wrapping tokens 10..39 of a source doc in unique
+    // markers (a mid-doc span at exact offsets on both sides). The
+    // DuckDB oracle replays anchors in STRING space + the
+    // gaps-and-islands merge — boundary or merge drift on either side
+    // breaks the hash.
+    "dedup_substring" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text")
+      val fullDup = docs.filter($"doc_id" < 32)
+        .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+      val pid = ($"doc_id" + 2000000L)
+      val mid = array_join(slice(split(lower(trim($"text")), "\\s+"), 11, 30), " ")
+      val partial = docs.filter($"doc_id" < 64)
+        .select(pid.as("doc_id"),
+          concat(lit("uq"), pid.cast("string"), lit("a "), mid,
+                 lit(" uq"), pid.cast("string"), lit("b")).as("text"))
+      graft.pipeline.CorpusOps.exactSubstrSpans(
+          docs.unionByName(fullDup).unionByName(partial),
+          "text", "doc_id", minLen = 8)
+        .select($"id".as("doc_id"), $"span_start", $"span_end", $"span_len")
+        .orderBy($"doc_id", $"span_start")
+    }),
+
     // LLM-pipeline: span-level DECONTAMINATION — the output half of the
     // contamination report: positions covered by any n-gram appearing
     // anywhere in the eval slice (doc_id % 7 = 0) are masked out of the
@@ -1738,6 +1793,44 @@ object SparkEntry {
       CorpusOps.epochShuffle(docs, "doc_id", seed = 42L, epoch = 1)
         .withColumn("key_e2", CorpusOps.epochShuffleKey($"doc_id", 42L, 2))
         .select($"doc_id", $"shuffle_key", $"key_e2")
+    }),
+
+    // LLM-pipeline: TRAINING-SHARD EXPORT graded end-to-end (VERDICT
+    // r16 #5 — the one pipeline writer whose output no oracle read
+    // back). writeShards splits (content-addressed md5), keys
+    // (epochShuffleKey), range-partition-sorts, and Hive-partitions
+    // the corpus into trainer shards; the entry then reads the SHARD
+    // FILES back and concatenates each split's keys and row payloads
+    // in (file-name, in-file-key) order. That order equals the
+    // oracle's pure key order IFF the writer's contract holds — file
+    // ranges disjoint, file names ordered like their ranges, rows
+    // key-sorted inside files, no row lost or duplicated. An
+    // overlapping range, a misordered shard, a dropped or doubled row
+    // all permute or change the concatenation and break the hash.
+    // (The per-split collect_list here is grading machinery over the
+    // graded SF, not the production read path — a trainer streams the
+    // shards; the manifest is the production audit.)
+    "training_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+      val out = tempRootOnExit("graft_texport").resolve("shards").toString
+      graft.pipeline.TrainingExport.writeShards(docs, "doc_id", out,
+        seed = 42L, epoch = 1, numShards = 8)
+      val ordered = array_sort(collect_list(struct(
+        $"file", $"shuffle_key", $"payload")))
+      s.read.parquet(out)
+        // project input_file_name() BEFORE the agg (nondeterministic
+        // expressions are legal only in Project/Filter)
+        .select($"split", input_file_name().as("file"), $"shuffle_key",
+          concat_ws(":", $"doc_id", $"lang", $"n_chars").as("payload"))
+        .groupBy($"split")
+        .agg(
+          count(lit(1)).cast("int").as("n_rows"),
+          md5(concat_ws("|",
+            transform(ordered, x => x.getField("shuffle_key")))).as("keys_md5"),
+          md5(concat_ws("|",
+            transform(ordered, x => x.getField("payload")))).as("rows_md5"))
+        .orderBy($"split")
     }),
 
     // LLM-pipeline: SimHash near-dup (Charikar) over document text —
@@ -2817,6 +2910,65 @@ object SparkEntry {
           |     if x IS NOT NULL], chr(31)), '')) AS kept_md5
           |FROM toks t LEFT JOIN agg a USING (doc_id)
           |ORDER BY t.doc_id""".stripMargin,
+
+      // TrainingExport replay: splitAssign + epochShuffleKey are pure
+      // id functions, so the trainer-visible global order per split is
+      // fully derivable — keys and payloads concatenated in key order.
+      // The Spark side concatenates in (file-name, in-file-key) order
+      // over the WRITTEN shards; equality is the writer contract.
+      "training_export" ->
+        """WITH keyed AS (
+          |  SELECT doc_id, lang, n_chars,
+          |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < 'cc' THEN 'train'
+          |         WHEN md5(CAST(doc_id AS VARCHAR)) < 'e6' THEN 'val'
+          |         ELSE 'test' END AS split,
+          |    md5('42:1:' || CAST(doc_id AS VARCHAR)) AS k
+          |  FROM documents)
+          |SELECT split, CAST(count(*) AS INT) AS n_rows,
+          |  md5(string_agg(k, '|' ORDER BY k)) AS keys_md5,
+          |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || lang || ':' ||
+          |      CAST(n_chars AS VARCHAR), '|' ORDER BY k)) AS rows_md5
+          |FROM keyed GROUP BY split ORDER BY split""".stripMargin,
+
+      // ExactSubstr replay in STRING space: the same planted corpus,
+      // anchor 8-grams at count >= 2, then the gaps-and-islands merge
+      // (sorted same-length intervals: a start merges into the open
+      // island iff it is <= lag + 8). 1-based DuckDB positions convert
+      // at the SELECT: start = min(i)-1, end = (max(i)-1)+8-1.
+      "dedup_substring" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 32
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    'uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'a ' ||
+          |    array_to_string((string_split_regex(lower(trim(text)), '\s+'))[11:40], ' ') ||
+          |    ' uq' || CAST(doc_id + 2000000 AS VARCHAR) || 'b' AS text
+          |  FROM documents WHERE doc_id < 64),
+          |toks AS (
+          |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ts
+          |  FROM corpus),
+          |grams AS (
+          |  SELECT doc_id, i, array_to_string(ts[i:i+7], chr(31)) AS gram
+          |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
+          |hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2),
+          |starts AS (
+          |  SELECT g.doc_id, g.i FROM grams g JOIN hot h ON g.gram = h.gram),
+          |brk AS (
+          |  SELECT doc_id, i,
+          |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+          |         THEN 0 ELSE 1 END AS b
+          |  FROM starts),
+          |grp AS (
+          |  SELECT doc_id, i,
+          |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g
+          |  FROM brk)
+          |SELECT doc_id, CAST(min(i) - 1 AS INT) AS span_start,
+          |  CAST(max(i) + 6 AS INT) AS span_end,
+          |  CAST(max(i) - min(i) + 8 AS INT) AS span_len
+          |FROM grp GROUP BY doc_id, g
+          |ORDER BY doc_id, span_start""".stripMargin,
 
       "epoch_shuffle" ->
         """SELECT doc_id,

@@ -181,6 +181,71 @@ object CorpusOps {
     maskByHotGrams(toks, keyed, hot, n)
   }
 
+  /** ExactSubstr span REPORT (Lee et al. 2022, arXiv:2107.06499 §4.1 —
+    * the suffix-array dedup; VERDICT r16 #4): one row per MAXIMAL span
+    * of consecutive tokens that lies inside some ≥ `minLen`-token
+    * substring occurring ≥ 2 times corpus-wide (any document,
+    * including a second occurrence in the same one — the paper counts
+    * total occurrences). Output `(id, span_start, span_end, span_len)`
+    * in 0-based inclusive token coordinates.
+    *
+    * WHY NO SUFFIX ARRAY: a position lies in some repeated span of
+    * length ≥ L iff it is covered by a duplicated L-gram (a maximal
+    * repeated span of length m ≥ L contributes exactly its m−L+1
+    * L-windows, each duplicated; conversely a duplicated L-gram IS a
+    * repeated L-span) — so duplicated-anchor-gram coverage, merged
+    * into islands, reproduces the suffix-array construction's REMOVAL
+    * semantics exactly, in the Spark shape the cluster wants: one
+    * hashed gram-count shuffle (map-side combined, 8-byte
+    * [[gramHash]] keys — [[maskRepeatedNgrams]]'s exact kernel at
+    * minCount=2), a left-semi join of gram starts against the hot set
+    * (AQE-broadcast when small), then a per-doc sorted-starts interval
+    * merge bounded by doc length. The union of two overlapping
+    * repeated spans need not itself repeat as one substring — the
+    * paper's removal takes the union too (every byte in SOME ≥50-byte
+    * duplicate), which is what islands of same-length intervals give.
+    *
+    * Interval-merge rule (equal-length anchors make the classic
+    * sorted-lag island scan exact): consecutive duplicated starts
+    * `s_prev < s` merge iff `s ≤ s_prev + minLen` — i.e. their
+    * coverage `[s, s+minLen−1]` overlaps or abuts `[s_prev,
+    * s_prev+minLen−1]`. The `dedup_substring` oracle replays this in
+    * gaps-and-islands SQL over string-space grams.
+    *
+    * Cleaned TEXT (when you want removal, not the report) is
+    * [[maskRepeatedNgrams]]`(n = minLen, minCount = 2)` — identical
+    * coverage by the iff above; this report is the auditable half
+    * (what got cut, where, how long), the input to span-level
+    * lineage the way [[decontaminateSpans]] reports eval leaks. */
+  def exactSubstrSpans(df: DataFrame, textCol: String, idCol: String,
+                       minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = spanToks(df, textCol, idCol)
+    val keyed = spanGrams(toks, minLen, hashedGrams = true)
+    val hot = keyed.groupBy("gram").count()
+      .filter(col("count") >= 2).select("gram")
+    keyed.join(hot, Seq("gram"), "left_semi")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("i"))).as("ss"))
+      .as[(Long, Seq[Int])]
+      .flatMap { case (id, ss) =>
+        val out = Vector.newBuilder[(Long, Int, Int, Int)]
+        var start = -1
+        var end = -1 // inclusive coverage end of the open island
+        ss.foreach { s =>
+          if (start < 0) { start = s; end = s + minLen - 1 }
+          else if (s <= end + 1) { end = s + minLen - 1 }
+          else {
+            out += ((id, start, end, end - start + 1))
+            start = s; end = s + minLen - 1
+          }
+        }
+        if (start >= 0) out += ((id, start, end, end - start + 1))
+        out.result()
+      }.toDF("id", "span_start", "span_end", "span_len")
+  }
+
   /** `(id, ts)` tokenization shared by the span-masking family — must
     * stay in lock-step with the DuckDB oracles' `string_split_regex
     * (lower(trim(text)), '\\s+')`. */

@@ -70,8 +70,20 @@ final class RagPipeline(
     // the source already carries >= cores partitions and this is a
     // no-op; the guard keeps the shuffle off the 100 TB path.
     val target = docs.sparkSession.sparkContext.defaultParallelism
+    // ... but not for a known-tiny batch (ADVICE r16): a low-throughput
+    // streaming micro-batch (one small file, a handful of docs) must not
+    // pay a defaultParallelism-wide shuffle per batch. Plan statistics
+    // give a zero-job size estimate: file sources report real bytes,
+    // unknown sources report the defaultSizeInBytes sentinel (huge) and
+    // take the full spread as before. Under 1 MiB of source bytes the
+    // spread width scales at ~32 KiB/task (≥ 1, ≤ cores).
+    val statBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val spreadTarget =
+      if (statBytes < BigInt(1L << 20))
+        math.max(1, math.min(target, (statBytes >> 15).toInt))
+      else target
     val spread =
-      if (docs.rdd.getNumPartitions * 2 <= target) docs.repartition(target)
+      if (docs.rdd.getNumPartitions * 2 <= spreadTarget) docs.repartition(spreadTarget)
       else docs
     val chunked = chunkDocs(spread)
     val baseMeta = map(

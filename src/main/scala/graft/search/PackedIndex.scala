@@ -177,7 +177,7 @@ object PackedIndex {
           Kernels.drain(heaps, ids)
         }
       }
-      rank(spark, pairs, k)
+      rank(spark, pairs, k, bc)
     }
 
     def unpersist(): Unit = { blocks.unpersist(); () }
@@ -215,7 +215,7 @@ object PackedIndex {
           Kernels.drain(heaps, ids)
         }
       }
-      rank(spark, pairs, k)
+      rank(spark, pairs, k, bc)
     }
 
     def unpersist(): Unit = { blocks.unpersist(); () }
@@ -272,7 +272,7 @@ object PackedIndex {
           Kernels.drain(heaps, ids)
         }
       }
-      rank(spark, pairs, k)
+      rank(spark, pairs, k, bc)
     }
 
     def unpersist(): Unit = { blocks.unpersist(); () }
@@ -339,7 +339,7 @@ object PackedIndex {
           Kernels.drain(heaps, ids)
         }
       }
-      rank(spark, pairs, k)
+      rank(spark, pairs, k, bc)
     }
 
     /** Quantized candidates re-ranked at FULL precision against the
@@ -436,7 +436,7 @@ object PackedIndex {
           Kernels.drain(heaps, ids)
         }
       }
-      rank(spark, pairs, k)
+      rank(spark, pairs, k, bc)
     }
 
     /** ADC candidates re-ranked at FULL precision against the source
@@ -640,13 +640,18 @@ object PackedIndex {
     * scan APIs ([[VectorSearch.knnBatchFast]] /
     * [[graft.ann.Ann.ivfSearchBatchFast]]), whose partitioned-window
     * rank keeps the result distributed. */
-  private def rank(spark: SparkSession, pairs: RDD[(Long, Long, Double)], k: Int): DataFrame = {
+  private def rank(spark: SparkSession, pairs: RDD[(Long, Long, Double)], k: Int,
+                   bc: org.apache.spark.broadcast.Broadcast[_] = null): DataFrame = {
     import spark.implicits._
     val merged = pairs.collect().groupBy(_._1).iterator.flatMap { case (qid, cand) =>
       cand.sortBy { case (_, id, s) => (-s, id) }
         .iterator.take(k).zipWithIndex
         .map { case ((_, id, s), i) => (qid, id, s, i + 1) }
     }.toSeq
+    // the collect above is the last consumer of the per-search query
+    // broadcast — destroy it here so repeated searches on a long-lived
+    // index never accumulate broadcast blocks on executors (ADVICE r16)
+    if (bc != null) bc.destroy()
     spark.createDataFrame(merged).toDF("qid", "id", "score", "rank")
   }
 }

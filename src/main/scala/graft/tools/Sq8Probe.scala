@@ -12,8 +12,24 @@ import graft.search.Kernels
   *               bytes scanned)
   *   decoded   — rejected: tile-decode to a float buffer then the
   *               float kernel (1.2-1.5× slower than float)
-  *   intdot    — the raw loop the symmetric kernel ships (kept here
-  *               as the reference measurement)
+  *   intdot    — the raw loop the r15 kernel shipped (kept as the
+  *               reference measurement)
+  *
+  * r17 kernel pass (VERDICT r16 #3) — variants below intdot:
+  *
+  *   intq      — SHIPPED since r17: query codes widened to int[] once
+  *               per search; only the row side sign-extends. 1.4-1.6×
+  *               over intdot at every scale (1M×64: 28.4 vs 44.0 ms;
+  *               1M×128: 50.3 vs 58.4; 100k×64: 2.53 vs 3.81) and at
+  *               or below the float kernel's time everywhere probed.
+  *   simple    — rejected: un-unrolled reduction in case C2's SLP
+  *               could vectorize b2i multiplies (it can't — 1.9×
+  *               slower than intq)
+  *   longread  — rejected: 8 bytes per VarHandle long load + shift
+  *               extraction (3-5× slower; the shift chain costs more
+  *               than the saved bounds checks)
+  *   short16   — rejected: short[] codes to isolate the b2i cost
+  *               (no gain over intdot at 2× the bytes)
   *
   * The rejected first cut (asymmetric: per-element byte→float
   * widening inside the float lanes) ran 1.5-2× SLOWER than float at
@@ -135,6 +151,113 @@ object Sq8Probe {
         }
         while (d < dim) { s0 += codes(off + d) * qc(d); d += 1 }
         val dot = ((s0 + s1) + (s2 + s3)).toDouble * qsc
+        val vn2 = norm2(r)
+        val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+        h.offer(dot * inv * qInv, ids(r))
+        r += 1
+      }
+    }
+
+    // ---- r17 kernel-pass candidates (VERDICT r16 #3): the shipped
+    // intdot runs ~8 GB/s effective vs the float kernel's ~25 — the
+    // widening byte→int conversions per element are the suspect ----
+
+    // intq: query codes held as int[] (plain int loads on the query
+    // side; the row side still sign-extends)
+    val qcInt = qc.map(_.toInt)
+    time("intq") {
+      val h = new Kernels.TopKHeap(10)
+      var r = 0
+      while (r < n) {
+        var s0 = 0; var s1 = 0; var s2 = 0; var s3 = 0
+        val off = r * dim
+        var d = 0
+        val lim = dim - 3
+        while (d < lim) {
+          s0 += codes(off + d) * qcInt(d)
+          s1 += codes(off + d + 1) * qcInt(d + 1)
+          s2 += codes(off + d + 2) * qcInt(d + 2)
+          s3 += codes(off + d + 3) * qcInt(d + 3)
+          d += 4
+        }
+        while (d < dim) { s0 += codes(off + d) * qcInt(d); d += 1 }
+        val dot = ((s0 + s1) + (s2 + s3)).toDouble * qsc
+        val vn2 = norm2(r)
+        val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+        h.offer(dot * inv * qInv, ids(r))
+        r += 1
+      }
+    }
+
+    // simple: NO manual unroll — a single plain reduction loop, the
+    // shape C2's SLP vectorizer recognizes (manual 4-lane unrolls
+    // often BLOCK SLP; the float kernel vectorizes because its lanes
+    // map to what SLP would emit anyway)
+    time("simple") {
+      val h = new Kernels.TopKHeap(10)
+      var r = 0
+      while (r < n) {
+        var s = 0
+        val off = r * dim
+        var d = 0
+        while (d < dim) { s += codes(off + d) * qc(d); d += 1 }
+        val dot = s.toDouble * qsc
+        val vn2 = norm2(r)
+        val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+        h.offer(dot * inv * qInv, ids(r))
+        r += 1
+      }
+    }
+
+    // longread: 8 row bytes per long load (VarHandle LE), extracted by
+    // shift — 1/8th the array loads and bounds checks; query side int[]
+    val LH = java.lang.invoke.MethodHandles.byteArrayViewVarHandle(
+      classOf[Array[Long]], java.nio.ByteOrder.LITTLE_ENDIAN)
+    time("longread") {
+      val h = new Kernels.TopKHeap(10)
+      var r = 0
+      while (r < n) {
+        var s0 = 0; var s1 = 0; var s2 = 0; var s3 = 0
+        val off = r * dim
+        var d = 0
+        val lim = dim - 7
+        while (d < lim) {
+          val w = LH.get(codes, off + d).asInstanceOf[Long]
+          s0 += (w << 56 >> 56).toInt * qcInt(d) +
+                (w << 24 >> 56).toInt * qcInt(d + 4)
+          s1 += (w << 48 >> 56).toInt * qcInt(d + 1) +
+                (w << 16 >> 56).toInt * qcInt(d + 5)
+          s2 += (w << 40 >> 56).toInt * qcInt(d + 2) +
+                (w << 8 >> 56).toInt * qcInt(d + 6)
+          s3 += (w << 32 >> 56).toInt * qcInt(d + 3) +
+                (w >> 56).toInt * qcInt(d + 7)
+          d += 8
+        }
+        while (d < dim) { s0 += codes(off + d) * qcInt(d); d += 1 }
+        val dot = ((s0 + s1) + (s2 + s3)).toDouble * qsc
+        val vn2 = norm2(r)
+        val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
+        h.offer(dot * inv * qInv, ids(r))
+        r += 1
+      }
+    }
+
+    // short16: codes widened ONCE at pack time to short[] (2 B/elem —
+    // still 2× smaller than float): measures whether the byte→int
+    // sign-extension (not bandwidth) is the cost. If this matches
+    // float, the fix is a short-code variant or routing; if it matches
+    // intdot, the multiply-add chain itself is the ceiling.
+    val shorts = new Array[Short](n * dim)
+    locally { var i = 0; while (i < n * dim) { shorts(i) = codes(i).toShort; i += 1 } }
+    time("short16") {
+      val h = new Kernels.TopKHeap(10)
+      var r = 0
+      while (r < n) {
+        var s = 0
+        val off = r * dim
+        var d = 0
+        while (d < dim) { s += shorts(off + d) * qcInt(d); d += 1 }
+        val dot = s.toDouble * qsc
         val vn2 = norm2(r)
         val inv = if (vn2 > 0) scales(r) / math.sqrt(vn2) else 0.0
         h.offer(dot * inv * qInv, ids(r))

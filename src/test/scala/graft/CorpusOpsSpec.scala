@@ -309,6 +309,69 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(4) === ((4L, 9, 9, Nil)))
   }
 
+  test("exactSubstrSpans: hand-built overlap, adjacency, gap, same-doc, and whole-doc cases") {
+    val docs = Seq(
+      // cross-doc 5-token repeat at different offsets: overlapping
+      // anchors (L=3 → starts 0,1,2 / 2,3,4) must EXTEND into one span
+      (0L, "a b c d e x y z"),
+      (1L, "p q a b c d e"),
+      // same 3-gram twice in ONE doc with a unique middle: two islands
+      // separated by a real gap (the paper counts same-doc occurrences)
+      (12L, "s t u g1 g2 g3 g4 s t u"),
+      // the shared run also appears here (cross-doc, offset 0 / 2)
+      (10L, "s t u v w a a a"),
+      (11L, "z z s t u v w q"),
+      // ADJACENT repeated runs: doc 13 has them back-to-back (coverage
+      // abuts → ONE merged span), doc 14 separates them by one unique
+      // token (gap → TWO spans) — both sides of the merge rule
+      (13L, "c1 c2 c3 d1 d2 d3 u1 u2"),
+      (14L, "c1 c2 c3 x d1 d2 d3 y"),
+      // no repeat / shorter than minLen → no rows
+      (15L, "only unique tokens here now"),
+      (16L, "a b"),
+      // whole-doc duplicates → one span covering everything, both docs
+      (17L, "w1 w2 w3 w4 w5"),
+      (18L, "w1 w2 w3 w4 w5"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.exactSubstrSpans(docs, "text", "doc_id", minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    assert(got === List(
+      (0L, 0, 4, 5),
+      (1L, 2, 6, 5),
+      (10L, 0, 4, 5),
+      (11L, 2, 6, 5),
+      (12L, 0, 2, 3), (12L, 7, 9, 3),
+      (13L, 0, 5, 6),
+      (14L, 0, 2, 3), (14L, 4, 6, 3),
+      (17L, 0, 4, 5),
+      (18L, 0, 4, 5)))
+    // every span honors the minimum length by construction
+    assert(got.forall { case (_, s, e, l) => l >= 3 && l == e - s + 1 })
+  }
+
+  test("exactSubstrSpans coverage == maskRepeatedNgrams(minCount=2) coverage") {
+    // the documented iff: positions inside some repeated >= L span are
+    // exactly the positions the fixed-L mask covers at minCount=2 —
+    // pin it on a corpus with overlaps, adjacency, and same-doc repeats
+    val docs = Seq(
+      (0L, "a b c d e x y z"), (1L, "p q a b c d e"),
+      (2L, "m n o k k k k m n o"), (3L, "c1 c2 c3 d1 d2 d3 c1 c2 c3"))
+      .toDF("doc_id", "text")
+    val spans = CorpusOps.exactSubstrSpans(docs, "text", "doc_id", minLen = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val spanCover = spans.groupBy(_._1).view.mapValues(
+      _.flatMap { case (_, s, e) => s to e }.toSet).toMap
+    val maskCover = CorpusOps.maskRepeatedNgrams(
+        docs, "text", "doc_id", n = 3, minCount = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    docs.collect().foreach { r =>
+      val id = r.getLong(0)
+      assert(spanCover.getOrElse(id, Set.empty).size === maskCover(id),
+        s"doc $id covered-position count")
+    }
+  }
+
   test("contaminationStats at n=8: real decontamination window") {
     // bench doc 1 shares exactly one 8-gram with doc 2 (the first 8
     // tokens), none with doc 3; docs under 8 words drop

@@ -124,10 +124,52 @@ def kind(key):
     return "skip"  # counts, configs, flags
 
 
+def drift_list(path):
+    """Self-flagged drift rows from an artifact: full form carries
+    "drift_blocks", the compact line and the driver wrapper's parsed
+    block carry "drift". Entries are block names ("ann_ivf") or
+    block:row ids ("corpus_500k:dsir", "hnsw_100k_d128:build")."""
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return []
+    if set(d.keys()) >= {"tail", "rc"} and isinstance(d.get("parsed"), dict):
+        d = d["parsed"]
+    out = d.get("drift_blocks") or d.get("drift") or []
+    if isinstance(d.get("tail"), str):  # salvage path
+        m = re.search(r'"drift":\[([^\]]*)\]', d["tail"])
+        if m:
+            out = [s.strip('" ') for s in m.group(1).split(",") if s.strip('" ')]
+    return [str(x) for x in out if isinstance(x, str)]
+
+
+def excused_by(key, drift):
+    """True if a flagged row belongs to a block (or block:row) either
+    artifact self-flagged as drifted — the --gate mode's excuse rule:
+    the sentinel machinery already marked those numbers non-evidentiary,
+    so the cross-artifact gate must not double-count them."""
+    for d in drift:
+        block, _, row = d.partition(":")
+        if key == block or key.startswith(block + ".") \
+                or key == f"queries.{block}":
+            if not row or row in key:
+                return True
+        # span_aa flags the corpus block's A/A pair
+        if d == "span_aa" and key.startswith("corpus_500k.span_"):
+            return True
+    return False
+
+
 def main():
-    if len(sys.argv) != 3:
-        sys.exit(__doc__)
+    gate = "--gate" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--gate"]
+    if len(argv) != 2:
+        sys.exit(__doc__ + "\n\n--gate: same diff, but rows inside blocks either "
+                 "artifact SELF-FLAGGED as drift are excused (printed, not "
+                 "fatal); exit 1 only on unflagged disagreements (VERDICT r16 #6).")
+    sys.argv[1:3] = argv
     (fa, ca, la), (fb, cb, lb) = load(sys.argv[1]), load(sys.argv[2])
+    drift = drift_list(sys.argv[1]) + drift_list(sys.argv[2]) if gate else []
     factor = (cb / ca) if (ca and cb) else 1.0
     print(f"A = {la}  (canary {ca if ca else '?'} ms)")
     print(f"B = {lb}  (canary {cb if cb else '?'} ms)")
@@ -152,13 +194,23 @@ def main():
         ratio = (vb / va) / expected
         if ratio > FLAG_RATIO or ratio < 1.0 / FLAG_RATIO:
             flagged.append((k, va, vb, ratio, kd))
+    excused = [f for f in flagged if excused_by(f[0], drift)]
+    fatal = [f for f in flagged if not excused_by(f[0], drift)]
     print(f"\n{compared} shared numeric rows compared; {len(flagged)} flagged (>|{FLAG_RATIO}x| canary-normalized, or recall diff > {RECALL_DIFF}):\n")
     if not flagged:
         print("  COHERENT — no row disagrees beyond the canary-expected factor.")
-    for k, va, vb, r, kd in sorted(flagged, key=lambda x: -(x[3] if x[4] != "abs" else 99)):
+    for k, va, vb, r, kd in sorted(fatal, key=lambda x: -(x[3] if x[4] != "abs" else 99)):
         unit = "norm-ratio" if kd != "abs" else "abs-diff"
         print(f"  {k:<55} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [{kd}]")
-    sys.exit(1 if flagged else 0)
+    if gate and excused:
+        print(f"\n  excused by self-flagged drift {sorted(set(drift))}:")
+        for k, va, vb, r, kd in excused:
+            unit = "norm-ratio" if kd != "abs" else "abs-diff"
+            print(f"    {k:<53} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [excused]")
+    if gate:
+        print(f"\nGATE: {'PASS' if not fatal else 'FAIL'} — "
+              f"{len(fatal)} unflagged disagreement(s), {len(excused)} excused")
+    sys.exit(1 if fatal else 0)
 
 
 if __name__ == "__main__":

@@ -10,6 +10,10 @@
 With --check, nothing is written: the script FAILS (exit 1) if the
 committed COVERAGE.md totals differ from what the artifacts say — the
 verify flow runs this so the totals can never drift again (VERDICT r7).
+In BOTH modes it also fails if any graded entry (a query dir under
+<verify_outdir>) is not named somewhere in COVERAGE.md — the
+operator→entry map is the audit trail and must account for every key
+(VERDICT r16 #2).
 
 Counts come from:
   - ScalaTest totals: the sbt log's "Total number of tests run" /
@@ -109,6 +113,18 @@ def main():
         sys.exit(f"refusing to record counts with {c.group(2)} oracle failures")
     if int(c.group(1)) != len(oracle):
         sys.exit(f"check passes {c.group(1)} != oracle count {len(oracle)}")
+
+    # Orphan gate (VERDICT r16 #2): COVERAGE.md is the operator→entry
+    # audit trail — every graded SparkEntry.queries key must be NAMED in
+    # it somewhere (the r16 710→330-line trim silently dropped 13). The
+    # totals block above proves the counts; this proves the map.
+    cov_text = open("COVERAGE.md", encoding="utf-8").read()
+    orphans = [q for q in queries
+               if not re.search(r"\b" + re.escape(q) + r"\b", cov_text)]
+    if orphans:
+        sys.exit("COVERAGE.md does not name these graded entries "
+                 f"({len(orphans)} orphans — add them to the operator map):\n  "
+                 + "\n  ".join(orphans))
 
     block = (
         "<!-- COVERAGE-TOTALS: generated by tools/update_coverage.py — do not edit -->\n"
