@@ -17,6 +17,30 @@ import org.apache.spark.sql.SparkSession
   * footer warmup), then one timed run — so per-query numbers measure the
   * plan, not first-query session setup. */
 object Bench {
+
+  /** Re-pair decision for BUILD measurements (VERDICT r16 #1), shared
+    * by main's build blocks, BenchLogicSpec's synthetic-timing pins,
+    * and tools/BuildSentinelProbe's live differential proof — one
+    * implementation for the graded path and its evidence. Given a
+    * timed pair and a settled-retry thunk: a pair within `driftRatio`
+    * returns its min unflagged; a split pair runs the retry once and
+    * flags iff the best two of three still split (a transient episode
+    * splits once and reconciles; sustained drift cannot produce two
+    * agreeing fast samples). Returns `(bestSec, flagged)`. */
+  private[graft] def rePairDecision(s1: Double, s2: Double, driftRatio: Double,
+                                    settle: () => Unit,
+                                    again: () => Double): (Double, Boolean) = {
+    val lo = math.min(s1, s2)
+    val hi = math.max(s1, s2)
+    if (hi / lo <= driftRatio) (lo, false)
+    else {
+      settle()
+      val s3 = again()
+      val sorted = Array(s1, s2, s3).sorted
+      (sorted(0), sorted(1) / sorted(0) > driftRatio)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -1047,7 +1071,7 @@ object Bench {
     // zorder-write) — the scrub/LM probes aggregate over their computed
     // columns so column pruning cannot optimize the work away under a
     // bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
       block("corpus_500k", withJobFloor = true, withShuffleFloor = true) { try {
         import org.apache.spark.sql.functions._
         def rowSec(rowName: String)(body: => Unit): Double = {
@@ -1192,18 +1216,27 @@ object Bench {
           .gopherRepetition(tiled, "text", "doc_id")
           .agg(sum(col("dup_5gram_char_frac")),
             sum(col("dup_line_frac"))).collect(): Unit)
+        // r17: ExactSubstr maximal-span report at 500k — worst case by
+        // the tile's construction (100 verbatim copies ⇒ every anchor
+        // gram hot at minCount=2 ⇒ ALL 75M gram starts survive the
+        // semi-join and every doc merges to one whole-doc island);
+        // same kernel family as span_mask plus the per-doc starts
+        // groupBy + island merge the span REPORT adds
+        val substrSec = rowSec("substr_spans")(graft.pipeline.CorpusOps
+          .exactSubstrSpans(tiled, "text", "doc_id", minLen = 8)
+          .agg(sum(col("span_len")), count(lit(1))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
           surprisalSec, packSec, spanSec, spanHashedSec, normSec, bloomSec,
           zorderSec, contamHashedSec, dsirSec, gopherSec, c4Sec,
-          gopherRepSec))
+          gopherRepSec, substrSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () }) }
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"substr_spans_sec":${fmt(ss, 2)},"substr_docs_per_sec":${fmt(n / ss, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)}}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr) =>
-      s"""{"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss) =>
+      s"""{"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)},"substr_s":${fmt(ss, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
@@ -1441,20 +1474,15 @@ object Bench {
       // "<block>:<row>" into drift_blocks so the artifact can't publish
       // an unattributed build regression (the d128 2.95x mode).
       def rePairBuild(row: String, s1: Double, s2: Double)(again: => Double): Double = {
-        val lo = math.min(s1, s2); val hi = math.max(s1, s2)
-        if (hi / lo <= DriftRatio) lo
-        else {
-          settle()
-          val s3 = again
-          val sorted = Array(s1, s2, s3).sorted
-          if (sorted(1) / sorted(0) > DriftRatio) {
-            rowDrift += s"$name:$row"
-            System.err.println(String.format(java.util.Locale.ROOT,
-              "[bench] %s %s builds split %.1f/%.1f/%.1f s — flagged",
-              name, row, Double.box(s1), Double.box(s2), Double.box(s3)))
-          }
-          sorted(0)
+        val (best, flagged) =
+          rePairDecision(s1, s2, DriftRatio, () => settle(), () => again)
+        if (flagged) {
+          rowDrift += s"$name:$row"
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[bench] %s %s build pair split past %.1fx and did not reconcile — flagged (best %.1f s)",
+            name, row, Double.box(DriftRatio), Double.box(best)))
         }
+        best
       }
       try {
         // DEFAULT config build — dim-aware since r13 (Hnsw.defaultM:

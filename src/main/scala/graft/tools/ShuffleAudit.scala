@@ -139,7 +139,8 @@ object ShuffleAudit {
          |  "growth_rule": "expected_growth = max(data_ratio_hint, input_growth); tools/update_coverage.py --check FAILS any non-waived entry where (a) shuffle_growth > expected_growth * 1.2, (b) input_growth > data_ratio_hint * 1.2 (ADVICE r14: a superlinear re-read must not raise its own bar through expected_growth), or (c) shuffle_write_small == 0 but shuffle_write_big > 64 KiB (ADVICE r14: a broadcast/zero-shuffle plan that starts shuffling at scale has infinite growth and the ratio rule cannot see it)",
          |  "waivers": {
          |    "dedup_incremental_stored": "input_growth ~30x at 10x data BY DESIGN: the entry re-reads the stored banded index built from the history corpus plus the history itself (steady-state incremental dedup); its shuffle tracks the bounded candidate set (~17x, under expected_growth), not the re-read",
-         |    "dedup_incremental_append": "same stored-index re-read design as dedup_incremental_stored (append variant)"
+         |    "dedup_incremental_append": "same stored-index re-read design as dedup_incremental_stored (append variant)",
+         |    "ingest_stream": "growth from a near-zero base BY DESIGN since r17 (ADVICE r16): RagPipeline.ingest skips the pre-chunk spread repartition for known-tiny micro-batches (plan-stat bytes < 1 MiB scale the width down; the sf0.01 staged batch is 65 KB -> width 1, no exchange ~ 118 B residual, while sf0.1's 595 KB batch spreads to 18 tasks ~ 0.8 MB). The spread the ratio compares against is the SMALL side's deliberate optimization, not a big-side regression; absolute big-side shuffle is well under 1 MB and linear in batch bytes past the 1 MiB floor"
          |  },
          |  "queries": {
          |${rows.mkString(",\n")}
