@@ -40,6 +40,12 @@ import graft.search.VectorSearch
 final class FusionEngine(val spark: SparkSession, val root: String) {
   import FusionEngine._
 
+  /** Event hooks (`FusionEngine.js` extends EventEmitter; r17 closes
+    * the last §2.10 row): driver-side, post-action, control-plane
+    * only — see [[graft.events.EventBus]]. Divergence noted where the
+    * batch API's payload generalizes the reference's single-row one. */
+  val events = new graft.events.EventBus
+
   private def dir(name: String): Path = Paths.get(root, name)
   private def dataDir(name: String): Path = dir(name).resolve("data")
   private def confFile(name: String): Path = dir(name).resolve("collection.json")
@@ -55,6 +61,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       config.copy(createdAt = java.time.Instant.now.toString) else config
     Files.createDirectories(dir(name))
     Files.writeString(confFile(name), configJson(cfg))
+    events.emit("collection:created", Map("name" -> name, "config" -> cfg)) // FusionEngine.js:110
     cfg
   }
 
@@ -86,6 +93,7 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     servingCache.remove(name)
     hnswCache.remove(name)
     bumpWrite(name)
+    if (existed) events.emit("collection:deleted", Map("name" -> name)) // FusionEngine.js:154
     existed
   }
 
@@ -213,6 +221,10 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
       .select(Schema.fields.map(f => col(f.name).cast(f.dataType)): _*)
     writeLayout(cfg, out, SaveMode.Append, dataDir(name).toString)
     bumpWrite(name)
+    // FusionEngine.js:191 emits {collection, count}; the DataFrame write
+    // is one pass and recounting it would cost a second job — listeners
+    // needing the count read engine.count(name)
+    events.emit("vectors:inserted", Map("collection" -> name))
   }
 
   /** Single write path for collection data: applies the configured
@@ -265,6 +277,11 @@ final class FusionEngine(val spark: SparkSession, val root: String) {
     }
     deleteRecursively(tmp)
     bumpWrite(name)
+    // FusionEngine.js:239 emits vector:deleted {collection, id} from the
+    // single-id delete(); this batch API emits once with the id list +
+    // the verified deleted count
+    events.emit("vector:deleted",
+      Map("collection" -> name, "ids" -> ids, "deleted" -> deleted))
     deleted
   }
 

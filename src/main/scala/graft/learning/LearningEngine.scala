@@ -37,6 +37,11 @@ final class LearningEngine(
     val maxSkills: Int = 500,
     val maxTriples: Int = 5000) {
 
+  /** Event hooks (`RecursiveLearningEngine.js` extends EventEmitter —
+    * :133, :182, :299, :339, :347, :432, :481, :549, :648, :739).
+    * critique:* fire from the critique wrapper (HybridRetriever). */
+  val events = new graft.events.EventBus
+
   private val engine: FusionEngine = memory.engine
   import engine.spark
   import spark.implicits._
@@ -78,6 +83,7 @@ final class LearningEngine(
     * obsolete in batch). */
   def consolidate(agentId: String, now: Timestamp = new Timestamp(System.currentTimeMillis()),
                   maxMergeScan: Int = 200): ConsolidationResult = {
+    events.emit("consolidation:start", Map("agentId" -> agentId)) // :133
     memory.init()
     val access = memory.accessCounts
     var decayed = 0L; var strengthened = 0L; var merged = 0L; var pruned = 0L
@@ -149,7 +155,10 @@ final class LearningEngine(
         FusionEngine.atomicSwap(Paths.get(engine.root, coll, "data"), tmp)
       }
     }
-    ConsolidationResult(decayed, strengthened, merged, pruned)
+    val result = ConsolidationResult(decayed, strengthened, merged, pruned)
+    events.emit("consolidation:complete", // :182
+      Map("agentId" -> agentId, "result" -> result))
+    result
   }
 
   // ─── 2. Feedback + adaptive weights (`:262-312, 747-770`) ───
@@ -229,6 +238,8 @@ final class LearningEngine(
           "steps", "success_rate", "use_count", "learned_at"),
       SkillSchema)
     memory.registerTool(agentId, name, description)
+    events.emit("skill:learned", // :432
+      Map("agentId" -> agentId, "skillId" -> skillId, "name" -> name))
   }
 
   /** Keyword-trigger matching (`:442-464`): matchScore = matched/total,
@@ -246,8 +257,11 @@ final class LearningEngine(
 
   /** EMA success update `rate ← 0.3·outcome + 0.7·rate` (`:472-482`).
     * Delegates to the batched path — one table rewrite per call. */
-  def recordSkillOutcome(agentId: String, skillId: String, success: Boolean): Unit =
+  def recordSkillOutcome(agentId: String, skillId: String, success: Boolean): Unit = {
     recordSkillOutcomes(Seq((agentId, skillId, success)))
+    events.emit("skill:outcome", // :481 (successRate readable via skills())
+      Map("agentId" -> agentId, "skillId" -> skillId, "success" -> success))
+  }
 
   /** Batched EMA updates: ONE table rewrite for N outcomes (VERDICT r2
     * #7 — the per-outcome rewrite was N full-table passes). Outcomes
@@ -305,6 +319,8 @@ final class LearningEngine(
     if (toAdd.nonEmpty)
       append("_triples", toAdd.toDF("agent_id", "subject", "predicate", "obj",
         "confidence", "source", "extracted_at"), TripleSchema)
+    events.emit("knowledge:extracted", // :549
+      Map("agentId" -> agentId, "count" -> toAdd.length))
     toAdd.length.toLong
   }
 
@@ -346,6 +362,8 @@ final class LearningEngine(
       ReflectionSchema)
     memory.remember(agentId, s"Self-reflection: $reflection", importance = 0.7,
       metadata = Map("type" -> "reflection"))
+    events.emit("reflection:complete", // :648
+      Map("agentId" -> agentId, "reflection" -> reflection))
     reflection
   }
 

@@ -38,6 +38,10 @@ final class AgentMemory(
   import engine.spark
   import AgentMemory._
 
+  /** Event hooks (`AgentMemory.js` extends EventEmitter — :165, :208,
+    * :265, :309, :439, :508, :563). */
+  val events = new graft.events.EventBus
+
   val MemoryTypes = Seq("episodic", "semantic", "procedural", "conversation")
 
   private def coll(memType: String) = s"_memory_$memType"
@@ -76,17 +80,24 @@ final class AgentMemory(
   /** Episodic memory: events/observations (`AgentMemory.js:144-167`). */
   def remember(agentId: String, content: String, importance: Double = 0.5,
                role: String = "system", metadata: Map[String, String] = Map.empty,
-               ttlMs: Option[Long] = None, now: Option[Timestamp] = None): String =
-    insertMemory("episodic", agentId, newId("mem"), content, content,
+               ttlMs: Option[Long] = None, now: Option[Timestamp] = None): String = {
+    val id = insertMemory("episodic", agentId, newId("mem"), content, content,
       importance, metadata + ("role" -> role), ttlMs, now)
+    events.emit("memory:stored", // AgentMemory.js:165
+      Map("agentId" -> agentId, "type" -> "episodic", "id" -> id))
+    id
+  }
 
   /** Semantic memory: facts; importance = confidence (default 0.7,
     * `AgentMemory.js:185-210`). */
   def learn(agentId: String, content: String, confidence: Double = 0.7,
             metadata: Map[String, String] = Map.empty,
-            now: Option[Timestamp] = None): String =
-    insertMemory("semantic", agentId, newId("mem"), content, content,
+            now: Option[Timestamp] = None): String = {
+    val id = insertMemory("semantic", agentId, newId("mem"), content, content,
       confidence, metadata, None, now)
+    events.emit("memory:learned", Map("agentId" -> agentId, "id" -> id)) // :208
+    id
+  }
 
   /** Procedural memory: tool registration (`AgentMemory.js:238-267`).
     * Content is the `Tool:/Description:/Schema:` block; the embedding is
@@ -96,8 +107,11 @@ final class AgentMemory(
                    metadata: Map[String, String] = Map.empty,
                    now: Option[Timestamp] = None): String = {
     val content = s"Tool: $name\nDescription: $description\nSchema: $schemaJson"
-    insertMemory("procedural", agentId, newId("tool"), content, s"$name: $description",
+    val id = insertMemory("procedural", agentId, newId("tool"), content, s"$name: $description",
       0.9, metadata ++ Map("toolName" -> name, "toolSchema" -> schemaJson), None, now)
+    events.emit("memory:tool_registered", // :265
+      Map("agentId" -> agentId, "toolName" -> name))
+    id
   }
 
   /** Share into the cross-agent pool (`AgentMemory.js:493-506`).
@@ -107,8 +121,10 @@ final class AgentMemory(
             metadata: Map[String, String] = Map.empty,
             now: Option[Timestamp] = None): String = {
     require(enableSharedMemory, "Shared memory is disabled")
-    insertMemory("shared", agentId, newId("shared"), content, content, 0.5,
+    val id = insertMemory("shared", agentId, newId("shared"), content, content, 0.5,
       metadata + ("_allowed_agents" -> allowedAgents.mkString(",")), None, now)
+    events.emit("memory:shared", Map("agentId" -> agentId, "id" -> id)) // :508
+    id
   }
 
   /** Per-type kNN recall with the agent as tenant
@@ -134,6 +150,10 @@ final class AgentMemory(
         perType + ("shared" -> sh)
       } else perType
     if (trackAccess) logAccess(agentId, withShared)
+    // AgentMemory.js:439 emits {agentId, query, resultCounts}; counts
+    // here would force each lazy per-type plan — the type list stands in
+    events.emit("memory:recalled",
+      Map("agentId" -> agentId, "query" -> query, "types" -> withShared.keys.toSeq.sorted))
     withShared
   }
 
@@ -156,11 +176,14 @@ final class AgentMemory(
              ids: Seq[String] = Seq.empty): Long = {
     init()
     val types = if (memType == "all") MemoryTypes.filterNot(_ == "conversation") else Seq(memType)
-    types.map { t =>
+    val deleted = types.map { t =>
       var cond = col("tenant_id") === agentId
       if (ids.nonEmpty) cond = cond && col("id").isin(ids.map(lit(_)): _*)
       engine.deleteWhere(coll(t), cond)
     }.sum
+    events.emit("memory:forgotten", // :563
+      Map("agentId" -> agentId, "type" -> memType, "deleted" -> deleted))
+    deleted
   }
 
   /** Per-type + total memory counts (`AgentMemory.js:572-590`). */
@@ -197,6 +220,8 @@ final class AgentMemory(
     import spark.implicits._
     addMessages(Seq((agentId, threadId, seq, role, content))
       .toDF("agent_id", "thread_id", "seq", "role", "content"), now)
+    events.emit("conversation:message", // :309
+      Map("agentId" -> agentId, "threadId" -> threadId, "role" -> role))
   }
 
   /** Last-`limit` messages of a thread, oldest-first

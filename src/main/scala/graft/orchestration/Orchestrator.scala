@@ -27,6 +27,10 @@ final class Orchestrator(val memory: AgentMemory) {
   import spark.implicits._
   import Orchestrator._
 
+  /** Event hooks (`AgentOrchestrator.js` extends EventEmitter — :98,
+    * :116, :172, :293). */
+  val events = new graft.events.EventBus
+
   private def regPath = Paths.get(engine.root, "_agents")
   private def msgPath = Paths.get(engine.root, "_messages")
 
@@ -43,6 +47,23 @@ final class Orchestrator(val memory: AgentMemory) {
     Seq((agentId, capabilities, description, now))
       .toDF("agent_id", "capabilities", "description", "registered_at")
       .write.mode(SaveMode.Append).parquet(regPath.toString)
+    events.emit("agent:registered", // AgentOrchestrator.js:98
+      Map("agentId" -> agentId, "description" -> description))
+  }
+
+  /** Unregister an agent (`AgentOrchestrator.js:107-120`): registry
+    * rewrite (tmp + atomic swap, the engine's crash-safe pattern);
+    * emits only when the agent existed, like the reference. */
+  def unregister(agentId: String): Boolean = {
+    val existed = listAgents().contains(agentId)
+    if (existed) {
+      val tmp = Paths.get(engine.root, "_agents_tmp")
+      agents.filter(col("agent_id") =!= agentId)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      graft.engine.FusionEngine.atomicSwap(regPath, tmp)
+      events.emit("agent:unregistered", Map("agentId" -> agentId)) // :116
+    }
+    existed
   }
 
   def listAgents(): Seq[String] =
@@ -68,7 +89,34 @@ final class Orchestrator(val memory: AgentMemory) {
     recipients.map(r => (from, r, msgType, payload, now))
       .toDF("from_agent", "to_agent", "msg_type", "payload", "ts")
       .write.mode(SaveMode.Append).parquet(msgPath.toString)
+    // AgentOrchestrator.js:172 emits once per sendMessage with the msg;
+    // the batch fan-out reports the recipient count
+    events.emit("message:sent",
+      Map("from" -> from, "to" -> to, "type" -> msgType,
+        "recipients" -> recipients.size))
     recipients.size.toLong
+  }
+
+  /** Drain + handle (`AgentOrchestrator.js:289-302`): apply `handler`
+    * to each pending message oldest-first; a throwing handler emits
+    * message:error and processing continues (reference semantics).
+    * Returns (processed, failed). Driver-side — the queue is an
+    * agent's pending control messages, not data-plane rows. */
+  def processMessages(agentId: String)(
+      handler: org.apache.spark.sql.Row => Unit): (Long, Long) = {
+    val msgs = drain(agentId).collect()
+    var ok = 0L
+    var bad = 0L
+    msgs.foreach { m =>
+      try { handler(m); ok += 1 }
+      catch {
+        case e: Exception =>
+          bad += 1
+          events.emit("message:error", // :293
+            Map("agentId" -> agentId, "error" -> String.valueOf(e.getMessage)))
+      }
+    }
+    (ok, bad)
   }
 
   /** Drain an agent's queue: its pending messages, oldest first. */

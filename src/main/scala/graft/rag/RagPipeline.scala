@@ -28,6 +28,9 @@ final class RagPipeline(
     val chunkSize: Int = Chunkers.DefaultChunkSize,
     val chunkOverlap: Int = Chunkers.DefaultChunkOverlap) {
 
+  /** Event hooks (`RAGPipeline.js` extends EventEmitter — :93, :135). */
+  val events = new graft.events.EventBus
+
   /** Lazy collection creation with dims from the embedder
     * (`RAGPipeline.js:58-70`). */
   def init(): Unit =
@@ -95,8 +98,13 @@ final class RagPipeline(
     val embedded = graft.providers.Embed.withEmbedding(chunked, "content", "vector", embedder)
       .withColumn("metadata", meta)
       .drop("doc_id", "chunk_index", "total_chunks")
+    events.emit("ingest:start", Map("source" -> extraMeta.getOrElse("source", ""))) // RAGPipeline.js:93
     engine.insert(collection, embedded, tenantId = tenantId, ttlMs = ttlMs, now = now)
-    engine.count(collection)
+    val n = engine.count(collection)
+    // RAGPipeline.js:135 — the batch API reports the collection total
+    // (per-doc chunk counts are the chunked plan's rows, not recounted)
+    events.emit("ingest:complete", Map("collection" -> collection, "indexed" -> n))
+    n
   }
 
   /** Retrieve topK chunks and pack them into an LLM-ready prompt under a

@@ -28,6 +28,10 @@ final class HybridRetriever(
     val weights: (Double, Double, Double) = (0.4, 0.4, 0.2), // vector, tree, keyword
     val rrfK: Int = 60) {
 
+  /** Event hooks (`HybridRetriever.js` extends EventEmitter — :151,
+    * :184, :202 strategy:error; :210 retrieve:complete). */
+  val events = new graft.events.EventBus
+
   import engine.spark
   import spark.implicits._
 
@@ -59,7 +63,13 @@ final class HybridRetriever(
         val df = f
         val rows = df.collect().toSeq
         spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), df.schema)
-      } catch { case _: Exception => emptyBranch }
+      } catch { case e: Exception =>
+        // HybridRetriever.js:151,184,202 — the failed branch degrades
+        // to empty and announces itself
+        events.emit("strategy:error",
+          Map("strategy" -> name, "error" -> String.valueOf(e.getMessage)))
+        emptyBranch
+      }
 
     // Interactive fast path: tenant-free retrieval over a collection
     // with a resident serving snapshot skips the Spark job for this
@@ -80,7 +90,11 @@ final class HybridRetriever(
               .map(hit => (hit.id, hit.score, hit.content))
               .toDF("id", "score", "content")
               .withColumn("strategy", lit("vector"))
-          } catch { case _: Exception => Some(emptyBranch) }
+          } catch { case e: Exception =>
+            events.emit("strategy:error", // serving fast path, same contract
+              Map("strategy" -> "vector", "error" -> String.valueOf(e.getMessage)))
+            Some(emptyBranch)
+          }
       served.getOrElse(branch("vector") {
         val qv = embedder.embed(query).map(_.toDouble).toSeq
         engine.search(collection, qv, fetch, tenantId = tenantId)
@@ -102,7 +116,13 @@ final class HybridRetriever(
         .orderBy(desc("score"), asc("id")).limit(fetch)
     }
 
-    HybridRetriever.fuse(Seq(vec, tree, kw), topK, weights, rrfK)
+    val fused = HybridRetriever.fuse(Seq(vec, tree, kw), topK, weights, rrfK)
+    // HybridRetriever.js:210 — fired when the fused plan is READY (the
+    // result stays a lazy DataFrame by design; the reference's
+    // resultCount is the caller's to observe on materialization)
+    events.emit("retrieve:complete",
+      Map("query" -> query, "strategy" -> strategy, "topK" -> topK))
+    fused
   }
 
   private def emptyBranch: DataFrame =
@@ -128,7 +148,7 @@ object HybridRetriever {
       .when(col("strategy") === "keyword", 1).otherwise(0) // tree content wins (`:327-329`)
     val rankW = Window.partitionBy(col("strategy")).orderBy(desc("score"), asc("id"))
 
-    branches.reduce(_ unionByName _)
+    val fused = branches.reduce(_ unionByName _)
       .withColumn("rank", row_number().over(rankW))
       .withColumn("prio", prio)
       .groupBy(col("id"))
@@ -138,6 +158,7 @@ object HybridRetriever {
         count(lit(1)).cast("int").as("n_strategies"))
       .orderBy(desc("fused_score"), asc("id"))
       .limit(topK)
+    fused
   }
 
   /** Per-strategy top-`fetch` over ONE corpus scan (VERDICT r3 #3).
@@ -233,11 +254,16 @@ final class CritiqueLoop(retriever: HybridRetriever,
     val (first, q1) = run("hybrid")
     val out =
       if (q1 < qualityThreshold) {
+        retriever.events.emit("critique:retry", // RecursiveLearningEngine.js:347
+          Map("agentId" -> agentId, "query" -> query, "originalQuality" -> q1))
         val (second, q2) = run("tree")
         if (q2 > q1) Critiqued(second, q2, retried = true, "tree")
         else Critiqued(first, q1, retried = true, "hybrid")
       } else Critiqued(first, q1, retried = false, "hybrid")
     learning.recordRetrievalFeedback(agentId, query, out.strategy, out.quality)
+    retriever.events.emit("critique:recorded", // RecursiveLearningEngine.js:299
+      Map("agentId" -> agentId, "pattern" -> out.strategy,
+        "quality" -> out.quality, "retried" -> out.retried))
     out
   }
 }

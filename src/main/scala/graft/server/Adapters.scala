@@ -302,7 +302,16 @@ final class RestServer(facade: EngineFacade, port: Int = 0) {
     ex.close()
   })
 
-  def start(): Int = { server.start(); server.getAddress.getPort }
+  /** Event hooks (`MCPServer.js:153` emits started {transport, port}
+    * on listen; the HTTP surface carries the same hook here). */
+  val events = new graft.events.EventBus
+
+  def start(): Int = {
+    server.start()
+    val p = server.getAddress.getPort
+    events.emit("started", Map("transport" -> "http", "port" -> p))
+    p
+  }
   def stop(): Unit = server.stop(0)
 }
 
@@ -311,6 +320,13 @@ final class RestServer(facade: EngineFacade, port: Int = 0) {
   * advertised in the reference README but absent from its code —
   * following the code, SURVEY §2.1) with transport-free dispatch. */
 final class McpServer(facade: EngineFacade) {
+  /** Event hooks (`MCPServer.js:126,153` — started {transport[, port]};
+    * this adapter is transport-free, so `start()` marks readiness). */
+  val events = new graft.events.EventBus
+
+  /** Transport-free readiness hook (`MCPServer.js:126`). */
+  def start(): Unit = events.emit("started", Map("transport" -> "stdio"))
+
   final case class ToolDef(name: String, description: String, op: String)
 
   val tools: Seq[ToolDef] = Seq(

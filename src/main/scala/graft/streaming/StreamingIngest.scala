@@ -114,6 +114,11 @@ object StreamingIngest {
     * by a processing-time trigger over any ticking stream. Parquet
     * appends are already durable, so this is interop-only — exposed as
     * a helper the caller wires to a rate source if wanted. */
-  def autoSaveBatch(engine: graft.engine.FusionEngine, outDir: String): Unit =
+  def autoSaveBatch(engine: graft.engine.FusionEngine, outDir: String): Unit = {
     engine.exportData(outDir)
+    // FusionEngine.js:342 emits engine:autosave with the exported data;
+    // the batch twin reports where the snapshot landed instead of
+    // materializing it twice
+    engine.events.emit("engine:autosave", Map("outDir" -> outDir))
+  }
 }

@@ -23,6 +23,11 @@ import graft.providers.LLMProvider
   * node on provider failure.
   */
 final class TreeIndex(val spark: SparkSession, val root: String) {
+
+  /** Event hooks (`TreeIndex.js` extends EventEmitter — :115, :140,
+    * :183, :201). */
+  val events = new graft.events.EventBus
+
   import TreeIndex._
   import spark.implicits._
 
@@ -39,8 +44,11 @@ final class TreeIndex(val spark: SparkSession, val root: String) {
   def indexDocument(docId: String, content: String, format: String = "text",
                     title: Option[String] = None): Long = {
     require(!isIndexed(docId), s"""Document "$docId" already indexed""")
+    events.emit("index:start", Map("docId" -> docId)) // TreeIndex.js:115
     val rows = TreeParsers.buildRows(docId, content, format, title)
     rows.toDS().toDF().write.mode(SaveMode.Append).parquet(nodesPath.toString)
+    events.emit("index:complete", // TreeIndex.js:140
+      Map("docId" -> docId, "nodeCount" -> rows.length))
     rows.length.toLong
   }
 
@@ -135,6 +143,7 @@ final class TreeIndex(val spark: SparkSession, val root: String) {
         Option(r.getString(3)).getOrElse(""), Option(r.getString(4)).getOrElse(""),
         Option(r.getString(5)).getOrElse(""), r.getSeq[String](6)))
     require(all.nonEmpty, s"""Document "$docId" not indexed""")
+    events.emit("search:start", Map("docId" -> docId, "query" -> query)) // TreeIndex.js:183
     val byParent = all.filter(_.parentId.isDefined).groupBy(_.parentId.get)
     val rootNode = all.find(_.parentId.isEmpty).get
     val terms = keywordTerms(query)
@@ -160,9 +169,11 @@ final class TreeIndex(val spark: SparkSession, val root: String) {
       }
       frontier = nextFrontier.toSeq
     }
-    results.sortBy { case (_, id, _, _, s, _, _) => (-s, id) }
+    val top = results.sortBy { case (_, id, _, _, s, _, _) => (-s, id) }
       .take(maxResults)
-      .toSeq.toDF("doc_id", "node_id", "title", "content", "score", "reasoning", "citation")
+    events.emit("search:complete", // TreeIndex.js:201
+      Map("docId" -> docId, "query" -> query, "resultCount" -> top.length))
+    top.toSeq.toDF("doc_id", "node_id", "title", "content", "score", "reasoning", "citation")
   }
 
   private def scoreChildren(parent: NodeLite, children: Array[NodeLite],
