@@ -34,6 +34,28 @@ object Ann {
         .map(i => i -> sqDist(centroids(i), v))
         .sortBy { case (i, d) => (d, i) }
         .take(nProbe).map(_._1)
+
+    /** No-copy argmin for the PER-ROW assign path (r17): passing an
+      * `Array[Double]` into the Seq-typed [[nearestCells]] silently
+      * COPIES it — and every centroid — through the 2.13 Array→Seq
+      * implicit, i.e. N×(nCells+1) dim-length allocations plus a sort
+      * per assigned row. Result is bit-identical to
+      * `nearestCells(v, 1).head` (min by (d, i); first-wins tie ==
+      * the sortBy's (d, i) order), parity-pinned in AnnSpec. */
+    def nearestCell(v: Array[Double]): Int = {
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < centroids.length) {
+        val c = centroids(i)
+        var s = 0.0
+        var j = 0
+        while (j < c.length) { val d = c(j) - v(j); s += d * d; j += 1 }
+        if (s < bestD) { bestD = s; best = i }
+        i += 1
+      }
+      best
+    }
   }
 
   private def sqDist(a: Seq[Double], b: Seq[Double]): Double = {
@@ -72,7 +94,7 @@ object Ann {
         val vd = new Array[Double](v.length)
         var i = 0
         while (i < v.length) { vd(i) = v(i); i += 1 }
-        (id, v, model.nearestCells(vd, 1).head)
+        (id, v, model.nearestCell(vd))
       }
       .toDF("id", "v", "cell")
   }

@@ -24,6 +24,20 @@ class AnnSpec extends AnyFunSuite {
     assert(byProbe(4)._2 < 1.0)
   }
 
+  test("nearestCell == nearestCells(v, 1).head — no-copy argmin parity incl. ties") {
+    val rnd = new scala.util.Random(7)
+    val model = Ann.IvfModel(Array.tabulate(16)(_ =>
+      Array.fill(8)(rnd.nextDouble() * 2 - 1)))
+    (0 until 200).foreach { _ =>
+      val v = Array.fill(8)(rnd.nextDouble() * 2 - 1)
+      assert(model.nearestCell(v) === model.nearestCells(v.toSeq, 1).head)
+    }
+    // exact tie: duplicate centroids — both orders must pick the LOWER id
+    val dup = Ann.IvfModel(Array(Array(1.0, 0.0), Array(0.5, 0.5), Array(1.0, 0.0)))
+    val q = Array(1.0, 0.0)
+    assert(dup.nearestCell(q) === 0 && dup.nearestCells(q.toSeq, 1).head === 0)
+  }
+
   test("ivfSearchBatch returns k ranked rows per query, scores descending") {
     val e = spark.read.parquet(s"${TestSpark.Sf0001}/embeddings.parquet")
     val model = Ann.trainIvf(e, "embedding", nCells = 4)
