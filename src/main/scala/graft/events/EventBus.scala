@@ -41,8 +41,13 @@ final class EventBus {
   def onAny(f: (String, Map[String, Any]) => Unit): this.type =
     synchronized { any = any :+ f; this }
 
+  /** Listeners registered for `event` — NAMED listeners only, matching
+    * Node's `listenerCount(name)` (onAny taps are the wildcard surface
+    * Node lacks and are intentionally excluded; counting them here
+    * diverged from the EventEmitter semantics this bus documents
+    * itself as mirroring — ADVICE r17). */
   def listenerCount(event: String): Int =
-    named.getOrElse(event, Vector.empty).size + any.size
+    named.getOrElse(event, Vector.empty).size
 
   /** Fire an event: named listeners in registration order, then the
     * onAny taps. No-op when nobody listens (the common case — one map

@@ -100,6 +100,12 @@ final class Orchestrator(val memory: AgentMemory) {
   /** Drain + handle (`AgentOrchestrator.js:289-302`): apply `handler`
     * to each pending message oldest-first; a throwing handler emits
     * message:error and processing continues (reference semantics).
+    * Delivery is CONSUME-ONCE, like the reference's `getMessages`
+    * (`:191-193` clears the queue after reading): the handled messages
+    * are removed from the log afterwards via the registry's
+    * tmp + atomic-swap rewrite, so a second call re-delivers nothing —
+    * and, also like the reference, a message whose handler threw is
+    * still consumed (the queue clears on read, not on success).
     * Returns (processed, failed). Driver-side — the queue is an
     * agent's pending control messages, not data-plane rows. */
   def processMessages(agentId: String)(
@@ -116,10 +122,18 @@ final class Orchestrator(val memory: AgentMemory) {
             Map("agentId" -> agentId, "error" -> String.valueOf(e.getMessage)))
       }
     }
+    if (msgs.nonEmpty) {
+      val tmp = Paths.get(engine.root, "_messages_tmp")
+      messages.filter(col("to_agent") =!= agentId)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      graft.engine.FusionEngine.atomicSwap(msgPath, tmp)
+    }
     (ok, bad)
   }
 
-  /** Drain an agent's queue: its pending messages, oldest first. */
+  /** An agent's pending messages, oldest first — a read-only PEEK
+    * (the plan is lazy; nothing is consumed). [[processMessages]] is
+    * the consuming path. */
   def drain(agentId: String): DataFrame =
     messages.filter(col("to_agent") === agentId).orderBy(asc("ts"), asc("payload"))
 

@@ -38,7 +38,9 @@ class EventsSpec extends AnyFunSuite {
     bus.onAny((n, _) => order += s"any:$n")
     bus.emit("e")
     assert(order.toList === List("first", "second", "any:e"))
-    assert(bus.listenerCount("e") === 3 && bus.listenerCount("quiet") === 1)
+    // Node semantics: listenerCount counts NAMED listeners only — the
+    // onAny tap registered above must not inflate either count
+    assert(bus.listenerCount("e") === 2 && bus.listenerCount("quiet") === 0)
     bus.on("boom")(_ => throw new IllegalStateException("listener bug"))
     intercept[IllegalStateException](bus.emit("boom")) // Node emit semantics
   }
@@ -109,16 +111,25 @@ class EventsSpec extends AnyFunSuite {
     orch.register("a2", Seq("cap"))
     orch.send("a1", "a2", "task", "p1")
     orch.send("a1", "a2", "task", "p2")
+    orch.send("a2", "a1", "status", "q1") // another agent's pending message
     // one poison message: the handler throws, processing continues
     val (ok, bad) = orch.processMessages("a2") { m =>
       if (m.getAs[String]("payload") == "p1") throw new RuntimeException("poison")
     }
     assert((ok, bad) === ((1L, 1L)))
+    // consume-once (ADVICE r17 / AgentOrchestrator.js:191-193): the
+    // handled messages — INCLUDING the poison one — are gone, so a
+    // second call re-delivers nothing (no duplicate side effects, no
+    // second message:error), while a1's untouched queue survives
+    val (ok2, bad2) = orch.processMessages("a2")(_ => ())
+    assert((ok2, bad2) === ((0L, 0L)))
+    assert(orch.drain("a1").count() === 1L)
     assert(orch.unregister("a1") && !orch.unregister("a1"))
     assert(!orch.listAgents().contains("a1") && orch.listAgents().contains("a2"))
     assert(seen.map(_._1).toList === List("agent:registered", "agent:registered",
-      "message:sent", "message:sent", "message:error", "agent:unregistered"))
-    assert(seen(4)._2("error").toString.contains("poison"))
+      "message:sent", "message:sent", "message:sent", "message:error",
+      "agent:unregistered"))
+    assert(seen(5)._2("error").toString.contains("poison"))
   }
 
   test("LearningEngine: consolidation/skill/knowledge/reflection events in flow order") {
