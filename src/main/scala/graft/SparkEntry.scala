@@ -1135,6 +1135,47 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // LLM-pipeline: HTML main-content extraction (VERDICT r17 #4) —
+    // raw page → main text via boilerpipe/jusText-shaped block rules
+    // (graft.pipeline.HtmlExtract: block segmentation at block-tag
+    // boundaries; nav/header/footer/aside/head containers are
+    // boilerplate; content iff words >= 10 && 3*linkWords < words).
+    // Pages are synthesized deterministically from each doc (title +
+    // script in head, link nav, link-list aside, an article whose
+    // 40-word paragraphs carry the doc text, an id%3 link-stuffed
+    // subscribe blurb, an id%5 too-short note, a link footer), so the
+    // oracle can replay the NET classification: kept blocks = exactly
+    // the >= 10-word paragraph groups. The extractor itself is generic
+    // (HtmlExtractSpec drives it over hand-built malformed/nested
+    // pages); the oracle grades the integer rules end-to-end at SF.
+    // Narrow per-row map, zero shuffle — the c4_filters scan shape.
+    "html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val pages = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val ws = text.split(" ", -1) // -1: keep trailing empties, matching string_split
+          val paras = ws.grouped(40)
+            .map(g => s"<p>${g.mkString(" ")}</p>").mkString
+          val h1 = ws.take(3).mkString(" ")
+          val subscribe = if (id % 3 == 0)
+            """<p>subscribe to our newsletter today <a href="/s">subscribe</a> <a href="/l">login</a> <a href="/r">register</a> <a href="/f">follow</a> <a href="/t">tweet</a> <a href="/m">more</a></p>"""
+          else ""
+          val shortNote = if (id % 5 == 0) "<p>short note here</p>" else ""
+          val html =
+            s"""<html><head><title>Doc $id</title><script>var x = 1 < 2;</script></head><body>""" +
+            """<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>""" +
+            """<aside><ul><li><a href="/r1">related article one</a></li><li><a href="/r2">related article two</a></li></ul></aside>""" +
+            s"""<article><h1>$h1</h1>$paras$subscribe$shortNote</article>""" +
+            """<footer>copyright all rights reserved <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""
+          (id, html)
+        }.toDF("doc_id", "html")
+      graft.pipeline.HtmlExtract.extractMainText(pages, "html", "doc_id")
+        .select($"doc_id", $"main_text", $"n_kept".cast("long").as("n_kept"))
+        .orderBy($"doc_id")
+    }),
+
     // LLM-pipeline: intra-document repetition (1 − distinct/total
     // 3-grams) — the Gopher-style template/stuffing quality signal.
     // Narrow Scala map, no shuffle.
@@ -3696,6 +3737,22 @@ object SparkEntry {
           |  t.n_total - count(k.line) AS n_dropped
           |FROM tot t LEFT JOIN kept k ON t.doc_id = k.doc_id
           |GROUP BY t.doc_id, t.n_total ORDER BY t.doc_id""".stripMargin,
+
+      // replays the NET block classification of the synthesized page
+      // (see the html_extract entry): every non-article block is
+      // boilerplate by construction (nav/aside/footer containers, a
+      // 3-word h1, a link-stuffed subscribe blurb, a 3-word note), so
+      // main text = exactly the >= 10-word 40-word paragraph groups
+      "html_extract" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id,
+          |  [array_to_string(ws[i*40+1:i*40+40], ' ')
+          |   FOR i IN range(0, (len(ws)-1)//40 + 1)
+          |   IF len(ws[i*40+1:i*40+40]) >= 10] AS kept
+          |  FROM w)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS main_text,
+          |  CAST(len(kept) AS BIGINT) AS n_kept
+          |FROM p ORDER BY doc_id""".stripMargin,
 
       "repetition" ->
         """WITH g AS (
