@@ -41,6 +41,73 @@ object Bench {
     }
   }
 
+  /** Stored settled-healthy reference for the 500k span-mask tile
+    * (VERDICT r17 #2) — the healthy IN-SUITE value, since that is
+    * what the row measures: committed history reads 9.3-11.6 s across
+    * every clean r14-r17 run, while the standalone fresh-JVM floor is
+    * 4.8 s (docs/probes/span_refs_r18.txt; the ~2x gap is the known
+    * measurement-neighborhood cost). Ref × DriftRatio = 15.75 s flags
+    * exactly the r17 mode (16.3/17.8 s published unflagged) while
+    * tolerating the full healthy envelope — see `spanSettled` in the
+    * corpus block. */
+  private[graft] val SpanMaskRefSec = 10.5
+
+  /** Hard byte budget for the compact stdout line (VERDICT r17 #1).
+    * The driver truncates console lines at ~4096 B and keeps a
+    * 2,000 B TAIL that also holds sbt's trailing "[success] Total
+    * time: ..." line (~75 B) — r17's 1,926 B line lost its head to
+    * exactly that and the official artifact came back parsed:null.
+    * 1,800 leaves ≥ 120 B of slack under the worst tail layout. */
+  private[graft] val CompactBudgetBytes = 1800
+
+  /** The compact line's canonical field inventory, in emit order.
+    * main() must route its real values through [[assembleCompact]],
+    * which rejects any key set that diverges from this list — so a
+    * new sub-block cannot reach the printed line without being added
+    * HERE, where BenchLogicSpec's worst-case-width budget pin sees
+    * it. */
+  private[graft] val CompactKeys: Seq[String] = Seq(
+    "metric", "value", "unit", "protocol", "contended", "canary_ms",
+    "attr", "bw_gbps", "n_queries", "slowest", "failed",
+    "batch_knn_qps", "engine_100k", "hnsw_100k", "hnsw_100k_clustered",
+    "hnsw_100k_d128", "hnsw_1m", "drift", "sent_ms", "knn_10k",
+    "knn_100k", "knn_1m", "knn_10m_pq", "dedup_stored", "cc_10m",
+    "corpus_500k", "events_5m", "sf")
+
+  /** Sub-blocks droppable when the rendered line still exceeds the
+    * budget, least-graded first. Their full forms are ALWAYS in
+    * bench_latest.json — a visibly absent key tells the reader to
+    * open the full artifact, while a line that outgrows the driver's
+    * tail capture is parsed:null and loses EVERYTHING (r12-r14, r17). */
+  private[graft] val CompactDropOrder: Seq[String] =
+    Seq("events_5m", "dedup_stored", "cc_10m", "slowest", "knn_10m_pq",
+      "knn_1m", "knn_100k", "corpus_500k")
+
+  /** Render the compact line under [[CompactBudgetBytes]]: emit
+    * [[CompactKeys]] in order, and while the line is over budget drop
+    * whole sub-blocks per [[CompactDropOrder]] — the output is always
+    * complete JSON, never a truncation. Throws when `values`' key set
+    * diverges from the canonical inventory (see [[CompactKeys]]). */
+  private[graft] def assembleCompact(values: Map[String, String],
+                                     budget: Int = CompactBudgetBytes): String = {
+    val missing = CompactKeys.filterNot(values.contains)
+    val unknown = values.keys.filterNot(CompactKeys.contains).toSeq.sorted
+    require(missing.isEmpty && unknown.isEmpty,
+      s"compact fields out of sync with Bench.CompactKeys (missing: $missing, unknown: $unknown)")
+    def render(keys: Seq[String]): String =
+      keys.map(k => "\"" + k + "\":" + values(k)).mkString("{", ",", "}")
+    var keys = CompactKeys
+    var line = render(keys)
+    val drops = CompactDropOrder.iterator
+    while (line.getBytes("UTF-8").length > budget && drops.hasNext) {
+      val d = drops.next()
+      System.err.println(s"[bench] compact line over $budget B — dropping '$d' (full form in bench_latest.json)")
+      keys = keys.filterNot(_ == d)
+      line = render(keys)
+    }
+    line
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -307,6 +374,14 @@ object Bench {
       def drifted(b: Double, a: Double, sb: Double, sa: Double): Boolean =
         b > driftRef || a > driftRef ||
           (withShuffleFloor && (sb > shuffleDriftRef || sa > shuffleDriftRef))
+      // snapshot the row-flag ledger BEFORE the body (ADVICE r17): a
+      // sentinel-triggered block rerun discards the first execution's
+      // numbers, so the row flags that execution accumulated must be
+      // discarded with them — otherwise a clean rerun's accepted rows
+      // stay marked non-evidentiary and "<block>:<row>" entries
+      // duplicate (r17's official drift list carried
+      // corpus_500k:surprisal twice from exactly this)
+      val rowDriftMark = rowDrift.length
       var (r, b, a, jb, ja, sb, sa) = once()
       var reran = false
       if (drifted(b, a, sb, sa) && rerunOnDrift && rerunBudget > 0) {
@@ -316,6 +391,7 @@ object Bench {
           "[bench] block %s sentinel drift (cpu %.3f/%.3f ms vs start %.3f; shuffle %.0f/%.0f ms vs start %.0f) — settling + rerunning once",
           name, Double.box(b), Double.box(a), Double.box(sentinelRef),
           Double.box(sb), Double.box(sa), Double.box(shuffleRef)))
+        rowDrift.remove(rowDriftMark, rowDrift.length - rowDriftMark)
         settle()
         val t = once()
         r = t._1; b = t._2; a = t._3; jb = t._4; ja = t._5; sb = t._6; sa = t._7
@@ -859,13 +935,19 @@ object Bench {
     def fmt(d: Double, dec: Int): String =
       if (d == -1.0) "-1"
       else String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(d))
-    // Compact keys are ABBREVIATED (full names in bench_latest.json):
-    // recall = ivf score-recall@10, p50/ivf_p50 = serving p50 ms,
-    // pq_recall = refined score-recall@10. job p50, the ann/pq clustered
-    // blocks, and the recall curves live in the full JSON only — the
-    // 46-query map outgrew the ~2 KB driver tail with them inline.
+    // Compact keys are ABBREVIATED (full names in bench_latest.json;
+    // the machine-readable mapping lives in tools/bench_diff.py
+    // ALIASES): xq=exact_qps, fq=serving_fleet_qps, iq=ivf_qps,
+    // ir=ivf score-recall@10, p50_ms=single-query serving p50,
+    // ivf_p50=ivf serving p50 ms, pqq=pq_adc_qps, pqr=pq refined
+    // score-recall@10, s8p=sq8 serving p50 ms, s8r=sq8 refined recall.
+    // n_vectors dropped (the block name carries the scale) and
+    // ivf_fleet_qps lives in the full JSON only, like the job p50,
+    // the ann/pq clustered blocks and the recall curves. (VERDICT r17
+    // #1: the three probe blocks were the largest line item in the
+    // 1,926 B overflow; this form is ~105 B/block vs ~230.)
     def probeCompact(p: Option[Probe]): String = p.map { p =>
-      s"""{"n_vectors":${p.total},"exact_qps":${fmt(p.nq / p.exactRuns.min, 0)},"serving_fleet_qps":${fmt(p.servingFleetQps, 0)},"ivf_fleet_qps":${fmt(p.ivfFleetQps, 0)},"ivf_qps":${fmt(p.ivfQps, 0)},"ivf_recall":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50_ms":${fmt(p.ivfServingP50, 2)},"pq_qps":${fmt(p.pqQps, 0)},"pq_recall":${fmt(p.pqRefinedRecall, 3)},"sq8_p50":${fmt(p.sq8P50, 2)},"sq8_rec":${fmt(p.sq8Recall, 3)}}"""
+      s"""{"xq":${fmt(p.nq / p.exactRuns.min, 0)},"fq":${fmt(p.servingFleetQps, 0)},"iq":${fmt(p.ivfQps, 0)},"ir":${fmt(p.ivfRecall, 3)},"p50_ms":${fmt(p.servingP50, 2)},"ivf_p50":${fmt(p.ivfServingP50, 2)},"pqq":${fmt(p.pqQps, 0)},"pqr":${fmt(p.pqRefinedRecall, 3)},"s8p":${fmt(p.sq8P50, 2)},"s8r":${fmt(p.sq8Recall, 3)}}"""
     }.getOrElse("null")
 
     // BASELINE-scale probes — one per row of the reference's README
@@ -1038,8 +1120,11 @@ object Bench {
         s"""{"n_probe":${f.probes},"refine_factor":${f.rf},"adc_qps":${fmt(f.adcQps, 0)},"refined_qps":${fmt(f.refQps, 0)},"recall":${fmt(f.rec, 3)},"regret":${fmt(f.regret, 4)}}""").mkString("[", ",", "]")
       s"""{"n_vectors":${p.total},"pq_adc_qps":${fmt(p.qps, 0)},"pq_refined_qps":${fmt(p.refQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.rec, 3)},"pq_kth_score_regret":${fmt(p.regret, 4)},"pq_serving_p50_ms":${fmt(p.p50, 2)},"build_sec":${fmt(p.buildSec, 1)},"pq_bytes_per_vector":8,"refine_factor":${p.rf},"n_probe":${p.probes},"pq_frontier":$fr,"default_rule":"max refined QPS subject to refined score-recall@10 >= 0.95 (fallback: max recall)","base":{"n_probe":8,"refine_factor":32,"pq_adc_qps":${fmt(p.baseQps, 0)},"pq_refined_score_recall_at_10":${fmt(p.baseRec, 3)},"pq_kth_score_regret":${fmt(p.baseRegret, 4)}}}"""
     }.getOrElse("null")
+    // abbreviated keys (bench_diff ALIASES): pqq=pq_adc_qps,
+    // prq=pq_refined_qps, prec=refined score-recall@10,
+    // reg=pq_kth_score_regret, pb=n_probe
     def pq10mCompact: String = pq10m.map { p =>
-      s"""{"pq_qps":${fmt(p.qps, 0)},"pq_ref_qps":${fmt(p.refQps, 0)},"pq_recall":${fmt(p.rec, 3)},"pq_regret":${fmt(p.regret, 4)},"pq_p50_ms":${fmt(p.p50, 2)},"probes":${p.probes},"rf":${p.rf}}"""
+      s"""{"pqq":${fmt(p.qps, 0)},"prq":${fmt(p.refQps, 0)},"prec":${fmt(p.rec, 3)},"reg":${fmt(p.regret, 4)},"p50_ms":${fmt(p.p50, 2)},"pb":${p.probes},"rf":${p.rf}}"""
     }.getOrElse("null")
 
     // CORPUS-OPS scale probe: tile documents to 500k rows (100× sf0.1)
@@ -1071,7 +1156,7 @@ object Bench {
     // zorder-write) — the scrub/LM probes aggregate over their computed
     // columns so column pruning cannot optimize the work away under a
     // bare count()
-    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
+    val corpus500k: Option[(Long, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double, Double)] =
       block("corpus_500k", withJobFloor = true, withShuffleFloor = true) { try {
         import org.apache.spark.sql.functions._
         def rowSec(rowName: String)(body: => Unit): Double = {
@@ -1106,9 +1191,13 @@ object Bench {
         val contamHashedSec = rowSec("contam_hashed")(graft.pipeline.CorpusOps.contaminationStats(
           tiled, "text", "doc_id", col("doc_id") % 9973 === 0,
           hashedGrams = true).count(): Unit)
-        val qualitySec = rowSec("quality")(
+        // row-flag names equal the artifact's row-key stems
+        // (quality_filter_sec, pii_redact_sec) so bench_diff's
+        // delimiter-aware excuse rule (ADVICE r17) can match them
+        // exactly instead of by substring
+        val qualitySec = rowSec("quality_filter")(
           tiled.filter(graft.textanalysis.TextAnalysis.qualityFlag(col("text"))).count(): Unit)
-        val piiSec = rowSec("pii")(tiled.agg(sum(length(
+        val piiSec = rowSec("pii_redact")(tiled.agg(sum(length(
           graft.textanalysis.TextAnalysis.redactPii(col("text"))))).collect(): Unit)
         // tiled copies make every line a 100-way dup; minDf above the
         // copy count keeps them, so the full tag-join + regroup runs
@@ -1158,11 +1247,43 @@ object Bench {
         // every round and devalued the drift list. Alternating the reps
         // gives both kernels the same measurement neighborhood, so the
         // ratio moves only when the ENVIRONMENT moves between reps.
-        val (spanSec, spanHashedSec) = {
+        val (spanSecRaw, spanHashedSecRaw) = {
           val a1 = spanRun(false); val b1 = spanRun(true)
           val a2 = spanRun(false); val b2 = spanRun(true)
           (math.min(a1, a2), math.min(b1, b2))
         }
+        // Settled-reference guard (VERDICT r17 #2): the interleaved A/A
+        // pair only proves the twins agree WITH EACH OTHER — r17
+        // published 16.3/17.8 s (vs r16's 10.1/10.1 and a same-day
+        // 11.56 s run on identical code) with a clean A/A ratio, i.e.
+        // pair agreement cannot distinguish sustained-slow from
+        // healthy. So the rows are now also judged against the STORED
+        // settled reference ([[Bench.SpanMaskRefSec]], measured
+        // standalone at r18 HEAD — docs/probes/span_refs_r18.txt):
+        // a row past DriftRatio× the reference gets one settled retry,
+        // and if it still doesn't reconcile it self-flags
+        // corpus_500k:span_mask{,_hashed} — reconcile or self-flag,
+        // the d128-build treatment.
+        def spanSettled(row: String, first: Double, again: () => Double): Double = {
+          if (first <= SpanMaskRefSec * DriftRatio) first
+          else {
+            settle()
+            val second = again()
+            val best = math.min(first, second)
+            if (best > SpanMaskRefSec * DriftRatio) {
+              rowDrift += s"corpus_500k:$row"
+              System.err.println(String.format(java.util.Locale.ROOT,
+                "[bench] corpus row %s %.1f s exceeds the stored settled reference %.1f s x %.1f after a settled retry (%.1f s) — flagged",
+                row, Double.box(first), Double.box(SpanMaskRefSec),
+                Double.box(DriftRatio), Double.box(second)))
+            }
+            best
+          }
+        }
+        val spanSec = spanSettled("span_mask", spanSecRaw,
+          () => spanRun(false))
+        val spanHashedSec = spanSettled("span_mask_hashed", spanHashedSecRaw,
+          () => spanRun(true))
         // Round-10: per-row NFC clean (scan-speed, zero shuffle — the
         // agg defeats column pruning)
         val normSec = rowSec("nfc_clean")(tiled.agg(sum(length(
@@ -1225,18 +1346,30 @@ object Bench {
         val substrSec = rowSec("substr_spans")(graft.pipeline.CorpusOps
           .exactSubstrSpans(tiled, "text", "doc_id", minLen = 8)
           .agg(sum(col("span_len")), count(lit(1))).collect(): Unit)
+        // r18: HTML main-content extraction at 500k pages (VERDICT r17
+        // #4) — the page synthesis is a codegen'd concat; the timed
+        // work is the per-row block segmentation + classification.
+        // Zero shuffle, the c4/gopher scan shape.
+        val htmlSec = rowSec("html_extract")(graft.pipeline.HtmlExtract
+          .extractMainText(
+            tiled.select(col("doc_id"), concat(
+              lit("""<html><body><nav><a href="/">home</a> <a href="/about">about</a></nav><article><p>"""),
+              col("text"),
+              lit("""</p></article><footer>copyright <a href="/t">terms</a></footer></body></html>""")).as("html")),
+            "html", "doc_id")
+          .agg(sum(length(col("main_text"))), sum(col("n_kept"))).collect(): Unit)
         Some((total, curateSec, contamSec, qualitySec, piiSec, lineSec,
           surprisalSec, packSec, spanSec, spanHashedSec, normSec, bloomSec,
           zorderSec, contamHashedSec, dsirSec, gopherSec, c4Sec,
-          gopherRepSec, substrSec))
+          gopherRepSec, substrSec, htmlSec))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus 500k probe failed: ${e.getMessage}"); None
       } finally corpusCleanups.foreach(c => try c() catch { case _: Throwable => () }) }
-    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss) =>
-      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"substr_spans_sec":${fmt(ss, 2)},"substr_docs_per_sec":${fmt(n / ss, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)}}"""
+    def corpusJson: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss, ht) =>
+      s"""{"n_docs":$n,"curate_sec":${fmt(cu, 2)},"curate_docs_per_sec":${fmt(n / cu, 0)},"contamination_sec":${fmt(co, 2)},"contamination_docs_per_sec":${fmt(n / co, 0)},"quality_filter_sec":${fmt(qu, 2)},"quality_docs_per_sec":${fmt(n / qu, 0)},"pii_redact_sec":${fmt(pi, 2)},"pii_docs_per_sec":${fmt(n / pi, 0)},"line_dedup_sec":${fmt(li, 2)},"line_dedup_docs_per_sec":${fmt(n / li, 0)},"surprisal_sec":${fmt(su, 2)},"surprisal_docs_per_sec":${fmt(n / su, 0)},"pack_sequences_sec":${fmt(pk, 2)},"pack_docs_per_sec":${fmt(n / pk, 0)},"span_mask_sec":${fmt(sm, 2)},"span_mask_docs_per_sec":${fmt(n / sm, 0)},"span_mask_hashed_sec":${fmt(sh, 2)},"span_mask_hashed_docs_per_sec":${fmt(n / sh, 0)},"nfc_clean_sec":${fmt(no, 2)},"nfc_clean_docs_per_sec":${fmt(n / no, 0)},"bloom_dedup_sec":${fmt(bl, 2)},"bloom_dedup_docs_per_sec":${fmt(n / bl, 0)},"zorder_write_sec":${fmt(zo, 2)},"zorder_docs_per_sec":${fmt(n / zo, 0)},"contam_hashed_sec":${fmt(ch, 2)},"contam_hashed_docs_per_sec":${fmt(n / ch, 0)},"dsir_sec":${fmt(ds, 2)},"dsir_docs_per_sec":${fmt(n / ds, 0)},"gopher_sec":${fmt(go, 2)},"gopher_docs_per_sec":${fmt(n / go, 0)},"c4_sec":${fmt(c4, 2)},"c4_docs_per_sec":${fmt(n / c4, 0)},"gopher_rep_sec":${fmt(gr, 2)},"gopher_rep_docs_per_sec":${fmt(n / gr, 0)},"substr_spans_sec":${fmt(ss, 2)},"substr_docs_per_sec":${fmt(n / ss, 0)},"html_extract_sec":${fmt(ht, 2)},"html_docs_per_sec":${fmt(n / ht, 0)},"span_aa_ratio":${fmt(if (sm > 0) sh / sm else -1.0, 2)},"span_mask_ref_sec":${fmt(SpanMaskRefSec, 1)},"span_ref_note":"stored settled-healthy reference (docs/probes/span_refs_r18.txt); span rows past ${DriftRatio}x of it settle+retry once and self-flag corpus_500k:span_mask{,_hashed} if they do not reconcile (VERDICT r17 #2)"}"""
     }.getOrElse("null")
-    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss) =>
-      s"""{"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)},"substr_s":${fmt(ss, 1)}}"""
+    def corpusCompact: String = corpus500k.map { case (n, cu, co, qu, pi, li, su, pk, sm, sh, no, bl, zo, ch, ds, go, c4, gr, ss, ht) =>
+      s"""{"curate_s":${fmt(cu, 1)},"contam_s":${fmt(co, 1)},"qual_s":${fmt(qu, 1)},"pii_s":${fmt(pi, 1)},"line_s":${fmt(li, 1)},"surp_s":${fmt(su, 1)},"pack_s":${fmt(pk, 1)},"span_s":${fmt(sm, 1)},"span_h_s":${fmt(sh, 1)},"nfc_s":${fmt(no, 1)},"bloom_s":${fmt(bl, 1)},"zord_s":${fmt(zo, 1)},"contam_h_s":${fmt(ch, 1)},"dsir_s":${fmt(ds, 1)},"gopher_s":${fmt(go, 1)},"c4_s":${fmt(c4, 1)},"gopher_rep_s":${fmt(gr, 1)},"substr_s":${fmt(ss, 1)},"html_s":${fmt(ht, 1)}}"""
     }.getOrElse("null")
 
     // EVENT-JOIN scale probe: tile events to 5M rows (50× sf0.1; new
@@ -1446,6 +1579,12 @@ object Bench {
       } }
     def engineJson(dec: Int): String = engine100k.map { case (p, ins, snap) =>
       s"""{"rest_search_p50_ms":${fmt(p, dec)},"insert_100k_sec":${fmt(ins, dec)},"serving_build_100k_sec":${fmt(snap, dec)}}"""
+    }.getOrElse("null")
+    // abbreviated twin for the compact line (bench_diff ALIASES maps
+    // these back to the full names): rest_p50=rest_search_p50_ms,
+    // ins_s=insert_100k_sec, sbuild_s=serving_build_100k_sec
+    def engineCompact: String = engine100k.map { case (p, ins, snap) =>
+      s"""{"rest_p50":${fmt(p, 3)},"ins_s":${fmt(ins, 2)},"sbuild_s":${fmt(snap, 2)}}"""
     }.getOrElse("null")
 
     // HNSW serving index at the baseline's 100k scale (r11): the
@@ -1770,10 +1909,14 @@ object Bench {
         s""","shuffle_floor_ms":[${fmt(bs.sfBefore, 0)},${fmt(bs.sfAfter, 0)}]""" else ""
       s""""$n":{"before":${fmt(bs.before, 3)},"after":${fmt(bs.after, 3)},"reran":${bs.reran},"drift":${bs.drift}$jf$sf}"""
     }.mkString("{", ",", "}")
+    // .distinct belt-and-braces (VERDICT r17 #1): the snapshot/restore
+    // in block() removes the duplication cause, but the drift list is
+    // a SET by meaning and must never spend compact-line bytes twice
+    // on one flag
     val driftBlocks: Seq[String] =
-      blockSentinels.collect { case (n, bs) if bs.drift => n }.toSeq ++
+      (blockSentinels.collect { case (n, bs) if bs.drift => n }.toSeq ++
         (if (spanAADrift) Seq("span_aa") else Nil) ++
-        rowDrift
+        rowDrift).distinct
     val driftJson = driftBlocks.map("\"" + _ + "\"").mkString("[", ",", "]")
     // compact sentinel summary: the run-start reference and the
     // min/max block sentinel observed — full per-block values live in
@@ -1851,26 +1994,59 @@ object Bench {
     // abbreviated compact twins for the two verbose sub-blocks (full
     // key names stay in bench_latest.json) — the r16 hnsw_1m + bw_gbps
     // additions had to come from somewhere inside the 1,900 B budget
-    // compact drift list is CAPPED at 4 names + an overflow count —
+    // compact drift list is CAPPED at 2 names + an overflow count —
     // r16 run-6 proved a single self-flag entry pushes the line past
-    // the 1,900 B budget, and a heavily-flagged official run must
-    // still parse (the full list is always in bench_latest.json)
+    // the budget, and a heavily-flagged official run must still parse
+    // (the full list is always in bench_latest.json; cap 4 -> 2 in r18
+    // to fund the worst-case byte budget, VERDICT r17 #1)
     val driftCompact = {
-      val shown = driftBlocks.take(4).map("\"" + _ + "\"")
-      val extra = if (driftBlocks.length > 4)
-        Seq("\"+" + (driftBlocks.length - 4) + " more\"") else Nil
+      val shown = driftBlocks.take(2).map("\"" + _ + "\"")
+      val extra = if (driftBlocks.length > 2)
+        Seq("\"+" + (driftBlocks.length - 2) + " more\"") else Nil
       (shown ++ extra).mkString("[", ",", "]")
     }
     val cc10mCompact = cc10m.map { case (n, s, _) =>
       s"""{"n":$n,"s":${fmt(s, 1)}}""" }.getOrElse("null")
     val dedupStoredCompact = dedupStored.map { case (b, q) =>
       s"""{"b":${fmt(b, 1)},"q":${fmt(q, 1)}}""" }.getOrElse("null")
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","protocol":2,"contended":$contended,"canary_ms":[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}],"attr":"${attrShort(attributionStart)}/${attrShort(attributionEnd)}","bw_gbps":${fmt(triadGbps, 0)},"n_queries":${results.size},"slowest":$slowest,"failed":$fl,"batch_knn_qps":${fmt(qps, 0)},"engine_100k":${engineJson(3)},"hnsw_100k":$hnswCompact,"hnsw_100k_clustered":$hnswClusteredCompact,"hnsw_100k_d128":$hnswD128Compact,"hnsw_1m":$hnsw1mCompact,"drift":$driftCompact,"sent_ms":$sentCompact,"knn_10k":${probeCompact(qps10k)},"knn_100k":${probeCompact(qps100k)},"knn_1m":${probeCompact(qps1m)},"knn_10m_pq":$pq10mCompact,"dedup_stored":$dedupStoredCompact,"cc_10m":$cc10mCompact,"corpus_500k":$corpusCompact,"events_5m":$eventsCompact,"sf":"${sfDir.split('/').last}"}"""
-    // hard budget 1900: the driver truncates lines at ~4096 B and
-    // keeps a 2000 B tail — r12-r14 all came back parsed:null over
-    // this; r15 run-3 measured 1974 B before this trim
-    if (compact.length > 1900)
-      System.err.println(s"[bench] WARNING compact line ${compact.length} B — may outgrow the driver tail window")
+    // assembled under a HARD byte budget (VERDICT r17 #1): the driver
+    // keeps a 2,000 B tail that also holds sbt's [success] line, and
+    // r17's 1,926 B line lost its head to it. assembleCompact renders
+    // the canonical key inventory and drops whole optional sub-blocks
+    // (CompactDropOrder) until the line fits — always complete JSON,
+    // never a truncation. BenchLogicSpec pins a worst-case-width
+    // instance under the budget with ZERO drops needed.
+    val compact = assembleCompact(Map(
+      "metric" -> "\"total\"",
+      "value" -> fmt(total, 3),
+      "unit" -> "\"sec\"",
+      "protocol" -> "2",
+      "contended" -> contended.toString,
+      "canary_ms" -> s"[${fmt(canaryStart, 3)},${fmt(canaryEnd, 3)}]",
+      "attr" -> s""""${attrShort(attributionStart)}/${attrShort(attributionEnd)}"""",
+      "bw_gbps" -> fmt(triadGbps, 0),
+      "n_queries" -> results.size.toString,
+      "slowest" -> slowest,
+      "failed" -> fl,
+      "batch_knn_qps" -> fmt(qps, 0),
+      "engine_100k" -> engineCompact,
+      "hnsw_100k" -> hnswCompact,
+      "hnsw_100k_clustered" -> hnswClusteredCompact,
+      "hnsw_100k_d128" -> hnswD128Compact,
+      "hnsw_1m" -> hnsw1mCompact,
+      "drift" -> driftCompact,
+      "sent_ms" -> sentCompact,
+      "knn_10k" -> probeCompact(qps10k),
+      "knn_100k" -> probeCompact(qps100k),
+      "knn_1m" -> probeCompact(qps1m),
+      "knn_10m_pq" -> pq10mCompact,
+      "dedup_stored" -> dedupStoredCompact,
+      "cc_10m" -> cc10mCompact,
+      "corpus_500k" -> corpusCompact,
+      "events_5m" -> eventsCompact,
+      "sf" -> s""""${sfDir.split('/').last}""""))
+    if (compact.length > CompactBudgetBytes)
+      System.err.println(s"[bench] WARNING compact line ${compact.length} B even after the drop cascade — may outgrow the driver tail window")
     println(compact)
     System.out.flush()
     spark.stop()
