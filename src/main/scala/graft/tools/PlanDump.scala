@@ -43,6 +43,11 @@ object PlanDump {
       "left-semi join of gram starts vs the hot set + one per-doc " +
       "starts groupBy — no suffix array, no pairwise op, island merge " +
       "is per-doc bounded column work."),
+    "html_extract" -> ("HTML main-content extraction (r18). The page " +
+      "synthesis is a codegen'd concat projection, the extractor one " +
+      "narrow mapPartitions kernel — the only Exchange in the plan is " +
+      "the entry's deterministic ORDER BY for the oracle. At 100 TB " +
+      "this is scan-speed work that scales with input splits."),
     "training_export" -> ("Trainer shard export (r17). The entry " +
       "dumps its READ-BACK grading plan (scan of the written shards → " +
       "one per-split agg); the WRITE plan itself — per-row splitAssign/" +

@@ -106,11 +106,16 @@ ALIASES = {
 # span settled 8.9-11.6 s across r14-r17 healthy runs). Provenance:
 # docs/probes/span_refs_r18.txt (fresh settled probes at r18 HEAD) and
 # the committed artifact history (BENCH_r16/r17 + docs/probes/bench_*).
+# multimodal_decode_mpg: healthy 0.91-1.07 s across r15/r16/r18 runs
+# (docs/probes/mpg_ref_r18.txt); the r17 published 4.6 s is the one
+# outlier — the ref makes any future unflagged return there gate-fatal
+# and retro-excuses the r17->r18 recovery pairwise flag.
 CROSS_ROUND_REFS = {
     "hnsw_1m.build_sec": (34.7, 1.5),
     "knn_10m_pq.build_sec": (34.1, 1.5),
     "corpus_500k.span_mask_sec": (10.5, 1.5),
     "corpus_500k.span_mask_hashed_sec": (10.5, 1.5),
+    "queries.multimodal_decode_mpg": (1.0, 1.5),
 }
 
 
@@ -332,16 +337,15 @@ def main():
         ratio = (vb / va) / expected
         if ratio > FLAG_RATIO or ratio < 1.0 / FLAG_RATIO:
             flagged.append((k, va, vb, ratio, kd))
-    def is_excused(key):
-        if excused_by(key, drift):
-            return True
+    def ref_excuse(key):
         # same-row spelling variants: a stored-ref breach on
         # corpus_500k.span_mask_sec also covers span_mask_docs_per_sec
         return any(key.split(".")[0] == rk.split(".")[0]
                    and _row_token(key) == _row_token(rk)
                    for rk in b_ref_breaches)
-    excused = [f for f in flagged if is_excused(f[0])]
-    fatal = [f for f in flagged if not is_excused(f[0])]
+    excused = [f for f in flagged
+               if excused_by(f[0], drift) or ref_excuse(f[0])]
+    fatal = [f for f in flagged if f not in excused]
     print(f"\n{compared} shared numeric rows compared; {len(flagged)} flagged (>|{FLAG_RATIO}x| canary-normalized, or recall diff > {RECALL_DIFF}):\n")
     if not flagged:
         print("  COHERENT — no row disagrees beyond the canary-expected factor.")
@@ -349,10 +353,24 @@ def main():
         unit = "norm-ratio" if kd != "abs" else "abs-diff"
         print(f"  {k:<55} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [{kd}]")
     if gate and excused:
-        print(f"\n  excused by self-flagged drift {sorted(set(drift))}:")
-        for k, va, vb, r, kd in excused:
-            unit = "norm-ratio" if kd != "abs" else "abs-diff"
-            print(f"    {k:<53} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [excused]")
+        # keep the two excuse provenances distinct in the ledger: a
+        # SELF-FLAG means the artifact's own sentinels marked the row
+        # non-evidentiary; a RETRO-excuse means the OLD artifact (B)
+        # breached a stored settled reference, so the disagreement is
+        # A recovering, not A regressing
+        by_drift = [f for f in excused if excused_by(f[0], drift)]
+        by_ref = [f for f in excused if f not in by_drift]
+        if by_drift:
+            print(f"\n  excused by self-flagged drift {sorted(set(drift))}:")
+            for k, va, vb, r, kd in by_drift:
+                unit = "norm-ratio" if kd != "abs" else "abs-diff"
+                print(f"    {k:<53} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [excused]")
+        if by_ref:
+            print(f"\n  retro-excused — OLD artifact (B) breaches a stored settled ref"
+                  f" {sorted(b_ref_breaches)}:")
+            for k, va, vb, r, kd in by_ref:
+                unit = "norm-ratio" if kd != "abs" else "abs-diff"
+                print(f"    {k:<53} A={va:<12g} B={vb:<12g} {unit}={r:.2f} [B drifted]")
     # stored-reference check on artifact A, the candidate (VERDICT r17
     # #2/#3): creep that is re-pair-clean WITHIN each run has no
     # same-run twin to catch it — these rows are judged against

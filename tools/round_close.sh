@@ -44,7 +44,11 @@ note "ROUND-CLOSE r${ROUND} (diff vs r${PREV})  $(git rev-parse --short HEAD)  $
 run schema_canary python3 tools/check_schemas.py
 
 # 1. full spec suite (log kept for the coverage gate)
-run spec_suite bash -c "sbt -batch test 2>&1 | tee /tmp/sbt_test.log | tail -4"
+# NOTE every bash -c below sets pipefail itself: run() spawns a FRESH
+# bash whose pipelines otherwise report the LAST command's status —
+# r18 run-1 recorded bench_gate: OK while bench_diff exited 1 behind a
+# tee
+run spec_suite bash -c "set -o pipefail; sbt -batch test 2>&1 | tee /tmp/sbt_test.log | tail -4"
 
 # 2. cross-SF oracle gate: Verify x3 SFs in ONE sbt JVM, then DuckDB
 #    compare per SF (the driver's gate runs sf0.01; sf0.001 catches
@@ -80,12 +84,12 @@ run coverage_gate bash -c \
 #    stored-reference creep fatal) + the per-round benchdiff ledger
 if [[ "$SKIP_BENCH" == 0 ]]; then
   run bench bash -c \
-    "SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    "set -o pipefail; SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
      sbt -batch 'runMain graft.Bench' 2>&1 | tee /tmp/bench_round.log | grep -E '^\{\"metric\"' > /tmp/bench_compact.json"
   run windowexec_grep bash -c "! grep -q 'WindowExec: No Partition Defined' /tmp/bench_round.log"
   if [[ -f "BENCH_r$(printf '%02d' "$PREV").json" ]]; then
     run bench_gate bash -c \
-      "python3 tools/bench_diff.py --gate bench_latest.json BENCH_r$(printf '%02d' "$PREV").json 2>&1 | tee docs/probes/benchdiff_r${ROUND}.txt"
+      "set -o pipefail; python3 tools/bench_diff.py --gate bench_latest.json BENCH_r$(printf '%02d' "$PREV").json 2>&1 | tee docs/probes/benchdiff_r${ROUND}.txt"
   else
     note "== bench_gate: SKIP (no BENCH_r$(printf '%02d' "$PREV").json)"
   fi
