@@ -50,6 +50,30 @@ object SparkEntry {
     p
   }
 
+  /** The synthetic page the `html_extract` and `warc_html_pipeline`
+    * entries build from each doc (title + script in head, link nav, a
+    * link-list aside, an article whose 40-word paragraphs carry the
+    * doc text, an id%3 link-stuffed subscribe blurb, an id%5 too-short
+    * note, a link footer). Every non-article block is boilerplate by
+    * the integer rules, so the DuckDB oracle replays the NET
+    * classification: kept blocks = exactly the >= 10-word paragraph
+    * groups. */
+  private def syntheticPage(id: Long, text: String): String = {
+    val ws = text.split(" ", -1) // -1: keep trailing empties, matching string_split
+    val paras = ws.grouped(40)
+      .map(g => s"<p>${g.mkString(" ")}</p>").mkString
+    val h1 = ws.take(3).mkString(" ")
+    val subscribe = if (id % 3 == 0)
+      """<p>subscribe to our newsletter today <a href="/s">subscribe</a> <a href="/l">login</a> <a href="/r">register</a> <a href="/f">follow</a> <a href="/t">tweet</a> <a href="/m">more</a></p>"""
+    else ""
+    val shortNote = if (id % 5 == 0) "<p>short note here</p>" else ""
+    s"""<html><head><title>Doc $id</title><script>var x = 1 < 2;</script></head><body>""" +
+      """<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>""" +
+      """<aside><ul><li><a href="/r1">related article one</a></li><li><a href="/r2">related article two</a></li></ul></aside>""" +
+      s"""<article><h1>$h1</h1>$paras$subscribe$shortNote</article>""" +
+      """<footer>copyright all rights reserved <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""
+  }
+
   /** AvailableNow ingest barrier: a timeout here means the graded
     * collection is PARTIAL — fail loudly instead of letting the hash
     * mismatch masquerade as a sink bug (ADVICE r16). */
@@ -1154,24 +1178,58 @@ object SparkEntry {
       val pages = t(s, dir, "documents")
         .select($"doc_id".cast("long").as("doc_id"), $"text")
         .as[(Long, String)]
-        .map { case (id, text) =>
-          val ws = text.split(" ", -1) // -1: keep trailing empties, matching string_split
-          val paras = ws.grouped(40)
-            .map(g => s"<p>${g.mkString(" ")}</p>").mkString
-          val h1 = ws.take(3).mkString(" ")
-          val subscribe = if (id % 3 == 0)
-            """<p>subscribe to our newsletter today <a href="/s">subscribe</a> <a href="/l">login</a> <a href="/r">register</a> <a href="/f">follow</a> <a href="/t">tweet</a> <a href="/m">more</a></p>"""
-          else ""
-          val shortNote = if (id % 5 == 0) "<p>short note here</p>" else ""
-          val html =
-            s"""<html><head><title>Doc $id</title><script>var x = 1 < 2;</script></head><body>""" +
-            """<nav><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></nav>""" +
-            """<aside><ul><li><a href="/r1">related article one</a></li><li><a href="/r2">related article two</a></li></ul></aside>""" +
-            s"""<article><h1>$h1</h1>$paras$subscribe$shortNote</article>""" +
-            """<footer>copyright all rights reserved <a href="/terms">terms</a> <a href="/privacy">privacy</a></footer></body></html>"""
-          (id, html)
-        }.toDF("doc_id", "html")
+        .map { case (id, text) => (id, syntheticPage(id, text)) }
+        .toDF("doc_id", "html")
       graft.pipeline.HtmlExtract.extractMainText(pages, "html", "doc_id")
+        .select($"doc_id", $"main_text", $"n_kept".cast("long").as("n_kept"))
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: WARC crawl ingestion (graft.sources.Warc) — the
+    // stage UPSTREAM of html_extract: per-record gzip members are
+    // split, record headers parsed (folding, case-insensitive names),
+    // payloads framed by Content-Length in BYTES (the synthesized
+    // bodies lead with a 2-byte UTF-8 '§' so a char-counting bug
+    // mis-frames every subsequent record in the file), the HTTP
+    // envelope peeled off response records (warcinfo/request records
+    // must be skipped). Files are assembled deterministically from the
+    // documents table (50 docs per file, id order), so the oracle
+    // recomputes the expected extraction directly — any framing,
+    // member-split, or envelope bug breaks row equality. The parse
+    // itself is a narrow mapPartitions kernel; at 100 TB the files
+    // come from binaryFile reads and the stage scales with splits.
+    "warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+      val files = graft.sources.Warc.synthesizeFiles(
+        docs, 50, (_, text) => "§ " + text)
+      graft.sources.Warc.extractResponses(files, "content")
+        .select(
+          regexp_extract($"url", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          $"url", $"http_status".cast("long").as("http_status"), $"body")
+        .orderBy($"doc_id")
+    }),
+
+    // LLM-pipeline: the composed crawl pipeline — WARC bytes → HTTP
+    // body (a full synthetic page) → HtmlExtract main text. Grades the
+    // two stages END-TO-END: the html_extract oracle replays the net
+    // block classification, so it only matches if the WARC layer
+    // delivered every page byte-exactly first.
+    "warc_html_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select($"doc_id".cast("long").as("doc_id"), $"text")
+        .as[(Long, String)]
+      val files = graft.sources.Warc.synthesizeFiles(
+        docs, 50, (id, text) => syntheticPage(id, text),
+        contentType = "text/html")
+      val pages = graft.sources.Warc.extractResponses(files, "content")
+        .select(
+          regexp_extract($"url", "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          $"body")
+      graft.pipeline.HtmlExtract.extractMainText(pages, "body", "doc_id")
         .select($"doc_id", $"main_text", $"n_kept".cast("long").as("n_kept"))
         .orderBy($"doc_id")
     }),
@@ -3744,6 +3802,29 @@ object SparkEntry {
       // 3-word h1, a link-stuffed subscribe blurb, a 3-word note), so
       // main text = exactly the >= 10-word 40-word paragraph groups
       "html_extract" ->
+        """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+          |p AS (SELECT doc_id,
+          |  [array_to_string(ws[i*40+1:i*40+40], ' ')
+          |   FOR i IN range(0, (len(ws)-1)//40 + 1)
+          |   IF len(ws[i*40+1:i*40+40]) >= 10] AS kept
+          |  FROM w)
+          |SELECT doc_id, array_to_string(kept, chr(10)) AS main_text,
+          |  CAST(len(kept) AS BIGINT) AS n_kept
+          |FROM p ORDER BY doc_id""".stripMargin,
+
+      // recomputes the expected WARC extraction from the base table —
+      // the Spark side must round-trip synthesize → gzip-member →
+      // parse → HTTP-split to reproduce these rows byte-exactly
+      "warc_extract" ->
+        """SELECT doc_id,
+          |  'https://corpus.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+          |  CAST(200 AS BIGINT) AS http_status,
+          |  '§ ' || text AS body
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      // same replay as html_extract — the composed entry only matches
+      // if the WARC layer delivered every page byte-exactly first
+      "warc_html_pipeline" ->
         """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
           |p AS (SELECT doc_id,
           |  [array_to_string(ws[i*40+1:i*40+40], ' ')

@@ -48,6 +48,19 @@ object PlanDump {
       "narrow mapPartitions kernel — the only Exchange in the plan is " +
       "the entry's deterministic ORDER BY for the oracle. At 100 TB " +
       "this is scan-speed work that scales with input splits."),
+    "warc_extract" -> ("WARC crawl ingestion (r18). The ONE groupBy " +
+      "Exchange is the entry's file-assembly scaffolding (50 docs → " +
+      "one gzip-member WARC blob); the OPERATOR is the parse after " +
+      "it — a narrow mapPartitions kernel over file blobs (gunzip " +
+      "members, frame records by Content-Length bytes, peel the HTTP " +
+      "envelope), zero shuffle of its own. In production the blobs " +
+      "come straight from binaryFile splits and the assembly " +
+      "exchange does not exist — the stage is scan-speed."),
+    "warc_html_pipeline" -> ("WARC → HTML main text, composed (r18). " +
+      "Same plan as warc_extract with the HtmlExtract kernel fused " +
+      "into the same narrow stage — two pipeline stages, still one " +
+      "scan-shaped pass; nothing widens between the parse and the " +
+      "block classification."),
     "training_export" -> ("Trainer shard export (r17). The entry " +
       "dumps its READ-BACK grading plan (scan of the written shards → " +
       "one per-split agg); the WRITE plan itself — per-row splitAssign/" +
