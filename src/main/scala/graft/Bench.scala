@@ -52,6 +52,21 @@ object Bench {
     * corpus block. */
   private[graft] val SpanMaskRefSec = 10.5
 
+  /** Stored settled-healthy references for the suite's two LONG
+    * builds (VERDICT r17 #3, extended r18). A whole-run-degraded box
+    * inflates these 30+ s rows while every WITHIN-run sentinel reads
+    * clean — the run-start shuffle-floor reference is itself taken on
+    * the degraded box, and the build re-pair agrees-at-slow (r18 runs
+    * 3/4/5 measured the 10M PQ build at 60/94/69 s vs the 34 s
+    * committed healthy history with quiet brackets each time). A
+    * build past ref × DriftRatio self-flags "<block>:build" so the
+    * ARTIFACT carries the non-evidentiary stamp even when nobody runs
+    * tools/bench_diff.py against it (the driver's official artifact).
+    * Values mirror bench_diff's CROSS_ROUND_REFS; provenance:
+    * BENCH_r16/r17 + docs/probes/bench_r18_run{3,4}_*.json. */
+  private[graft] val LongBuildRefSec: Map[String, Double] =
+    Map("hnsw_1m" -> 34.7, "knn_10m_pq" -> 34.1)
+
   /** Hard byte budget for the compact stdout line (VERDICT r17 #1).
     * The driver truncates console lines at ~4096 B and keeps a
     * 2,000 B TAIL that also holds sbt's trailing "[success] Total
@@ -1048,6 +1063,19 @@ object Bench {
           ivfM, pqM)
         pq10mCleanups += (() => idx.unpersist())
         val buildSec = (System.nanoTime() - tBuild) / 1e9
+        // stored-ref self-flag (r18): this single-shot 34 s build is
+        // too expensive to pair, and a whole-run-degraded box slips
+        // past the run-start-referenced brackets (r18 runs 3/4/5:
+        // 60/94/69 s, brackets quiet) — compare against the committed
+        // healthy reference so the artifact stamps itself
+        LongBuildRefSec.get("knn_10m_pq").foreach { ref =>
+          if (buildSec > ref * DriftRatio) {
+            rowDrift += "knn_10m_pq:build"
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] knn_10m_pq build %.1f s exceeds the stored healthy ref %.1f s x %.1f — flagged",
+              Double.box(buildSec), Double.box(ref), Double.box(DriftRatio)))
+          }
+        }
         idx.search(qSeq.take(4), k = 10, nProbe = 8).count() // warm
         val adcQps = queries.size / timedRuns(3)(
           idx.search(qSeq, k = 10, nProbe = 8).count(): Unit).min
@@ -1658,6 +1686,17 @@ object Bench {
           idx = graft.ann.Hnsw.buildParallel(rows.iterator, dim)
           (System.nanoTime() - t3) / 1e9
         }
+        // stored-ref self-flag (r18): the re-pair can AGREE at a slow
+        // value when the whole run is degraded — compare against the
+        // committed healthy reference too
+        LongBuildRefSec.get(name).foreach { ref =>
+          if (buildSec > ref * DriftRatio && !rowDrift.contains(s"$name:build")) {
+            rowDrift += s"$name:build"
+            System.err.println(String.format(java.util.Locale.ROOT,
+              "[bench] %s build %.1f s exceeds the stored healthy ref %.1f s x %.1f — flagged",
+              name, Double.box(buildSec), Double.box(ref), Double.box(DriftRatio)))
+          }
+        }
         val defaultEf = graft.ann.Hnsw.defaultEf(dim)
         // dim-matched build-time comparison against BASELINE.md's own
         // configuration (the reference builds at M=16): timed at the
@@ -1970,7 +2009,7 @@ object Bench {
     // dedup_incremental_stored / bucketed_join time steady state only
     // (build moved to cached warmup). Totals are NOT comparable with
     // protocol-1 rounds (r6 and earlier) — readers must gate on this.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family AND hnsw/ann blocks bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels; the shuffle reference is itself a median of 5 spaced samples since r17), corpus rows > 3 s (cc_10m > 20 s — its healthy value is ~13 s) settle+re-pair, flagging as corpus_500k:<row> / cc_10m:episodic when the pairs split, and hnsw/ann BUILD pairs that split past ${DriftRatio}x re-pair once more and flag <block>:build / <block>:build_ref (VERDICT r16 #1 — the one family the r16 brackets skipped); flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","bench_protocol":2,"contended":$contended,"canary":$canaryJson,"bandwidth_canary":{"triad_ms":${fmt(triadMs, 2)},"triad_gbps":${fmt(triadGbps, 1)},"note":"best-of-7 STREAM triad over a ~67 MB working set (24 B/element convention) — the DRAM axis; exact-scan serving rows scale inversely with this where the CPU canary reads flat (VERDICT r15 #3)"},"queries":$qs,"failed":$fl,"batch_knn_qps":$qps,"batch_knn_scan_qps":$scanQps1k,"batch_knn_serving_qps":$servingQps1k,"batch_knn_serving_p50_ms":$servingP50Small,"engine_100k":${engineJson(6)},"hnsw_100k":$hnswJson,"hnsw_100k_clustered":$hnswClusteredJson,"hnsw_100k_d128":$hnswD128Json,"hnsw_1m":$hnsw1mJson,"knn_10k":${probeJson(qps10k)},"knn_100k":${probeJson(qps100k)},"knn_1m":${probeJson(qps1m)},"knn_10m_pq":$pq10mJson,"dedup_stored":$dedupStoredJson,"cc_10m":$cc10mJson,"baseline_comparison":$baselineJson,"corpus_500k":$corpusJson,"events_5m":$eventsJson,"ann_ivf":$ann,"ann_ivf_clustered":$annClustered,"pq_clustered":$pqClustered,"ann_curves":{"isotropic":$annCurves,"clustered":$annClusteredCurves},"sentinel_protocol":"min over three spaced 50-rep windows of the frozen canary kernel, before+after every block (immune to the block's own GC tail — no single pause spans all three windows — but rises under sustained external drift); drift = sentinel > ${DriftRatio}x the median-of-5 run-start sentinel (1.3x sat inside the idle box's own 0.23-0.37 ms noise band); corpus-family AND hnsw/ann blocks bracket a frozen 2M-row shuffle kernel (shuffle_floor_ms, same ${DriftRatio}x gate — the r15 drift mode lived in sustained shuffle throughput, unseen by CPU/job-floor sentinels; the shuffle reference is itself a median of 5 spaced samples since r17), corpus rows > 3 s (cc_10m > 20 s — its healthy value is ~13 s) settle+re-pair, flagging as corpus_500k:<row> / cc_10m:episodic when the pairs split, and hnsw/ann BUILD pairs that split past ${DriftRatio}x re-pair once more and flag <block>:build / <block>:build_ref (VERDICT r16 #1 — the one family the r16 brackets skipped); the two 30+ s builds (hnsw_1m, knn_10m_pq) ALSO self-flag <block>:build past a committed healthy reference x the same gate (r18: a whole-run-degraded box inflates them with every within-run sentinel quiet, because the run-start references are taken on the same degraded box and a re-pair agrees-at-slow); flagged blocks settle + rerun once (global budget $RerunBudget0), still-flagged blocks are non-evidentiary","sentinel_ref_ms":${fmt(sentinelRef, 4)},"job_floor_ref_ms":${fmt(jobFloorRef, 1)},"shuffle_floor_ref_ms":${fmt(shuffleRef, 0)},"job_floor_graded_ms":[${fmt(gradedJfBefore, 1)},${fmt(gradedJfAfter, 1)}],"job_floor_note":"median wall-ms of spark.range(1).count() — the scheduler/dispatch floor every small job pays; the r14-class drift lived HERE, not in the CPU kernel (docs/probes/asof_r15_env.txt). Compare job_floor_ref_ms across artifacts before reading any small-entry row as a regression","block_sentinels":$sentinelsJson,"drift_blocks":$driftJson,"span_aa":$spanAAJson,"sf":"$sfDir"}"""
     // Durable FULL copy — per-query history, run spreads, and the ann
     // recall/fraction curves live here (committed per round).
     try java.nio.file.Files.write(java.nio.file.Paths.get(

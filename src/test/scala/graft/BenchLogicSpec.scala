@@ -165,4 +165,17 @@ class BenchLogicSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Bench.assembleCompact(worstCase - "corpus_500k"))
   }
+
+  test("stored long-build references mirror bench_diff's CROSS_ROUND_REFS") {
+    // the Bench-side self-flag and the gate-side fatal check must
+    // judge the same rows against the same healthy values — parse the
+    // python source so the two cannot drift apart silently
+    val py = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("tools/bench_diff.py")), "UTF-8")
+    val ref = """"(\w+)\.build_sec":\s*\(([0-9.]+),""".r
+    val gateRefs = ref.findAllMatchIn(py)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    assert(gateRefs === Bench.LongBuildRefSec,
+      "tools/bench_diff.py CROSS_ROUND_REFS build rows != Bench.LongBuildRefSec")
+  }
 }
