@@ -269,13 +269,22 @@ object Dedup {
     val baseHashes: org.apache.spark.sql.Dataset[(Long, Array[Long])] =
       if (hashedShingles) sh.as[(Long, Seq[Long])].map { case (id, s) => (id, s.toArray) }
       else sh.as[(Long, Seq[String])].map { case (id, s) => (id, s.map(fnv1a64).toArray) }
-    val banded = baseHashes.flatMap { case (id, base) =>
+    // Persist the banded table too (r18, guide §1.2 "don't compute
+    // things twice"): pairCandidates consumes it in BOTH the bucket
+    // count-guard and the semi-join, and without a persist each use
+    // re-runs the minhash signature flatMap — numHashes multiply-adds
+    // per shingle per document, the operator's single hottest kernel.
+    // Same RDD-level/ContextCleaner rationale as the shingle table;
+    // the persisted rows are `bands` ints per doc, far smaller than
+    // the shingles already held.
+    val bandedRdd = baseHashes.flatMap { case (id, base) =>
       val sig = minhashSignatureFromHashes(base, coeffs)
       (0 until bands).map { b =>
         val slice = sig.slice(b * r, b * r + r)
         (id, b, MurmurHash3.arrayHash(slice))
       }
-    }.toDF("id", "band", "bucket")
+    }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = spark.createDataset(bandedRdd).toDF("id", "band", "bucket")
     val dropAcc = spark.sparkContext.longAccumulator("graft.lsh.dropped_buckets")
     verifyJaccard(pairCandidates(banded, maxBucket, dropAcc), sh, tau)
   }
@@ -319,10 +328,17 @@ object Dedup {
     val shNew = shingleTable(newDf)
     val shOld = shingleTable(oldDf)
 
-    def banded(sh: DataFrame): DataFrame = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
-      val sig = minhashSignature(s, coeffs)
-      (0 until bands).map(b => (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
-    }.toDF("id", "band", "bucket")
+    // banded tables persist for the same reason as the shingles: the
+    // maxBucket count-guard and the cross-corpus equi-join each consume
+    // them, and an unpersisted plan re-runs the signature flatMap per
+    // use (r18, guide §1.2)
+    def banded(sh: DataFrame): DataFrame = {
+      val rdd = sh.as[(Long, Seq[String])].flatMap { case (id, s) =>
+        val sig = minhashSignature(s, coeffs)
+        (0 until bands).map(b => (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
+      }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spark.createDataset(rdd).toDF("id", "band", "bucket")
+    }
 
     def guarded(b: DataFrame): DataFrame =
       if (maxBucket <= 0) b
@@ -408,11 +424,15 @@ object Dedup {
       .rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shNew = spark.createDataset(shNewRdd).toDF("id", "sh")
 
-    val bandedNew = shNew.as[(Long, Seq[String])].flatMap { case (id, s) =>
+    // persisted: the count-guard and the index equi-join each consume
+    // the new side's banded table — without this the signature flatMap
+    // runs twice per batch (r18, guide §1.2)
+    val bandedNewRdd = shNew.as[(Long, Seq[String])].flatMap { case (id, s) =>
       val sig = minhashSignature(s, coeffs)
       (0 until index.bands).map(b =>
         (id, b, MurmurHash3.arrayHash(sig.slice(b * r, b * r + r))))
-    }.toDF("id", "band", "bucket")
+    }.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedNew = spark.createDataset(bandedNewRdd).toDF("id", "band", "bucket")
 
     def guarded(b: DataFrame): DataFrame =
       if (maxBucket <= 0) b

@@ -49,6 +49,14 @@ final class EventBus {
   def listenerCount(event: String): Int =
     named.getOrElse(event, Vector.empty).size
 
+  /** Would an `emit(event, …)` reach ANY code — a named listener or an
+    * onAny tap? Lets an emit site skip computing an expensive payload
+    * field when provably nobody observes it (the streaming-ingest
+    * collection recount, r18) without ever changing what an observer
+    * sees. */
+  private[graft] def hasObservers(event: String): Boolean =
+    any.nonEmpty || named.getOrElse(event, Vector.empty).nonEmpty
+
   /** Fire an event: named listeners in registration order, then the
     * onAny taps. No-op when nobody listens (the common case — one map
     * lookup and a vector-emptiness check). */

@@ -178,7 +178,9 @@ object CorpusOps {
     val keyed = spanGrams(toks, n, hashedGrams)
     val hot = keyed.groupBy("gram").count()
       .filter(col("count") >= minCount).select("gram")
-    maskByHotGrams(toks, keyed, hot, n)
+    // the hot side is the expensive corpus-wide count — on fallback the
+    // persisted aggregation is reused, never recomputed (§2.4)
+    maskByHotGrams(toks, keyed, hot, n, reuseHotOnFallback = true)
   }
 
   /** ExactSubstr span REPORT (Lee et al. 2022, arXiv:2107.06499 §4.1 —
@@ -226,24 +228,55 @@ object CorpusOps {
     val keyed = spanGrams(toks, minLen, hashedGrams = true)
     val hot = keyed.groupBy("gram").count()
       .filter(col("count") >= 2).select("gram")
-    keyed.join(hot, Seq("gram"), "left_semi")
-      .groupBy(col("id")).agg(sort_array(collect_list(col("i"))).as("ss"))
-      .as[(Long, Seq[Int])]
-      .flatMap { case (id, ss) =>
-        val out = Vector.newBuilder[(Long, Int, Int, Int)]
-        var start = -1
-        var end = -1 // inclusive coverage end of the open island
-        ss.foreach { s =>
-          if (start < 0) { start = s; end = s + minLen - 1 }
-          else if (s <= end + 1) { end = s + minLen - 1 }
+    // r18 (§2.4/§3.1): when the duplicated-anchor set fits the bounded
+    // broadcast ([[hotGramSetOrTable]]), the island scan runs as ONE
+    // narrow pass probing the broadcast set in ascending-position order
+    // — no per-doc starts shuffle, no sort_array, and the join plan's
+    // second tokenize+hash pass disappears. The fallback is the
+    // previous plan verbatim (reusing the persisted count aggregation),
+    // which is the 100 TB shape: a minCount=2 hot set over a real
+    // crawl normally exceeds any broadcast bound.
+    hotGramSetOrTable(hot, reuseOnFallback = true) match {
+      case Right(bc) =>
+        toks.as[(Long, Seq[String])].flatMap { case (id, ts) =>
+          if (ts.length < minLen) Iterator.empty
           else {
-            out += ((id, start, end, end - start + 1))
-            start = s; end = s + minLen - 1
+            val arr = ts.toIndexedSeq
+            val set = bc.value
+            spanIslands(id,
+              (0 to arr.length - minLen).iterator
+                .filter(i => set.contains(gramHash(arr, i, minLen))), minLen)
           }
-        }
-        if (start >= 0) out += ((id, start, end, end - start + 1))
-        out.result()
-      }.toDF("id", "span_start", "span_end", "span_len")
+        }.toDF("id", "span_start", "span_end", "span_len")
+      case Left(hotDf) =>
+        keyed.join(hotDf, Seq("gram"), "left_semi")
+          .groupBy(col("id")).agg(sort_array(collect_list(col("i"))).as("ss"))
+          .as[(Long, Seq[Int])]
+          .flatMap { case (id, ss) => spanIslands(id, ss.iterator, minLen) }
+          .toDF("id", "span_start", "span_end", "span_len")
+    }
+  }
+
+  /** Merge ascending duplicated-anchor starts into maximal coverage
+    * islands — ONE implementation behind both [[exactSubstrSpans]]
+    * topologies, so the broadcast fast path and the join fallback
+    * cannot drift. `ss` must be ascending; coverage of start `s` is
+    * `[s, s+minLen-1]`, islands merge on overlap or abutment. */
+  private def spanIslands(id: Long, ss: Iterator[Int],
+                          minLen: Int): Vector[(Long, Int, Int, Int)] = {
+    val out = Vector.newBuilder[(Long, Int, Int, Int)]
+    var start = -1
+    var end = -1 // inclusive coverage end of the open island
+    ss.foreach { s =>
+      if (start < 0) { start = s; end = s + minLen - 1 }
+      else if (s <= end + 1) { end = s + minLen - 1 }
+      else {
+        out += ((id, start, end, end - start + 1))
+        start = s; end = s + minLen - 1
+      }
+    }
+    if (start >= 0) out += ((id, start, end, end - start + 1))
+    out.result()
   }
 
   /** `(id, ts)` tokenization shared by the span-masking family — must
@@ -312,37 +345,116 @@ object CorpusOps {
 
   /** Mask every position covered by a gram start whose gram key is in
     * `hot`; keep the uncovered remainder in order. One row per `toks`
-    * row: `(id, n_tokens, n_covered, kept)`. */
+    * row: `(id, n_tokens, n_covered, kept)`.
+    *
+    * r18 topology split (optimization guide §2.4 "remove shuffles
+    * outright", §3.1 "broadcast the side that fits"): the r14–r17 plan
+    * semi-joined every gram start against `hot`, shuffled ALL surviving
+    * starts into a per-doc `collect_list`, and then shuffled the token
+    * arrays (the corpus text itself) through a doc-id join — at the
+    * 500k bench tile that is ~75M `(id, i)` rows plus ~1.5 GB of token
+    * arrays through exchanges, and the `keyed`/`toks` subtrees were
+    * re-tokenized once per use (3 tokenize passes total). When the hot
+    * set fits the bounded broadcast the whole tail collapses into ONE
+    * narrow pass: probe the broadcast [[LongHashSet]] per gram position
+    * and build the mask in place — the only corpus-wide exchange left
+    * in the operator is the gram-count aggregation itself, and the
+    * text never crosses the wire. Coverage semantics are bit-identical
+    * (membership in the same hot set). The fallback keeps the join
+    * plan for hot sets beyond the bound (the 100 TB default). */
   private def maskByHotGrams(toks: DataFrame, keyed: DataFrame,
-                             hot: DataFrame, n: Int): DataFrame = {
+                             hot: DataFrame, n: Int,
+                             reuseHotOnFallback: Boolean): DataFrame = {
     val spark = toks.sparkSession
     import spark.implicits._
-    val starts = keyed.join(hot, Seq("gram"), "left_semi")
-      .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
-    // Scala-side masking: a boolean mask built once per doc is
-    // O(len + starts·n) — a per-token array_contains over the covered
-    // list would be O(len × covered), quadratic on fully-covered docs
-    // (exactly the bench probe's worst case)
-    toks.join(starts, Seq("id"), "left")
-      .select(col("id"), col("ts"), coalesce(col("ss"),
-        array().cast("array<int>")).as("ss"))
-      .as[(Long, Seq[String], Seq[Int])]
-      .map { case (id, ts, ss) =>
-        val mask = new Array[Boolean](ts.length)
-        ss.foreach { s =>
-          var p = s
-          val end = math.min(s + n, ts.length)
-          while (p < end) { mask(p) = true; p += 1 }
-        }
-        val kept = Vector.newBuilder[String]
-        var covered = 0
-        var i = 0
-        while (i < ts.length) {
-          if (mask(i)) covered += 1 else kept += ts(i)
-          i += 1
-        }
-        (id, ts.length, covered, kept.result())
-      }.toDF("id", "n_tokens", "n_covered", "kept")
+    hotGramSetOrTable(hot, reuseHotOnFallback) match {
+      case Right(bc) =>
+        toks.as[(Long, Seq[String])].map { case (id, ts) =>
+          val arr = ts.toIndexedSeq
+          val set = bc.value
+          val mask = new Array[Boolean](arr.length)
+          val last = arr.length - n
+          var i = 0
+          while (i <= last) {
+            if (set.contains(gramHash(arr, i, n))) {
+              var p = i
+              val end = math.min(i + n, arr.length)
+              while (p < end) { mask(p) = true; p += 1 }
+            }
+            i += 1
+          }
+          val kept = Vector.newBuilder[String]
+          var covered = 0
+          var j = 0
+          while (j < arr.length) {
+            if (mask(j)) covered += 1 else kept += arr(j)
+            j += 1
+          }
+          (id, arr.length, covered, kept.result())
+        }.toDF("id", "n_tokens", "n_covered", "kept")
+      case Left(hotDf) =>
+        val starts = keyed.join(hotDf, Seq("gram"), "left_semi")
+          .groupBy(col("id")).agg(collect_list(col("i")).as("ss"))
+        // Scala-side masking: a boolean mask built once per doc is
+        // O(len + starts·n) — a per-token array_contains over the covered
+        // list would be O(len × covered), quadratic on fully-covered docs
+        // (exactly the bench probe's worst case)
+        toks.join(starts, Seq("id"), "left")
+          .select(col("id"), col("ts"), coalesce(col("ss"),
+            array().cast("array<int>")).as("ss"))
+          .as[(Long, Seq[String], Seq[Int])]
+          .map { case (id, ts, ss) =>
+            val mask = new Array[Boolean](ts.length)
+            ss.foreach { s =>
+              var p = s
+              val end = math.min(s + n, ts.length)
+              while (p < end) { mask(p) = true; p += 1 }
+            }
+            val kept = Vector.newBuilder[String]
+            var covered = 0
+            var i = 0
+            while (i < ts.length) {
+              if (mask(i)) covered += 1 else kept += ts(i)
+              i += 1
+            }
+            (id, ts.length, covered, kept.result())
+          }.toDF("id", "n_tokens", "n_covered", "kept")
+    }
+  }
+
+  /** Materialize the hot-gram table once and decide the masking
+    * topology. The aggregation's reduced key space is persisted
+    * (RDD-level, ContextCleaner-managed like the Dedup intermediates),
+    * counted, and — when it holds at most `graft.span.hotBroadcastMax`
+    * keys (default 4M ≈ 64 MB table at load factor 0.5) — collected
+    * into a [[LongHashSet]] and broadcast (`Right`). Otherwise `Left`:
+    * `reuseOnFallback` callers get the persisted aggregation back (the
+    * count shuffle is NOT re-run for the join), while callers whose hot
+    * side is cheap and already hinted (the broadcast eval-gram set of
+    * [[decontaminateSpans]]) keep their original plan. The count plus
+    * bounded collect is one small job over the already-reduced key
+    * space; the driver holds ≤ the bound (the bloom-filter-build /
+    * bucket-offset-cumsum precedent for bounded driver-side state). */
+  private def hotGramSetOrTable(hot: DataFrame, reuseOnFallback: Boolean)
+      : Either[DataFrame, org.apache.spark.broadcast.Broadcast[LongHashSet]] = {
+    val spark = hot.sparkSession
+    import spark.implicits._
+    val max =
+      try sys.props.getOrElse("graft.span.hotBroadcastMax", "4194304").toLong
+      catch { case _: NumberFormatException => 4194304L }
+    val rdd = hot.select(col("gram").cast("long")).as[Long].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = rdd.count()
+    if (n <= max) {
+      val arr = rdd.collect()
+      rdd.unpersist(false)
+      Right(spark.sparkContext.broadcast(LongHashSet(arr)))
+    } else if (reuseOnFallback) {
+      Left(spark.createDataset(rdd).toDF("gram"))
+    } else {
+      rdd.unpersist(false)
+      Left(hot)
+    }
   }
 
   /** Span-level DECONTAMINATION (the output half of
@@ -375,7 +487,12 @@ object CorpusOps {
     val evalGrams = broadcast(
       spanGrams(spanToks(eval, textCol, idCol), n, hashedGrams)
         .select("gram").distinct())
-    maskByHotGrams(trainToks, trainGrams, evalGrams, n)
+    // eval grams are cheap to recompute and already broadcast-hinted —
+    // on fallback keep the original hinted plan (reuseHotOnFallback
+    // false), so an eval set past the collect bound still meets the
+    // train grams in a map-side semi-join, never a corpus shuffle
+    maskByHotGrams(trainToks, trainGrams, evalGrams, n,
+      reuseHotOnFallback = false)
   }
 
   // ─── Deterministic epoch shuffle (training-reader order) ───
@@ -660,15 +777,67 @@ object CorpusOps {
       .groupBy($"lk").agg(countDistinct($"id").as("df"))
       .filter($"df" >= minDf)
       .select($"lk", lit(true).as("boiler"))
-    lines.join(frequent, Seq("lk"), "left")
-      .groupBy($"id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when($"boiler".isNull, struct($"pos", $"line")))),
-          x => x.getField("line")), "\n").as("clean_text"),
-        count(when($"boiler".isNull, lit(1))).as("n_kept"),
-        count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
-      .select($"id", $"clean_text", $"n_kept", $"n_dropped")
+    // r18 (§2.4/§3.1): on the string-keyed path, when the frequent-line
+    // table (bounded by total_lines/minDf) fits the bounded broadcast,
+    // the tag join + per-doc regroup collapse into ONE narrow pass —
+    // the corpus text is split once per doc and never crosses an
+    // exchange (the old plan re-exploded the corpus for the tag join
+    // and shuffled every surviving line through the groupBy(id)
+    // regroup). The hashed-key representation exists FOR corpora whose
+    // frequent set outgrows a broadcast (the 100 TB regime), so it
+    // keeps the join plan unchanged; the string fallback reuses the
+    // persisted frequency aggregation rather than recomputing it.
+    val decided: Either[DataFrame, org.apache.spark.broadcast.Broadcast[java.util.HashSet[String]]] =
+      if (hashedLines) Left(frequent)
+      else {
+        val max =
+          try sys.props.getOrElse("graft.span.hotBroadcastMax", "4194304").toLong
+          catch { case _: NumberFormatException => 4194304L }
+        val rdd = frequent.select($"lk".cast("string")).as[String].rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nf = rdd.count()
+        if (nf <= max) {
+          val set = new java.util.HashSet[String](math.max(16, (nf * 2).toInt))
+          rdd.collect().foreach(set.add)
+          rdd.unpersist(false)
+          Right(spark.sparkContext.broadcast(set))
+        } else
+          Left(spark.createDataset(rdd).toDF("lk").withColumn("boiler", lit(true)))
+      }
+    decided match {
+      case Right(bc) =>
+        df.select(col(idCol).cast("long").as("id"),
+            split(coalesce(col(textCol), lit("")), "\n").as("ls"))
+          .as[(Long, Seq[String])]
+          .map { case (id, ls) =>
+            val set = bc.value
+            val keptB = new StringBuilder
+            var nKept = 0L
+            var nDropped = 0L
+            var i = 0
+            while (i < ls.length) {
+              val l = ls(i)
+              if (set.contains(l)) nDropped += 1
+              else {
+                if (nKept > 0) keptB.append('\n')
+                keptB.append(l)
+                nKept += 1
+              }
+              i += 1
+            }
+            (id, keptB.toString, nKept, nDropped)
+          }.toDF("id", "clean_text", "n_kept", "n_dropped")
+      case Left(freq) =>
+        lines.join(freq, Seq("lk"), "left")
+          .groupBy($"id")
+          .agg(
+            array_join(transform(
+              array_sort(collect_list(when($"boiler".isNull, struct($"pos", $"line")))),
+              x => x.getField("line")), "\n").as("clean_text"),
+            count(when($"boiler".isNull, lit(1))).as("n_kept"),
+            count(when($"boiler".isNotNull, lit(1))).as("n_dropped"))
+          .select($"id", $"clean_text", $"n_kept", $"n_dropped")
+    }
   }
 
   // ─── Sequence packing (pretraining batches) ───

@@ -62,7 +62,8 @@ final class RagPipeline(
              tenantId: Option[String] = None,
              ttlMs: Option[Long] = None,
              now: Option[Timestamp] = None,
-             extraMeta: Map[String, String] = Map.empty): Long = {
+             extraMeta: Map[String, String] = Map.empty,
+             countAfter: Boolean = true): Long = {
     init()
     // Spread a narrow source before the chunk→embed chain: a
     // single-file corpus (or one streaming micro-batch file) arrives as
@@ -100,9 +101,16 @@ final class RagPipeline(
       .drop("doc_id", "chunk_index", "total_chunks")
     events.emit("ingest:start", Map("source" -> extraMeta.getOrElse("source", ""))) // RAGPipeline.js:93
     engine.insert(collection, embedded, tenantId = tenantId, ttlMs = ttlMs, now = now)
-    val n = engine.count(collection)
     // RAGPipeline.js:135 — the batch API reports the collection total
-    // (per-doc chunk counts are the chunked plan's rows, not recounted)
+    // (per-doc chunk counts are the chunked plan's rows, not recounted).
+    // The recount is a full read-back job per call; a caller that
+    // discards the return value — the streaming sink, once per
+    // micro-batch — opts out with countAfter=false, UNLESS someone
+    // actually observes ingest:complete: an observer's payload never
+    // changes (r18, guide §1.2 — don't compute what you throw away).
+    val n =
+      if (countAfter || events.hasObservers("ingest:complete")) engine.count(collection)
+      else -1L
     events.emit("ingest:complete", Map("collection" -> collection, "indexed" -> n))
     n
   }

@@ -29,7 +29,7 @@ object StreamingIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[(String, String)], _: Long) =>
-        if (!batch.isEmpty) rag.ingest(batch, tenantId = tenantId): Unit
+        if (!batch.isEmpty) rag.ingest(batch, tenantId = tenantId, countAfter = false): Unit
       }
       .start()
   }
@@ -64,7 +64,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs = batch.select("doc_id", "text").as[(String, String)]
-        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId): Unit
+        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId, countAfter = false): Unit
       }
       .start()
   }
@@ -104,7 +104,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val docs = batch.select("doc_id", "text").as[(String, String)]
-        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId): Unit
+        if (!docs.isEmpty) rag.ingest(docs, tenantId = tenantId, countAfter = false): Unit
       }
       .start()
   }

@@ -141,12 +141,59 @@ object TextAnalysis {
         explode(words(col(textCol))).as("w"))
       .filter(length($"w") > 0)
     val vocab = w.groupBy($"w").agg(count(lit(1)).as("cnt"))
-    val total = vocab.agg(sum($"cnt").as("total"))
-    w.join(vocab, Seq("w"))
-      .crossJoin(broadcast(total))
-      .groupBy($"id")
-      .agg(count(lit(1)).as("n_words"),
-        round(avg(-log($"cnt".cast("double") / $"total")), 6).as("surprisal"))
+    // r18 fast path (guide §2.4/§3.1): the vocab is the REDUCED key
+    // space — when it fits the bounded driver collect
+    // (`graft.vocab.broadcastMax` words, default 1M), precompute each
+    // word's −ln p(w) once driver-side, broadcast the map, and score in
+    // ONE narrow pass — the second tokenize+explode of the corpus, the
+    // instance⋈vocab join and the per-doc aggregation all disappear.
+    // Values are bit-identical: a doc's instances were already summed
+    // in token order inside the partition that exploded them (explode
+    // is narrow), which is exactly the narrow pass's fold order, and
+    // the 6dp round replays Catalyst's BigDecimal HALF_UP. The
+    // fallback (real corpora: vocab ≫ bound) is the previous plan over
+    // the persisted vocab — one count shuffle, AQE-broadcast join, no
+    // instance row across the wire.
+    val maxV =
+      try sys.props.getOrElse("graft.vocab.broadcastMax", "1048576").toLong
+      catch { case _: NumberFormatException => 1048576L }
+    val vocabRdd = vocab.as[(String, Long)].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nv = vocabRdd.count()
+    if (nv <= maxV) {
+      val entries = vocabRdd.collect()
+      vocabRdd.unpersist(false)
+      var total = 0L
+      entries.foreach(total += _._2)
+      val totalD = total.toDouble
+      val m = new java.util.HashMap[String, java.lang.Double](
+        math.max(16, entries.length * 2))
+      entries.foreach { case (wd, c) => m.put(wd, -math.log(c.toDouble / totalD)) }
+      val bc = spark.sparkContext.broadcast(m)
+      df.select(col(idCol).cast("long").as("id"),
+          filter(words(coalesce(col(textCol), lit(""))),
+            t => length(t) > 0).as("ws"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, ws) =>
+          if (ws.isEmpty) Iterator.empty
+          else {
+            val lm = bc.value
+            var s = 0.0
+            ws.foreach(wd => s += lm.get(wd))
+            Iterator.single((id, ws.length.toLong,
+              BigDecimal(s / ws.length)
+                .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }.toDF("id", "n_words", "surprisal")
+    } else {
+      val vocabDf = spark.createDataset(vocabRdd).toDF("w", "cnt")
+      val total = vocabDf.agg(sum($"cnt").as("total"))
+      w.join(vocabDf, Seq("w"))
+        .crossJoin(broadcast(total))
+        .groupBy($"id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(-log($"cnt".cast("double") / $"total")), 6).as("surprisal"))
+    }
   }
 
   /** [[unigramSurprisal]] with the instance⋈vocab join SPLIT over a
@@ -727,18 +774,85 @@ object TextAnalysis {
     val tgtCnt = feats(target).groupBy($"g").agg(count(lit(1)).as("cp"))
     val rawCnt = rawFeats.groupBy($"g").agg(count(lit(1)).as("cq"))
     val vocab = rawCnt.join(tgtCnt, Seq("g"), "full_outer")
-    val nv = vocab.agg(
-      sum(coalesce($"cp", lit(0L))).cast("double").as("np"),
-      sum(coalesce($"cq", lit(0L))).cast("double").as("nq"),
-      count(lit(1)).cast("double").as("v"))
-    val perDoc = rawFeats
-      .join(vocab, Seq("g"), "left")
-      .crossJoin(broadcast(nv))
-      .withColumn("lr",
-        log((coalesce($"cp", lit(0L)) + lit(1L)).cast("double") / ($"np" + $"v"))
-          - log((coalesce($"cq", lit(0L)) + lit(1L)).cast("double") / ($"nq" + $"v")))
-      .groupBy($"id")
-      .agg(count(lit(1)).as("n_feats"), round(sum($"lr"), 4).as("log_w"))
+    // r18 fast path (guide §2.4/§3.1): the merged vocab is the REDUCED
+    // key space — when it fits the bounded driver collect
+    // (`graft.span.hotBroadcastMax` 8-byte gram keys, the span-family
+    // knob), precompute each gram's smoothed log-ratio once
+    // driver-side, broadcast a primitive LongDoubleMap, and score the
+    // raw corpus in ONE narrow pass: the second feats pass (tokenize +
+    // gram-hash of the whole corpus), the 100M-instance⋈vocab join and
+    // the per-doc aggregation all disappear. Values are bit-identical:
+    // a doc's instances were already summed in uni-then-bi gram order
+    // inside the partition that exploded them, exactly the narrow
+    // pass's fold order; np/nq accumulate as longs before the double
+    // cast, and the 4dp round replays Catalyst's BigDecimal HALF_UP.
+    // The fallback (vocab ≫ bound) is the previous plan over the
+    // persisted vocab table — nothing recomputed, topology unchanged.
+    val maxV =
+      try sys.props.getOrElse("graft.span.hotBroadcastMax", "4194304").toLong
+      catch { case _: NumberFormatException => 4194304L }
+    val vocabRdd = vocab.select($"g", $"cp", $"cq")
+      .as[(Long, Option[Long], Option[Long])].rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nVocab = vocabRdd.count()
+    val perDoc = if (nVocab <= maxV) {
+      val entries = vocabRdd.collect()
+      vocabRdd.unpersist(false)
+      var npL = 0L
+      var nqL = 0L
+      entries.foreach { case (_, cp, cq) =>
+        npL += cp.getOrElse(0L); nqL += cq.getOrElse(0L)
+      }
+      val np = npL.toDouble
+      val nq = nqL.toDouble
+      val v = nVocab.toDouble
+      val ks = new Array[Long](entries.length)
+      val vs = new Array[Double](entries.length)
+      var i = 0
+      while (i < entries.length) {
+        val (g, cp, cq) = entries(i)
+        ks(i) = g
+        vs(i) = math.log((cp.getOrElse(0L) + 1L).toDouble / (np + v)) -
+          math.log((cq.getOrElse(0L) + 1L).toDouble / (nq + v))
+        i += 1
+      }
+      val unseenLr = math.log(1.0 / (np + v)) - math.log(1.0 / (nq + v))
+      val bc = spark.sparkContext.broadcast(
+        graft.pipeline.LongDoubleMap(ks, vs, unseenLr))
+      raw.select(col(idCol).cast("long").as("id"),
+          filter(words(coalesce(col(textCol), lit(""))),
+            w => length(w) > 0).as("ws"))
+        .as[(Long, Seq[String])]
+        .flatMap { case (id, ws) =>
+          val arr = ws.toIndexedSeq
+          val nFeats = if (arr.isEmpty) 0 else arr.length + math.max(arr.length - 1, 0)
+          if (nFeats == 0) Iterator.empty
+          else {
+            val lrm = bc.value
+            var s = 0.0
+            var j = 0
+            while (j < arr.length) { s += lrm.getOrDefault(gramHash(arr, j, 1)); j += 1 }
+            j = 0
+            while (j < arr.length - 1) { s += lrm.getOrDefault(gramHash(arr, j, 2)); j += 1 }
+            Iterator.single((id, nFeats.toLong,
+              BigDecimal(s).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble))
+          }
+        }.toDF("id", "n_feats", "log_w")
+    } else {
+      val vocabDf = spark.createDataset(vocabRdd).toDF("g", "cp", "cq")
+      val nv = vocabDf.agg(
+        sum(coalesce($"cp", lit(0L))).cast("double").as("np"),
+        sum(coalesce($"cq", lit(0L))).cast("double").as("nq"),
+        count(lit(1)).cast("double").as("v"))
+      rawFeats
+        .join(vocabDf, Seq("g"), "left")
+        .crossJoin(broadcast(nv))
+        .withColumn("lr",
+          log((coalesce($"cp", lit(0L)) + lit(1L)).cast("double") / ($"np" + $"v"))
+            - log((coalesce($"cq", lit(0L)) + lit(1L)).cast("double") / ($"nq" + $"v")))
+        .groupBy($"id")
+        .agg(count(lit(1)).as("n_feats"), round(sum($"lr"), 4).as("log_w"))
+    }
     val thr = perDoc.agg(
       expr(s"percentile(log_w, ${1.0 - keepFraction})").as("thr"))
     val scored = perDoc.crossJoin(broadcast(thr))

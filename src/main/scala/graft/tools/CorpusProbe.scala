@@ -42,7 +42,44 @@ object CorpusProbe {
     val total = tiled.count()
     println(s"[corpus-probe] tiled $total docs (${copies}x) from $sfDir")
 
+    // `<name>_fb` twins force the r18 span/line fast paths back onto
+    // the pre-r18 join fallback (graft.span.hotBroadcastMax = -1) so
+    // the before/after pair measures in ONE JVM under one box state
+    def withFallback(body: => Unit): Unit = {
+      val keys = Seq("graft.span.hotBroadcastMax", "graft.vocab.broadcastMax")
+      val old = keys.map(k => k -> sys.props.get(k))
+      keys.foreach(sys.props(_) = "-1")
+      try body
+      finally old.foreach {
+        case (k, Some(o)) => sys.props(k) = o
+        case (k, None) => sys.props -= k; ()
+      }
+    }
+    def spanBody(hashed: Boolean): Unit =
+      graft.pipeline.CorpusOps.maskRepeatedNgrams(
+          tiled, "text", "doc_id", n = 8, minCount = 3, hashedGrams = hashed)
+        .agg(sum(col("n_covered")), sum(size(col("kept")))).collect(): Unit
+    def substrBody(): Unit =
+      graft.pipeline.CorpusOps.exactSubstrSpans(tiled, "text", "doc_id", minLen = 8)
+        .agg(sum(col("span_len")), count(lit(1))).collect(): Unit
+    def lineBody(): Unit =
+      graft.pipeline.CorpusOps.dropBoilerplateLines(tiled, "text", "doc_id", minDf = 1000L)
+        .agg(sum(col("n_kept") + length(col("clean_text")))).collect(): Unit
+    def surpBody(): Unit =
+      graft.textanalysis.TextAnalysis.unigramSurprisal(tiled, "text", "doc_id")
+        .agg(sum(col("surprisal"))).collect(): Unit
+    def dsirBody(): Unit =
+      graft.textanalysis.TextAnalysis.dsirWeights(
+          tiled, tiled.filter(col("lang") === "en"), "text", "doc_id")
+        .agg(sum(col("log_w")), sum(col("n_feats"))).collect(): Unit
     val probes: Map[String, () => Unit] = Map(
+      "surp_fb" -> (() => withFallback(surpBody())),
+      "dsir_fb" -> (() => withFallback(dsirBody())),
+      "substr" -> (() => substrBody()),
+      "substr_fb" -> (() => withFallback(substrBody())),
+      "span_fb" -> (() => withFallback(spanBody(false))),
+      "span_hashed_fb" -> (() => withFallback(spanBody(true))),
+      "line_fb" -> (() => withFallback(lineBody())),
       "curate" -> (() => graft.pipeline.CorpusOps.curate(
           tiled, "text", "doc_id").count(): Unit),
       "pii" -> (() => tiled.agg(sum(length(

@@ -423,6 +423,75 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out == Set(8L, 9L), s"null-source row must stay in train, got $out")
   }
 
+  // r18 topology split: the span-mask family answers from a broadcast
+  // hot-set narrow pass when the hot side fits the bounded collect, and
+  // from the r14-r17 join plan otherwise. Force the fallback via the
+  // sizing knob and pin bit-identical output on corpora that exercise
+  // coverage, islands, empty docs, and the eval-gram path.
+  private def withHotBroadcastMax[A](v: String)(body: => A): A = {
+    val old = sys.props.get("graft.span.hotBroadcastMax")
+    sys.props("graft.span.hotBroadcastMax") = v
+    try body
+    finally old match {
+      case Some(o) => sys.props("graft.span.hotBroadcastMax") = o
+      case None => sys.props -= "graft.span.hotBroadcastMax"; ()
+    }
+  }
+
+  test("span-mask fast path == join fallback (mask, substr spans, decontaminate, lines)") {
+    val docs = Seq(
+      (0L, "a b c d e x y z"), (1L, "p q a b c d e"),
+      (2L, "m n o k k k k m n o"), (3L, "c1 c2 c3 d1 d2 d3 c1 c2 c3"),
+      (4L, ""), (5L, "one two"), (6L, "a b c d e x y z"))
+      .toDF("doc_id", "text")
+    def maskRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3).toList)).sortBy(_._1).toList
+    def spanRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._2)).toList
+    val fastMask = maskRows(CorpusOps.maskRepeatedNgrams(docs, "text", "doc_id", n = 3, minCount = 2))
+    val fastSpan = spanRows(CorpusOps.exactSubstrSpans(docs, "text", "doc_id", minLen = 3))
+    val fastDecon = maskRows(CorpusOps.decontaminateSpans(docs, "text", "doc_id",
+      $"doc_id" === 3, n = 3))
+    val lineDocs = Seq((0L, "keep me\nshared line\nalso keep"),
+      (1L, "shared line\nunique a"), (2L, "shared line\nunique b"),
+      (3L, ""), (4L, "shared line\nshared line")).toDF("doc_id", "text")
+    def lineRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id", $"clean_text", $"n_kept", $"n_dropped")
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1).toList
+    val fastLines = lineRows(CorpusOps.dropBoilerplateLines(lineDocs, "text", "doc_id", minDf = 3L))
+    withHotBroadcastMax("-1") {
+      assert(maskRows(CorpusOps.maskRepeatedNgrams(docs, "text", "doc_id", n = 3, minCount = 2))
+        === fastMask)
+      assert(spanRows(CorpusOps.exactSubstrSpans(docs, "text", "doc_id", minLen = 3))
+        === fastSpan)
+      assert(maskRows(CorpusOps.decontaminateSpans(docs, "text", "doc_id",
+        $"doc_id" === 3, n = 3)) === fastDecon)
+      assert(lineRows(CorpusOps.dropBoilerplateLines(lineDocs, "text", "doc_id", minDf = 3L))
+        === fastLines)
+    }
+    // the fast path really fired on the default run: a doc fully
+    // covered by repeats masks to nothing either way — sanity values
+    assert(fastMask.head._1 === 0L)
+    assert(fastLines(4) === ((4L, "", 0L, 2L))) // all-boilerplate doc survives as ''
+  }
+
+  test("LongHashSet: membership matches Set[Long], including 0 and absent keys") {
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(5000)(rnd.nextLong()) :+ 0L :+ Long.MinValue :+ -1L
+    val set = graft.pipeline.LongHashSet(keys)
+    val ref = keys.toSet
+    assert(set.size === ref.size)
+    keys.foreach(k => assert(set.contains(k), s"present key $k"))
+    (0 until 20000).foreach { _ =>
+      val k = rnd.nextLong()
+      assert(set.contains(k) === ref.contains(k), s"random key $k")
+    }
+    val empty = graft.pipeline.LongHashSet(Array.empty[Long])
+    assert(!empty.contains(0L) && !empty.contains(42L) && empty.size === 0)
+  }
+
   test("shingleHashSet == shingleSet.map(fnv1a64); contaminationStats hashed parity") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("a", "bc", "définitive", "x1", "émoji☃", "tok")

@@ -43,6 +43,25 @@ class RagPipelineSpec extends AnyFunSuite {
     norms.foreach(n => assert(math.abs(n - 1.0) < 1e-5))
   }
 
+  test("ingest countAfter=false skips the recount only when nobody observes it") {
+    // r18: the streaming sink discards ingest's return value, so the
+    // per-micro-batch collection recount is skipped — UNLESS an
+    // observer is registered, in which case the ingest:complete payload
+    // must carry the true total exactly as before.
+    val rag = freshRag()
+    assert(rag.ingest(Seq(("a.txt", manual)).toDS(), countAfter = false) === -1L)
+    val realTotal = rag.engine.count(rag.collection)
+    assert(realTotal > 0)
+    var observed = -2L
+    rag.events.onAny((name, payload) =>
+      if (name == "ingest:complete") observed = payload("indexed").asInstanceOf[Long])
+    val n2 = rag.ingest(Seq(("b.txt", manual.toUpperCase)).toDS(), countAfter = false)
+    assert(n2 > realTotal, "observer registered => the recount must still run")
+    assert(observed === n2)
+    // default callers are untouched
+    assert(rag.ingest(Seq(("c.txt", manual)).toDS()) > n2)
+  }
+
   test("batch ingest of multiple docs in one pass") {
     val rag = freshRag()
     val n = rag.ingest(Seq(("a.txt", manual), ("b.txt", manual.toUpperCase)).toDS())

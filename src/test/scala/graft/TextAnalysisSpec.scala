@@ -143,6 +143,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  // r18: surprisal/dsir answer from a bounded driver-collected vocab
+  // broadcast when it fits, and from the r13-r17 join plan otherwise —
+  // force the fallback via the sizing knobs and pin bit-identical rows.
+  private def withProp[A](key: String, v: String)(body: => A): A = {
+    val old = sys.props.get(key)
+    sys.props(key) = v
+    try body
+    finally old match {
+      case Some(o) => sys.props(key) = o
+      case None => sys.props -= key; ()
+    }
+  }
+
+  test("unigramSurprisal fast path == join fallback; dsirWeights too") {
+    val df = Seq(
+      (1L, "a a b"), (2L, "b"), (3L, "a a a a rareword"),
+      (4L, ""), (5L, "  ")).toDF("doc_id", "text")
+    val fast = TextAnalysis.unigramSurprisal(df, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val slow = withProp("graft.vocab.broadcastMax", "-1") {
+      TextAnalysis.unigramSurprisal(df, "text", "doc_id")
+        .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    }
+    assert(fast === slow)
+    assert(fast.map(_._1) === Seq(1L, 2L, 3L), "empty docs emit no row on either path")
+
+    val raw = Seq((1L, "x y x"), (2L, "y z"), (3L, "solo"),
+      (4L, ""), (5L, "x y x y")).toDF("doc_id", "text")
+    val target = Seq((100L, "x y"), (101L, "x")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select($"id", $"n_feats", $"log_w", $"keep")
+        .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    val dFast = rows(TextAnalysis.dsirWeights(raw, target, "text", "doc_id"))
+    val dSlow = withProp("graft.span.hotBroadcastMax", "-1") {
+      rows(TextAnalysis.dsirWeights(raw, target, "text", "doc_id"))
+    }
+    assert(dFast === dSlow)
+    // featureless docs still partition the corpus on both paths
+    assert(dFast.find(_._1 == 4L).exists(t => t._2 == 0L && !t._4))
+  }
+
   test("tfidf top terms: rare terms outrank common, hand-computed scores, term tie-break") {
     val df = Seq(
       (1L, "apple apple banana common common"),
