@@ -828,11 +828,15 @@ object SparkEntry {
     "quality_estimate" -> ((s, dir) => {
       import s.implicits._
       val terms = kwTerms
+      // localCheckpoint (r18): both output branches (top-3 aggregate,
+      // count) consume top20 — without it the corpus scan + bm25ish
+      // score + TakeOrdered executed once per branch. 20 rows, eager.
       val top20 = t(s, dir, "documents")
         .withColumn("score", round(bm25ish($"text", terms), 6))
         .filter($"score" > 0)
         .select($"doc_id", $"score", lower($"text").as("lt"))
         .orderBy(desc("score"), asc("doc_id")).limit(20)
+        .localCheckpoint(true)
       val termHits = terms.map(tm => when($"lt".contains(tm), 1).otherwise(0))
         .reduce((a, b) => a + b)
       // top-3 as a second TakeOrderedAndProject branch instead of a

@@ -161,8 +161,14 @@ object RagPipeline {
     * unique). */
   private[graft] def cumTokensByRank(df: DataFrame, tokenCol: String,
                                      scoreCol: String, idCol: String): DataFrame = {
-    val a = df.alias("a")
-    val b = df.alias("b")
+    // materialize the (contractually top-K-bounded) input once (r18):
+    // the triangular self-join consumes it as BOTH sides, and without
+    // this the upstream subtree — typically a full corpus scan + score
+    // + TakeOrdered — executes twice. ≤ topK rows, eager, lineage
+    // truncated; the ContextCleaner reclaims the blocks with the plan.
+    val ck = df.localCheckpoint(true)
+    val a = ck.alias("a")
+    val b = ck.alias("b")
     val atOrBefore = (col(s"b.$scoreCol") > col(s"a.$scoreCol")) ||
       (col(s"b.$scoreCol") === col(s"a.$scoreCol") &&
         col(s"b.$idCol") <= col(s"a.$idCol"))

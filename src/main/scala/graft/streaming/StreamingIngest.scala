@@ -92,7 +92,10 @@ object StreamingIngest {
       t != null && t.length >= minChars && {
         val total = t.split(" ", -1).length - 2
         total > 0 &&
-          1.0 - graft.dedup.Dedup.shingleSet(t).size.toDouble / total < maxRepetition
+          // count-only shingle kernel (r18): same value as
+          // shingleSet(t).size (equality spec-pinned in DedupSpec)
+          // without materializing the gram vector per doc
+          1.0 - graft.dedup.Dedup.distinctShingleCount(t, 3).toDouble / total < maxRepetition
       }
     }
     gated.toDF("doc_id", "text", "ts")
